@@ -1,0 +1,223 @@
+"""Filter / predicate / control-flow commands.
+
+Reference surface (SURVEY.md §2 B.2): dropRecord, contains, equals, not, if,
+tryRules, sample, head, separateAttachments, log* commands (no-ops in a
+compiled plan), metrics commands.
+
+Morphline failure semantics: a predicate command "failing" a record means the
+record is dropped from the pipeline (MorphlineTransform.java:113-121 returns
+null on a failed process).  In relational terms that is exactly ``filter``.
+Conditionals (``if``/``tryRules``) compile to a single-column ``when`` cascade
+when branches are pure value transforms, and otherwise to filtered branches
+reunited with ``unionByName`` — Catalyst handles both shapes natively.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from kafka_connect_morphlines_spark.commands import command
+from kafka_connect_morphlines_spark.pipeline import CompiledCommand, PipelineSpecError
+from kafka_connect_morphlines_spark.templates import colref, template_to_column
+
+
+@command("dropRecord")
+def drop_record(config, ctx):
+    """Unconditionally drop (kite dropRecord; reference usage
+    src/test/resources/.../transform.conf:128, asserted
+    MorphlineTransformTest.java:215-242)."""
+    pred = F.lit(False)
+    return CompiledCommand("dropRecord", lambda df: df.filter(pred), predicate=pred)
+
+
+def _contains_pred(field: str, values) -> Column:
+    if not isinstance(values, list):
+        values = [values]
+    col = colref(field)
+    return functools.reduce(lambda a, b: a | b, [col.cast("string") == str(v) for v in values])
+
+
+@command("contains")
+def contains(config, ctx):
+    """Record passes iff each named field's value is one of the listed values."""
+    preds = [_contains_pred(fld, vals) for fld, vals in config.items()]
+    pred = functools.reduce(lambda a, b: a & b, preds)
+    return CompiledCommand("contains", lambda df: df.filter(pred), predicate=pred)
+
+
+@command("equals")
+def equals(config, ctx):
+    """Record passes iff each named field equals the given value (templated)."""
+    preds = []
+    for fld, v in config.items():
+        target = template_to_column(v)
+        preds.append(colref(fld).cast("string").eqNullSafe(target.cast("string")))
+    pred = functools.reduce(lambda a, b: a & b, preds)
+    return CompiledCommand("equals", lambda df: df.filter(pred), predicate=pred)
+
+
+@command("not")
+def not_cmd(config, ctx):
+    """Invert a nested predicate command."""
+    inner = ctx.compile_command(config)
+    if inner.predicate is None:
+        raise PipelineSpecError(f"'not' requires a predicate command, got {inner.name!r}")
+    pred = ~inner.predicate
+    return CompiledCommand("not", lambda df: df.filter(pred), predicate=pred)
+
+
+def _conjunction(ctx, commands: list) -> Column | None:
+    """AND of predicate commands; None if any member is not a pure predicate."""
+    preds = []
+    for entry in commands:
+        c = ctx.compile_command(entry)
+        if c.predicate is None:
+            return None
+        preds.append(c.predicate)
+    if not preds:
+        return F.lit(True)
+    return functools.reduce(lambda a, b: a & b, preds)
+
+
+def _apply_chain(df: DataFrame, chain) -> DataFrame:
+    return functools.reduce(lambda acc, cmd: cmd(acc), chain, df)
+
+
+@command("if")
+def if_cmd(config, ctx):
+    """Conditional sub-pipeline (kite ``if { conditions then else }``).
+
+    Compiled as: rows matching the conjunction of ``conditions`` flow through
+    ``then``, the rest through ``else``, reunited by name.  When a branch
+    drops rows (e.g. ``dropRecord``) this degenerates to a plain filter.
+    """
+    pred = _conjunction(ctx, config.get("conditions", []))
+    then_chain = ctx.compile_chain(config.get("then", []))
+    else_chain = ctx.compile_chain(config.get("else", []))
+    if pred is None:
+        raise PipelineSpecError("'if' conditions must be predicate commands (contains/equals/not)")
+
+    def transform(df: DataFrame) -> DataFrame:
+        then_df = _apply_chain(df.filter(pred), then_chain)
+        else_df = _apply_chain(df.filter(~pred | pred.isNull()), else_chain)
+        if not else_chain and not then_chain:
+            return df
+        return then_df.unionByName(else_df, allowMissingColumns=True)
+
+    return transform
+
+
+@command("tryRules")
+def try_rules(config, ctx):
+    """First-match rule list (kite tryRules).
+
+    Each rule's *leading predicate commands* form its match condition; the
+    remaining commands are its body.  A row flows through the body of the
+    first rule whose condition it satisfies.  Rows matching no rule are
+    dropped (the reference throws if ``throwExceptionIfAllRulesFailed``, which
+    in a relational plan maps to dropping the row into a DLQ — see
+    streaming.runner quarantine support).
+    """
+    rules = config.get("rules", [])
+    compiled = []  # (predicate, body_chain)
+    for rule in rules:
+        commands = rule.get("commands", rule if isinstance(rule, list) else [])
+        preds = []
+        body_start = 0
+        for i, entry in enumerate(commands):
+            c = ctx.compile_command(entry)
+            if c.predicate is not None:
+                preds.append(c.predicate)
+                body_start = i + 1
+            else:
+                break
+        pred = functools.reduce(lambda a, b: a & b, preds) if preds else F.lit(True)
+        compiled.append((pred, ctx.compile_chain(commands[body_start:])))
+
+    def transform(df: DataFrame) -> DataFrame:
+        out = None
+        remaining = F.lit(True)
+        for pred, body in compiled:
+            branch = _apply_chain(df.filter(remaining & pred), body)
+            out = branch if out is None else out.unionByName(branch, allowMissingColumns=True)
+            remaining = remaining & ~F.coalesce(pred, F.lit(False))
+        return out if out is not None else df.filter(F.lit(False))
+
+    return transform
+
+
+@command("sample")
+def sample(config, ctx):
+    """Bernoulli sample (kite sample: probability, seed)."""
+    p = float(config.get("probability", 1.0))
+    seed = config.get("seed")
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.sample(fraction=p, seed=seed)
+
+    return transform
+
+
+@command("head")
+def head(config, ctx):
+    """Pass only the first N rows (kite head: limit)."""
+    n = int(config.get("limit", config.get("_value", 1)))
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.limit(n)
+
+    return transform
+
+
+@command("separateAttachments", "explode")
+def separate_attachments(config, ctx):
+    """Fan out one row per element of an array field (1->N).
+
+    Kite separateAttachments fans one record per attachment; the Spark analog
+    is ``explode`` on the configured array column (default: the attachment
+    body column when it is an array).
+    """
+    fld = config.get("inputField", config.get("field", "_attachment_body"))
+    out = config.get("outputField", fld)
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.withColumn(out, F.explode(colref(fld)))
+
+    return transform
+
+
+def _noop(config, ctx):
+    def transform(df: DataFrame) -> DataFrame:
+        return df
+
+    return transform
+
+
+# Log commands (reference uses them in every pipeline, e.g. cloudsolr.conf:22) —
+# in a compiled declarative plan they are no-ops; debug runners may print.
+for _name in ("logTrace", "logDebug", "logInfo", "logWarn", "logError"):
+    command(_name)(_noop)
+
+# Metrics reporters: Spark UI / df.observe supersede Codahale reporting.
+for _name in (
+    "startReportingMetricsToSLF4J",
+    "startReportingMetricsToCSV",
+    "startReportingMetricsToJMX",
+    "registerJVMMetrics",
+):
+    command(_name)(_noop)
+
+
+@command("observe")
+def observe(config, ctx):
+    """Engine extension: named row-count metric via ``df.observe`` — the
+    Spark-native replacement for the reference's per-command Codahale record
+    counters (Metrics import, MorphlineSinkTask.java:42)."""
+    name = config.get("name", "observed")
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.observe(name, F.count(F.lit(1)).alias("numRecords"))
+
+    return transform

@@ -1,0 +1,347 @@
+"""Parser commands — the kite stdio/json/avro parser surface (SURVEY.md §2 B.1).
+
+Parsers consume the attachment body (``_attachment_body`` — the raw payload
+bytes the reference stages via FromConnectDataBuilder.java:104-117) or any
+configured input column, and emit parsed/typed columns.  All are native
+expressions: ``from_json``, ``from_csv``, ``split``+``explode`` — so the JSON
+parsing happens JVM-side inside codegen, never in Python.
+
+Schema binding: morphlines carry a schema *per record* (``_valueSchema``);
+Spark is frame-typed, so parsers accept a pipeline-bound schema via
+``schemaString`` (Avro JSON) / ``schemaDdl`` (Spark DDL) / ``schemaFile``
+(SURVEY.md §7.3 item 1).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from kafka_connect_morphlines_spark import record as R
+from kafka_connect_morphlines_spark.avro_schema import avro_struct
+from kafka_connect_morphlines_spark.commands import command
+from kafka_connect_morphlines_spark.pipeline import PipelineSpecError
+from kafka_connect_morphlines_spark.templates import colref
+
+
+def bound_schema(config, ctx) -> T.StructType | None:
+    """Resolve the schemaString/schemaDdl/schemaFile triad to a StructType."""
+    if "schemaDdl" in config:
+        return T.StructType.fromDDL(config["schemaDdl"])
+    if "schemaString" in config:
+        return avro_struct(config["schemaString"])
+    if "schemaFile" in config:
+        path = config["schemaFile"]
+        if not os.path.isabs(path):
+            path = os.path.join(ctx.base_dir, path)
+        with open(path, encoding="utf-8") as f:
+            text = f.read()
+        return T.StructType.fromDDL(text) if not text.lstrip().startswith("{") else avro_struct(text)
+    return None
+
+
+def _body(df: DataFrame, config) -> Column:
+    """The column a parser reads: configured inputField, else the attachment
+    body, else the raw value."""
+    fld = config.get("inputField")
+    if fld:
+        return colref(fld)
+    if R.ATTACHMENT_BODY in df.columns:
+        return F.col(R.ATTACHMENT_BODY)
+    if R.VALUE in df.columns:
+        return F.col(R.VALUE)
+    raise PipelineSpecError("no inputField configured and no attachment/_value column present")
+
+
+def _charset(config) -> str:
+    return config.get("characterSet", config.get("charset", "UTF-8"))
+
+
+def _as_text(col: Column, config) -> Column:
+    cs = _charset(config)
+    return F.decode(col, cs) if cs.upper() not in ("UTF-8", "UTF8") else col.cast("string")
+
+
+@command("readJson")
+def read_json(config, ctx):
+    """Parse the body as JSON (kite readJson; reference usage
+    config/cloudsolr.conf:30, src/test/resources/.../transform.conf:23).
+
+    With a bound schema the output column (default ``_json``) is a typed
+    struct via ``from_json``; without one it is the validated JSON text, which
+    ``extractJsonPaths`` then reads with ``get_json_object``.  Unparseable
+    rows are dropped, mirroring the reference's failed-record drop
+    (MorphlineSinkTask.java:137).
+    """
+    out = config.get("outputField", "_json")
+    schema = bound_schema(config, ctx)
+    drop_invalid = config.get("dropInvalid", True)
+
+    def transform(df: DataFrame) -> DataFrame:
+        text = _as_text(_body(df, config), config)
+        if schema is not None:
+            df = df.withColumn(out, F.from_json(text, schema))
+        else:
+            df = df.withColumn(out, text)
+        if drop_invalid:
+            probe = F.coalesce(F.get_json_object(text, "$"), F.get_json_object(F.concat(F.lit('{"r":'), text, F.lit("}")), "$.r"))
+            df = df.filter(text.isNotNull() & probe.isNotNull())
+        return df
+
+    return transform
+
+
+@command("readLine")
+def read_line(config, ctx):
+    """Split the body into lines, one row each (kite readLine: charset,
+    commentPrefix, ignoreFirstLine). 1->N via explode."""
+    out = config.get("outputField", "message")
+    comment = config.get("commentPrefix")
+    ignore_first = config.get("ignoreFirstLine", False)
+
+    def transform(df: DataFrame) -> DataFrame:
+        lines = F.split(_as_text(_body(df, config), config), "\r?\n")
+        if ignore_first:
+            lines = F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0)))
+        lines = F.filter(lines, lambda x: x != "")
+        if comment:
+            lines = F.filter(lines, lambda x: ~x.startswith(comment))
+        return df.withColumn(out, F.explode(lines))
+
+    return transform
+
+
+@command("readClob")
+def read_clob(config, ctx):
+    """Whole body as one string field (kite readClob)."""
+    out = config.get("outputField", "message")
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.withColumn(out, _as_text(_body(df, config), config))
+
+    return transform
+
+
+@command("readBlob")
+def read_blob(config, ctx):
+    """Whole body as one binary field (kite readBlob)."""
+    out = config.get("outputField", "_attachment_body")
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.withColumn(out, _body(df, config).cast("binary"))
+
+    return transform
+
+
+@command("readCSV")
+def read_csv(config, ctx):
+    """Delimited parse (kite readCSV: separator, columns, quoteChar, trim,
+    ignoreFirstLine).  Lines explode 1->N, then ``from_csv`` types each."""
+    sep = str(config.get("separator", ","))
+    columns = config.get("columns", [])
+    quote = str(config.get("quoteChar", '"'))
+    do_trim = config.get("trim", True)
+    ignore_first = config.get("ignoreFirstLine", False)
+    if not columns:
+        raise PipelineSpecError("readCSV requires 'columns'")
+    names = [c if c else f"_col{i}" for i, c in enumerate(columns)]
+    ddl = ", ".join(f"`{n}` STRING" for n in names)
+    options = {"sep": sep, "quote": quote, "ignoreLeadingWhiteSpace": str(do_trim).lower(), "ignoreTrailingWhiteSpace": str(do_trim).lower()}
+
+    def transform(df: DataFrame) -> DataFrame:
+        lines = F.split(_as_text(_body(df, config), config), "\r?\n")
+        if ignore_first:
+            lines = F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0)))
+        lines = F.filter(lines, lambda x: x != "")
+        df = df.withColumn("__line", F.explode(lines))
+        parsed = F.from_csv(F.col("__line"), ddl, options)
+        for i, orig in enumerate(columns):
+            if orig:  # empty column name = skip that position (kite semantics)
+                df = df.withColumn(orig, parsed.getField(names[i]))
+        return df.drop("__line")
+
+    return transform
+
+
+@command("readMultiLine")
+def read_multi_line(config, ctx):
+    """Regex multi-line event assembly (kite readMultiLine: regex,
+    what ∈ {previous, next}).
+
+    ``what=previous``: a line matching the regex belongs to the previous
+    event (classic stack-trace folding); ``what=next``: it belongs to the
+    next.  Implemented as a JVM-side array fold over each body's lines —
+    records are independent, so this parallelizes per row with no shuffle.
+    """
+    regex = config["regex"]
+    what = config.get("what", "previous")
+    out = config.get("outputField", "message")
+
+    def transform(df: DataFrame) -> DataFrame:
+        lines = F.filter(F.split(_as_text(_body(df, config), config), "\r?\n"), lambda x: x != "")
+        if what == "previous":
+            starts_new = lambda x: ~x.rlike(regex)  # noqa: E731
+            grouped = F.aggregate(
+                lines,
+                F.array().cast("array<array<string>>"),
+                lambda acc, x: F.when(
+                    starts_new(x) | (F.size(acc) == 0),
+                    F.concat(acc, F.array(F.array(x))),
+                ).otherwise(
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat(F.element_at(acc, -1), F.array(x))),
+                    )
+                ),
+            )
+        else:
+            # 'next': fold keeping a pending buffer — matching lines accumulate
+            # into the buffer and attach to the next non-matching line.
+            grouped = F.aggregate(
+                lines,
+                F.struct(
+                    F.array().cast("array<array<string>>").alias("done"),
+                    F.array().cast("array<string>").alias("pending"),
+                ),
+                lambda acc, x: F.when(
+                    x.rlike(regex),
+                    F.struct(acc["done"].alias("done"), F.concat(acc["pending"], F.array(x)).alias("pending")),
+                ).otherwise(
+                    F.struct(
+                        F.concat(acc["done"], F.array(F.concat(acc["pending"], F.array(x)))).alias("done"),
+                        F.array().cast("array<string>").alias("pending"),
+                    )
+                ),
+                lambda acc: F.when(F.size(acc["pending"]) > 0, F.concat(acc["done"], F.array(acc["pending"]))).otherwise(acc["done"]),
+            )
+        return df.withColumn(out, F.explode(F.transform(grouped, lambda g: F.array_join(g, "\n"))))
+
+    return transform
+
+
+def _slash_path_to_parts(path: str) -> list[str]:
+    return [p for p in str(path).split("/") if p]
+
+
+def _nested(col: Column, parts: list[str]) -> Column:
+    for p in parts:
+        col = col.getField(p)
+    return col
+
+
+@command("extractJsonPaths")
+def extract_json_paths(config, ctx):
+    """Project JSON paths into named fields (kite extractJsonPaths; reference
+    usage config/cloudsolr.conf:31-37, transform.conf:24-31).
+
+    Config: ``paths { out : /slash/path }`` (+ ``flatten``).  Works on the
+    ``_json`` column a prior readJson produced: struct -> nested access,
+    string -> ``get_json_object``.
+    """
+    paths = config.get("paths", {})
+    in_fld = config.get("inputField", "_json")
+
+    def transform(df: DataFrame) -> DataFrame:
+        dtype = {f.name: f.dataType for f in df.schema.fields}.get(in_fld)
+        src = colref(in_fld)
+        assignments = {}
+        for out, path in paths.items():
+            parts = _slash_path_to_parts(path)
+            if isinstance(dtype, T.StructType):
+                assignments[out] = _nested(src, parts)
+            else:
+                assignments[out] = F.get_json_object(src.cast("string"), "$." + ".".join(parts))
+        return df.withColumns(assignments)
+
+    return transform
+
+
+@command("extractAvroPaths")
+def extract_avro_paths(config, ctx):
+    """Project struct paths into named fields (kite extractAvroPaths;
+    reference usage identity.conf:59-68).  The decoded value struct plays the
+    role of the in-flight Avro record."""
+    paths = config.get("paths", {})
+    in_fld = config.get("inputField", R.VALUE)
+
+    def transform(df: DataFrame) -> DataFrame:
+        src = colref(in_fld)
+        assignments = {out: _nested(src, _slash_path_to_parts(p)) for out, p in paths.items()}
+        return df.withColumns(assignments)
+
+    return transform
+
+
+@command("extractAvroTree")
+def extract_avro_tree(config, ctx):
+    """Recursively flatten a struct column into ``prefix``+path leaf fields
+    (kite extractAvroTree)."""
+    in_fld = config.get("inputField", R.VALUE)
+    prefix = config.get("outputPrefix", "")
+    sep = config.get("separator", "_")
+
+    def transform(df: DataFrame) -> DataFrame:
+        dtype = {f.name: f.dataType for f in df.schema.fields}.get(in_fld)
+        if not isinstance(dtype, T.StructType):
+            raise PipelineSpecError(f"extractAvroTree input {in_fld!r} is not a struct")
+        assignments = {}
+
+        def walk(col: Column, schema: T.StructType, path: list[str]) -> None:
+            for f in schema.fields:
+                child = col.getField(f.name)
+                if isinstance(f.dataType, T.StructType):
+                    walk(child, f.dataType, path + [f.name])
+                else:
+                    assignments[prefix + sep.join(path + [f.name])] = child
+
+        walk(colref(in_fld), dtype, [])
+        return df.withColumns(assignments)
+
+    return transform
+
+
+def _avro_functions():
+    try:
+        from pyspark.sql.avro.functions import from_avro, to_avro  # noqa: PLC0415
+
+        return from_avro, to_avro
+    except ImportError:  # pragma: no cover
+        return None, None
+
+
+@command("readAvro", "readAvroContainer")
+def read_avro(config, ctx):
+    """Parse raw Avro bytes with a bound schema (kite readAvro/readAvroContainer).
+
+    Requires the spark-avro jar on the classpath (it is not bundled with the
+    pyspark pip distribution); absent that, raises with a clear message.  The
+    reference's own test avro path feeds Connect structs rather than raw avro
+    bytes (identity.conf readavro, MorphlineTransformTest.java:265-284) — that
+    path needs no jar here either: the value is already a typed struct.
+    """
+    schema_json = config.get("schemaString")
+    out = config.get("outputField", "_json")
+    if schema_json is None and "schemaFile" in config:
+        path = config["schemaFile"]
+        if not os.path.isabs(path):
+            path = os.path.join(ctx.base_dir, path)
+        with open(path, encoding="utf-8") as f:
+            schema_json = f.read()
+
+    def transform(df: DataFrame) -> DataFrame:
+        body = _body(df, config)
+        dtype_map = {f.name: f.dataType for f in df.schema.fields}
+        in_name = config.get("inputField") or (R.ATTACHMENT_BODY if R.ATTACHMENT_BODY in df.columns else R.VALUE)
+        if isinstance(dtype_map.get(in_name), T.StructType):
+            return df.withColumn(out, colref(in_name))  # already-decoded struct
+        from_avro, _ = _avro_functions()
+        if from_avro is None or schema_json is None:
+            raise NotImplementedError(
+                "readAvro on raw bytes requires the spark-avro package "
+                "(org.apache.spark:spark-avro) and a schemaString/schemaFile"
+            )
+        return df.withColumn(out, from_avro(body.cast("binary"), schema_json))
+
+    return transform

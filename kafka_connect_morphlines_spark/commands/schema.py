@@ -1,0 +1,232 @@
+"""Schema & format-bridge commands — the reference's Part-A operator set
+(SURVEY.md §2 Part A): fromConnectData, toConnectData, enrichJson, plus the
+Solr-shaped helpers generateSolrSequenceKey / sanitizeUnknownSolrFields.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from kafka_connect_morphlines_spark import record as R
+from kafka_connect_morphlines_spark.avro_schema import avro_struct, timestamp_millis_fields
+from kafka_connect_morphlines_spark.commands import command
+from kafka_connect_morphlines_spark.commands.parsers import bound_schema
+from kafka_connect_morphlines_spark.pipeline import PipelineSpecError
+from kafka_connect_morphlines_spark.templates import colref
+
+
+@command("fromConnectData")
+def from_connect_data(config, ctx):
+    """Serialize the in-flight value into attachment bytes so downstream
+    parsers can re-read it (reference FromConnectDataBuilder.java:93-121).
+
+    converter=string -> raw bytes + text/plain (ref :103-105)
+    converter=json   -> JSON bytes + application/json (ref :107-110)
+    converter=avro   -> avro bytes + application/avro (ref :112-115; needs the
+                        spark-avro jar, else raises)
+    """
+    converter = config.get("converter", "avro")
+    value_field = config.get("valueField", R.VALUE)
+    charset = config.get("characterSet", "UTF-8")
+
+    def transform(df: DataFrame) -> DataFrame:
+        dtype = {f.name: f.dataType for f in df.schema.fields}.get(value_field)
+        col = colref(value_field)
+        if converter == "string":
+            body, mime = F.encode(col.cast("string"), charset), "text/plain"
+        elif converter == "json":
+            if isinstance(dtype, (T.StructType, T.ArrayType, T.MapType)):
+                body = F.encode(F.to_json(col), charset)
+            else:
+                body = F.encode(col.cast("string"), charset)
+            mime = "application/json"
+        elif converter == "avro":
+            try:
+                from pyspark.sql.avro.functions import to_avro  # noqa: PLC0415
+            except ImportError as e:  # pragma: no cover
+                raise NotImplementedError("converter=avro requires the spark-avro package") from e
+            body, mime = to_avro(col), "application/avro"
+        else:
+            raise PipelineSpecError(f"unknown converter {converter!r}")
+        return df.withColumns(
+            {
+                R.ATTACHMENT_BODY: body,
+                R.ATTACHMENT_MIME: F.lit(mime),
+                R.ATTACHMENT_CHARSET: F.lit(charset),
+            }
+        )
+
+    return transform
+
+
+def _cast_to(col: Column, dtype: T.DataType, source_type: T.DataType | None) -> Column:
+    """Cast with Connect logical-type awareness (epoch-millis longs <-> Timestamp)."""
+    if isinstance(dtype, T.TimestampType) and isinstance(source_type, (T.LongType, T.IntegerType)):
+        return F.timestamp_millis(col.cast("long"))
+    if isinstance(dtype, T.LongType) and isinstance(source_type, T.TimestampType):
+        return F.unix_millis(col)
+    if isinstance(dtype, T.StructType) and isinstance(source_type, T.StructType):
+        children = [
+            _cast_to(
+                col.getField(f.name) if f.name in source_type.fieldNames() else F.lit(None),
+                f.dataType,
+                source_type[f.name].dataType if f.name in source_type.fieldNames() else None,
+            ).alias(f.name)
+            for f in dtype.fields
+        ]
+        return F.struct(*children)
+    return col.cast(dtype)
+
+
+@command("toConnectData")
+def to_connect_data(config, ctx):
+    """Declare the pipeline's typed output row (reference
+    ToConnectDataBuilder.java:116-178).
+
+    Rebuilds the value struct from record fields against the bound schema:
+    for each target field, source = ``mappings[field]`` if mapped, else a
+    top-level column of the same name, else the current value struct's child,
+    else null — i.e. the *intended* projection semantics the reference left
+    commented out (ToConnectDataBuilder.java:129-177) and its tests imply
+    (SURVEY.md §5 "known looseness").
+    """
+    value_field = config.get("valueField", R.VALUE)
+    mappings = {str(k): str(v) for k, v in config.get("mappings", {}).items()}
+    target = bound_schema(config, ctx)
+    if target is None:
+        raise PipelineSpecError("toConnectData requires schemaString/schemaDdl/schemaFile")
+
+    def transform(df: DataFrame) -> DataFrame:
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        value_type = dtypes.get(value_field)
+        children = []
+        for f in target.fields:
+            src_name = mappings.get(f.name, f.name)
+            if src_name in dtypes:
+                child = _cast_to(colref(src_name), f.dataType, dtypes[src_name])
+            elif isinstance(value_type, T.StructType) and src_name in value_type.fieldNames():
+                child = _cast_to(colref(value_field).getField(src_name), f.dataType, value_type[src_name].dataType)
+            else:
+                child = F.lit(None).cast(f.dataType)
+            children.append(child.alias(f.name))
+        return df.withColumn(value_field, F.struct(*children))
+
+    return transform
+
+
+@command("enrichJson")
+def enrich_json(config, ctx):
+    """Schema-conformance of a JSON value against an Avro schema (reference
+    EnrichJsonBuilder.java:145-177): keep only schema fields, null-fill
+    missing ones, recurse into records, and parse ISO-8601 strings into epoch
+    millis for ``timestamp-millis`` longs (ref :292-317).
+
+    ``from_json`` natively drops unknown fields and null-fills missing ones;
+    timestamp-millis fields are parsed as strings then coerced to epoch millis
+    (accepting either ISO-8601 text or a numeric epoch, like the reference).
+    Avro-JSON union wrapping (ref :265-287) only matters when feeding an
+    Avro-JSON consumer and is intentionally not materialized in the native
+    plan (SURVEY.md §2 mapping note).
+    """
+    value_field = config.get("valueField")
+    if not value_field:
+        raise PipelineSpecError("enrichJson requires valueField (EnrichJsonBuilder.java:105-109)")
+    out_field = config.get("outputField", value_field)
+    schema_str = config.get("schemaString")
+    if schema_str is None and "schemaFile" in config:
+        import os
+
+        path = config["schemaFile"]
+        if not os.path.isabs(path):
+            path = os.path.join(ctx.base_dir, path)
+        with open(path, encoding="utf-8") as f:
+            schema_str = f.read()
+    if schema_str is None:
+        raise PipelineSpecError("enrichJson requires schemaString/schemaFile (registry lookup not available offline)")
+
+    target = avro_struct(schema_str)
+    ts_paths = set(timestamp_millis_fields(schema_str))
+
+    # Parse schema: timestamp-millis fields read as strings (they may hold
+    # ISO-8601 text or epoch numbers in the incoming JSON); coerced after.
+    def _parse_type(dtype: T.DataType, path: str) -> T.DataType:
+        if path in ts_paths:
+            return T.StringType()
+        if isinstance(dtype, T.StructType):
+            return T.StructType([T.StructField(f.name, _parse_type(f.dataType, f"{path}.{f.name}" if path else f.name), True) for f in dtype.fields])
+        if isinstance(dtype, T.ArrayType):
+            return T.ArrayType(_parse_type(dtype.elementType, path), True)
+        return dtype
+
+    parse_schema = _parse_type(target, "")
+    assert isinstance(parse_schema, T.StructType)
+
+    def _coerce(col: Column, dtype: T.DataType, path: str) -> Column:
+        if path in ts_paths:
+            return F.coalesce(col.try_cast("long"), F.unix_millis(F.to_timestamp(col)))
+        if isinstance(dtype, T.StructType):
+            return F.struct(*[_coerce(col.getField(f.name), f.dataType, f"{path}.{f.name}" if path else f.name).alias(f.name) for f in dtype.fields])
+        if isinstance(dtype, T.ArrayType):
+            return F.transform(col, lambda x: _coerce(x, dtype.elementType, path))
+        return col
+
+    # output type: timestamp-millis -> long epoch millis (Avro's physical type)
+    def _out_type(dtype: T.DataType, path: str) -> T.DataType:
+        if path in ts_paths:
+            return T.LongType()
+        if isinstance(dtype, T.StructType):
+            return T.StructType([T.StructField(f.name, _out_type(f.dataType, f"{path}.{f.name}" if path else f.name), True) for f in dtype.fields])
+        if isinstance(dtype, T.ArrayType):
+            return T.ArrayType(_out_type(dtype.elementType, path), True)
+        return dtype
+
+    def transform(df: DataFrame) -> DataFrame:
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        src = colref(value_field)
+        if isinstance(dtypes.get(value_field), T.StructType):
+            parsed = F.from_json(F.to_json(src), parse_schema)  # conform an existing struct
+        else:
+            parsed = F.from_json(src.cast("string"), parse_schema)
+        conformed = _coerce(parsed, parse_schema, "")
+        return df.withColumn(out_field, conformed)
+
+    return transform
+
+
+@command("generateSolrSequenceKey")
+def generate_solr_sequence_key(config, ctx):
+    """Unique doc id ``base#seq`` (reference usage config/cloudsolr.conf:62-67).
+
+    ``monotonically_increasing_id`` is the distributed analog of the
+    reference's per-task counter: unique across partitions without any
+    coordination or shuffle.
+    """
+    base = config.get("baseIdField", "id")
+    fld = config.get("field", "id")
+    preserve = config.get("preserveExisting", True)
+
+    def transform(df: DataFrame) -> DataFrame:
+        value = F.concat_ws("#", colref(base).cast("string"), F.monotonically_increasing_id().cast("string"))
+        if preserve and fld in df.columns and fld != base:
+            return df.withColumn(fld, F.coalesce(colref(fld).cast("string"), value))
+        return df.withColumn(fld, value)
+
+    return transform
+
+
+@command("sanitizeUnknownSolrFields", "sanitizeUnknownFields")
+def sanitize_unknown_fields(config, ctx):
+    """Drop record fields not present in the sink schema (reference usage
+    config/cloudsolr.conf:68-72).  The sink schema is the configured
+    ``fields`` list (the offline analog of fetching the Solr collection
+    schema via solrLocator)."""
+    fields = set(config.get("fields", []))
+    keep_reserved = config.get("keepReserved", True)
+
+    def transform(df: DataFrame) -> DataFrame:
+        keep = [c for c in df.columns if c in fields or (keep_reserved and c in R.RESERVED_FIELDS)]
+        return df.select(*[colref(c) for c in keep])
+
+    return transform

@@ -1,0 +1,171 @@
+"""Sink commands — kafkaProducer / loadSolr parity (SURVEY.md §2 A, B.3).
+
+Morphline loaders are side-effecting commands at the end of a chain
+(kafkaProducer publishes mid-chain and passes through —
+KafkaDataProducerCommandBuilder.java:260-331; loadSolr buffers and sends).
+In a declarative plan a sink is an *action*, so these commands compile to
+transforms that (a) mark the pipeline's sink config and (b) when the engine
+runner executes the pipeline in batch mode, perform the write via the
+DataFrame writer (Kafka) or ``foreachPartition`` bulk HTTP (Solr-shaped).
+
+Transports:
+- ``kafka``  — spark-sql-kafka writer (jar required; raises otherwise)
+- ``files``  — JSON files to a directory (test/dev transport)
+- ``memory`` — collect into a registered in-process buffer (unit tests; the
+               analog of the reference's mocked SolrClient,
+               MorphlineSinkTaskTest.java:59-76)
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from kafka_connect_morphlines_spark import record as R
+from kafka_connect_morphlines_spark.commands import command
+from kafka_connect_morphlines_spark.pipeline import PipelineSpecError
+from kafka_connect_morphlines_spark.templates import colref, template_to_column
+
+# In-process sink buffers for tests (name -> list of row dicts), mirroring the
+# reference's mock-loader test strategy.
+MEMORY_SINKS: dict[str, list] = {}
+
+# Pluggable bulk-load clients for the Solr-shaped sink: name -> callable(list-of-dicts).
+LOAD_CLIENTS: dict[str, Callable[[list[dict]], Any]] = {}
+
+
+def _value_columns(df: DataFrame, config) -> DataFrame:
+    """Project the frame to (key, value, topic) for a Kafka-shaped write."""
+    topic = config.get("topic")
+    topic_field = config.get("topicField", R.TOPIC)
+    key_field = config.get("keyField")
+    value_field = config.get("valueField", R.VALUE)
+    fmt = config.get("format", "json")
+
+    value_col = colref(value_field) if value_field in df.columns else F.struct(*[colref(c) for c in df.columns])
+    dtype = {f.name: f.dataType for f in df.schema.fields}.get(value_field)
+    if fmt == "json" and isinstance(dtype, (T.StructType, T.MapType, T.ArrayType)):
+        value_out = F.to_json(value_col)
+    elif fmt == "avro":
+        try:
+            from pyspark.sql.avro.functions import to_avro  # noqa: PLC0415
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError("format=avro requires the spark-avro package") from e
+        value_out = to_avro(value_col)
+    else:
+        value_out = value_col.cast("string")
+
+    cols = [value_out.alias("value")]
+    if key_field and key_field in df.columns:
+        cols.insert(0, colref(key_field).cast("string").alias("key"))
+    if topic:
+        cols.append(F.lit(topic).alias("topic"))
+    elif topic_field in df.columns:
+        cols.append(colref(topic_field).cast("string").alias("topic"))
+    return df.select(*cols)
+
+
+@command("kafkaProducer")
+def kafka_producer(config, ctx):
+    """Publish rows to Kafka and pass the frame through (reference
+    KafkaDataProducerCommandBuilder.java:260-331: a pass-through publisher).
+
+    ``properties { ... }`` map onto ``kafka.*`` writer options; per-record
+    topic comes from ``topicField`` exactly like the reference's
+    topic/topicField pair (ref :129-134).
+    """
+    transport = config.get("transport", "kafka")
+    if "topic" not in config and "topicField" not in config and transport == "kafka":
+        raise PipelineSpecError("kafkaProducer requires topic or topicField (ref :129-134)")
+
+    def transform(df: DataFrame) -> DataFrame:
+        out = _value_columns(df, config)
+        if transport == "kafka":
+            writer = out.write.format("kafka")
+            bootstrap = config.get("properties", {}).get("bootstrap-servers") or config.get("properties", {}).get("bootstrap.servers")
+            if bootstrap:
+                writer = writer.option("kafka.bootstrap.servers", str(bootstrap))
+            for k, v in config.get("properties", {}).items():
+                writer = writer.option("kafka." + str(k).replace("-", "."), str(v))
+            writer.save()
+        elif transport == "files":
+            out.write.mode(config.get("mode", "append")).json(config["path"])
+        elif transport == "memory":
+            MEMORY_SINKS.setdefault(config.get("name", "kafka"), []).extend(r.asDict(recursive=True) for r in out.collect())
+        elif transport == "noop":
+            pass
+        else:
+            raise PipelineSpecError(f"unknown transport {transport!r}")
+        return df  # pass-through, like the reference command
+
+    return transform
+
+
+@command("loadSolr", "loadHttp")
+def load_solr(config, ctx):
+    """Solr-shaped bulk loader (reference usage config/cloudsolr.conf:74-78).
+
+    ``client`` names a registered callable in ``LOAD_CLIENTS`` receiving each
+    partition's documents as a list of dicts — mirroring how the reference
+    tests mock SolrClient (MorphlineSinkTaskTest.java:59-91).  ``url`` posts
+    JSON batches over HTTP (stdlib urllib; executor-side, partition-parallel).
+    Without either, documents buffer into MEMORY_SINKS['solr'].
+    """
+    client_name = config.get("client")
+    url = config.get("url") or (config.get("solrLocator", {}) or {}).get("solrUrl")
+    batch_size = int(config.get("batchSize", 1000))
+    drop_reserved = config.get("dropReserved", True)
+
+    def transform(df: DataFrame) -> DataFrame:
+        doc_df = df.drop(*[c for c in df.columns if c in R.RESERVED_FIELDS]) if drop_reserved else df
+        if client_name:
+            client = LOAD_CLIENTS.get(client_name)
+            if client is None:
+                raise PipelineSpecError(f"no registered load client {client_name!r}")
+            docs = [r.asDict(recursive=True) for r in doc_df.collect()]
+            for i in range(0, len(docs), batch_size):
+                client(docs[i : i + batch_size])
+        elif url:
+
+            def post_partition(rows):
+                import urllib.request  # noqa: PLC0415
+
+                buf = []
+                for row in rows:
+                    buf.append(row.asDict(recursive=True))
+                    if len(buf) >= batch_size:
+                        _post(buf)
+                        buf.clear()
+                if buf:
+                    _post(buf)
+
+            def _post(docs):
+                import urllib.request  # noqa: PLC0415
+
+                req = urllib.request.Request(
+                    url,
+                    data=json.dumps(docs, default=str).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                urllib.request.urlopen(req, timeout=30)  # noqa: S310
+
+            doc_df.foreachPartition(post_partition)
+        else:
+            MEMORY_SINKS.setdefault("solr", []).extend(r.asDict(recursive=True) for r in doc_df.collect())
+        return df
+
+    return transform
+
+
+@command("logSink", "show")
+def log_sink(config, ctx):
+    """Debug sink: show N rows (explicit action, unlike the no-op log* commands)."""
+    n = int(config.get("numRows", 20))
+
+    def transform(df: DataFrame) -> DataFrame:
+        df.show(n, truncate=False)
+        return df
+
+    return transform

@@ -1,0 +1,142 @@
+"""Pipeline spec -> compiled list of DataFrame transforms.
+
+Reference lifecycle (MorphlineTransform.java:82-105, 166-195): parse the HOCON
+file, apply config overrides (``override.withFallback(fileConfig)``), find the
+``morphlines`` block matching ``morphlineId`` and compile it into a command
+chain.  This module performs the same compilation, but each command compiles to
+a native ``DataFrame -> DataFrame`` transform (Column expressions, not
+record-at-a-time interpretation), so the resulting Pipeline is a logical-plan
+builder Catalyst can optimize end to end.
+
+Dataflow semantics (SURVEY.md §1.4): a command may emit 0, 1 or N rows per
+input row — drop = ``filter``, 1->N = ``explode``.  The engine keeps full 1->N
+semantics (a superset of the reference SMT's first-record-only contract).
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+
+from kafka_connect_morphlines_spark import hocon
+
+Transform = Callable[[DataFrame], DataFrame]
+
+
+class PipelineSpecError(ValueError):
+    pass
+
+
+@dataclass
+class CompiledCommand:
+    """A compiled command: a transform, optionally exposing a pure predicate.
+
+    Predicate commands (``contains``/``equals``/``not`` — SURVEY.md §2 B.2) set
+    ``predicate`` so conditional combinators (``if``, ``tryRules``) can compile
+    to a single Column expression instead of branch/union plans.
+    """
+
+    name: str
+    transform: Transform
+    predicate: Column | None = None
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return self.transform(df)
+
+
+@dataclass
+class CompileContext:
+    base_dir: str = "."
+    settings: dict[str, Any] = field(default_factory=dict)
+
+    def compile_chain(self, commands: list[dict[str, Any]]) -> list[CompiledCommand]:
+        return [self.compile_command(c) for c in commands]
+
+    def compile_command(self, entry: dict[str, Any]) -> CompiledCommand:
+        from kafka_connect_morphlines_spark.commands import REGISTRY
+
+        if not isinstance(entry, dict) or len(entry) != 1:
+            raise PipelineSpecError(f"a command must be a single-key object, got {entry!r}")
+        name, config = next(iter(entry.items()))
+        if name not in REGISTRY:
+            raise PipelineSpecError(f"unknown command {name!r}")
+        if config is None:
+            config = {}
+        if not isinstance(config, dict):
+            config = {"_value": config}
+        compiled = REGISTRY[name](dict(config), self)
+        if isinstance(compiled, CompiledCommand):
+            compiled.name = compiled.name or name
+            return compiled
+        return CompiledCommand(name=name, transform=compiled)
+
+
+@dataclass
+class Pipeline:
+    """An ordered chain of compiled commands, applied with ``df.transform``."""
+
+    commands: list[CompiledCommand]
+    morphline_id: str = ""
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return self.apply(df)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return functools.reduce(lambda acc, cmd: cmd(acc), self.commands, df)
+
+    @staticmethod
+    def from_file(path: str, morphline_id: str | None = None, overrides: dict[str, Any] | None = None) -> "Pipeline":
+        import os
+
+        spec = hocon.load(path)
+        return compile_pipeline(spec, morphline_id=morphline_id, overrides=overrides, base_dir=os.path.dirname(os.path.abspath(path)))
+
+
+def _deep_merge(dst: dict, src: dict) -> dict:
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_merge(dst[k], v)
+        else:
+            dst[k] = v
+    return dst
+
+
+def compile_pipeline(
+    spec: dict[str, Any] | str | list,
+    morphline_id: str | None = None,
+    overrides: dict[str, Any] | None = None,
+    base_dir: str = ".",
+) -> Pipeline:
+    """Compile a pipeline spec (HOCON text/path, dict, or bare command list)."""
+    import os
+
+    if isinstance(spec, str):
+        if "\n" not in spec and os.path.exists(spec):
+            return Pipeline.from_file(spec, morphline_id, overrides)
+        spec = hocon.loads(spec, base_dir=base_dir)
+    if isinstance(spec, list):  # bare command list
+        spec = {"commands": spec}
+    if overrides:
+        spec = _deep_merge(dict(spec), overrides)
+
+    if "commands" in spec:
+        commands, mid = spec["commands"], morphline_id or ""
+    else:
+        morphlines = spec.get("morphlines")
+        if not isinstance(morphlines, list) or not morphlines:
+            raise PipelineSpecError("spec has neither 'commands' nor a 'morphlines' list")
+        if morphline_id is None:
+            block = morphlines[0]
+        else:
+            matches = [m for m in morphlines if m.get("id") == morphline_id]
+            if not matches:
+                raise PipelineSpecError(f"no morphline with id {morphline_id!r}")
+            block = matches[0]
+        commands, mid = block.get("commands", []), block.get("id", "")
+
+    ctx = CompileContext(base_dir=base_dir, settings=dict(spec.get("settings", {})))
+    return Pipeline(commands=ctx.compile_chain(commands), morphline_id=mid)

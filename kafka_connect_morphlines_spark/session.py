@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode for tests/bench; the same configs are the ones you'd set on a real
+cluster (AQE on, Arrow on, UTC session TZ so results compare bit-for-bit with
+external oracles).  Parallelism-sensitive knobs scale with the master string.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kafka_connect_morphlines_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] -> ~N shuffle partitions; AQE coalesces further at runtime.
+        try:
+            n = master.split("[", 1)[1].rstrip("]")
+            shuffle_partitions = int(os.cpu_count() or 4) if n == "*" else int(n)
+        except (IndexError, ValueError):
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
