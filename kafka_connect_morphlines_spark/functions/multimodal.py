@@ -1,0 +1,109 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
+
+The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
+signatures) is real and tested; the actual media decode is stubbed behind
+``NotImplementedError`` / a deterministic fake because the codec libraries
+(Pillow, ffmpeg, torchaudio) are not in this container — swap ``_decode_*``
+for real decoders in deployment and nothing else changes.
+
+Design for 100 TB of media:
+- binary payloads stay in parquet binary columns; metadata is columnar so
+  filters (mime, size, duration) push down WITHOUT touching payload bytes.
+- decode/feature-extract runs in ``mapInPandas`` (Arrow batches), sized by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of large
+  blobs doesn't blow executor memory.
+- frame sampling / resize emit 1->N rows via the same iterator — no
+  collect, no Python loop over rows outside Arrow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from kafka_connect_morphlines_spark.functions import ensure_parallelism
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+FEATURE_SCHEMA = "media_id long, mime string, byte_len int, sha256 string, feature array<float>"
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_payload binary"
+
+
+def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Cheap columnar metadata — pure JVM expressions, no decode."""
+    return df.withColumns(
+        {
+            "byte_len": F.octet_length(F.col(payload_col)),
+            "sha256": F.sha2(F.col(payload_col), 256),
+        }
+    )
+
+
+def _decode_image(payload: bytes) -> list[float]:
+    """STUB: real deployments decode with Pillow/torchvision here.
+
+    Deterministic fake: 8 floats derived from the payload digest, so tests
+    pin exact values without codec libraries.
+    """
+    h = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in h[:8]]
+
+
+def _decode_audio(payload: bytes) -> list[float]:
+    raise NotImplementedError("audio decode requires torchaudio/ffmpeg — not in this container")
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id", mime_col: str = "mime") -> DataFrame:
+    """Decode + featurize via Arrow-batched ``mapInPandas`` (1 row -> 1 row)."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, lens, digests = [], [], []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                lens.append(len(raw))
+                digests.append(hashlib.sha256(raw).hexdigest())
+                feats.append(_decode_image(raw))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "mime": pdf[mime_col].values,
+                    "byte_len": lens,
+                    "sha256": digests,
+                    "feature": feats,
+                }
+            )
+
+    return ensure_parallelism(df).mapInPandas(mapper, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 1024, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
+    """Frame-sampling plumbing (1 row -> N rows) via ``mapInPandas``.
+
+    STUB decode: 'frames' are fixed-size payload slices — the real version
+    replaces the slicer with an ffmpeg keyframe iterator; the distributed
+    shape (Arrow batches in, exploded rows out) is identical.
+    """
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                for i in range(0, max(len(raw), 1), every_n_bytes):
+                    ids.append(mid)
+                    idxs.append(i // every_n_bytes)
+                    frames.append(raw[i : i + every_n_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_payload": frames})
+
+    return ensure_parallelism(df).mapInPandas(mapper, FRAME_SCHEMA)

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- brute-force cosine top-k: the exact baseline.  Dot products run JVM-side
+  via ``aggregate``/``zip_with`` — no Python in the loop.
+- LSH-bucketed ANN (random hyperplanes): the scale path.  Sign-bits of dot
+  products with D deterministic pseudo-random hyperplanes bucket the
+  vectors; search only scans matching buckets (multi-probe = hamming-1
+  neighbors of the query's bucket).
+- IVF-style variant: coarse centroids by bucketing on the first principal
+  directions is a refinement left to the same bucket-join shape.
+
+At 100 TB the brute-force path is a map-side scan + top-k (no shuffle except
+the final k-row reduce); the LSH path prunes the scan to matching buckets —
+a partition-pruning-friendly layout if the table is written bucketed by
+``bucket``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pyspark.sql import Window
+
+from kafka_connect_morphlines_spark.functions import ensure_parallelism
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays, JVM-side, in double precision."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.
+
+    The literal query vector is folded into the plan (broadcast by value);
+    scoring is a map-only scan and the top-k is a TakeOrdered reduce — the
+    cheapest distributed shape for single-query search.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = ensure_parallelism(df).select(F.col(id_col), cosine(F.col(vec_col), q).alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_join_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k corpus neighbors for every query row (brute-force kNN join).
+
+    Broadcast the smaller side (queries) so the corpus never shuffles; the
+    window ranks per query.  Output (query_id, neighbor_id, score, rank).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from a hash — no RNG state, so
+    any executor can regenerate it (SURVEY.md §7.3.5 determinism)."""
+    import hashlib
+    import struct
+
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"hyperplane:{plane_idx}:{j}".encode()).digest()
+        (v,) = struct.unpack("<q", h[:8])
+        out.append(v / float(1 << 63))  # uniform-ish in [-1, 1)
+    return out
+
+
+def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """LSH bucket id: sign bits of dot(vec, plane_i) packed into an int."""
+    bucket = F.lit(0)
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, i)])
+        bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: scan only rows whose hyperplane bucket is within
+    hamming distance ``multiprobe`` of the query's bucket.
+
+    With the corpus written bucketed/partitioned by bucket id this becomes
+    partition pruning; here it is a pushed-down filter on a derived column.
+    """
+    dim = len(query_vec)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # query bucket computed at plan-build time (plain python on the literal)
+    qbits = 0
+    for i in range(n_planes):
+        plane = _hyperplane(dim, i)
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0:
+            qbits |= 1 << i
+    probe_buckets = {qbits}
+    if multiprobe >= 1:
+        probe_buckets |= {qbits ^ (1 << i) for i in range(n_planes)}
+    bucketed = ensure_parallelism(df).select(F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"))
+    hits = bucketed.filter(F.col("bucket").isin(list(probe_buckets)))
+    scored = hits.select(F.col(id_col), cosine(F.col(vec_col), q).alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def embedding_near_dupes(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane-bucket blocking.
+
+    Pairs sharing an LSH bucket are verified with exact cosine; at scale the
+    bucket join replaces the O(n²) cross join.  Output (id_a, id_b, cos).
+    """
+    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = dim_probe[0]["d"] if dim_probe else 0
+    b = ensure_parallelism(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"))
+    l, r = b.alias("a"), b.alias("b")
+    return (
+        l.join(r, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), cosine(F.col("a._v"), F.col("b._v")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

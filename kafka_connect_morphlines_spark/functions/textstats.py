@@ -1,0 +1,90 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting.
+
+All pure Column expressions (JVM-side, codegen): at 100 TB these run
+map-side with zero shuffle — the scan is the only cost, and column pruning
+means only ``text`` is read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language identifier.  Real deployments load bigger tables; the *operator*
+# (score-and-argmax over marker hits) is what matters at scale.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "un", "pour", "que", "dans", "est", "les"],
+    "de": ["der", "die", "und", "das", "ein", "mit", "ist", "von", "den", "nicht"],
+    "zh": ["的", "是", "了", "在", "我", "有", "他", "这", "就", "不"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["on", "with", "as", "at", "by", "an", "be", "this", "are", "was"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the baseline tokenizer)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish regex tokenization: words, numbers, and single punctuation
+    marks as separate tokens (the GPT-2-style pre-tokenizer shape)."""
+    return F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality features.
+
+    Returns named Columns so callers project exactly what they need.
+    """
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(EN_STOPWORDS)))
+    punct_chars = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    uniq_ratio = F.when(n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.when(n_tokens > 0, (F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))) / n_tokens).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(n_chars > 0, punct_chars / n_chars).otherwise(F.lit(0.0)),
+        "unique_token_ratio": uniq_ratio,
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-token language ID: argmax of per-language marker hits, 'und'
+    when nothing matches.  Deterministic tie-break by language code order."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for code in sorted(LANG_MARKERS):  # deterministic order; strict > keeps first-best
+        score = F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[code])))
+        is_better = score > best_score
+        best = F.when(is_better, F.lit(code)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best
+
+
+def shingles(text: Column, n: int = 4) -> Column:
+    """Word n-gram shingles as strings (for fingerprints / MinHash / Jaccard)."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def fingerprint(text: Column, n: int = 4) -> Column:
+    """Document fingerprint: min hash-of-shingle (a 1-permutation MinHash,
+    also the 'winnowing lite' rolling fingerprint).  Deterministic."""
+    return F.array_min(F.transform(shingles(text, n), lambda s: F.md5(s)))

@@ -1,0 +1,1000 @@
+"""Operator-coverage query corpus.
+
+One entry per operator from SURVEY.md §2 (Part A command set, Part B library
+surface, Part C native-Spark capabilities) plus the beyond-reference
+LLM-pipeline operators.  Each entry is a builder ``(spark, sf_dir) ->
+DataFrame`` and, where ANSI-SQL-expressible, an equivalent DuckDB oracle SQL
+(tables pre-registered as views: region nation customer supplier part orders
+lineitem events documents embeddings).
+
+Conventions for oracle hash-matching:
+- every computed column is aliased identically on both sides;
+- doubles are rounded (2-6 dp) on both sides;
+- timestamps leave as epoch millis or formatted strings;
+- deterministic tie-breaks on every top-k / window rank.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kafka_connect_morphlines_spark.functions import dedup, similarity, textstats
+from kafka_connect_morphlines_spark.pipeline import compile_pipeline
+
+
+@dataclass
+class QuerySpec:
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None -> not SQL-expressible (driver does rows-only)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(build=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from kafka_connect_morphlines_spark.sources.files import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# A. Morphline-command operators (SURVEY.md §2 Part A + B), each through the
+#    pipeline engine so the *engine path* is what's verified.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "read_json_typed",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
+)
+def read_json_typed(spark, sf_dir):
+    """readJson with a bound schema (B.1) -> typed struct column."""
+    p = compile_pipeline([{"readJson": {"inputField": "props", "schemaDdl": "k int"}}])
+    return p(t(spark, sf_dir, "events")).select("event_id", F.col("_json.k").alias("k"))
+
+
+@query(
+    "extract_json_paths",
+    "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events",
+)
+def extract_json_paths(spark, sf_dir):
+    """readJson schemaless + extractJsonPaths (B.1: get_json_object path)."""
+    p = compile_pipeline(
+        [
+            {"readJson": {"inputField": "props"}},
+            {"extractJsonPaths": {"paths": {"k": "/k"}}},
+        ]
+    )
+    return p(t(spark, sf_dir, "events")).select("event_id", "k")
+
+
+@query(
+    "set_values_template",
+    "SELECT event_id, event_type || '-' || CAST(user_id AS VARCHAR) AS tag FROM events",
+)
+def set_values_template(spark, sf_dir):
+    """setValues with @{field} interpolation (B.2; cloudsolr.conf:52-56 shape)."""
+    p = compile_pipeline([{"setValues": {"tag": "@{event_type}-@{user_id}"}}])
+    return p(t(spark, sf_dir, "events")).select("event_id", "tag")
+
+
+@query(
+    "generate_uuid_deterministic",
+    """
+    SELECT event_id,
+           substr(md5(CAST(event_id AS VARCHAR)), 1, 8) || '-' ||
+           substr(md5(CAST(event_id AS VARCHAR)), 9, 4) || '-' ||
+           substr(md5(CAST(event_id AS VARCHAR)), 13, 4) || '-' ||
+           substr(md5(CAST(event_id AS VARCHAR)), 17, 4) || '-' ||
+           substr(md5(CAST(event_id AS VARCHAR)), 21, 12) AS uid
+    FROM events
+    """,
+)
+def generate_uuid_deterministic(spark, sf_dir):
+    """generateUUID with deterministic baseField (B.2 + SURVEY §7.3.5)."""
+    p = compile_pipeline([{"generateUUID": {"field": "uid", "baseField": "event_id"}}])
+    return p(t(spark, sf_dir, "events")).select("event_id", "uid")
+
+
+@query("convert_timestamp_millis", "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events")
+def convert_timestamp_millis(spark, sf_dir):
+    """convertTimestamp iso8601 -> unixTimeInMillis (B.2; cloudsolr.conf:43-51 inverse)."""
+    p = compile_pipeline(
+        [
+            {"setValues": {"ts_ms": "@{ts}"}},
+            {"toString": {"field": "ts_ms"}},
+            {"convertTimestamp": {"field": "ts_ms", "inputFormats": ["iso8601"], "outputFormat": "unixTimeInMillis"}},
+        ]
+    )
+    return p(t(spark, sf_dir, "events")).select("event_id", "ts_ms")
+
+
+@query("find_replace", "SELECT doc_id, replace(text, 'spark', 'SPARK') AS t2 FROM documents")
+def find_replace(spark, sf_dir):
+    """findReplace literal mode (B.2)."""
+    p = compile_pipeline(
+        [
+            {"setValues": {"t2": "@{text}"}},
+            {"findReplace": {"field": "t2", "find": "spark", "replace": "SPARK", "isRegex": False}},
+        ]
+    )
+    return p(t(spark, sf_dir, "documents")).select("doc_id", "t2")
+
+
+@query(
+    "split_field",
+    "SELECT doc_id, array_to_string(string_split(source, 'src'), '|') AS parts FROM documents",
+)
+def split_field(spark, sf_dir):
+    """split into an array column (B.2)."""
+    p = compile_pipeline([{"split": {"inputField": "source", "outputField": "parts_arr", "separator": "src"}}])
+    return p(t(spark, sf_dir, "documents")).select("doc_id", F.array_join("parts_arr", "|").alias("parts"))
+
+
+@query(
+    "split_key_value",
+    "SELECT event_id, CAST(user_id AS VARCHAR) AS u, event_type AS ty FROM events",
+)
+def split_key_value(spark, sf_dir):
+    """splitKeyValue k=v items -> promoted fields (B.2)."""
+    p = compile_pipeline(
+        [
+            {"setValues": {"kv": "u=@{user_id};ty=@{event_type}"}},
+            {"splitKeyValue": {"inputField": "kv", "itemSeparator": ";", "outputFields": ["u", "ty"]}},
+        ]
+    )
+    return p(t(spark, sf_dir, "events")).select("event_id", "u", "ty")
+
+
+@query(
+    "extract_uri",
+    """
+    SELECT event_id,
+           'ex.com' AS uri_host,
+           8080 AS uri_port,
+           '/p/' || event_type AS uri_path,
+           CAST(user_id AS VARCHAR) AS qu
+    FROM events
+    """,
+)
+def extract_uri(spark, sf_dir):
+    """extractURIComponents + extractURIQueryParameters (B.2)."""
+    p = compile_pipeline(
+        [
+            {"setValues": {"url": "https://ex.com:8080/p/@{event_type}?u=@{user_id}&x=1"}},
+            {"extractURIComponents": {"inputField": "url", "outputPrefix": "uri_"}},
+            {"extractURIQueryParameters": {"inputField": "url", "parameter": "u", "outputField": "qu"}},
+        ]
+    )
+    return p(t(spark, sf_dir, "events")).select("event_id", "uri_host", "uri_port", "uri_path", "qu")
+
+
+@query(
+    "grok_extract",
+    "SELECT event_id, event_type AS word, CAST(user_id AS BIGINT) AS num FROM events",
+)
+def grok_extract(spark, sf_dir):
+    """grok with dictionary expansion -> regexp_extract (B.2 flagship text op)."""
+    p = compile_pipeline(
+        [
+            {"setValues": {"line": "@{event_type} @{user_id}"}},
+            {"grok": {"expressions": {"line": "%{WORD:word} %{INT:num:int}"}}},
+        ]
+    )
+    return p(t(spark, sf_dir, "events")).select("event_id", "word", "num")
+
+
+@query(
+    "translate_dict",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN 3 WHEN event_type = 'purchase' THEN 2 ELSE 0 END AS sev
+    FROM events
+    """,
+)
+def translate_dict(spark, sf_dir):
+    """translate through a literal dictionary with fallback (B.2)."""
+    p = compile_pipeline(
+        [
+            {"setValues": {"sev": "@{event_type}"}},
+            {"translate": {"field": "sev", "dictionary": {"error": 3, "purchase": 2}, "fallback": 0}},
+        ]
+    )
+    return p(t(spark, sf_dir, "events")).select("event_id", "sev")
+
+
+@query(
+    "contains_filter",
+    "SELECT event_id, event_type FROM events WHERE event_type IN ('click', 'view')",
+)
+def contains_filter(spark, sf_dir):
+    """contains predicate -> filter (B.2)."""
+    p = compile_pipeline([{"contains": {"event_type": ["click", "view"]}}])
+    return p(t(spark, sf_dir, "events")).select("event_id", "event_type")
+
+
+@query(
+    "not_equals_filter",
+    "SELECT event_id, event_type FROM events WHERE NOT event_type = 'view'",
+)
+def not_equals_filter(spark, sf_dir):
+    """not + equals predicates (B.2)."""
+    p = compile_pipeline([{"not": {"equals": {"event_type": "view"}}}])
+    return p(t(spark, sf_dir, "events")).select("event_id", "event_type")
+
+
+@query(
+    "if_then_else",
+    "SELECT event_id, CASE WHEN event_type = 'error' THEN 'high' ELSE 'low' END AS sev FROM events",
+)
+def if_then_else(spark, sf_dir):
+    """if/then/else conditional sub-pipeline (B.2)."""
+    p = compile_pipeline(
+        [
+            {
+                "if": {
+                    "conditions": [{"contains": {"event_type": ["error"]}}],
+                    "then": [{"setValues": {"sev": "high"}}],
+                    "else": [{"setValues": {"sev": "low"}}],
+                }
+            }
+        ]
+    )
+    return p(t(spark, sf_dir, "events")).select("event_id", "sev")
+
+
+@query(
+    "try_rules",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase' THEN 'buy'
+                WHEN event_type = 'signup' THEN 'join'
+                ELSE 'other' END AS kind
+    FROM events
+    """,
+)
+def try_rules(spark, sf_dir):
+    """tryRules first-match cascade (B.2)."""
+    p = compile_pipeline(
+        [
+            {
+                "tryRules": {
+                    "rules": [
+                        {"commands": [{"contains": {"event_type": ["purchase"]}}, {"setValues": {"kind": "buy"}}]},
+                        {"commands": [{"contains": {"event_type": ["signup"]}}, {"setValues": {"kind": "join"}}]},
+                        {"commands": [{"setValues": {"kind": "other"}}]},
+                    ]
+                }
+            }
+        ]
+    )
+    return p(t(spark, sf_dir, "events")).select("event_id", "kind")
+
+
+@query("head_sorted", "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 100")
+def head_sorted(spark, sf_dir):
+    """head (limit-N) over a deterministic order (B.2)."""
+    p = compile_pipeline([{"head": {"limit": 100}}])
+    return p(t(spark, sf_dir, "events").orderBy("event_id")).select("event_id", "event_type")
+
+
+@query(
+    "read_csv_lines",
+    """
+    SELECT event_id, CAST(event_id AS VARCHAR) AS id, event_type AS ty, CAST(value AS VARCHAR) AS val
+    FROM events
+    """,
+)
+def read_csv_lines(spark, sf_dir):
+    """setValues-staged body -> readCSV (B.1)."""
+    p = compile_pipeline(
+        [
+            {"setValues": {"_attachment_body": "@{event_id},@{event_type},@{value}"}},
+            {"readCSV": {"columns": ["id", "ty", "val"], "separator": ","}},
+        ]
+    )
+    return p(t(spark, sf_dir, "events")).select("event_id", "id", "ty", "val")
+
+
+@query(
+    "read_line_explode",
+    """
+    SELECT doc_id, lang AS message FROM documents
+    UNION ALL
+    SELECT doc_id, source AS message FROM documents
+    """,
+)
+def read_line_explode(spark, sf_dir):
+    """readLine 1->N explode (B.1)."""
+    p = compile_pipeline(
+        [
+            {"setValues": {"_attachment_body": "@{lang}\n@{source}"}},
+            {"readLine": {}},
+        ]
+    )
+    return p(t(spark, sf_dir, "documents")).select("doc_id", "message")
+
+
+@query(
+    "read_multi_line",
+    "SELECT event_id, event_type || chr(10) || '  ' || CAST(user_id AS VARCHAR) AS message FROM events",
+)
+def read_multi_line(spark, sf_dir):
+    """readMultiLine what=previous regex folding (B.1)."""
+    p = compile_pipeline(
+        [
+            {"setValues": {"_attachment_body": "@{event_type}\n  @{user_id}"}},
+            {"readMultiLine": {"regex": "^\\s+.*", "what": "previous"}},
+        ]
+    )
+    return p(t(spark, sf_dir, "events")).select("event_id", "message")
+
+
+@query(
+    "enrich_json_conform",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(NULL AS VARCHAR) AS missing
+    FROM events
+    """,
+)
+def enrich_json_conform(spark, sf_dir):
+    """enrichJson schema conformance: null-fill + unknown-drop (Part A)."""
+    schema = '{"type":"record","name":"P","fields":[{"name":"k","type":["null","int"]},{"name":"missing","type":["null","string"]}]}'
+    p = compile_pipeline([{"enrichJson": {"valueField": "props", "outputField": "conformed", "schemaString": schema}}])
+    return p(t(spark, sf_dir, "events")).select(
+        "event_id", F.col("conformed.k").alias("k"), F.col("conformed.missing").alias("missing")
+    )
+
+
+@query(
+    "to_connect_data_projection",
+    "SELECT p_partkey, p_name AS name, p_brand AS brand, p_size AS size FROM part",
+)
+def to_connect_data_projection(spark, sf_dir):
+    """toConnectData typed projection with mappings (Part A; the intended
+    semantics of ToConnectDataBuilder.java:129-177)."""
+    schema = (
+        '{"type":"record","name":"Out","fields":['
+        '{"name":"name","type":["null","string"]},'
+        '{"name":"brand","type":["null","string"]},'
+        '{"name":"size","type":["null","int"]}]}'
+    )
+    p = compile_pipeline(
+        [
+            {
+                "toConnectData": {
+                    "schemaString": schema,
+                    "valueField": "_value",
+                    "mappings": {"name": "p_name", "brand": "p_brand", "size": "p_size"},
+                }
+            }
+        ]
+    )
+    return p(t(spark, sf_dir, "part")).select("p_partkey", "_value.name", "_value.brand", "_value.size")
+
+
+@query(
+    "from_connect_data_json",
+    """
+    SELECT event_id, to_json(struct_pack(event_type := event_type, user_id := user_id)) AS payload
+    FROM events
+    """,
+)
+def from_connect_data_json(spark, sf_dir):
+    """fromConnectData converter=json staging + readClob re-read (Part A)."""
+    p = compile_pipeline(
+        [
+            {"sqlExpr": {"_value": "struct(event_type, user_id)"}},
+            {"fromConnectData": {"converter": "json"}},
+            {"readClob": {"outputField": "payload"}},
+        ]
+    )
+    return p(t(spark, sf_dir, "events")).select("event_id", "payload")
+
+
+@query("sample_seeded", None)  # sampling algorithms differ across engines -> rows-only
+def sample_seeded(spark, sf_dir):
+    """sample with fixed seed (B.2) — deterministic within Spark."""
+    p = compile_pipeline([{"sample": {"probability": 0.1, "seed": 42}}])
+    return p(t(spark, sf_dir, "events")).select("event_id", "event_type")
+
+
+# --------------------------------------------------------------------------
+# B. Native relational capabilities (SURVEY.md §2 Part C rows the engine
+#    ships via Spark: joins, aggregations, windows, sorts, set ops, ...)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped aggregation (map-side partial agg, 2-col shuffle key)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "join_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def join_revenue_by_nation(spark, sf_dir):
+    """Multi-join star query (Q5-shaped): fact-fact shuffle join + broadcast
+    dims (nation/region/customer are small at every SF)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    li = t(spark, sf_dir, "lineitem")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "window_topk_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_orders(spark, sf_dir):
+    """Top-K per group via ranking window (Part C window functions)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_sum",
+    """
+    SELECT event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+    FROM events
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    """Running aggregate window frame (Part C)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    return t(spark, sf_dir, "events").select("event_id", F.round(F.sum("value").over(w), 2).alias("run_sum"))
+
+
+@query(
+    "sessionize",
+    """
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions FROM (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    ) GROUP BY user_id
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Sessionization: lag + cumulative sum over gaps (Part C stateful window)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    with_new = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)).alias("is_new"),
+    )
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        with_new.select("user_id", F.sum("is_new").over(wsum).alias("session_id"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"))
+    )
+
+
+@query(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers(spark, sf_dir):
+    """Left-anti join (Part C joins: NOT EXISTS)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "semi_join_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def semi_join_intersect(spark, sf_dir):
+    """Set op INTERSECT == semi join (Part C set ops)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+@query(
+    "except_low_priority",
+    """
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def except_low_priority(spark, sf_dir):
+    """Set op EXCEPT (Part C set ops)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select("o_custkey").subtract(o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey"))
+
+
+@query(
+    "distinct_count_by_nation",
+    """
+    SELECT n.n_name AS nation, count(DISTINCT s.s_suppkey) AS n_suppliers,
+           round(sum(s.s_acctbal), 2) AS total_bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def distinct_count_by_nation(spark, sf_dir):
+    """Distinct aggregation + broadcast dim join (Part C aggregations)."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.countDistinct("s_suppkey").alias("n_suppliers"), F.round(F.sum("s_acctbal"), 2).alias("total_bal"))
+    )
+
+
+@query(
+    "rollup_counts",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_counts(spark, sf_dir):
+    """ROLLUP grouping sets (Part C aggregations: cube/rollup)."""
+    return t(spark, sf_dir, "lineitem").rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS "view"
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark, sf_dir):
+    """Pivot with fixed value set (Part C)."""
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    piv = t(spark, sf_dir, "events").groupBy("user_id").pivot("event_type", kinds).agg(F.count(F.lit(1)))
+    return piv.select("user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds])
+
+
+@query(
+    "orders_by_month",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+)
+def orders_by_month(spark, sf_dir):
+    """Date functions + aggregation (Part C date fns)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "event_time_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def event_time_tumbling_window(spark, sf_dir):
+    """Event-time tumbling window aggregation — the batch face of the
+    Structured Streaming windowed agg (SURVEY.md §2 Part C streaming row;
+    the streaming runner reuses this exact plan over readStream)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+@query(
+    "string_functions",
+    """
+    SELECT p_partkey, upper(substr(p_name, 1, 10)) AS up, length(p_name) AS nlen,
+           trim(p_brand) AS brand_t, reverse(p_type) AS type_rev
+    FROM part
+    """,
+)
+def string_functions(spark, sf_dir):
+    """String function surface (Part C string fns)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 10)).alias("up"),
+        F.length("p_name").alias("nlen"),
+        F.trim(F.col("p_brand")).alias("brand_t"),
+        F.reverse(F.col("p_type")).alias("type_rev"),
+    )
+
+
+@query(
+    "math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_extendedprice), 6) AS sq,
+           round(ln(l_quantity + 1), 6) AS lg,
+           abs(round(l_discount - 0.05, 4)) AS ad,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+           CAST(floor(l_extendedprice) AS BIGINT) AS fl
+    FROM lineitem
+    """,
+)
+def math_functions(spark, sf_dir):
+    """Math function surface (Part C math fns)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sq"),
+        F.round(F.log(F.col("l_quantity") + 1), 6).alias("lg"),
+        F.abs(F.round(F.col("l_discount") - 0.05, 4)).alias("ad"),
+        F.ceil("l_extendedprice").cast("bigint").alias("ce"),
+        F.floor("l_extendedprice").cast("bigint").alias("fl"),
+    )
+
+
+@query(
+    "sort_topn_lineitems",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100
+    """,
+)
+def sort_topn_lineitems(spark, sf_dir):
+    """Global top-N (TakeOrderedAndProject — no full sort at scale)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# C. LLM-data-pipeline operators (beyond reference; BASELINE.json north star)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content digest (hash-groupBy; 32-byte shuffle keys)."""
+    return dedup.exact_dedup_keys(t(spark, sf_dir, "documents"))
+
+
+@query("dedup_minhash_lsh", None)  # xxhash64 seeds not available in DuckDB -> rows-only
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, Jaccard-verified (shingle->minhash->band->bucket-join)."""
+    return dedup.minhash_dedup_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@query("dedup_simhash", None)  # bit-vote fold over murmur3/xxhash -> rows-only
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs with pigeonhole chunk blocking."""
+    return dedup.simhash_near_dupes(t(spark, sf_dir, "documents"), bits=48, max_hamming=3)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, source, list_distinct(list_filter(string_split(trim(text), ' '), x -> x != '')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                 (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jacc
+    FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact token-Jaccard pairs within a blocking key (the bounded-block
+    exact verifier; tokens are whitespace tokens)."""
+    out = dedup.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), block_col="source", threshold=0.9)
+    return out.select("id_a", "id_b", F.round("jacc", 6).alias("jacc"))
+
+
+@query(
+    "embedding_cosine_topk",
+    """
+    SELECT b.vec_id,
+           round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score
+    FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE b.vec_id != 0
+    ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, b.vec_id ASC
+    LIMIT 10
+    """,
+)
+def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against a literal query vector (exact ANN baseline)."""
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = list(qrow[0]["embedding"]) if qrow else []
+    out = similarity.brute_force_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+@query("embedding_ann_lsh", None)
+def embedding_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed approximate top-k (the 100 TB scan-pruning path)."""
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = list(qrow[0]["embedding"]) if qrow else []
+    out = similarity.ann_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, n_planes=8, multiprobe=1)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+@query(
+    "embedding_knn_join",
+    """
+    SELECT query_id, neighbor_id, round(score, 4) AS score, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS score,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                                         c.vec_id ASC) AS rank
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 5 AND c.vec_id >= 5
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_knn_join(spark, sf_dir):
+    """Brute-force kNN join: top-5 neighbors for each of the first 5 vectors."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    out = similarity.knn_join_topk(queries_df, emb.filter(F.col("vec_id") >= 5), k=5)
+    return out.select("query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank")
+
+
+@query(
+    "text_quality",
+    """
+    WITH tok AS (
+      SELECT doc_id, n_chars, list_filter(string_split(trim(text), ' '), x -> x != '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN round(CAST(len(list_filter(toks, x -> list_contains(
+                     ['the','and','of','to','a','in','is','it','that','for','on','with','as','at','by','an','be','this','are','was'],
+                     lower(x)))) AS DOUBLE) / len(toks), 6)
+                ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN len(toks) > 0
+                THEN round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+                ELSE 0.0 END AS unique_token_ratio
+    FROM tok
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring features: token counts, stopword ratio, uniqueness."""
+    feats = textstats.quality_features(F.col("text"))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(feats["unique_token_ratio"], 6).alias("unique_token_ratio"),
+    )
+
+
+@query(
+    "lang_id_pred",
+    None,  # oracle built in __spark_entry__ via the generated CASE (see lang_id_oracle_sql)
+)
+def lang_id_pred(spark, sf_dir):
+    """Marker-token language identification (argmax over marker hits)."""
+    return t(spark, sf_dir, "documents").select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def lang_id_oracle_sql() -> str:
+    """DuckDB CASE mirroring textstats.lang_id exactly (same order, strict >)."""
+    from kafka_connect_morphlines_spark.functions.textstats import LANG_MARKERS
+
+    codes = sorted(LANG_MARKERS)
+    score = {
+        c: (
+            "len(list_filter(list_transform(list_filter(string_split(trim(text), ' '), x -> x != ''), x -> lower(x)),"
+            f" x -> list_contains({LANG_MARKERS[c]!r}, x)))"
+        )
+        for c in codes
+    }
+    # sequential argmax with strict >, initial best ('und', 0)
+    exprs = []
+    for c in codes:
+        exprs.append(f"{score[c]} AS s_{c}")
+    greatest = "greatest(" + ", ".join(f"s_{c}" for c in codes) + ")"
+    case = f"CASE WHEN {greatest} <= 0 THEN 'und' "
+    for c in codes:
+        case += f"WHEN s_{c} = {greatest} THEN '{c}' "
+    case += "END"
+    inner = ", ".join(exprs)
+    return f"SELECT doc_id, {case} AS lang_pred FROM (SELECT doc_id, text, {inner} FROM documents)"
+
+
+QUERIES["lang_id_pred"] = QuerySpec(build=lang_id_pred, oracle=lang_id_oracle_sql())
+
+
+@query(
+    "token_frequencies",
+    """
+    SELECT token, count(*) AS n FROM (
+      SELECT unnest(list_filter(string_split(trim(text), ' '), x -> x != '')) AS token FROM documents
+    ) GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+    """,
+)
+def token_frequencies(spark, sf_dir):
+    """Explode + aggregate: corpus token frequencies, top 50."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(textstats.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "bpe_token_count",
+    r"SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe FROM documents",
+)
+def bpe_token_count(spark, sf_dir):
+    """BPE-ish regex token counting."""
+    return t(spark, sf_dir, "documents").select("doc_id", F.size(textstats.bpe_ish_tokens(F.col("text"))).alias("n_bpe"))
+
+
+@query(
+    "doc_fingerprint",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x != '') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 4
+                THEN list_min(list_transform(range(1, len(toks) - 2), i -> md5(array_to_string(toks[i:i+3], ' '))))
+                ELSE md5(array_to_string(toks, ' ')) END AS fp
+    FROM tok
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (min-hash-of-shingles, n=4)."""
+    return t(spark, sf_dir, "documents").select("doc_id", textstats.fingerprint(F.col("text"), n=4).alias("fp"))
+
+
+@query(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id, 'text/plain' AS mime, octet_length(CAST(text AS BLOB)) AS byte_len,
+           sha256(text) AS sha_hex
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Multimodal metadata path: opaque binary payload + columnar metadata
+    (filters push down without touching payload bytes)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.lit("text/plain").alias("mime"), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    from kafka_connect_morphlines_spark.functions.multimodal import media_metadata
+
+    return media_metadata(docs, "payload").select("doc_id", "mime", "byte_len", F.col("sha256").alias("sha_hex"))
+
+
+@query("multimodal_features", None)  # stubbed decode (deterministic fake) -> rows-only
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched decode/featurize plumbing over mapInPandas (decode stubbed)."""
+    from kafka_connect_morphlines_spark.functions.multimodal import extract_features
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/fake").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    out = extract_features(docs)
+    return out.select("media_id", "byte_len", "sha256", F.round(F.element_at("feature", 1), 6).alias("f0"))

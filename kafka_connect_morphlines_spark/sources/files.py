@@ -1,0 +1,58 @@
+"""File-table source with parquet edge-case handling.
+
+Spark (through 4.x) rejects parquet INT64 TIMESTAMP(NANOS) columns
+(PARQUET_TYPE_ILLEGAL) that other engines (DuckDB, arrow) read fine.  The
+loader flips the ``nanosAsLong`` legacy conf and rebuilds proper timestamps
+(truncated to micros, matching DuckDB's cast-to-TIMESTAMP floor semantics) —
+a schema fix-up only: the scan itself stays columnar with pushdown intact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Column names stored as parquet timestamp[ns], via the arrow footer."""
+    try:
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        if os.path.isdir(path):
+            inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if not inner:
+                return []
+            path = os.path.join(path, inner[0])
+        schema = pq.read_schema(path)
+        out = []
+        for field in schema:
+            t = field.type
+            if str(t).startswith("timestamp[ns"):
+                out.append(field.name)
+        return out
+    except Exception:
+        return []
+
+
+def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
+        try:
+            spark.conf.set(_NANOS_CONF, "true")
+        except Exception:
+            pass
+        df = spark.read.parquet(path)
+        for c in nanos_cols:
+            # long nanos -> timestamp at micro precision (floor, like DuckDB).
+            # Integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed double's
+            # 2^53 exact range, so float division is off by ±1 micro.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_parquet(spark, f"{sf_dir}/{name}.parquet")
