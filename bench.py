@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": sf}
+
+Each query executes its full plan via the noop writer (no driver-side
+collect skewing the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_connect_morphlines_spark import get_spark  # noqa: E402
+from kafka_connect_morphlines_spark.plans.queries import QUERIES  # noqa: E402
+
+HEADLINE = [
+    # morphline pipeline path
+    "read_json_typed",
+    "grok_extract",
+    "convert_timestamp_millis",
+    # relational core
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "window_topk_orders",
+    "sessionize",
+    "event_time_tumbling_window",
+    "sort_topn_lineitems",
+    # LLM-pipeline operators
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_cosine_topk",
+    "embedding_knn_join",
+    "text_quality",
+    "doc_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    # warm the JVM/codegen/parquet/json paths so per-query numbers measure the
+    # plan, not one-time initialization
+    spark.range(1000).selectExpr("sum(id)").collect()
+    from kafka_connect_morphlines_spark.sources.files import load_table
+
+    load_table(spark, sf_dir, "region").selectExpr("count(*)").collect()
+    spark.sql("SELECT from_json('{\"a\":1}', 'a int')").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERIES[name]
+        t0 = time.time()
+        df = spec.build(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

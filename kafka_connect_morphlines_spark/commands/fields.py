@@ -234,19 +234,25 @@ def _sdf_to_spark(fmt: str) -> str:
 
 
 def parse_timestamp_attempts(col: Column, input_formats: list[str], input_tz: str) -> Column:
-    """Coalesced parse attempts -> TimestampType UTC instant."""
+    """Coalesced parse attempts -> TimestampType UTC instant.
+
+    try_* variants throughout: under ANSI mode (Spark 4 default) a failed
+    parse/cast throws, which would break the try-each-format contract of
+    kite convertTimestamp (first matching inputFormat wins).
+    """
     attempts = []
     for fmt in input_formats:
         if fmt == "unixTimeInMillis":
-            attempts.append(F.timestamp_millis(col.cast("long")))
+            attempts.append(F.timestamp_millis(col.try_cast("long")))
         elif fmt in ("unixTimeInSeconds", "posixTime"):
-            attempts.append(F.timestamp_seconds(col.cast("long")))
+            attempts.append(F.timestamp_seconds(col.try_cast("long")))
         elif fmt == "unixTimeInNanos":
-            attempts.append(F.timestamp_micros((col.cast("long") / 1000).cast("long")))
+            # decimal div keeps epoch-nanos exact (they exceed double's 2^53)
+            attempts.append(F.timestamp_micros(F.floor(col.try_cast("decimal(30,0)") / 1000).cast("long")))
         elif fmt == "iso8601":
-            attempts.append(F.to_timestamp(col))
+            attempts.append(F.try_to_timestamp(col))
         else:
-            ts = F.to_timestamp(col.cast("string"), _sdf_to_spark(fmt))
+            ts = F.try_to_timestamp(col.cast("string"), F.lit(_sdf_to_spark(fmt)))
             if input_tz and input_tz.upper() != "UTC":
                 ts = F.to_utc_timestamp(ts, input_tz)
             attempts.append(ts)

@@ -78,6 +78,7 @@ def read_json(config, ctx):
     out = config.get("outputField", "_json")
     schema = bound_schema(config, ctx)
     drop_invalid = config.get("dropInvalid", True)
+    flag_invalid = config.get("flagInvalid", False)  # DLQ mode: mark, don't drop
 
     def transform(df: DataFrame) -> DataFrame:
         text = _as_text(_body(df, config), config)
@@ -85,9 +86,15 @@ def read_json(config, ctx):
             df = df.withColumn(out, F.from_json(text, schema))
         else:
             df = df.withColumn(out, text)
-        if drop_invalid:
-            probe = F.coalesce(F.get_json_object(text, "$"), F.get_json_object(F.concat(F.lit('{"r":'), text, F.lit("}")), "$.r"))
-            df = df.filter(text.isNotNull() & probe.isNotNull())
+        probe = F.coalesce(F.get_json_object(text, "$"), F.get_json_object(F.concat(F.lit('{"r":'), text, F.lit("}")), "$.r"))
+        valid = text.isNotNull() & probe.isNotNull()
+        if flag_invalid:
+            # quarantine path: the streaming runner routes flagged rows to the
+            # DLQ sink instead of silently dropping (cf. the reference's
+            # log-and-skip, MorphlineSinkTask.java:137)
+            df = df.withColumn("_invalid", ~valid)
+        elif drop_invalid:
+            df = df.filter(valid)
         return df
 
     return transform

@@ -88,3 +88,36 @@ def fingerprint(text: Column, n: int = 4) -> Column:
     """Document fingerprint: min hash-of-shingle (a 1-permutation MinHash,
     also the 'winnowing lite' rolling fingerprint).  Deterministic."""
     return F.array_min(F.transform(shingles(text, n), lambda s: F.md5(s)))
+
+
+# --- codegen-shaped (explode + aggregate) variants -------------------------
+# Spark higher-order functions are interpreted per element; the per-row cost
+# (~ms/doc) is invisible at test scale and ruinous at 100 TB.  These variants
+# explode once and aggregate with codegen expressions; map-side partial
+# aggregation keeps the shuffle at one row per doc.
+
+
+def fingerprint_df(df, text_col: str = "text", id_col: str = "doc_id", n: int = 4):
+    """(id, fp): min(md5(shingle)) via explode_outer + groupBy-min."""
+    ex = df.select(F.col(id_col), F.explode_outer(shingles(F.col(text_col), n)).alias("_s"))
+    return ex.groupBy(id_col).agg(F.min(F.md5(F.col("_s"))).alias("fp"))
+
+
+def quality_features_df(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, n_tokens, stopword_ratio, unique_token_ratio, avg_token_len)
+    via explode_outer + codegen aggregates."""
+    ex = df.select(F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("_t"))
+    agg = ex.groupBy(id_col).agg(
+        F.count("_t").alias("n_tokens"),
+        F.sum(F.when(F.lower(F.col("_t")).isin(EN_STOPWORDS), 1).otherwise(0)).alias("_stop"),
+        F.countDistinct("_t").alias("_uniq"),
+        F.sum(F.length("_t")).alias("_len"),
+    )
+    nt = F.col("n_tokens")
+    return agg.select(
+        F.col(id_col),
+        nt,
+        F.when(nt > 0, F.col("_stop") / nt).otherwise(F.lit(0.0)).alias("stopword_ratio"),
+        F.when(nt > 0, F.col("_uniq") / nt).otherwise(F.lit(0.0)).alias("unique_token_ratio"),
+        F.when(nt > 0, F.col("_len") / nt).otherwise(F.lit(0.0)).alias("avg_token_len"),
+    )

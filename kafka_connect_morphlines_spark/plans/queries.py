@@ -873,13 +873,19 @@ def embedding_knn_join(spark, sf_dir):
     """,
 )
 def text_quality(spark, sf_dir):
-    """Quality scoring features: token counts, stopword ratio, uniqueness."""
-    feats = textstats.quality_features(F.col("text"))
-    return t(spark, sf_dir, "documents").select(
+    """Quality scoring features: token counts, stopword ratio, uniqueness.
+
+    Uses the explode+aggregate codegen shape (quality_features_df) — the
+    per-row higher-order-function variant is ~50x slower per doc."""
+    from kafka_connect_morphlines_spark.functions import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    feats = textstats.quality_features_df(docs)
+    return feats.select(
         "doc_id",
-        feats["n_tokens"].alias("n_tokens"),
-        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
-        F.round(feats["unique_token_ratio"], 6).alias("unique_token_ratio"),
+        "n_tokens",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("unique_token_ratio", 6).alias("unique_token_ratio"),
     )
 
 
@@ -889,7 +895,10 @@ def text_quality(spark, sf_dir):
 )
 def lang_id_pred(spark, sf_dir):
     """Marker-token language identification (argmax over marker hits)."""
-    return t(spark, sf_dir, "documents").select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
+    from kafka_connect_morphlines_spark.functions import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return docs.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
 
 
 def lang_id_oracle_sql() -> str:
@@ -930,8 +939,10 @@ QUERIES["lang_id_pred"] = QuerySpec(build=lang_id_pred, oracle=lang_id_oracle_sq
 )
 def token_frequencies(spark, sf_dir):
     """Explode + aggregate: corpus token frequencies, top 50."""
+    from kafka_connect_morphlines_spark.functions import ensure_parallelism
+
     return (
-        t(spark, sf_dir, "documents")
+        ensure_parallelism(t(spark, sf_dir, "documents"))
         .select(F.explode(textstats.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -946,7 +957,10 @@ def token_frequencies(spark, sf_dir):
 )
 def bpe_token_count(spark, sf_dir):
     """BPE-ish regex token counting."""
-    return t(spark, sf_dir, "documents").select("doc_id", F.size(textstats.bpe_ish_tokens(F.col("text"))).alias("n_bpe"))
+    from kafka_connect_morphlines_spark.functions import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return docs.select("doc_id", F.size(textstats.bpe_ish_tokens(F.col("text"))).alias("n_bpe"))
 
 
 @query(
@@ -963,8 +977,12 @@ def bpe_token_count(spark, sf_dir):
     """,
 )
 def doc_fingerprint(spark, sf_dir):
-    """Rolling-hash document fingerprint (min-hash-of-shingles, n=4)."""
-    return t(spark, sf_dir, "documents").select("doc_id", textstats.fingerprint(F.col("text"), n=4).alias("fp"))
+    """Rolling-hash document fingerprint (min-hash-of-shingles, n=4),
+    explode+groupBy-min codegen shape."""
+    from kafka_connect_morphlines_spark.functions import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return textstats.fingerprint_df(docs, n=4)
 
 
 @query(

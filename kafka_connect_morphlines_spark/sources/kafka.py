@@ -1,0 +1,83 @@
+"""Kafka source/sink builders — the reference's transport layer
+(MorphlineSinkTask topic consumption, README.md:104-127 connector configs;
+kafkaProducer publish, KafkaDataProducerCommandBuilder.java:260-331).
+
+Spark's kafka connector (spark-sql-kafka) is a separate jar not bundled with
+the pip distribution; every function degrades to a clear error when absent.
+The envelope rename makes the kafka frame identical to the engine's canonical
+record schema (record.py), so compiled pipelines run unchanged on either.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_connect_morphlines_spark import record as R
+
+
+class KafkaUnavailableError(RuntimeError):
+    def __init__(self) -> None:
+        super().__init__(
+            "the spark-sql-kafka package is not on the classpath; start the session with "
+            "spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+        )
+
+
+def _try(fn):
+    try:
+        return fn()
+    except Exception as e:  # AnalysisException: Failed to find data source: kafka
+        if "kafka" in str(e).lower() or "data source" in str(e).lower():
+            raise KafkaUnavailableError() from e
+        raise
+
+
+def read_kafka_batch(spark: SparkSession, bootstrap: str, topics: str, options: dict[str, str] | None = None) -> DataFrame:
+    """Batch-read a topic range into the canonical envelope frame."""
+
+    def go():
+        reader = (
+            spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribe", topics)
+            .option("startingOffsets", "earliest")
+        )
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        return R.from_kafka_source(reader.load())
+
+    return _try(go)
+
+
+def read_kafka_stream(spark: SparkSession, bootstrap: str, topics: str, options: dict[str, str] | None = None) -> DataFrame:
+    """Streaming-read (the sink-connector input path, MorphlineSinkTask put loop)."""
+
+    def go():
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribe", topics)
+        )
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        return R.from_kafka_source(reader.load())
+
+    return _try(go)
+
+
+def write_kafka_batch(df: DataFrame, bootstrap: str, topic: str | None = None, options: dict[str, str] | None = None) -> None:
+    """Publish (key, value[, topic]) rows — kafkaProducer's native transport.
+
+    Per-record topic comes from a ``topic`` column when no fixed topic is
+    given, matching the reference's topic/topicField pair (ref :129-134).
+    """
+
+    def go():
+        writer = df.write.format("kafka").option("kafka.bootstrap.servers", bootstrap)
+        if topic:
+            writer = writer.option("topic", topic)
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
+        writer.save()
+
+    return _try(go)

@@ -1,0 +1,100 @@
+"""Streaming pipeline runner.
+
+Maps the reference's sink-task lifecycle (MorphlineSinkTask.java:105-157)
+onto Structured Streaming:
+
+| reference                         | here                                  |
+|-----------------------------------|---------------------------------------|
+| start(): compile morphline        | compile_pipeline once, reuse per batch|
+| put(batch) + begin/commit TX      | micro-batch + checkpoint epoch        |
+| failed record -> log + skip       | quarantine (DLQ) sink                 |
+| stop(): notifyShutdown            | query.stop()                          |
+
+The same compiled Pipeline object works for batch and streaming frames —
+transforms are plan builders, agnostic to the source.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kafka_connect_morphlines_spark.pipeline import Pipeline
+
+QUARANTINE_FLAG = "_invalid"
+
+
+def quarantine_split(df: DataFrame, flag_col: str = QUARANTINE_FLAG) -> tuple[DataFrame, DataFrame]:
+    """Split a flagged frame into (good, quarantined) — the DLQ analog of the
+    reference's log-and-skip failure path (MorphlineSinkTask.java:137)."""
+    if flag_col not in df.columns:
+        return df, df.filter(F.lit(False))
+    good = df.filter(~F.coalesce(F.col(flag_col), F.lit(False))).drop(flag_col)
+    bad = df.filter(F.coalesce(F.col(flag_col), F.lit(False))).drop(flag_col)
+    return good, bad
+
+
+def run_stream(
+    source: DataFrame,
+    pipeline: Pipeline | Callable[[DataFrame], DataFrame],
+    sink: Callable[[DataFrame, int], Any] | None = None,
+    quarantine_sink: Callable[[DataFrame, int], Any] | None = None,
+    checkpoint: str | None = None,
+    query_name: str = "morphline_stream",
+    trigger: dict[str, Any] | None = None,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Run a compiled pipeline over a streaming frame via ``foreachBatch``.
+
+    ``sink(df, epoch_id)`` receives each transformed micro-batch — the
+    transactional boundary, mirroring the reference's per-put
+    begin/commit notifications (MorphlineSinkTask.java:132,148).  Exactly-once
+    is the sink's contract (idempotent write keyed on epoch_id + checkpoint).
+    """
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        out = pipeline(batch_df)
+        good, bad = quarantine_split(out)
+        if quarantine_sink is not None:
+            quarantine_sink(bad, epoch_id)
+        if sink is not None:
+            sink(good, epoch_id)
+
+    writer = source.writeStream.queryName(query_name).outputMode(output_mode).foreachBatch(process_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def run_stream_to_memory(
+    source: DataFrame,
+    pipeline: Pipeline | Callable[[DataFrame], DataFrame],
+    query_name: str = "morphline_out",
+    output_mode: str = "append",
+    trigger: dict[str, Any] | None = None,
+) -> StreamingQuery:
+    """Transform-then-memory-sink runner for tests/smokes: the streaming
+    analog of collecting a batch result (query results land in the
+    ``query_name`` in-memory table)."""
+    out = pipeline(source) if not isinstance(pipeline, Pipeline) else pipeline.apply(source)
+    writer = out.writeStream.queryName(query_name).outputMode(output_mode).format("memory")
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def windowed_event_counts(source: DataFrame, ts_col: str = "ts", window: str = "1 hour", watermark: str = "2 hours", group_col: str = "event_type") -> DataFrame:
+    """Watermarked tumbling-window aggregation — the Spark-native streaming
+    operator surface beyond the reference (SURVEY.md §2 Part C streaming
+    row: the reference has no event-time semantics at all)."""
+    return (
+        source.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), group_col, "n", "total")
+    )

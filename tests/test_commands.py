@@ -1,0 +1,305 @@
+"""Per-command unit tests for the morphline command surface (SURVEY.md §2 B)
+not already pinned by the golden tests or the oracle corpus."""
+
+import base64
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_morphlines_spark import compile_pipeline
+from kafka_connect_morphlines_spark.commands.sinks import LOAD_CLIENTS, MEMORY_SINKS
+
+
+def run(spark, commands, rows, schema):
+    return compile_pipeline(commands)(spark.createDataFrame(rows, schema))
+
+
+def test_add_values_appends_array(spark):
+    out = run(
+        spark,
+        [{"addValues": {"tags": "a"}}, {"addValues": {"tags": "b"}}],
+        [("x",)],
+        "name string",
+    ).collect()[0]
+    assert out["tags"] == ["a", "b"]
+
+
+def test_add_values_if_absent(spark):
+    out = run(
+        spark,
+        [{"addValues": {"tags": ["a", "b"]}}, {"addValuesIfAbsent": {"tags": ["b", "c"]}}],
+        [("x",)],
+        "name string",
+    ).collect()[0]
+    assert out["tags"] == ["a", "b", "c"]
+
+
+def test_remove_fields_glob_and_literal(spark):
+    df = run(
+        spark,
+        [{"removeFields": ["glob:tmp_*", "gone"]}],
+        [("a", "b", "c", "d")],
+        "keep string, tmp_x string, tmp_y string, gone string",
+    )
+    assert df.columns == ["keep"]
+
+
+def test_remove_values_scalar_and_array(spark):
+    out = run(
+        spark,
+        [{"addValues": {"arr": ["a", "b", "c"]}}, {"removeValues": {"arr": ["b"], "scalar": ["drop-me"]}}],
+        [("drop-me",), ("keep",)],
+        "scalar string",
+    ).orderBy("scalar").collect()
+    assert out[0]["scalar"] is None and out[0]["arr"] == ["a", "c"]
+    assert out[1]["scalar"] == "keep"
+
+
+def test_find_replace_regex_and_first(spark):
+    out = run(
+        spark,
+        [
+            {"setValues": {"all": "@{s}", "first": "@{s}"}},
+            {"findReplace": {"field": "all", "pattern": "o+", "replacement": "0"}},
+            {"findReplace": {"field": "first", "pattern": "o+", "replacement": "0", "replaceFirst": True}},
+        ],
+        [("foo boo",)],
+        "s string",
+    ).collect()[0]
+    assert out["all"] == "f0 b0"
+    assert out["first"] == "f0 boo"
+
+
+def test_to_byte_array_and_base64(spark):
+    payload = base64.b64encode(b"hello").decode()
+    out = run(
+        spark,
+        [{"decodeBase64": {"field": "b64"}}, {"toByteArray": {"field": "s", "charset": "UTF-8"}}],
+        [(payload, "text")],
+        "b64 string, s string",
+    ).collect()[0]
+    assert bytes(out["b64"]) == b"hello"
+    assert bytes(out["s"]) == b"text"
+
+
+def test_split_numbered_fields(spark):
+    out = run(
+        spark,
+        [{"split": {"inputField": "csv", "outputFields": ["a", "", "c"], "separator": ","}}],
+        [("1,2,3",)],
+        "csv string",
+    ).collect()[0]
+    assert out["a"] == "1" and out["c"] == "3"
+    assert "b" not in out.asDict()
+
+
+def test_split_key_value_map_output(spark):
+    out = run(
+        spark,
+        [{"splitKeyValue": {"inputField": "kv", "itemSeparator": "&", "outputField": "m"}}],
+        [("a=1&b=two&c=x=y",)],
+        "kv string",
+    ).collect()[0]
+    assert out["m"] == {"a": "1", "b": "two", "c": "x=y"}
+
+
+def test_convert_timestamp_multi_format_tz(spark):
+    out = run(
+        spark,
+        [
+            {
+                "convertTimestamp": {
+                    "field": "ts",
+                    "inputFormats": ["yyyy-MM-dd'T'HH:mm:ss'Z'", "yyyy.MM.dd HH:mm:ss", "unixTimeInMillis"],
+                    "inputTimezone": "America/Los_Angeles",
+                    "outputFormat": "yyyy-MM-dd HH:mm:ss",
+                    "outputTimezone": "UTC",
+                }
+            }
+        ],
+        [("2017.01.20 00:35:02",), ("2017-01-20T00:35:02Z",)],
+        "ts string",
+    ).collect()
+    # PST wall time 00:35 -> 08:35 UTC; the 'Z'-suffixed format also parses
+    # as LA wall time per inputTimezone (kite semantics: formats have no TZ)
+    assert {r["ts"] for r in out} == {"2017-01-20 08:35:02"}
+
+
+def test_translate_without_fallback_drops(spark):
+    out = run(
+        spark,
+        [{"translate": {"field": "t", "dictionary": {"a": "1"}}}],
+        [("a",), ("zzz",)],
+        "t string",
+    ).collect()
+    assert len(out) == 1 and out[0]["t"] == "1"
+
+
+def test_grok_dictionary_string_and_drop(spark):
+    out = run(
+        spark,
+        [
+            {
+                "grok": {
+                    "dictionaryString": "MYLEVEL (?:INFO|ERROR)",
+                    "expressions": {"line": "%{MYLEVEL:level} %{INT:code:int} %{GREEDYDATA:msg}"},
+                }
+            }
+        ],
+        [("INFO 200 all good",), ("garbage line",)],
+        "line string",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["level"] == "INFO" and out[0]["code"] == 200 and out[0]["msg"] == "all good"
+
+
+def test_grok_extract_false_filters_only(spark):
+    out = run(
+        spark,
+        [{"grok": {"expressions": {"line": "%{INT}"}, "extract": "false"}}],
+        [("123",), ("abc",)],
+        "line string",
+    )
+    assert out.count() == 1
+    assert "g0" not in out.columns
+
+
+def test_read_multi_line_next(spark):
+    body = "part1\\\npart2\nsolo"
+    out = run(
+        spark,
+        [{"readMultiLine": {"regex": r".*\\$", "what": "next", "inputField": "body"}}],
+        [(body,)],
+        "body string",
+    ).select("message").orderBy("message").collect()
+    assert [r["message"] for r in out] == ["part1\\\npart2", "solo"]
+
+
+def test_separate_attachments_explode(spark):
+    out = run(
+        spark,
+        [{"split": {"inputField": "s", "outputField": "parts", "separator": ","}}, {"separateAttachments": {"inputField": "parts", "outputField": "item"}}],
+        [("a,b,c",)],
+        "s string",
+    )
+    assert [r["item"] for r in out.orderBy("item").collect()] == ["a", "b", "c"]
+
+
+def test_sample_seeded_deterministic(spark):
+    df = spark.range(1000).withColumnRenamed("id", "x")
+    p = compile_pipeline([{"sample": {"probability": 0.2, "seed": 7}}])
+    a = sorted(r["x"] for r in p(df).collect())
+    b = sorted(r["x"] for r in p(df).collect())
+    assert a == b and 100 < len(a) < 300
+
+
+def test_python_command(spark):
+    code = "def process(df):\n    return df.withColumn('y', F.col('x') * 2)"
+    out = run(spark, [{"python": {"code": code}}], [(21,)], "x int").collect()[0]
+    assert out["y"] == 42
+
+
+def test_sql_expr_and_where(spark):
+    out = run(
+        spark,
+        [{"sqlExpr": {"y": "x * 10"}}, {"where": {"expr": "y >= 20"}}],
+        [(1,), (2,), (3,)],
+        "x int",
+    )
+    assert sorted(r["y"] for r in out.collect()) == [20, 30]
+
+
+def test_pandas_batch_command(spark):
+    code = "def process(pdf):\n    pdf['double'] = pdf['x'] * 2\n    return pdf[['x', 'double']]"
+    out = run(
+        spark,
+        [{"pandasBatch": {"code": code, "outputSchema": "x long, double long"}}],
+        [(5,), (6,)],
+        "x long",
+    )
+    assert sorted((r["x"], r["double"]) for r in out.collect()) == [(5, 10), (6, 12)]
+
+
+def test_kafka_producer_files_transport(spark, tmp_path):
+    out_dir = str(tmp_path / "kafka_out")
+    p = compile_pipeline(
+        [{"kafkaProducer": {"transport": "files", "path": out_dir, "topic": "t1", "valueField": "v", "format": "json"}}]
+    )
+    df = spark.createDataFrame([("a",), ("b",)], "v string")
+    result = p(df)  # pass-through publisher
+    assert result.count() == 2
+    written = spark.read.json(out_dir)
+    assert sorted(r["value"] for r in written.collect()) == ["a", "b"]
+    assert written.select("topic").distinct().collect()[0]["topic"] == "t1"
+
+
+def test_load_solr_mock_client(spark):
+    """Mirrors the reference's mocked-SolrClient test strategy
+    (MorphlineSinkTaskTest.java:59-91)."""
+    received = []
+    LOAD_CLIENTS["mock"] = received.extend
+    p = compile_pipeline([{"loadSolr": {"client": "mock", "batchSize": 2}}])
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, v string")
+    p(df)
+    assert sorted(d["id"] for d in received) == [1, 2, 3]
+
+
+def test_generate_solr_sequence_key(spark):
+    out = run(spark, [{"generateSolrSequenceKey": {"baseIdField": "base", "field": "id"}}], [("x",), ("y",)], "base string")
+    ids = [r["id"] for r in out.collect()]
+    assert all("#" in i for i in ids) and len(set(ids)) == 2
+
+
+def test_sanitize_unknown_fields(spark):
+    df = run(
+        spark,
+        [{"sanitizeUnknownFields": {"fields": ["keep1", "keep2"]}}],
+        [("a", "b", "c")],
+        "keep1 string, keep2 string, surprise string",
+    )
+    assert df.columns == ["keep1", "keep2"]
+
+
+def test_uri_component_port_and_fragment(spark):
+    out = run(
+        spark,
+        [
+            {"extractURIComponent": {"inputField": "u", "outputField": "port", "component": "port"}},
+            {"extractURIComponent": {"inputField": "u", "outputField": "frag", "component": "fragment"}},
+        ],
+        [("http://h.example:9999/p?q=1#sec2",)],
+        "u string",
+    ).collect()[0]
+    assert out["port"] == 9999 and out["frag"] == "sec2"
+
+
+def test_extract_avro_tree_flattens(spark):
+    df = spark.sql("SELECT named_struct('a', 1, 'nest', named_struct('b', 'x')) AS _value")
+    out = compile_pipeline([{"extractAvroTree": {"outputPrefix": "t_"}}])(df).collect()[0]
+    assert out["t_a"] == 1 and out["t_nest_b"] == "x"
+
+
+def test_add_current_time_and_localhost(spark):
+    out = run(spark, [{"addCurrentTime": {}}, {"addLocalHost": {"useIP": False}}], [("x",)], "s string").collect()[0]
+    assert out["timestamp"] > 1_500_000_000_000
+    assert isinstance(out["host"], str) and out["host"]
+
+
+def test_head_and_observe(spark):
+    df = spark.range(100).withColumnRenamed("id", "x")
+    out = compile_pipeline([{"observe": {"name": "m1"}}, {"head": {"limit": 7}}])(df)
+    assert out.count() == 7
+
+
+def test_compile_overrides(spark):
+    """Config override merge — the engine analog of the reference's
+    override.withFallback(fileConfig) (MorphlineTransform.java:187)."""
+    spec = {"morphlines": [{"id": "m", "commands": [{"setValues": {"v": "base"}}]}]}
+    p = compile_pipeline(spec, morphline_id="m", overrides={"morphlines": [{"id": "m", "commands": [{"setValues": {"v": "overridden"}}]}]})
+    out = p(spark.createDataFrame([(1,)], "x int")).collect()[0]
+    assert out["v"] == "overridden"
+
+
+def test_rename_command(spark):
+    out = run(spark, [{"rename": {"new_name": "old"}}], [("v",)], "old string")
+    assert out.columns == ["new_name"]

@@ -1,0 +1,171 @@
+"""LLM-pipeline operator tests: dedup, similarity, text, multimodal —
+exercised on constructed data with known duplicates/neighbors."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_morphlines_spark.functions import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank tonight"  # 1-word diff
+    other = "completely different content about spark query engines and columnar formats"
+    rows = [(1, base), (2, base), (3, near), (4, other), (5, "short text"), (6, "")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, dup_docs):
+    kept = dedup.exact_dedup(dup_docs).select("doc_id").orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in kept] == [1, 3, 4, 5, 6]  # doc 2 == doc 1 dropped
+
+
+def test_minhash_finds_near_dupes(spark, dup_docs):
+    pairs = dedup.minhash_dedup_pairs(dup_docs, threshold=0.5, num_hashes=64, bands=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always collides
+    assert (1, 3) in got or (2, 3) in got  # near dup found
+    assert all({a, b} <= {1, 2, 3} for a, b in got)  # no false positives
+
+
+def test_minhash_deterministic(spark, dup_docs):
+    a = sorted(map(tuple, dedup.minhash_dedup_pairs(dup_docs, threshold=0.5).collect()))
+    b = sorted(map(tuple, dedup.minhash_dedup_pairs(dup_docs, threshold=0.5).collect()))
+    assert a == b
+
+
+def test_simhash_near_dupes(spark, dup_docs):
+    pairs = dedup.simhash_near_dupes(dup_docs, bits=48, max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(4 in p for p in got)  # unrelated doc stays out
+
+
+def test_ngram_jaccard_exact_values(spark, dup_docs):
+    pairs = dedup.ngram_jaccard_pairs(dup_docs, threshold=0.5)
+    vals = {(r["id_a"], r["id_b"]): r["jacc"] for r in pairs.collect()}
+    assert vals[(1, 2)] == 1.0
+    assert 0.7 < vals[(1, 3)] < 1.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+        (4, [0.7, 0.7, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_exact(spark, vectors):
+    out = similarity.brute_force_topk(vectors.filter("vec_id != 0"), [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 4]
+    assert out[0]["score"] == pytest.approx(0.9 / math.sqrt(0.81 + 0.01), rel=1e-9)
+
+
+def test_knn_join_ranks(spark, vectors):
+    q = vectors.filter("vec_id = 0")
+    c = vectors.filter("vec_id != 0")
+    out = similarity.knn_join_topk(q, c, k=3).orderBy("rank").collect()
+    assert [(r["query_id"], r["neighbor_id"], r["rank"]) for r in out] == [(0, 1, 1), (0, 4, 2), (0, 2, 3)]
+
+
+def test_ann_lsh_recall_on_clustered_data(spark):
+    # two tight clusters; ANN must return the query's own cluster
+    import random
+
+    rnd = random.Random(42)
+    rows = []
+    for i in range(50):
+        rows.append((i, [1.0 + rnd.uniform(-0.05, 0.05), 0.1 * rnd.random(), 0.0, 0.0]))
+    for i in range(50, 100):
+        rows.append((i, [0.0, 0.0, 1.0 + rnd.uniform(-0.05, 0.05), 0.1 * rnd.random()]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = [1.0, 0.05, 0.0, 0.0]
+    ann = {r["vec_id"] for r in similarity.ann_topk(df, query, k=10, n_planes=6).collect()}
+    brute = {r["vec_id"] for r in similarity.brute_force_topk(df, query, k=10).collect()}
+    assert len(ann & brute) >= 8  # high recall on separable clusters
+    assert all(v < 50 for v in ann)
+
+
+def test_embedding_near_dupes(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.999, 0.001]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_dupes(df, threshold=0.99, n_planes=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 1)}
+
+
+def test_quality_features_df_matches_column_variant(spark, dup_docs):
+    a = textstats.quality_features_df(dup_docs).orderBy("doc_id").collect()
+    feats = textstats.quality_features(F.col("text"))
+    b = dup_docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["unique_token_ratio"].alias("unique_token_ratio"),
+        feats["avg_token_len"].alias("avg_token_len"),
+    ).orderBy("doc_id").collect()
+    for ra, rb in zip(a, b):
+        assert ra["n_tokens"] == rb["n_tokens"]
+        assert ra["stopword_ratio"] == pytest.approx(rb["stopword_ratio"])
+        assert ra["unique_token_ratio"] == pytest.approx(rb["unique_token_ratio"])
+        assert ra["avg_token_len"] == pytest.approx(rb["avg_token_len"])
+
+
+def test_fingerprint_df_matches_column_variant(spark, dup_docs):
+    a = {r["doc_id"]: r["fp"] for r in textstats.fingerprint_df(dup_docs, n=4).collect()}
+    b = {r["doc_id"]: r["fp"] for r in dup_docs.select("doc_id", textstats.fingerprint(F.col("text"), 4).alias("fp")).collect()}
+    assert a == b
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (1, "the cat sat on the mat and it is happy"),
+        (2, "el gato y la casa de los perros"),
+        (3, "xyzzy qwerty plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["pred"] for r in df.select("doc_id", textstats.lang_id(F.col("text")).alias("pred")).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([("hello, world42!",)], "t string")
+    out = df.select(textstats.bpe_ish_tokens(F.col("t")).alias("toks")).collect()[0]["toks"]
+    assert out == ["hello", ",", "world", "42", "!"]
+
+
+def test_multimodal_features_deterministic_stub(spark):
+    df = spark.createDataFrame([(1, "image/fake", b"payload-bytes")], "media_id long, mime string, payload binary")
+    out = multimodal.extract_features(df).collect()[0]
+    assert out["byte_len"] == 13
+    import hashlib
+
+    digest = hashlib.sha256(b"payload-bytes").digest()
+    assert out["sha256"] == hashlib.sha256(b"payload-bytes").hexdigest()
+    assert out["feature"] == pytest.approx([b / 255.0 for b in digest[:8]])
+
+
+def test_multimodal_frame_sampling(spark):
+    payload = bytes(range(256)) * 10  # 2560 bytes -> 3 frames at 1024
+    df = spark.createDataFrame([(7, payload)], "media_id long, payload binary")
+    out = multimodal.sample_frames(df, every_n_bytes=1024).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in out] == [0, 1, 2]
+    assert bytes(out[0]["frame_payload"]) == payload[:1024]
+    assert bytes(out[2]["frame_payload"]) == payload[2048:]
+
+
+def test_media_metadata_columnar(spark):
+    df = spark.createDataFrame([(1, b"abc")], "media_id long, payload binary")
+    out = multimodal.media_metadata(df).collect()[0]
+    assert out["byte_len"] == 3
+    import hashlib
+
+    assert out["sha256"] == hashlib.sha256(b"abc").hexdigest()
