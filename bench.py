@@ -31,6 +31,8 @@ HEADLINE = [
     "sessionize",
     "event_time_tumbling_window",
     "sort_topn_lineitems",
+    "asof_join_events",
+    "range_join_bucketed",
     # LLM-pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -259,6 +259,26 @@ def parse_timestamp_attempts(col: Column, input_formats: list[str], input_tz: st
     return F.coalesce(*attempts) if len(attempts) > 1 else attempts[0]
 
 
+_SPECIAL_TS_FORMATS = {"unixTimeInMillis", "unixTimeInSeconds", "unixTimeInNanos", "posixTime", "iso8601"}
+
+
+def _validate_datetime_pattern(fmt: str) -> None:
+    """Surface bad datetime patterns at compile time (config typos would
+    otherwise fail mid-job with a Spark execution error)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return  # no session yet; the error will surface at first execution
+    try:
+        escaped = _sdf_to_spark(fmt).replace("'", "''")
+        spark.sql(f"SELECT date_format(timestamp'2020-01-02 03:04:05', '{escaped}')").collect()
+    except Exception as e:
+        from kafka_connect_morphlines_spark.pipeline import PipelineSpecError
+
+        raise PipelineSpecError(f"invalid datetime pattern {fmt!r}: {str(e).splitlines()[0]}") from e
+
+
 @command("convertTimestamp")
 def convert_timestamp(config, ctx):
     """Multi-format timestamp parse/render (kite convertTimestamp; reference
@@ -266,6 +286,9 @@ def convert_timestamp(config, ctx):
     httpsolr.conf:47-55 = multi-format with TZ shift)."""
     fld = config.get("field", "timestamp")
     input_formats = config.get("inputFormats", ["iso8601"])
+    for _fmt in list(input_formats) + [config.get("outputFormat", "")]:
+        if _fmt and _fmt not in _SPECIAL_TS_FORMATS:
+            _validate_datetime_pattern(_fmt)
     input_tz = config.get("inputTimezone", "UTC")
     output_fmt = config.get("outputFormat", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
     output_tz = config.get("outputTimezone", "UTC")

@@ -143,8 +143,23 @@ def enrich_json(config, ctx):
             path = os.path.join(ctx.base_dir, path)
         with open(path, encoding="utf-8") as f:
             schema_str = f.read()
+    registry_url = config.get("schema-registry-url", config.get("schemaRegistryUrl"))
+    if schema_str is None and registry_url:
+        # compile-time registry lookup (EnrichJsonBuilder.java:191-200); the
+        # schema binds per pipeline, not per record (SURVEY.md §7.3.1) —
+        # heterogeneous subjects need one pipeline branch per subject + union
+        from kafka_connect_morphlines_spark.schema_registry import fetch_latest_schema
+
+        subject = config.get("subject")
+        if not subject:
+            field = config.get("subjectField")
+            raise PipelineSpecError(
+                "enrichJson with a schema registry needs a static 'subject' — "
+                + (f"per-record subjectField {field!r} cannot bind a frame-wide schema" if field else "none given")
+            )
+        schema_str = fetch_latest_schema(registry_url, subject)
     if schema_str is None:
-        raise PipelineSpecError("enrichJson requires schemaString/schemaFile (registry lookup not available offline)")
+        raise PipelineSpecError("enrichJson requires schemaString/schemaFile or schema-registry-url+subject")
 
     target = avro_struct(schema_str)
     ts_paths = set(timestamp_millis_fields(schema_str))

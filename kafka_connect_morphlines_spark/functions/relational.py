@@ -1,0 +1,88 @@
+"""Relational operators Spark lacks natively: as-of join, range join.
+
+Both are built as compositions of existing DataFrame ops (SURVEY.md §7 /
+pyspark guide preference order), shaped for scale:
+
+- as-of join: union + window (sort within key) — one shuffle, no join
+  explosion, no per-group pandas.  The classic scalable formulation.
+- range join: bucketize the range dimension -> equi-join on bucket ->
+  residual filter.  Turns an O(n*m) inequality join into a hash join whose
+  fan-out is bounded by bucket occupancy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    time_left: str,
+    time_right: str,
+    by: list[str] | str,
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the most recent right row with
+    ``right.time <= left.time`` within the same ``by`` key (inclusive).
+
+    Implementation: tag and union both sides, then ``last_value(...,
+    ignoreNulls)`` over a (key, time)-ordered window.  One shuffle on the key
+    — same cost as a groupBy — versus the join-explosion or per-group-pandas
+    alternatives.  Ties at equal time: the right row sorts first, so it
+    matches (DuckDB ASOF semantics).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    value_cols = value_cols or [c for c in right.columns if c not in by and c != time_right]
+
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(time_left).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in value_cols],
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in by],
+        *[F.col(c) for c in by],
+        F.col(time_right).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(c + suffix) for c in value_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = Window.partitionBy(*by).orderBy(F.col("_t").asc(), F.col("_is_left").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    filled = unioned.select(
+        *[c for c in unioned.columns if not c.endswith(suffix)],
+        *[F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix) for c in value_cols],
+    )
+    return filled.filter(F.col("_is_left") == 1).drop("_is_left", "_t")
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_size: float,
+) -> DataFrame:
+    """Inner join of points against [start, end] ranges (inclusive).
+
+    Each range explodes into the buckets it covers; each point hashes to one
+    bucket; the equi-join on bucket + residual BETWEEN filter replaces the
+    nested-loop inequality join.  ``bucket_size`` should approximate the
+    typical range width so ranges cover O(1) buckets.
+    """
+    inv = 1.0 / bucket_size
+    p = points.withColumn("_bkt", F.floor(F.col(point_col) * inv).cast("long"))
+    r = ranges.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) * inv).cast("long"),
+                F.floor(F.col(end_col) * inv).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(r, "_bkt").filter((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col)))
+    return joined.drop("_bkt")

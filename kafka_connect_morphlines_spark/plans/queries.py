@@ -1016,3 +1016,149 @@ def multimodal_features(spark, sf_dir):
     )
     out = extract_features(docs)
     return out.select("media_id", "byte_len", "sha256", F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+
+# --------------------------------------------------------------------------
+# D. Custom relational operators Spark lacks natively (asof/range join) and
+#    additional aggregate/statistics coverage.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_events",
+    """
+    SELECT l.event_id, r.event_id AS prior_id, round(r.value, 2) AS prior_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join (backward, inclusive): each click matched to the user's
+    most recent prior signup.  Union+window formulation — one shuffle on the
+    key, no join explosion (functions/relational.py)."""
+    from kafka_connect_morphlines_spark.functions.relational import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    signups = ev.filter(F.col("event_type") == "signup")
+    out = asof_join(clicks, signups, "ts", "ts", by="user_id", value_cols=["event_id", "value"])
+    return out.select(
+        "event_id",
+        F.col("event_id_asof").alias("prior_id"),
+        F.round("value_asof", 2).alias("prior_value"),
+    )
+
+
+@query(
+    "range_join_bucketed",
+    """
+    SELECT p.p_partkey, e.event_id
+    FROM part p JOIN events e
+      ON e.value BETWEEN p.p_retailprice / 10 - 0.05 AND p.p_retailprice / 10 + 0.05
+    """,
+)
+def range_join_bucketed(spark, sf_dir):
+    """Range join via bucketize + equi-join + residual filter — the scalable
+    replacement for a nested-loop inequality join (functions/relational.py)."""
+    from kafka_connect_morphlines_spark.functions.relational import range_join
+
+    parts = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice") / 10 - 0.05).alias("lo"),
+        (F.col("p_retailprice") / 10 + 0.05).alias("hi"),
+    )
+    events = t(spark, sf_dir, "events").select("event_id", "value")
+    out = range_join(events, parts, "value", "lo", "hi", bucket_size=0.1)
+    return out.select("p_partkey", "event_id")
+
+
+@query(
+    "stats_by_returnflag",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_discount), 6) AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_by_returnflag(spark, sf_dir):
+    """Statistical aggregates (Part C aggregations: stddev/var/corr/covar)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+    )
+
+
+@query(
+    "percentiles_by_status",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentiles_by_status(spark, sf_dir):
+    """Exact interpolated percentiles (Part C; approx_percentile is the
+    at-scale variant — sketches differ across engines so the oracle pins the
+    exact form)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+    )
+
+
+@query(
+    "levenshtein_pairs",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b, levenshtein(a.n_name, b.n_name) AS dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 6
+    """,
+)
+def levenshtein_pairs(spark, sf_dir):
+    """Fuzzy string matching: edit-distance pairs (Part C string fns)."""
+    n = t(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    dist = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
+    return (
+        a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .filter(dist <= 6)
+        .select(F.col("a.n_name").alias("name_a"), F.col("b.n_name").alias("name_b"), dist.alias("dist"))
+    )
+
+
+@query(
+    "exists_orders_by_priority",
+    """
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_orders_by_priority(spark, sf_dir):
+    """Correlated EXISTS == left-semi join + aggregation (TPC-H Q4 shape)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("embedding_near_dupes", None)  # hyperplane bucketing not SQL-expressible
+def embedding_near_dupes_q(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via LSH bucket blocking."""
+    out = similarity.embedding_near_dupes(t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=6)
+    return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
