@@ -132,6 +132,56 @@ def ann_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    Centroids are plan literals (broadcast by value); assignment is a
+    map-only argmax — at scale the assigned table is written partitioned by
+    ``centroid`` so probes become partition pruning.  Real systems fit
+    centroids with k-means; the distributed shape is identical, so the
+    fitting strategy stays pluggable.
+    """
+    scores = F.array(*[cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])) for _, c in centroids])
+    best_idx = F.array_position(scores, F.array_max(scores))  # 1-based; ties -> first
+    ids = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
+    return df.withColumn("centroid", F.element_at(ids, best_idx.cast("int")))
+
+
+def deterministic_centroids(df: DataFrame, n: int, vec_col: str = "embedding", id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
+    """Pick n centroid vectors deterministically (lowest ids).  A k-means
+    refinement slots in here without changing ivf_assign/ivf_topk."""
+    rows = df.orderBy(F.col(id_col).asc()).limit(n).select(id_col, vec_col).collect()
+    return [(r[id_col], list(r[vec_col])) for r in rows]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: scan only the ``nprobe`` inverted lists
+    whose centroids are closest to the query."""
+    centroids = deterministic_centroids(df, n_centroids, vec_col, id_col)
+
+    def cos(a: list[float], b: list[float]) -> float:
+        import math
+
+        d = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / d if d else 0.0
+
+    probe = sorted(centroids, key=lambda c: (-cos(query_vec, c[1]), c[0]))[:nprobe]
+    probe_ids = [cid for cid, _ in probe]
+    assigned = ivf_assign(df, centroids, vec_col)
+    hits = assigned.filter(F.col("centroid").isin(probe_ids))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = ensure_parallelism(hits).select(F.col(id_col), cosine(F.col(vec_col), q).alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
 def embedding_near_dupes(
     df: DataFrame,
     threshold: float = 0.95,

@@ -189,10 +189,18 @@ class _Parser:
             c = self.text[self.pos]
             if c == "\\":
                 nxt = self.text[self.pos + 1 : self.pos + 2]
-                mapping = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'", "\\": "\\", "/": "/"}
+                mapping = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f", '"': '"', "'": "'", "\\": "\\", "/": "/"}
                 if nxt == "u":
-                    out.append(chr(int(self.text[self.pos + 2 : self.pos + 6], 16)))
+                    cp = int(self.text[self.pos + 2 : self.pos + 6], 16)
                     self.pos += 6
+                    # combine UTF-16 surrogate pairs (JSON encodes astral
+                    # chars as two \u escapes)
+                    if 0xD800 <= cp <= 0xDBFF and self.text.startswith("\\u", self.pos):
+                        lo = int(self.text[self.pos + 2 : self.pos + 6], 16)
+                        if 0xDC00 <= lo <= 0xDFFF:
+                            cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
+                            self.pos += 6
+                    out.append(chr(cp))
                     continue
                 out.append(mapping.get(nxt, nxt))
                 self.pos += 2

@@ -1162,3 +1162,29 @@ def embedding_near_dupes_q(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via LSH bucket blocking."""
     out = similarity.embedding_near_dupes(t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=6)
     return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+@query("embedding_ivf_topk", None)  # centroid assignment not SQL-expressible
+def embedding_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate top-k (coarse quantizer + nprobe lists).
+
+    Note: on these *unclustered* synthetic embeddings recall vs exact top-k
+    is ~50% at nprobe=4/16 — expected for IVF on structure-free data (the
+    clustered-data test in tests/test_functions.py shows >=80% recall).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = list(qrow[0]["embedding"]) if qrow else []
+    out = similarity.ivf_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, n_centroids=16, nprobe=4)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+@query("approx_sketches", None)  # HLL/KLL sketches differ across engines -> rows-only
+def approx_sketches(spark, sf_dir):
+    """At-scale approximate aggregates: HyperLogLog distinct + quantile
+    sketch (the constant-memory versions of countDistinct/percentile)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("nd_parts"),
+        F.round(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 2).alias("p50_approx"),
+    )

@@ -169,3 +169,19 @@ def test_media_metadata_columnar(spark):
     import hashlib
 
     assert out["sha256"] == hashlib.sha256(b"abc").hexdigest()
+
+
+def test_ivf_topk_matches_brute_force_on_clusters(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(60):
+        rows.append((i, [1.0 + rnd.uniform(-0.02, 0.02), rnd.uniform(0, 0.05), 0.0]))
+    for i in range(60, 120):
+        rows.append((i, [0.0, rnd.uniform(0, 0.05), 1.0 + rnd.uniform(-0.02, 0.02)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = [1.0, 0.02, 0.0]
+    ivf = [r["vec_id"] for r in similarity.ivf_topk(df, query, k=10, n_centroids=8, nprobe=4).collect()]
+    brute = [r["vec_id"] for r in similarity.brute_force_topk(df, query, k=10).collect()]
+    assert len(set(ivf) & set(brute)) >= 8

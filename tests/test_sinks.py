@@ -1,0 +1,60 @@
+"""Sink paths: HTTP bulk loader against a live local server, memory sinks."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from kafka_connect_morphlines_spark import compile_pipeline
+from kafka_connect_morphlines_spark.commands.sinks import MEMORY_SINKS
+
+
+@pytest.fixture()
+def http_collector():
+    """A live HTTP endpoint collecting posted JSON batches (the role Solr
+    plays for loadSolr — reference mocks SolrClient the same way,
+    MorphlineSinkTaskTest.java:59-76)."""
+    received = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append(json.loads(body))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        def log_message(self, *args):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_port}/update", received
+    server.shutdown()
+
+
+def test_load_http_posts_batches(spark, http_collector):
+    url, received = http_collector
+    p = compile_pipeline([{"loadHttp": {"url": url, "batchSize": 2}}])
+    df = spark.createDataFrame([(i, f"doc{i}") for i in range(5)], "id int, body string").coalesce(1)
+    p(df)
+    docs = [d for batch in received for d in batch]
+    assert sorted(d["id"] for d in docs) == [0, 1, 2, 3, 4]
+    assert all(len(b) <= 2 for b in received)  # batchSize respected
+
+
+def test_load_solr_memory_buffer(spark):
+    MEMORY_SINKS.pop("solr", None)
+    p = compile_pipeline([{"loadSolr": {}}])
+    p(spark.createDataFrame([(1,)], "id int"))
+    assert MEMORY_SINKS["solr"] == [{"id": 1}]
+
+
+def test_load_solr_drops_reserved_fields(spark):
+    MEMORY_SINKS.pop("solr", None)
+    p = compile_pipeline([{"loadSolr": {}}])
+    df = spark.createDataFrame([("t", 1, "keep")], "_topic string, _kafkaPartition int, field string")
+    p(df)
+    assert MEMORY_SINKS["solr"] == [{"field": "keep"}]

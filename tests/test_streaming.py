@@ -97,3 +97,28 @@ def test_stream_checkpoint_resume(spark, events_stream_dir, tmp_path):
     first_total = sum(counts)
     run_once()  # same checkpoint, no new files -> no new batches
     assert sum(counts) == first_total > 0
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    """applyInPandasWithState keeps per-key totals across micro-batches."""
+    from kafka_connect_morphlines_spark.streaming.stateful import running_event_counts
+
+    src = str(tmp_path / "ev")
+    spark.createDataFrame([(1, "a"), (1, "b"), (2, "a")], "user_id long, ev string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    ckpt = str(tmp_path / "ck")
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = running_event_counts(stream)
+    q = out.writeStream.queryName("state_out").outputMode("append").format("memory").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    # second micro-batch: new file arrives
+    spark.createDataFrame([(1, "c")], "user_id long, ev string").coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM state_out ORDER BY total_events").collect()
+    per_user1 = [(r["batch_events"], r["total_events"]) for r in rows if r["user_id"] == 1]
+    assert (2, 2) in per_user1 and (1, 3) in per_user1  # state carried: 2 then 2+1
+    assert [(r["batch_events"], r["total_events"]) for r in rows if r["user_id"] == 2] == [(1, 1)]
