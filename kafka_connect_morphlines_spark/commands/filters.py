@@ -148,6 +148,31 @@ def try_rules(config, ctx):
     return transform
 
 
+@command("pipe")
+def pipe_cmd(config, ctx):
+    """Named sub-pipeline grouping (kite ``pipe``: every ``morphlines`` block
+    is one — e.g. reference config/cloudsolr.conf:9-82).  Compiles to plain
+    function composition of the child chain."""
+    chain = ctx.compile_chain(config.get("commands", []))
+
+    def transform(df: DataFrame) -> DataFrame:
+        return _apply_chain(df, chain)
+
+    return transform
+
+
+@command("callParentPipe")
+def call_parent_pipe(config, ctx):
+    """Kite ``callParentPipe`` re-enters the root pipe after a parser emits.
+    In a declarative plan the chain already continues after the parser — the
+    re-entry is implicit — so this compiles to identity."""
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df
+
+    return transform
+
+
 @command("sample")
 def sample(config, ctx):
     """Bernoulli sample (kite sample: probability, seed)."""

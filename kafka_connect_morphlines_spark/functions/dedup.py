@@ -70,14 +70,8 @@ def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3) ->
     return F.array(*[F.array_min(F.transform(base, perm(i))) for i in range(num_hashes)])
 
 
-def minhash_signatures(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    shingle_n: int = 3,
-) -> DataFrame:
-    """(id, sig: array<bigint>) via explode + K codegen'd min-aggregates.
+def _signatures_from_shingles(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """(_id, _sig: array<bigint>) via explode + K codegen'd min-aggregates.
 
     Spark higher-order functions (transform/aggregate) are interpreted per
     element; K of them over the shingle array is the slow shape.  Exploding
@@ -85,7 +79,7 @@ def minhash_signatures(
     expressions keeps everything in whole-stage codegen with map-side partial
     aggregation — the shuffle carries one 64-long row per doc per partition.
     """
-    ex = df.select(F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("_s"))
+    ex = sh.select(F.col(id_col).alias("_id"), F.explode("_sh").alias("_s"))
     hashed = ex.select("_id", F.hash("_s").cast("long").bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h"))
     aggs = []
     for i in range(num_hashes):
@@ -95,23 +89,15 @@ def minhash_signatures(
     return sig.select("_id", F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias("_sig"))
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
-) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash LSH: (id_a, id_b).
+def _lsh_candidates_from_shingles(sh: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """Banded LSH candidate pairs from a (id, _sh) shingle frame.
 
     rows_per_band = num_hashes // bands; two docs collide if any band's hash
     slice matches exactly.  The band bucket join is the only shuffle; its key
     is (band, band_hash) so collisions — not documents — set the fan-in.
     """
     rows_per_band = num_hashes // bands
-    df = ensure_parallelism(df)
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sig = _signatures_from_shingles(sh, id_col, num_hashes)
     banded = sig.select(
         "_id",
         F.explode(
@@ -125,12 +111,37 @@ def minhash_lsh_candidates(
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    return pairs
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig) MinHash signatures (see _signatures_from_shingles)."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh"))
+    return _signatures_from_shingles(sh, id_col, num_hashes)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH: (id_a, id_b)."""
+    df = ensure_parallelism(df)
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh"))
+    return _lsh_candidates_from_shingles(sh, id_col, num_hashes, bands)
 
 
 def jaccard(tokens_a: Column, tokens_b: Column) -> Column:
@@ -151,10 +162,20 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates filtered by exact
-    shingle-Jaccard >= threshold.  Output (id_a, id_b, jacc)."""
+    shingle-Jaccard >= threshold.  Output (id_a, id_b, jacc).
+
+    The shingle array feeds three subplans (signatures, and both sides of
+    the verification join); without materialization Spark recomputes the
+    tokenize+shingle expression each time (~3x the map work).  In batch mode
+    the shingle frame is localCheckpoint'ed once — on a cluster this is a
+    short-lived cached intermediate, the standard shape for multi-consumer
+    derived columns.  Streaming frames skip the checkpoint (recompute).
+    """
     df = ensure_parallelism(df)
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
     sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh"))
+    if not df.isStreaming:
+        sh = sh.localCheckpoint()
+    cands = _lsh_candidates_from_shingles(sh, id_col, num_hashes, bands)
     j = (
         cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
