@@ -1,0 +1,83 @@
+"""Regenerate docs/PLANS.md — physical-plan audit of representative queries.
+
+Usage: python docs/gen_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_connect_morphlines_spark import get_spark  # noqa: E402
+from kafka_connect_morphlines_spark.plans.queries import QUERIES  # noqa: E402
+
+NAMES = [
+    "read_json_typed",
+    "contains_filter",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "shipping_priority_topk",
+    "filter_agg_revenue",
+    "sort_topn_lineitems",
+    "window_topk_orders",
+    "dedup_exact",
+    "asof_join_events",
+    "range_join_bucketed",
+    "text_quality",
+]
+
+
+def audit(spark, sf: str, name: str) -> dict:
+    df = QUERIES[name].build(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    codegen_ids = set(re.findall(r"\*\((\d+)\)", plan))
+    return {
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "exchanges": plan.count("Exchange"),
+        "codegen_spans": len(codegen_ids),
+        "take_ordered": "TakeOrderedAndProject" in plan,
+        "read_schemas": [s[:100] for s in re.findall(r"ReadSchema: (struct<[^\n]*)", plan)[:3]],
+        "pushed_filters": [p[:110] for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p][:3],
+    }
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="gen_plans", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    lines = [
+        "# PLANS — physical-plan audit (generated against " + sf + ")",
+        "",
+        "Evidence that the declarative compilation keeps Catalyst's optimizations",
+        "intact: predicate pushdown into parquet, column pruning, broadcast joins,",
+        "whole-stage codegen, TakeOrderedAndProject for top-k.",
+        "Regenerate with `python docs/gen_plans.py`.",
+        "",
+    ]
+    for n in NAMES:
+        a = audit(spark, sf, n)
+        lines.append(f"## {n}")
+        lines.append("")
+        summary = (
+            f"- broadcast joins: {a['broadcast_joins']}, sort-merge joins: {a['smj']}, "
+            f"exchanges: {a['exchanges']}, whole-stage-codegen spans: {a['codegen_spans']}"
+        )
+        if a["take_ordered"]:
+            summary += ", TakeOrderedAndProject: yes"
+        lines.append(summary)
+        for s in a["read_schemas"]:
+            lines.append(f"- ReadSchema: `{s}`")
+        for p in a["pushed_filters"]:
+            lines.append(f"- PushedFilters: `{p}`")
+        lines.append("")
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLANS.md")
+    with open(out, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -16,7 +16,6 @@ from __future__ import annotations
 import fnmatch
 import re
 import socket
-import uuid as _uuid
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 

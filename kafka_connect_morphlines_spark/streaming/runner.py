@@ -88,6 +88,24 @@ def run_stream_to_memory(
     return writer.start()
 
 
+def session_windows(
+    source: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based session windows (``session_window``) — the streaming-native
+    form of the batch sessionize query (plans/queries.py), with state expiry
+    driven by the watermark."""
+    return (
+        source.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("s.start").alias("session_start"), F.col("s.end").alias("session_end"), key_col, "n_events")
+    )
+
+
 def windowed_event_counts(source: DataFrame, ts_col: str = "ts", window: str = "1 hour", watermark: str = "2 hours", group_col: str = "event_type") -> DataFrame:
     """Watermarked tumbling-window aggregation — the Spark-native streaming
     operator surface beyond the reference (SURVEY.md §2 Part C streaming
