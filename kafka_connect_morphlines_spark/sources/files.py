@@ -38,6 +38,13 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 
 
 def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+    # Engine semantics pin UTC (timestamps compare bit-for-bit with
+    # UTC-naive external oracles); harmless when already UTC, load-bearing
+    # when the caller's session inherited a local timezone.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     nanos_cols = _nanos_timestamp_cols(path)
     if nanos_cols:
         try:

@@ -63,3 +63,47 @@ def test_env_substitution_round_trip(env_vals):
     text = "\n".join(f"{k} : ${{?{k.upper()}}}" for k in env_vals)
     out = hocon.loads(text, env=env)
     assert out == {k: v for k, v in env_vals.items()}
+
+
+# --- Avro schema converter properties ---------------------------------------
+
+avro_primitives = st.sampled_from(["string", "int", "long", "float", "double", "boolean", "bytes"])
+
+
+def avro_field_types():
+    return st.recursive(
+        st.one_of(avro_primitives, st.tuples(avro_primitives).map(lambda t: ["null", t[0]])),
+        lambda children: st.one_of(
+            st.builds(lambda it: {"type": "array", "items": it}, children),
+            st.builds(lambda vt: {"type": "map", "values": vt}, children),
+            st.builds(
+                lambda fields: {
+                    "type": "record",
+                    "name": "R",
+                    "fields": [{"name": f"f{i}", "type": t} for i, t in enumerate(fields)],
+                },
+                st.lists(children, min_size=1, max_size=3),
+            ),
+        ),
+        max_leaves=8,
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(avro_field_types(), min_size=1, max_size=4))
+def test_avro_converter_total_and_null_unions(field_types):
+    from pyspark.sql import types as T
+
+    from kafka_connect_morphlines_spark.avro_schema import avro_struct
+
+    schema = {
+        "type": "record",
+        "name": "Top",
+        "fields": [{"name": f"c{i}", "type": t} for i, t in enumerate(field_types)],
+    }
+    out = avro_struct(json.dumps(schema))
+    assert isinstance(out, T.StructType)
+    assert len(out.fields) == len(field_types)
+    for f, t in zip(out.fields, field_types):
+        # union-with-null -> nullable field (SURVEY §1.3 mapping)
+        assert f.nullable == (isinstance(t, list) and "null" in t)
