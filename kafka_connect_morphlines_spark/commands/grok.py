@@ -191,6 +191,15 @@ def grok(config, ctx):
         regex, captures = expand_grok(str(expr), patterns)
         compiled.append((in_fld, regex, captures, group_indices(regex)))
 
+    # expose the match conjunction as a predicate so grok can serve as an
+    # `if`/`tryRules`/`not` condition (kite pipelines routinely branch on
+    # whether a grok expression matched)
+    match_pred = None
+    if required != "never":
+        for in_fld, regex, _, _ in compiled:
+            m = colref(in_fld).cast("string").rlike(regex)
+            match_pred = m if match_pred is None else (match_pred & m)
+
     def transform(df: DataFrame) -> DataFrame:
         keep_pred = None
         for in_fld, regex, captures, indices in compiled:
@@ -211,4 +220,6 @@ def grok(config, ctx):
                 keep_pred = matched if keep_pred is None else (keep_pred & matched)
         return df.filter(keep_pred) if keep_pred is not None else df
 
-    return transform
+    from kafka_connect_morphlines_spark.pipeline import CompiledCommand
+
+    return CompiledCommand("grok", transform, predicate=match_pred)

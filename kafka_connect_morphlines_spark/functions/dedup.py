@@ -11,8 +11,9 @@ Scale design (100 TB posture):
   cap.
 - verification (exact Jaccard on candidates only) touches just the bucketed
   pairs.
-- All hash functions are seeded/deterministic (xxhash64 with fixed salts) so
-  results are reproducible across runs and cluster sizes (SURVEY.md §7.3.5).
+- All hash functions are seeded/deterministic (murmur3 base hash + fixed
+  (a*x+b) mod p universal family) so results are reproducible across runs
+  and cluster sizes (SURVEY.md §7.3.5).
 """
 
 from __future__ import annotations
@@ -42,16 +43,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keys, id_col, "left_semi")
 
 
+_MERSENNE_P = (1 << 31) - 1  # prime modulus for the universal hash family
+
+
 def _affine_params(i: int) -> tuple[int, int]:
-    """Deterministic (a, b) for the universal hash family a*x + b; a odd,
-    a < 2^30 and x < 2^32 keep a*x + b < 2^63 (no ANSI overflow)."""
+    """Deterministic (a, b) for the universal family (a*x + b) mod p.
+
+    The modulus is essential: without it a*x + b is monotonic in x, so every
+    "permutation" picks the same minimum element and the K signatures
+    degenerate to one (uniform band collisions — caught by the 200k-doc
+    scale smoke as a 150s candidate explosion).  a < 2^30 and x < 2^32 keep
+    a*x + b < 2^62 (no ANSI long overflow before the mod).
+    """
     import hashlib
     import struct
 
     h = hashlib.md5(f"minhash:{i}".encode()).digest()
     (a,) = struct.unpack("<I", h[:4])
     (b,) = struct.unpack("<I", h[4:8])
-    return (a % (1 << 30)) | 1, b % (1 << 31)
+    return (a % (1 << 30)) | 1, b % _MERSENNE_P
 
 
 def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3) -> Column:
@@ -65,7 +75,7 @@ def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3) ->
 
     def perm(i: int):
         a, b = _affine_params(i)
-        return lambda h: h * a + b
+        return lambda h: (h * a + b) % _MERSENNE_P
 
     return F.array(*[F.array_min(F.transform(base, perm(i))) for i in range(num_hashes)])
 
@@ -84,17 +94,25 @@ def _signatures_from_shingles(sh: DataFrame, id_col: str, num_hashes: int) -> Da
     aggs = []
     for i in range(num_hashes):
         a, b = _affine_params(i)
-        aggs.append(F.min(F.col("_h") * a + b).alias(f"_mh{i}"))
+        aggs.append(F.min((F.col("_h") * a + b) % _MERSENNE_P).alias(f"_mh{i}"))
     sig = hashed.groupBy("_id").agg(*aggs)
     return sig.select("_id", F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias("_sig"))
 
 
-def _lsh_candidates_from_shingles(sh: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+def _lsh_candidates_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int, bands: int, max_bucket_size: int = 2000
+) -> DataFrame:
     """Banded LSH candidate pairs from a (id, _sh) shingle frame.
 
     rows_per_band = num_hashes // bands; two docs collide if any band's hash
     slice matches exactly.  The band bucket join is the only shuffle; its key
     is (band, band_hash) so collisions — not documents — set the fan-in.
+
+    ``max_bucket_size`` drops pathological mega-buckets (boilerplate /
+    degenerate content at corpus scale would otherwise contribute
+    O(bucket²) join rows; the standard mitigation is to skip them — exact
+    duplicates are exact_dedup's job, and a 2000-doc bucket already yields
+    2M candidate pairs).  Dropped buckets are a documented recall trade.
     """
     rows_per_band = num_hashes // bands
     sig = _signatures_from_shingles(sh, id_col, num_hashes)
@@ -109,6 +127,14 @@ def _lsh_candidates_from_shingles(sh: DataFrame, id_col: str, num_hashes: int, b
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size:
+        overflow = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(F.broadcast(overflow), ["band", "bucket"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -1,0 +1,117 @@
+"""Scale smoke: run the engine's operator shapes on synthetic data 1-2
+orders of magnitude beyond the bench tables, verifying the plans survive a
+scale-up on fixed memory (the local[32] stand-in for "would this hold at
+100 TB on a real cluster").
+
+Generates data with spark.range (no driver-side materialization), runs each
+operator twice, reports the warm run.  Usage:
+
+    python tools/scale_smoke.py [rows_multiplier]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window, functions as F  # noqa: E402
+
+from kafka_connect_morphlines_spark import compile_pipeline, get_spark  # noqa: E402
+from kafka_connect_morphlines_spark.functions import dedup, relational, similarity, textstats  # noqa: E402
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    spark = get_spark(app_name="scale_smoke", extra_conf={"spark.ui.showConsoleProgress": "false"})
+
+    n_events = 20_000_000 * mult
+    n_docs = 200_000 * mult
+    n_vecs = 100_000 * mult
+
+    # synthetic events: 1000 users (~20k rows/user), skewed event types, json props
+    events = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 1000).alias("user_id"),
+        F.timestamp_millis(F.lit(1700000000000) + F.col("id") * 250).alias("ts"),
+        F.element_at(F.array(F.lit("view"), F.lit("view"), F.lit("view"), F.lit("click"), F.lit("purchase")), (F.col("id") % 5 + 1).cast("int")).alias("event_type"),
+        (F.col("id") % 997).cast("double").alias("value"),
+        F.concat(F.lit('{"k": '), (F.col("id") % 100).cast("string"), F.lit("}")).alias("props"),
+    )
+    # synthetic docs: ~40 tokens, near-unique content (prime modulus so doc
+    # ids don't cycle into identical texts), 10% exact near-duplicates
+    def words_for(idc):
+        return F.array(*[F.concat(F.lit("w"), ((idc * 7919 + i * 104729 + i * i) % 99991).cast("string")) for i in range(40)])
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.when(F.col("id") % 10 == 9, words_for(F.col("id") - 1)).otherwise(words_for(F.col("id"))),
+            " ",
+        ).alias("text"),
+    )
+    # duplicate-heavy corpus: 200 copies of each of 1000 distinct docs — the
+    # viral-duplicate scenario where raw pairwise LSH output is quadratic in
+    # cluster size; the scalable composition is exact_dedup FIRST, then
+    # minhash over distinct content
+    dup_heavy = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.array(*[F.concat(F.lit("w"), (((F.col("id") % 1000) * (i + 7) + i * 131) % 1000).cast("string")) for i in range(40)]), " ").alias("text"),
+    )
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[((F.col("id") * (j + 3) % 1999).cast("double") / 1999 - 0.5) for j in range(64)]).alias("embedding"),
+    )
+
+    pipeline = compile_pipeline(
+        [
+            {"readJson": {"inputField": "props", "schemaDdl": "k int"}},
+            {"setValues": {"tag": "@{event_type}-@{user_id}"}},
+            {"contains": {"event_type": ["click", "purchase"]}},
+        ]
+    )
+
+    def run(name, make_df):
+        for attempt in range(2):
+            t0 = time.time()
+            df = make_df()
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.time() - t0
+        print(f"# {name}: {elapsed:.1f}s (warm)", file=sys.stderr)
+        return round(elapsed, 2)
+
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    results = {
+        "rows": {"events": n_events, "docs": n_docs, "vecs": n_vecs},
+        "pipeline_20m": run("pipeline_20m", lambda: pipeline(events)),
+        "agg_20m": run("agg_20m", lambda: events.groupBy("event_type", (F.col("user_id") % 100)).agg(F.sum("value"), F.count(F.lit(1)))),
+        "window_20m": run("window_20m", lambda: events.select("event_id", F.sum("value").over(w).alias("r"))),
+        "asof_20m": run(
+            "asof_20m",
+            lambda: relational.asof_join(
+                events.filter(F.col("event_type") == "click"),
+                events.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value"),
+                "ts",
+                "ts",
+                by="user_id",
+                value_cols=["value"],
+            ),
+        ),
+        "exact_dedup_200k": run("exact_dedup_200k", lambda: dedup.exact_dedup_keys(docs)),
+        "minhash_200k": run("minhash_200k", lambda: dedup.minhash_dedup_pairs(docs, threshold=0.6)),
+        "minhash_dupheavy_after_exact": run(
+            "minhash_dupheavy_after_exact",
+            lambda: dedup.minhash_dedup_pairs(dedup.exact_dedup(dup_heavy), threshold=0.6),
+        ),
+        "text_quality_200k": run("text_quality_200k", lambda: textstats.quality_features_df(docs)),
+        "fingerprint_200k": run("fingerprint_200k", lambda: textstats.fingerprint_df(docs)),
+        "cosine_topk_100k": run("cosine_topk_100k", lambda: similarity.brute_force_topk(vecs, [0.1] * 64, k=10)),
+    }
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
