@@ -1242,3 +1242,68 @@ def shipping_priority_topk(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
+
+
+@query(
+    "extract_avro_tree_flatten",
+    """
+    SELECT p_partkey, p_name AS v_name, p_brand AS v_brand, p_size AS v_size
+    FROM part
+    """,
+)
+def extract_avro_tree_flatten(spark, sf_dir):
+    """extractAvroTree: recursive struct flatten with prefix (B.1)."""
+    p = compile_pipeline(
+        [
+            {"sqlExpr": {"_value": "struct(p_name AS name, struct(p_brand AS brand, p_size AS size) AS nest)"}},
+            {"extractAvroTree": {"inputField": "_value", "outputPrefix": "v_"}},
+            {"rename": {"v_brand": "v_nest_brand", "v_size": "v_nest_size"}},
+        ]
+    )
+    return p(t(spark, sf_dir, "part")).select("p_partkey", "v_name", "v_brand", "v_size")
+
+
+@query(
+    "add_values_array",
+    """
+    SELECT doc_id, lang || '|' || source || '|const' AS tags FROM documents
+    """,
+)
+def add_values_array(spark, sf_dir):
+    """addValues multimap append -> ArrayType column (B.2)."""
+    p = compile_pipeline(
+        [
+            {"addValues": {"tags": "@{lang}"}},
+            {"addValues": {"tags": ["@{source}", "const"]}},
+        ]
+    )
+    return p(t(spark, sf_dir, "documents")).select("doc_id", F.array_join("tags", "|").alias("tags"))
+
+
+@query(
+    "remove_fields_projection",
+    "SELECT doc_id, lang FROM documents",
+)
+def remove_fields_projection(spark, sf_dir):
+    """removeFields glob blacklist -> projection Catalyst prunes (B.2)."""
+    p = compile_pipeline([{"removeFields": ["text", "glob:n_*", "source"]}])
+    return p(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "string_codec_roundtrip",
+    """
+    SELECT doc_id, to_base64(CAST(source AS BLOB)) AS b64, source AS back FROM documents
+    """,
+)
+def string_codec_roundtrip(spark, sf_dir):
+    """toByteArray + base64 + decodeBase64 round-trip (B.2 codecs)."""
+    p = compile_pipeline(
+        [
+            {"setValues": {"bytes_src": "@{source}"}},
+            {"toByteArray": {"field": "bytes_src"}},
+            {"sqlExpr": {"b64": "base64(bytes_src)", "back_raw": "unbase64(base64(bytes_src))"}},
+            {"sqlExpr": {"back": "decode(back_raw, 'UTF-8')"}},
+        ]
+    )
+    return p(t(spark, sf_dir, "documents")).select("doc_id", "b64", "back")
