@@ -1307,3 +1307,54 @@ def string_codec_roundtrip(spark, sf_dir):
         ]
     )
     return p(t(spark, sf_dir, "documents")).select("doc_id", "b64", "back")
+
+
+@query(
+    "returned_items_topk",
+    """
+    SELECT c.c_custkey, c.c_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20
+    """,
+)
+def returned_items_topk(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "argmin_supplier_per_nation",
+    """
+    SELECT n_name AS nation, s_suppkey, s_acctbal FROM (
+      SELECT n.n_name, s.s_suppkey, s.s_acctbal,
+             row_number() OVER (PARTITION BY n.n_name ORDER BY s.s_acctbal ASC, s.s_suppkey ASC) AS rn
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ) WHERE rn = 1
+    """,
+)
+def argmin_supplier_per_nation(spark, sf_dir):
+    """Q2-shaped argmin-per-group (min-cost supplier) via ranking window."""
+    from pyspark.sql import Window
+
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "s_suppkey", "s_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -122,3 +122,33 @@ def test_stateful_running_counts(spark, tmp_path):
     per_user1 = [(r["batch_events"], r["total_events"]) for r in rows if r["user_id"] == 1]
     assert (2, 2) in per_user1 and (1, 3) in per_user1  # state carried: 2 then 2+1
     assert [(r["batch_events"], r["total_events"]) for r in rows if r["user_id"] == 2] == [(1, 1)]
+
+
+def test_metrics_listener_collects_batches(spark, events_stream_dir):
+    """MetricsListener + observe command: per-batch row counts flow to the
+    listener (Codahale-reporter analog)."""
+    from kafka_connect_morphlines_spark.streaming import metrics
+
+    listener = metrics.attach(spark)
+    try:
+        pipe = compile_pipeline([{"observe": {"name": "seen"}}, {"contains": {"event_type": ["click"]}}])
+        schema = spark.read.parquet(events_stream_dir).schema
+        src = spark.readStream.schema(schema).parquet(events_stream_dir)
+        q = runner.run_stream_to_memory(src, pipe, query_name="metrics_out")
+        q.processAllAvailable()
+        q.stop()
+        # listener callbacks are async; wait briefly for delivery
+        import time
+
+        for _ in range(20):
+            if any(b.query_name == "metrics_out" and b.num_input_rows > 0 for b in listener.batches):
+                break
+            time.sleep(0.5)
+        ours = [b for b in listener.batches if b.query_name == "metrics_out" and b.num_input_rows > 0]
+        assert ours, f"no batches collected: {listener.batches}"
+        total_in = sum(b.num_input_rows for b in ours)
+        assert total_in == spark.read.parquet(events_stream_dir).count()
+        observed = next((b.observed for b in ours if "seen" in b.observed), None)
+        assert observed and observed["seen"]["numRecords"] == total_in
+    finally:
+        spark.streams.removeListener(listener)
