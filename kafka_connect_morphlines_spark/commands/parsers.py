@@ -83,11 +83,21 @@ def read_json(config, ctx):
     def transform(df: DataFrame) -> DataFrame:
         text = _as_text(_body(df, config), config)
         if schema is not None:
-            df = df.withColumn(out, F.from_json(text, schema))
+            # single parse with a corrupt-record field for validity —
+            # PERMISSIVE from_json returns an all-null struct (not NULL) on
+            # malformed input, so struct nullity can't detect bad rows, and
+            # a separate get_json_object probe would parse the JSON twice
+            corrupt = "_corrupt_record"
+            while corrupt in schema.fieldNames():
+                corrupt = "_" + corrupt
+            parse_schema = schema.add(corrupt, T.StringType())
+            parsed = F.from_json(text, parse_schema, {"columnNameOfCorruptRecord": corrupt, "mode": "PERMISSIVE"})
+            valid = text.isNotNull() & parsed.getField(corrupt).isNull()
+            df = df.withColumn(out, parsed.dropFields(corrupt))
         else:
             df = df.withColumn(out, text)
-        probe = F.coalesce(F.get_json_object(text, "$"), F.get_json_object(F.concat(F.lit('{"r":'), text, F.lit("}")), "$.r"))
-        valid = text.isNotNull() & probe.isNotNull()
+            probe = F.coalesce(F.get_json_object(text, "$"), F.get_json_object(F.concat(F.lit('{"r":'), text, F.lit("}")), "$.r"))
+            valid = text.isNotNull() & probe.isNotNull()
         if flag_invalid:
             # quarantine path: the streaming runner routes flagged rows to the
             # DLQ sink instead of silently dropping (cf. the reference's
