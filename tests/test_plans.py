@@ -1,0 +1,162 @@
+"""Plan-shape regression tests: the 100 TB contract, checked on the
+physical plan rather than timed.
+
+Correctness tests prove a query returns the right rows at sf0.01; these
+prove the *plan* is the one that survives a 1000-executor scale-up:
+predicates reach the parquet scan, projections prune the read schema,
+small dims broadcast instead of shuffling the fact, aggregates combine
+map-side, top-k never global-sorts, and the hot path stays inside
+whole-stage codegen with zero Python row evaluation (SURVEY.md §4's
+"emit Column expressions, never opaque UDFs" stance).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from kafka_connect_morphlines_spark.plans.queries import QUERIES
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def build(spark, name: str):
+    return QUERIES[name].build(spark, SF_DIR)
+
+
+def test_filter_agg_pushes_all_predicates_to_scan(spark):
+    """Q6 shape: every fact-local predicate must appear in PushedFilters —
+    at 100 TB these prune row groups before any Spark code runs."""
+    plan = plan_of(build(spark, "filter_agg_revenue"))
+    assert "PushedFilters:" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(
+            f"{pred}({col}" in plan for pred in ("GreaterThan", "LessThan", "GreaterThanOrEqual", "LessThanOrEqual")
+        ), f"predicate on {col} not pushed:\n{plan}"
+
+
+def test_filter_agg_prunes_read_schema(spark):
+    """The Q6 scan must read 5 columns, not all 11 of lineitem."""
+    plan = plan_of(build(spark, "filter_agg_revenue"))
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_extendedprice" in scan and "l_discount" in scan
+    for unused in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert unused not in scan, f"unpruned column {unused}: {scan}"
+
+
+def test_projection_pipeline_prunes_scan(spark):
+    """removeFields compiles to a projection Catalyst pushes into the scan:
+    dropping columns in the pipeline must shrink the parquet read itself."""
+    plan = plan_of(build(spark, "remove_fields_projection"))
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "doc_id" in scan and "lang" in scan
+    assert "text" not in scan, f"dropped column still read: {scan}"
+
+
+def test_dim_joins_broadcast_not_shuffle(spark):
+    """Star joins against nation/customer dims must be broadcast hash joins;
+    a shuffle join on the fact table is the classic 100 TB regression."""
+    for name in ("join_revenue_by_nation", "shipping_priority_topk", "volume_shipping_pairs"):
+        plan = plan_of(build(spark, name))
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast:\n{plan}"
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full Exchange rangepartitioning sort."""
+    plan = plan_of(build(spark, "shipping_priority_topk"), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_aggregates_have_map_side_partial(spark):
+    """groupBy must plan partial_ aggregates before the exchange so the
+    shuffle carries one row per key per partition, not the raw fact."""
+    plan = plan_of(build(spark, "agg_pricing_summary"), mode="simple")
+    assert "partial_" in plan, plan
+
+
+def test_cube_plans_expand_single_shuffle(spark):
+    """CUBE = Expand operator + ONE aggregate exchange, not one job per
+    grouping set."""
+    plan = plan_of(build(spark, "cube_order_counts"), mode="simple")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_hot_queries_have_no_python_row_path(spark):
+    """The morphline-parity and text/dedup hot paths must stay JVM-side:
+    no BatchEvalPython / PythonUDF / mapInPandas in the plan.  (The only
+    sanctioned Python stages are the `java`-command escape hatch and the
+    multimodal decode stub, exercised elsewhere.)"""
+    hot = [
+        "read_json_typed",
+        "grok_extract",
+        "convert_timestamp_millis",
+        "set_values_template",
+        "text_quality",
+        "doc_fingerprint",
+        "dedup_exact",
+        "lang_id_pred",
+        "token_frequencies",
+        "embedding_cosine_topk",
+        "asof_join_events",
+    ]
+    for name in hot:
+        plan = plan_of(build(spark, name), mode="simple")
+        for marker in ("BatchEvalPython", "PythonUDF", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert marker not in plan, f"{name} fell off codegen into {marker}:\n{plan}"
+
+
+def test_hot_queries_whole_stage_codegen(spark):
+    """Scalar morphline commands must compile into whole-stage codegen
+    spans (fused JVM loops), not interpreted expression evaluation."""
+    for name in ("set_values_template", "find_replace", "split_field", "math_functions"):
+        plan = plan_of(build(spark, name), mode="simple")
+        assert "*(" in plan, f"{name} has no codegen stage:\n{plan}"
+
+
+def test_exists_semi_join_does_not_materialize_right(spark):
+    """EXISTS compiles to a semi join (probe-only), never inner + distinct."""
+    plan = plan_of(build(spark, "exists_orders_by_priority"), mode="simple")
+    assert "LeftSemi" in plan, plan
+
+
+def test_anti_join_shape(spark):
+    """NOT EXISTS compiles to an anti join."""
+    plan = plan_of(build(spark, "idle_rich_customers"), mode="simple")
+    assert "LeftAnti" in plan, plan
+
+
+def test_group_having_aggregates_before_join(spark):
+    """Q18 shape: the HAVING aggregate must sit below the orders join in
+    the plan (shrink-then-join), not after it."""
+    plan = plan_of(build(spark, "large_order_customers"), mode="simple")
+    first_join = plan.index("Join")
+    assert "partial_sum" in plan[first_join:], "aggregate did not stay below the join"
+
+
+def test_minhash_shuffle_carries_signatures_not_docs(spark):
+    """MinHash LSH: the groupBy shuffle key is the doc id and the payload
+    the 64 partial mins — the plan must show partial_min aggregates (map-side
+    combine) so shingle rows never cross the wire."""
+    plan = plan_of(build(spark, "dedup_minhash_lsh"), mode="simple")
+    assert "partial_min" in plan, plan
+
+
+@pytest.mark.parametrize("name", ["filter_agg_revenue", "orders_by_month"])
+def test_aqe_enabled_on_corpus_plans(spark, name):
+    """AQE must stay on (runtime re-plan: skew joins, coalesced shuffle
+    partitions) — the session default the whole corpus relies on."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    plan = plan_of(build(spark, name), mode="simple")
+    assert "AdaptiveSparkPlan" in plan
