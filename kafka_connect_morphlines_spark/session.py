@@ -20,6 +20,15 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
     master = master or f"local[{cpus}]"
+
+    # Python workers import this package by reference (stateful processors,
+    # pandas UDF classes are cloudpickled by name) — make sure the package
+    # root is on their PYTHONPATH regardless of the caller's cwd.  On a real
+    # cluster the equivalent is shipping the wheel via --py-files.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
     if shuffle_partitions is None:
         # local[N] -> ~N shuffle partitions; AQE coalesces further at runtime.
         try:
@@ -40,6 +49,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # RocksDB state store: required by transformWithState and the right
+        # choice at scale anyway (state spills to disk instead of executor heap).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -152,3 +152,82 @@ def test_metrics_listener_collects_batches(spark, events_stream_dir):
         assert observed and observed["seen"]["numRecords"] == total_in
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_transform_with_state_running_sums(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API) keeps per-key
+    running sums across micro-batches.  Skipped where protobuf (the state
+    protocol's wire format) isn't installed — the operator raises a clear
+    NotImplementedError there, which this test pins too."""
+    from kafka_connect_morphlines_spark.streaming.stateful import running_value_sums
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        df = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_value_sums(df)
+        pytest.skip("protobuf not installed: transformWithState gated")
+
+    src = str(tmp_path / "tws")
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], "user_id long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    ckpt = str(tmp_path / "tws_ck")
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = running_value_sums(stream)
+    q = (
+        out.writeStream.queryName("tws_out")
+        .outputMode("append")
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame([(1, 2.0)], "user_id long, value double").coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM tws_out ORDER BY running_sum").collect()
+    u1 = [(r["batch_sum"], r["running_sum"]) for r in rows if r["user_id"] == 1]
+    assert (15.0, 15.0) in u1 and (2.0, 17.0) in u1  # state carried across batches
+    assert [(r["batch_sum"], r["running_sum"]) for r in rows if r["user_id"] == 2] == [(1.0, 1.0)]
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate keys across micro-batches
+    inside the watermark delay are emitted once; state stays bounded."""
+    import datetime
+
+    from kafka_connect_morphlines_spark.streaming.stateful import dedup_stream
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "dd")
+    spark.createDataFrame(
+        [(1, ts), (1, ts), (2, ts)], "k long, ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    ckpt = str(tmp_path / "dd_ck")
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = dedup_stream(stream, ["k"], ts_col="ts", delay="10 minutes")
+    q = (
+        out.writeStream.queryName("dedup_out")
+        .outputMode("append")
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # same key arrives again in a later micro-batch, still within the delay
+    spark.createDataFrame([(1, ts + datetime.timedelta(minutes=1))], "k long, ts timestamp").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT k, count(*) AS n FROM dedup_out GROUP BY k ORDER BY k").collect()
+    assert [(r["k"], r["n"]) for r in rows] == [(1, 1), (2, 1)]
+    # batch fallback: plain dropDuplicates
+    batch = spark.createDataFrame([(1, ts), (1, ts), (3, ts)], "k long, ts timestamp")
+    assert dedup_stream(batch, ["k"]).count() == 2
