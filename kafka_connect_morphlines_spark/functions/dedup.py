@@ -113,6 +113,12 @@ def _lsh_candidates_from_shingles(
     O(bucket²) join rows; the standard mitigation is to skip them — exact
     duplicates are exact_dedup's job, and a 2000-doc bucket already yields
     2M candidate pairs).  Dropped buckets are a documented recall trade.
+
+    The banded frame feeds three consumers (overflow detection and both
+    sides of the self-join); it is materialized once so the signature
+    aggregation — the expensive map-side pass — doesn't run three times.
+    At B rows per doc it's tiny relative to the corpus (16 longs vs the
+    document text), the standard cached intermediate for LSH.
     """
     rows_per_band = num_hashes // bands
     sig = _signatures_from_shingles(sh, id_col, num_hashes)
@@ -127,6 +133,8 @@ def _lsh_candidates_from_shingles(
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if not banded.isStreaming:
+        banded = banded.localCheckpoint()
     if max_bucket_size:
         overflow = (
             banded.groupBy("band", "bucket")
@@ -290,6 +298,10 @@ def simhash_near_dupes(df: DataFrame, text_col: str = "text", id_col: str = "doc
             )
         ).alias("c"),
     ).select("_id", "_sh", F.col("c.idx").alias("idx"), F.col("c.val").alias("val"))
+    if not exploded.isStreaming:
+        # both join sides consume this frame; materialize so the 32-bit
+        # vote fold (the expensive per-doc pass) runs once, not twice
+        exploded = exploded.localCheckpoint()
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(b, (F.col("a.idx") == F.col("b.idx")) & (F.col("a.val") == F.col("b.val")) & (F.col("a._id") < F.col("b._id")))

@@ -197,6 +197,10 @@ def embedding_near_dupes(
     dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     dim = dim_probe[0]["d"] if dim_probe else 0
     b = ensure_parallelism(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"))
+    if not b.isStreaming:
+        # both join sides consume the bucketed frame; materialize so the
+        # n_planes dot-product passes run once, not twice
+        b = b.localCheckpoint()
     l, r = b.alias("a"), b.alias("b")
     return (
         l.join(r, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
