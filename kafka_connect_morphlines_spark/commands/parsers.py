@@ -328,24 +328,68 @@ def _avro_functions():
         return None, None
 
 
-@command("readAvro", "readAvroContainer")
-def read_avro(config, ctx):
-    """Parse raw Avro bytes with a bound schema (kite readAvro/readAvroContainer).
+def _jvm_from_avro_usable(df) -> bool:
+    """True when spark-avro's from_avro both imports AND resolves (the
+    Python shim ships with pyspark, the JVM datasource only with the jar)."""
+    from_avro, _ = _avro_functions()
+    if from_avro is None:
+        return False
+    try:
+        df.sparkSession.range(1).select(from_avro(F.lit(b"\x00"), '"int"'))
+        return True
+    except Exception:
+        return False
 
-    Requires the spark-avro jar on the classpath (it is not bundled with the
-    pyspark pip distribution); absent that, raises with a clear message.  The
-    reference's own test avro path feeds Connect structs rather than raw avro
-    bytes (identity.conf readavro, MorphlineTransformTest.java:265-284) — that
-    path needs no jar here either: the value is already a typed struct.
-    """
+
+def _python_decode_datum_udf(schema_json: str):
+    """Arrow-batched pandas UDF decoding one raw Avro datum per row with the
+    pure-Python codec (avro_codec.py) — the jar-less fallback.  ~10-100x
+    slower per byte than the JVM path, so it is only chosen when spark-avro
+    is absent; still partition-parallel and Arrow-batched."""
+    from kafka_connect_morphlines_spark.avro_codec import decode_datum
+
+    spark_type = avro_struct(schema_json)
+
+    @F.pandas_udf(returnType=spark_type)
+    def dec(s):
+        import pandas as pd  # noqa: PLC0415
+
+        rows = [decode_datum(v, schema_json) if v is not None else None for v in s]
+        return pd.DataFrame(
+            [r if r is not None else dict.fromkeys([f.name for f in spark_type.fields]) for r in rows],
+            columns=[f.name for f in spark_type.fields],
+        )
+
+    return dec
+
+
+def _resolve_avro_schema_json(config, ctx) -> str | None:
     schema_json = config.get("schemaString")
-    out = config.get("outputField", "_json")
     if schema_json is None and "schemaFile" in config:
         path = config["schemaFile"]
         if not os.path.isabs(path):
             path = os.path.join(ctx.base_dir, path)
         with open(path, encoding="utf-8") as f:
             schema_json = f.read()
+    return schema_json
+
+
+@command("readAvro")
+def read_avro(config, ctx):
+    """Parse raw Avro datum bytes with a bound schema (kite readAvro).
+
+    Three paths, fastest first:
+    1. input already a typed struct (the reference's own avro test path
+       feeds Connect structs — identity.conf readavro,
+       MorphlineTransformTest.java:265-284): plain column ref, no decode.
+    2. spark-avro jar present: JVM ``from_avro`` (vectorized, codegen).
+    3. jar absent: pure-Python Avro binary decoder behind an Arrow-batched
+       pandas UDF (avro_codec.py) — same results, Python-speed.
+    A schemaString/schemaFile is required for raw bytes (a bare datum has no
+    embedded schema).
+    """
+    schema_json = _resolve_avro_schema_json(config, ctx)
+    out = config.get("outputField", "_json")
 
     def transform(df: DataFrame) -> DataFrame:
         body = _body(df, config)
@@ -353,12 +397,62 @@ def read_avro(config, ctx):
         in_name = config.get("inputField") or (R.ATTACHMENT_BODY if R.ATTACHMENT_BODY in df.columns else R.VALUE)
         if isinstance(dtype_map.get(in_name), T.StructType):
             return df.withColumn(out, colref(in_name))  # already-decoded struct
-        from_avro, _ = _avro_functions()
-        if from_avro is None or schema_json is None:
-            raise NotImplementedError(
-                "readAvro on raw bytes requires the spark-avro package "
-                "(org.apache.spark:spark-avro) and a schemaString/schemaFile"
-            )
-        return df.withColumn(out, from_avro(body.cast("binary"), schema_json))
+        if schema_json is None:
+            raise PipelineSpecError("readAvro on raw bytes needs schemaString/schemaFile")
+        if _jvm_from_avro_usable(df):
+            from_avro, _ = _avro_functions()
+            return df.withColumn(out, from_avro(body.cast("binary"), schema_json))
+        return df.withColumn(out, _python_decode_datum_udf(schema_json)(body.cast("binary")))
+
+    return transform
+
+
+@command("readAvroContainer")
+def read_avro_container(config, ctx):
+    """Parse Avro object-container-file bytes: 1 blob -> N records (kite
+    readAvroContainer emits one record per contained datum).
+
+    The container embeds its writer schema, so no schema config is needed:
+    with none bound, the frame-wide output type is inferred by peeking at
+    one blob on the driver (a 1-row action at compile — the container
+    analog of spark.read.json schema inference).  Records decode with the
+    embedded writer schema and are conformed to the bound/inferred reader
+    StructType by field name (missing -> null, extra -> dropped).
+    Decoding uses the pure-Python codec (avro_codec.py) behind a pandas
+    UDF; containers are a file format, not a hot per-event path.
+    """
+    schema_json = _resolve_avro_schema_json(config, ctx)
+    out = config.get("outputField", "_json")
+
+    def transform(df: DataFrame) -> DataFrame:
+        from kafka_connect_morphlines_spark.avro_codec import read_container
+
+        body = _body(df, config)
+        reader_json = schema_json
+        if reader_json is None:
+            import json as _json  # noqa: PLC0415
+
+            probe = df.select(body.cast("binary").alias("_b")).filter(F.col("_b").isNotNull()).limit(1).collect()
+            if not probe:
+                raise PipelineSpecError("readAvroContainer: no rows to infer the container schema from")
+            embedded, _ = read_container(probe[0]["_b"])
+            reader_json = _json.dumps(embedded)
+        spark_type = avro_struct(reader_json)
+        names = [f.name for f in spark_type.fields]
+
+        @F.pandas_udf(returnType=T.ArrayType(spark_type))
+        def dec(s):
+            import pandas as pd  # noqa: PLC0415
+
+            def one(v):
+                if v is None:
+                    return None
+                _, records = read_container(v)
+                return [{n: rec.get(n) for n in names} for rec in records]
+
+            return pd.Series([one(v) for v in s])
+
+        exploded = df.withColumn(out, F.explode(dec(body.cast("binary"))))
+        return exploded
 
     return transform

@@ -1664,3 +1664,31 @@ def cube_order_counts(spark, sf_dir):
             "total",
         )
     )
+
+
+@query("avro_container_roundtrip", "SELECT doc_id, lang FROM documents")
+def avro_container_roundtrip(spark, sf_dir):
+    """readAvroContainer (B.1): documents are encoded per-partition into
+    Avro object-container blobs (pure-Python codec behind mapInPandas),
+    then decoded back 1->N through the pipeline — a distributed
+    encode/decode round-trip whose output must hash-match the source
+    table.  Exercises the jar-less Avro path end to end."""
+    schema_json = (
+        '{"type":"record","name":"Doc","fields":['
+        '{"name":"doc_id","type":"long"},{"name":"lang","type":"string"}]}'
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def enc(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from kafka_connect_morphlines_spark.avro_codec import write_container
+
+        for pdf in batches:
+            recs = pdf.to_dict("records")
+            if recs:
+                yield pd.DataFrame({"payload": [write_container(recs, schema_json, codec="deflate")]})
+
+    blobs = docs.mapInPandas(enc, "payload binary")
+    p = compile_pipeline([{"readAvroContainer": {"inputField": "payload", "schemaString": schema_json}}])
+    return p(blobs).select(F.col("_json.doc_id").alias("doc_id"), F.col("_json.lang").alias("lang"))

@@ -303,3 +303,65 @@ def test_compile_overrides(spark):
 def test_rename_command(spark):
     out = run(spark, [{"rename": {"new_name": "old"}}], [("v",)], "old string")
     assert out.columns == ["new_name"]
+
+
+def test_read_avro_raw_datum_python_fallback(spark):
+    """readAvro on raw datum bytes: pure-Python decoder path (no spark-avro
+    jar in this image), bound schema, typed struct out."""
+    from kafka_connect_morphlines_spark.avro_codec import encode_datum
+
+    schema = (
+        '{"type":"record","name":"Person","fields":['
+        '{"name":"firstName","type":"string"},'
+        '{"name":"age","type":["null","int"]},'
+        '{"name":"scores","type":{"type":"array","items":"double"}}]}'
+    )
+    rows = [
+        (1, encode_datum({"firstName": "example", "age": 27, "scores": [1.5]}, schema)),
+        (2, encode_datum({"firstName": "other", "age": None, "scores": []}, schema)),
+    ]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    p = compile_pipeline([{"readAvro": {"inputField": "payload", "schemaString": schema, "outputField": "rec"}}])
+    got = {r["id"]: r for r in p(df).select("id", "rec.firstName", "rec.age", "rec.scores").collect()}
+    assert got[1]["firstName"] == "example" and got[1]["age"] == 27 and got[1]["scores"] == [1.5]
+    assert got[2]["firstName"] == "other" and got[2]["age"] is None and got[2]["scores"] == []
+
+
+def test_read_avro_container_explodes_and_infers_schema(spark):
+    """readAvroContainer: container blob -> one row per record, with the
+    output type inferred from the embedded writer schema (no schema config)."""
+    from kafka_connect_morphlines_spark.avro_codec import write_container
+
+    schema = (
+        '{"type":"record","name":"Ev","fields":['
+        '{"name":"k","type":"string"},{"name":"v","type":"long"}]}'
+    )
+    blob1 = write_container([{"k": "a", "v": 1}, {"k": "b", "v": 2}], schema, codec="deflate")
+    blob2 = write_container([{"k": "c", "v": 3}], schema)
+    df = spark.createDataFrame([(1, blob1), (2, blob2)], "src int, payload binary")
+    p = compile_pipeline([{"readAvroContainer": {"inputField": "payload", "outputField": "rec"}}])
+    got = sorted((r["src"], r["k"], r["v"]) for r in p(df).select("src", "rec.k", "rec.v").collect())
+    assert got == [(1, "a", 1), (1, "b", 2), (2, "c", 3)]
+
+
+def test_read_avro_container_reader_schema_conformance(spark):
+    """A bound reader schema projects/conforms the embedded writer records:
+    missing fields null-fill, extra fields drop (enrichJson-style)."""
+    from kafka_connect_morphlines_spark.avro_codec import write_container
+
+    writer = (
+        '{"type":"record","name":"Ev","fields":['
+        '{"name":"k","type":"string"},{"name":"extra","type":"int"}]}'
+    )
+    reader = (
+        '{"type":"record","name":"Ev","fields":['
+        '{"name":"k","type":"string"},{"name":"missing","type":["null","long"]}]}'
+    )
+    blob = write_container([{"k": "x", "extra": 9}], writer)
+    df = spark.createDataFrame([(blob,)], "payload binary")
+    p = compile_pipeline(
+        [{"readAvroContainer": {"inputField": "payload", "schemaString": reader, "outputField": "rec"}}]
+    )
+    row = p(df).select("rec.*").collect()[0]
+    assert row["k"] == "x" and row["missing"] is None
+    assert "extra" not in row.asDict()
