@@ -17,6 +17,8 @@ a partition-pruning-friendly layout if the table is written bucketed by
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from pyspark.sql import Window
@@ -92,12 +94,25 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
 
 
 def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """LSH bucket id: sign bits of dot(vec, plane_i) packed into an int."""
-    bucket = F.lit(0)
-    for i in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, i)])
-        bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+    """LSH bucket id: sign bits of dot(vec, plane_i) packed into an int.
+
+    Computed as one Arrow-batched numpy matmul ``(N×d) @ (d×planes)`` —
+    dense vector math is the case where a vectorized pandas UDF beats
+    Spark's higher-order functions (which evaluate interpreted,
+    per-element; at d=64 and 8 planes that's ~1k interpreted ops/row vs
+    one BLAS call per batch)."""
+    planes = np.array([_hyperplane(dim, i) for i in range(n_planes)], dtype=np.float64)  # (p, d)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def bucket_of(s: pd.Series) -> pd.Series:
+        if s.empty:
+            return pd.Series([], dtype="int64")
+        v = np.stack(s.to_numpy()).astype(np.float64)  # (n, d)
+        bits = (v @ planes.T) > 0  # (n, p)
+        return pd.Series(bits @ weights)
+
+    return bucket_of(vec)
 
 
 def ann_topk(
@@ -135,16 +150,31 @@ def ann_topk(
 def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
 
-    Centroids are plan literals (broadcast by value); assignment is a
-    map-only argmax — at scale the assigned table is written partitioned by
-    ``centroid`` so probes become partition pruning.  Real systems fit
-    centroids with k-means; the distributed shape is identical, so the
-    fitting strategy stays pluggable.
+    Centroids ride into the UDF closure (broadcast by value); assignment
+    is a map-only argmax over one Arrow-batched matmul
+    ``(N×d) @ (d×m)`` — m interpreted cosine folds per row would be
+    ~100× slower (see hyperplane_bucket).  At scale the assigned table is
+    written partitioned by ``centroid`` so probes become partition
+    pruning.  Real systems fit centroids with k-means; the distributed
+    shape is identical, so the fitting strategy stays pluggable.
     """
-    scores = F.array(*[cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])) for _, c in centroids])
-    best_idx = F.array_position(scores, F.array_max(scores))  # 1-based; ties -> first
-    ids = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
-    return df.withColumn("centroid", F.element_at(ids, best_idx.cast("int")))
+    ids = np.array([int(cid) for cid, _ in centroids], dtype=np.int64)
+    mat = np.array([c for _, c in centroids], dtype=np.float64)  # (m, d)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+
+    @F.pandas_udf("long")
+    def assign(s: pd.Series) -> pd.Series:
+        if s.empty:
+            return pd.Series([], dtype="int64")
+        v = np.stack(s.to_numpy()).astype(np.float64)  # (n, d)
+        vn = np.linalg.norm(v, axis=1)
+        vn[vn == 0] = 1.0
+        sims = (v / vn[:, None]) @ unit.T  # (n, m); argmax ties -> first
+        return pd.Series(ids[sims.argmax(axis=1)])
+
+    return df.withColumn("centroid", assign(F.col(vec_col)))
 
 
 def deterministic_centroids(df: DataFrame, n: int, vec_col: str = "embedding", id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
