@@ -27,6 +27,11 @@ NAMES = [
     "asof_join_events",
     "range_join_bucketed",
     "text_quality",
+    "volume_shipping_pairs",
+    "customer_order_histogram",
+    "disjunctive_part_revenue",
+    "large_order_customers",
+    "cube_order_counts",
 ]
 
 

@@ -86,14 +86,28 @@ def read_json(config, ctx):
             # single parse with a corrupt-record field for validity —
             # PERMISSIVE from_json returns an all-null struct (not NULL) on
             # malformed input, so struct nullity can't detect bad rows, and
-            # a separate get_json_object probe would parse the JSON twice
+            # a separate get_json_object probe would parse the JSON twice.
+            # The explode(array(...)) fence makes the parse a Generate
+            # output: predicate pushdown rewrites filters through Project
+            # aliases (re-inlining from_json once per consumer — observed as
+            # 3 parses per row in the optimized plan) but not through
+            # generator output, so the JSON parses exactly once per row.
             corrupt = "_corrupt_record"
             while corrupt in schema.fieldNames():
                 corrupt = "_" + corrupt
             parse_schema = schema.add(corrupt, T.StringType())
             parsed = F.from_json(text, parse_schema, {"columnNameOfCorruptRecord": corrupt, "mode": "PERMISSIVE"})
-            valid = text.isNotNull() & parsed.getField(corrupt).isNull()
-            df = df.withColumn(out, parsed.dropFields(corrupt))
+            fence = "_parsed_once"
+            while fence in df.columns:
+                fence = "_" + fence
+            df = df.withColumn(fence, F.explode(F.array(parsed)))
+            valid = text.isNotNull() & F.col(fence).getField(corrupt).isNull()
+            df = df.withColumn(out, F.col(fence).dropFields(corrupt))
+            if flag_invalid:
+                df = df.withColumn("_invalid", ~valid)
+            elif drop_invalid:
+                df = df.filter(valid)
+            return df.drop(fence)
         else:
             df = df.withColumn(out, text)
             probe = F.coalesce(F.get_json_object(text, "$"), F.get_json_object(F.concat(F.lit('{"r":'), text, F.lit("}")), "$.r"))

@@ -166,3 +166,12 @@ def test_aqe_enabled_on_corpus_plans(spark, name):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     plan = plan_of(build(spark, name), mode="simple")
     assert "AdaptiveSparkPlan" in plan
+
+
+def test_read_json_parses_once_per_row(spark):
+    """readJson typed mode must evaluate from_json exactly once per row:
+    predicate pushdown re-inlines project aliases into filters (3 parses
+    per row before the Generate fence), and JSON parsing dominates this
+    pipeline at scale."""
+    plan = plan_of(build(spark, "read_json_typed"), mode="simple")
+    assert plan.count("from_json") == 1, plan
