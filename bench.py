@@ -33,6 +33,12 @@ HEADLINE = [
     "sort_topn_lineitems",
     "asof_join_events",
     "range_join_bucketed",
+    # wider TPC-H shapes (multi-dim star join, outer + double agg, having)
+    "volume_shipping_pairs",
+    "customer_order_histogram",
+    "large_order_customers",
+    # format layer
+    "avro_container_roundtrip",
     # LLM-pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh",
