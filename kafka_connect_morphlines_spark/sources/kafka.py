@@ -81,3 +81,50 @@ def write_kafka_batch(df: DataFrame, bootstrap: str, topic: str | None = None, o
         writer.save()
 
     return _try(go)
+
+
+def read_topic_files(
+    spark: SparkSession,
+    path: str,
+    topic: str | None = None,
+    streaming: bool = False,
+) -> DataFrame:
+    """Consume a ``kafkaProducer {transport: files}`` directory back into the
+    canonical envelope frame — the jar-less produce->consume loop.
+
+    The files transport persists (key?, value, topic?) JSON rows; this reads
+    them (batch or as a file stream for micro-batch consumption), filters to
+    ``topic`` when given, and rebuilds the envelope: ``_kafkaOffset`` is a
+    per-file monotonic id (files are the commit unit, like segment files),
+    ``_kafkaPartition`` 0, ``_timestamp`` the ingestion clock.  On a real
+    cluster the same pipeline swaps this for read_kafka_batch/stream — the
+    envelope is identical, which is the point.
+    """
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("topic", T.StringType()),
+        ]
+    )
+    if streaming:
+        df = spark.readStream.schema(schema).json(path)
+    else:
+        df = spark.read.schema(schema).json(path)
+    if topic is not None:
+        df = df.filter(F.col("topic") == topic)
+    out = df.select(
+        F.coalesce(F.col("topic"), F.lit("files")).alias(R.TOPIC),
+        F.lit(0).alias(R.PARTITION),
+        F.col("key").alias(R.KEY),
+        F.col("value").alias(R.VALUE),
+        (F.unix_timestamp(F.current_timestamp()) * 1000).alias(R.TIMESTAMP),
+    )
+    if not streaming:
+        out = out.withColumn(R.OFFSET, F.monotonically_increasing_id())
+    return out

@@ -58,3 +58,30 @@ def test_load_solr_drops_reserved_fields(spark):
     df = spark.createDataFrame([("t", 1, "keep")], "_topic string, _kafkaPartition int, field string")
     p(df)
     assert MEMORY_SINKS["solr"] == [{"field": "keep"}]
+
+
+def test_kafka_files_transport_roundtrip(spark, tmp_path):
+    """kafkaProducer {transport: files} -> read_topic_files: the jar-less
+    produce/consume loop preserves values and per-record topics, and the
+    consumed frame is a canonical envelope a pipeline can process."""
+    from kafka_connect_morphlines_spark import compile_pipeline
+    from kafka_connect_morphlines_spark.sources.kafka import read_topic_files
+
+    out_dir = str(tmp_path / "topic_files")
+    df = spark.createDataFrame(
+        [("a", 1, "t1"), ("b", 2, "t2"), ("c", 3, "t1")], "name string, n int, dest string"
+    )
+    produce = compile_pipeline(
+        [
+            {"sqlExpr": {"_value": "struct(name, n)"}},
+            {"kafkaProducer": {"transport": "files", "path": out_dir, "topicField": "dest"}},
+        ]
+    )
+    produce(df).count()  # executes the pass-through publish
+
+    env = read_topic_files(spark, out_dir, topic="t1")
+    consume = compile_pipeline([{"readJson": {"inputField": "_value", "schemaDdl": "name string, n int"}}])
+    rows = sorted((r["name"], r["n"]) for r in consume(env).select("_json.name", "_json.n").collect())
+    assert rows == [("a", 1), ("c", 3)]
+    offsets = [r["_kafkaOffset"] for r in env.collect()]
+    assert len(set(offsets)) == len(offsets)  # distinct offsets
