@@ -1692,3 +1692,22 @@ def avro_container_roundtrip(spark, sf_dir):
     blobs = docs.mapInPandas(enc, "payload binary")
     p = compile_pipeline([{"readAvroContainer": {"inputField": "payload", "schemaString": schema_json}}])
     return p(blobs).select(F.col("_json.doc_id").alias("doc_id"), F.col("_json.lang").alias("lang"))
+
+
+@query(
+    "salted_agg_event_totals",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_agg_event_totals(spark, sf_dir):
+    """Two-phase salted aggregation (functions/skew.py): hot group keys are
+    split across 16 sub-keys, pre-aggregated, then merged — the explicit
+    mitigation for skewed groupBy keys AQE can't rebalance.  Must produce
+    exactly what the plain groupBy produces (the oracle)."""
+    from kafka_connect_morphlines_spark.functions import skew
+
+    ev = t(spark, sf_dir, "events")
+    out = skew.salted_aggregate(ev, ["event_type"], {"n": ("count", "event_id"), "total": ("sum", "value")})
+    return out.select("event_type", "n", F.round("total", 2).alias("total"))
