@@ -107,3 +107,46 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024, payload_col: str = "
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_payload": frames})
 
     return ensure_parallelism(df).mapInPandas(mapper, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "media_id long, width int, height int, resized binary"
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Image resize plumbing (1 row -> 1 row) via ``mapInPandas``.
+
+    STUB decode: the 'resized image' is a deterministic width*height-byte
+    buffer expanded from the payload digest (so tests pin exact bytes); a
+    real deployment replaces ``_fake_resize`` with Pillow's
+    ``Image.open(...).resize((w, h)).tobytes()`` and nothing else changes —
+    schema, Arrow batch shape, and partitioning are identical.
+    """
+
+    def _fake_resize(raw: bytes) -> bytes:
+        seed = hashlib.sha256(raw or b"").digest()
+        reps = (width * height) // len(seed) + 1
+        return (seed * reps)[: width * height]
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, resized = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                ids.append(mid)
+                resized.append(_fake_resize(raw))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": [width] * len(ids),
+                    "height": [height] * len(ids),
+                    "resized": resized,
+                }
+            )
+
+    return ensure_parallelism(df).mapInPandas(mapper, RESIZE_SCHEMA)

@@ -185,3 +185,21 @@ def test_ivf_topk_matches_brute_force_on_clusters(spark):
     ivf = [r["vec_id"] for r in similarity.ivf_topk(df, query, k=10, n_centroids=8, nprobe=4).collect()]
     brute = [r["vec_id"] for r in similarity.brute_force_topk(df, query, k=10).collect()]
     assert len(set(ivf) & set(brute)) >= 8
+
+
+def test_resize_images_shape_and_determinism(spark):
+    """resize_images: 1->1 Arrow plumbing, fixed-size output buffers,
+    deterministic bytes for identical payloads."""
+    from kafka_connect_morphlines_spark.functions import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"imgdata-a")), (2, bytearray(b"imgdata-a")), (3, bytearray(b"other"))],
+        "media_id long, payload binary",
+    )
+    out = multimodal.resize_images(df, width=16, height=8).collect()
+    assert len(out) == 3
+    by_id = {r["media_id"]: r for r in out}
+    assert all(len(r["resized"]) == 16 * 8 for r in out)
+    assert all((r["width"], r["height"]) == (16, 8) for r in out)
+    assert bytes(by_id[1]["resized"]) == bytes(by_id[2]["resized"])  # same payload -> same bytes
+    assert bytes(by_id[1]["resized"]) != bytes(by_id[3]["resized"])
