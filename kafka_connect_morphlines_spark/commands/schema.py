@@ -197,6 +197,40 @@ def enrich_json(config, ctx):
             return T.ArrayType(_out_type(dtype.elementType, path), True)
         return dtype
 
+    # Avro-JSON union wrapping (EnrichJsonBuilder.java:265-287, arrays of
+    # unions :367-407): union-typed values render as {"<branch type name>":
+    # value} and null as JSON null — the encoding Avro-JSON consumers (e.g.
+    # the Confluent REST proxy payload) require.  Opt-in via wrapUnions;
+    # output is then a JSON *string* column.
+    import json as _json
+
+    avro_tree = _json.loads(schema_str) if isinstance(schema_str, str) else schema_str
+
+    def _branch_name(node) -> str:
+        if isinstance(node, str):
+            return node
+        typ = node.get("type")
+        if node.get("logicalType") and isinstance(typ, str):
+            return typ
+        if typ in ("record", "enum", "fixed"):
+            return node.get("name", typ)
+        if typ in ("array", "map"):
+            return typ
+        return typ if isinstance(typ, str) else _branch_name(typ)
+
+    def _wrap(col: Column, node) -> Column:
+        if isinstance(node, list):  # union with null
+            branch = next(n for n in node if n != "null")
+            wrapped = F.struct(_wrap(col, branch).alias(_branch_name(branch)))
+            return F.when(col.isNotNull(), wrapped) if "null" in node else wrapped
+        if isinstance(node, dict):
+            typ = node.get("type")
+            if typ == "record":
+                return F.struct(*[_wrap(col.getField(f["name"]), f["type"]).alias(f["name"]) for f in node["fields"]])
+            if typ == "array":
+                return F.transform(col, lambda x: _wrap(x, node["items"]))
+        return col
+
     def transform(df: DataFrame) -> DataFrame:
         dtypes = {f.name: f.dataType for f in df.schema.fields}
         src = colref(value_field)
@@ -205,6 +239,10 @@ def enrich_json(config, ctx):
         else:
             parsed = F.from_json(src.cast("string"), parse_schema)
         conformed = _coerce(parsed, parse_schema, "")
+        if config.get("wrapUnions"):
+            # ignoreNullFields=false: conformance null-fills missing fields,
+            # and Avro-JSON renders them as explicit nulls, not omissions
+            return df.withColumn(out_field, F.to_json(_wrap(conformed, avro_tree), {"ignoreNullFields": "false"}))
         return df.withColumn(out_field, conformed)
 
     return transform

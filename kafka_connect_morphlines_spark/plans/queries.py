@@ -1711,3 +1711,27 @@ def salted_agg_event_totals(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     out = skew.salted_aggregate(ev, ["event_type"], {"n": ("count", "event_id"), "total": ("sum", "value")})
     return out.select("event_type", "n", F.round("total", 2).alias("total"))
+
+
+@query(
+    "enrich_json_wrap_unions",
+    """
+    SELECT doc_id, '{"lang":{"string":"' || lang || '"},"n_chars":{"long":' || n_chars || '}}' AS wrapped
+    FROM documents
+    """,
+)
+def enrich_json_wrap_unions(spark, sf_dir):
+    """enrichJson wrapUnions (Avro-JSON union encoding, ref :265-287): the
+    REST-proxy-shaped payload with union-typed fields as {"type": value}."""
+    schema = (
+        '{"type":"record","name":"D","fields":['
+        '{"name":"lang","type":["null","string"]},'
+        '{"name":"n_chars","type":["null","long"]}]}'
+    )
+    p = compile_pipeline(
+        [
+            {"sqlExpr": {"payload": "to_json(struct(lang, n_chars))"}},
+            {"enrichJson": {"valueField": "payload", "outputField": "wrapped", "schemaString": schema, "wrapUnions": True}},
+        ]
+    )
+    return p(t(spark, sf_dir, "documents")).select("doc_id", "wrapped")

@@ -365,3 +365,27 @@ def test_read_avro_container_reader_schema_conformance(spark):
     row = p(df).select("rec.*").collect()[0]
     assert row["k"] == "x" and row["missing"] is None
     assert "extra" not in row.asDict()
+
+
+def test_enrich_json_wrap_unions(spark):
+    """enrichJson wrapUnions: union-typed values render as
+    {"<type>": value}, nulls as explicit JSON null, nested records and
+    arrays of unions recursively (EnrichJsonBuilder.java:265-287,367-407)."""
+    schema = (
+        '{"type":"record","name":"P","fields":['
+        '{"name":"name","type":"string"},'
+        '{"name":"age","type":["null","int"]},'
+        '{"name":"tags","type":{"type":"array","items":["null","string"]}},'
+        '{"name":"nest","type":{"type":"record","name":"N","fields":[{"name":"x","type":["null","long"]}]}}]}'
+    )
+    df = spark.createDataFrame(
+        [
+            ('{"name":"a","age":27,"tags":["t",null],"nest":{"x":5}}',),
+            ('{"name":"b","tags":[],"nest":{}}',),
+        ],
+        "payload string",
+    )
+    p = compile_pipeline([{"enrichJson": {"valueField": "payload", "outputField": "wrapped", "schemaString": schema, "wrapUnions": True}}])
+    got = [r["wrapped"] for r in p(df).collect()]
+    assert got[0] == '{"name":"a","age":{"int":27},"tags":[{"string":"t"},null],"nest":{"x":{"long":5}}}'
+    assert got[1] == '{"name":"b","age":null,"tags":[],"nest":{"x":null}}'
