@@ -19,6 +19,7 @@ Transports:
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -92,6 +93,62 @@ def kafka_producer(config, ctx):
             writer.save()
         elif transport == "files":
             out.write.mode(config.get("mode", "append")).json(config["path"])
+        elif transport == "rest":
+            # Confluent REST-proxy publish (reference
+            # KafkaDataProducerCommandBuilder.java:333-374): POST
+            # /topics/{topic} with application/vnd.kafka.avro.v2+json and
+            # {"value_schema": ..., "records": [{"key":..,"value":..}]};
+            # one retry on error_code 50003 ("no leader", ref :318-328),
+            # connection errors propagate (RetriableException analog).
+            rest_url = config.get("kafka-rest-url", config.get("kafkaRestUrl"))
+            if not rest_url:
+                raise PipelineSpecError("transport=rest requires kafka-rest-url")
+            fixed_topic = config.get("topic")
+            value_schema = config.get("valueSchemaString")
+            if value_schema is None and "valueSchemaFile" in config:
+                p = config["valueSchemaFile"]
+                if not os.path.isabs(p):
+                    p = os.path.join(ctx.base_dir, p)
+                with open(p, encoding="utf-8") as fh:
+                    value_schema = fh.read()
+            batch_size = int(config.get("batchSize", 500))
+
+            def post_partition(rows):
+                import urllib.error  # noqa: PLC0415
+                import urllib.request  # noqa: PLC0415
+
+                def send(topic, batch):
+                    body = {"records": batch}
+                    if value_schema:
+                        body["value_schema"] = value_schema
+                    req = urllib.request.Request(
+                        f"{rest_url.rstrip('/')}/topics/{topic}",
+                        data=json.dumps(body, default=str).encode(),
+                        headers={"Content-Type": "application/vnd.kafka.avro.v2+json"},
+                    )
+                    try:
+                        urllib.request.urlopen(req, timeout=30)  # noqa: S310
+                    except urllib.error.HTTPError as e:
+                        payload = e.read()
+                        if b"50003" in payload:  # broker leader unavailable: retry once
+                            urllib.request.urlopen(req, timeout=30)  # noqa: S310
+                        else:
+                            raise
+
+                by_topic: dict[str, list] = {}
+                for row in rows:
+                    d = row.asDict(recursive=True)
+                    topic = fixed_topic or d.get("topic") or "default"
+                    rec = {"value": json.loads(d["value"]) if isinstance(d.get("value"), str) else d.get("value")}
+                    if d.get("key") is not None:
+                        rec["key"] = d["key"]
+                    by_topic.setdefault(topic, []).append(rec)
+                    if len(by_topic[topic]) >= batch_size:
+                        send(topic, by_topic.pop(topic))
+                for topic, batch in by_topic.items():
+                    send(topic, batch)
+
+            out.foreachPartition(post_partition)
         elif transport == "memory":
             MEMORY_SINKS.setdefault(config.get("name", "kafka"), []).extend(r.asDict(recursive=True) for r in out.collect())
         elif transport == "noop":

@@ -85,3 +85,61 @@ def test_kafka_files_transport_roundtrip(spark, tmp_path):
     assert rows == [("a", 1), ("c", 3)]
     offsets = [r["_kafkaOffset"] for r in env.collect()]
     assert len(set(offsets)) == len(offsets)  # distinct offsets
+
+
+def test_kafka_producer_rest_transport_with_retry(spark):
+    """kafkaProducer {transport: rest}: Confluent REST-proxy POSTs
+    (vnd.kafka.avro.v2+json, value_schema + records envelope, per-record
+    topic routing) with one retry on error_code 50003
+    (KafkaDataProducerCommandBuilder.java:318-374)."""
+    from kafka_connect_morphlines_spark import compile_pipeline
+
+    received = []
+    failed_once = {"done": False}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            if not failed_once["done"]:
+                failed_once["done"] = True
+                self.send_response(500)
+                self.end_headers()
+                self.wfile.write(b'{"error_code": 50003, "message": "no leader"}')
+                return
+            received.append((self.path, self.headers["Content-Type"], json.loads(body)))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        def log_message(self, *args):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{server.server_port}"
+        schema = '{"type":"record","name":"E","fields":[{"name":"name","type":"string"}]}'
+        df = spark.createDataFrame([("a", "t1"), ("b", "t2")], "name string, dest string").coalesce(1)
+        p = compile_pipeline(
+            [
+                {"sqlExpr": {"_value": "struct(name)"}},
+                {
+                    "kafkaProducer": {
+                        "transport": "rest",
+                        "kafka-rest-url": url,
+                        "topicField": "dest",
+                        "valueSchemaString": schema,
+                    }
+                },
+            ]
+        )
+        p(df).count()
+        by_topic = {path: (ctype, body) for path, ctype, body in received}
+        assert set(by_topic) == {"/topics/t1", "/topics/t2"}
+        ctype, body = by_topic["/topics/t1"]
+        assert ctype == "application/vnd.kafka.avro.v2+json"
+        assert body["value_schema"] == schema
+        assert body["records"] == [{"value": {"name": "a"}}]
+        assert failed_once["done"]  # the 50003 retry path executed
+    finally:
+        server.shutdown()
