@@ -85,3 +85,35 @@ def test_session_window_stream(spark, tmp_path):
     )
     stream_sessions = spark.sql("SELECT count(*) AS c FROM sess_out").collect()[0]["c"]
     assert stream_sessions == batch_sessions
+
+
+def test_streaming_dlq_example(spark, tmp_path):
+    """The full jar-less loop: kafkaProducer files transport -> streaming
+    consume (read_topic_files) -> examples/streaming_dlq.conf pipeline ->
+    good rows to the sink, bad payloads to the quarantine DLQ."""
+    from kafka_connect_morphlines_spark import compile_pipeline
+    from kafka_connect_morphlines_spark.sources.kafka import read_topic_files
+    from kafka_connect_morphlines_spark.streaming import runner
+
+    topic_dir = str(tmp_path / "topic")
+    # produce: two valid JSON payloads and one broken one
+    src = spark.createDataFrame(
+        [('{"name":"a","n":1}',), ('{"name":"b","n":2}',), ("broken",)], "_value string"
+    )
+    produce = compile_pipeline([{"kafkaProducer": {"transport": "files", "path": topic_dir, "topic": "demo"}}])
+    produce(src).count()
+
+    pipe = Pipeline.from_file(os.path.join(EXAMPLES, "streaming_dlq.conf"), morphline_id="consume_clean")
+    good, bad = [], []
+    stream = read_topic_files(spark, topic_dir, topic="demo", streaming=True)
+    q = runner.run_stream(
+        stream,
+        pipe,
+        sink=lambda df, epoch: good.extend(r["doc_key"] for r in df.collect()),
+        quarantine_sink=lambda df, epoch: bad.extend(r["_value"] for r in df.collect()),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(good) == ["demo-1", "demo-2"]
+    assert bad == ["broken"]
