@@ -104,6 +104,7 @@ def kafka_producer(config, ctx):
             if not rest_url:
                 raise PipelineSpecError("transport=rest requires kafka-rest-url")
             fixed_topic = config.get("topic")
+            fixed_partition = config.get("partition")
             value_schema = config.get("valueSchemaString")
             if value_schema is None and "valueSchemaFile" in config:
                 p = config["valueSchemaFile"]
@@ -121,8 +122,11 @@ def kafka_producer(config, ctx):
                     body = {"records": batch}
                     if value_schema:
                         body["value_schema"] = value_schema
+                    # partition-targeted endpoint (ref :341-346:
+                    # /topics/{t}/partitions/{p}) when a fixed partition is set
+                    suffix = f"/partitions/{int(fixed_partition)}" if fixed_partition is not None else ""
                     req = urllib.request.Request(
-                        f"{rest_url.rstrip('/')}/topics/{topic}",
+                        f"{rest_url.rstrip('/')}/topics/{topic}{suffix}",
                         data=json.dumps(body, default=str).encode(),
                         headers={"Content-Type": "application/vnd.kafka.avro.v2+json"},
                     )
