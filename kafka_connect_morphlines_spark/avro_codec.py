@@ -248,10 +248,53 @@ def _encode(out: io.BytesIO, schema: Any, value: Any) -> None:
 
 
 def _union_branch(schema: list, value: Any) -> int:
+    """Select the union branch by the value's Python type (not just its
+    null-ness), so unions with more than one non-null branch — e.g.
+    ``["null","int","string"]`` — encode against the right writer type.
+    First matching branch wins; bool is checked before int because
+    ``bool`` subclasses ``int`` in Python."""
+
+    def _type_name(branch: Any) -> str:
+        if isinstance(branch, str):
+            return branch
+        if isinstance(branch, dict):
+            t = branch.get("type")
+            return t if isinstance(t, str) else _type_name(t)
+        return ""
+
+    def _matches(branch: Any) -> bool:
+        t = _type_name(branch)
+        logical = branch.get("logicalType") if isinstance(branch, dict) else None
+        if value is None:
+            return t == "null"
+        if isinstance(value, bool):
+            return t == "boolean"
+        if isinstance(value, datetime.datetime):
+            return logical in ("timestamp-millis", "timestamp-micros")
+        if isinstance(value, datetime.date):
+            return logical == "date"
+        if isinstance(value, Decimal):
+            return logical == "decimal"
+        if isinstance(value, int):
+            return t in ("long", "int")
+        if isinstance(value, float):
+            return t in ("double", "float")
+        if isinstance(value, str):
+            return t in ("string", "enum")
+        if isinstance(value, (bytes, bytearray)):
+            return t in ("bytes", "fixed")
+        if isinstance(value, dict):
+            return t in ("record", "map")
+        if isinstance(value, (list, tuple)):
+            return t == "array"
+        return False
+
     for i, branch in enumerate(schema):
-        if (branch == "null") == (value is None):
+        if _matches(branch):
             return i
-    raise AvroCodecError(f"no union branch in {schema!r} for {value!r}")
+    raise AvroCodecError(
+        f"no union branch in {schema!r} matches {type(value).__name__} value {value!r}"
+    )
 
 
 def encode_datum(value: Any, schema: str | dict | list) -> bytes:

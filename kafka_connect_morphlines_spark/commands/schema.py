@@ -206,29 +206,41 @@ def enrich_json(config, ctx):
 
     avro_tree = _json.loads(schema_str) if isinstance(schema_str, str) else schema_str
 
-    def _branch_name(node) -> str:
+    def _branch_name(node, ns: str | None = None) -> str:
+        # Avro-JSON requires the namespace-qualified *fullname* for named
+        # types (valueSchema.getFullName() in EnrichJsonBuilder); the
+        # namespace is inherited from the enclosing schema when a nested
+        # named type doesn't declare its own, and a dotted name IS its
+        # fullname (Avro spec, "Names").
         if isinstance(node, str):
-            return node
+            return node  # primitive, or a name reference (already full)
         typ = node.get("type")
         if node.get("logicalType") and isinstance(typ, str):
             return typ
         if typ in ("record", "enum", "fixed"):
-            return node.get("name", typ)
+            name = node.get("name", typ)
+            if "." in name:
+                return name
+            namespace = node.get("namespace", ns)
+            return f"{namespace}.{name}" if namespace else name
         if typ in ("array", "map"):
             return typ
-        return typ if isinstance(typ, str) else _branch_name(typ)
+        return typ if isinstance(typ, str) else _branch_name(typ, ns)
 
-    def _wrap(col: Column, node) -> Column:
+    def _wrap(col: Column, node, ns: str | None = None) -> Column:
         if isinstance(node, list):  # union with null
             branch = next(n for n in node if n != "null")
-            wrapped = F.struct(_wrap(col, branch).alias(_branch_name(branch)))
+            wrapped = F.struct(_wrap(col, branch, ns).alias(_branch_name(branch, ns)))
             return F.when(col.isNotNull(), wrapped) if "null" in node else wrapped
         if isinstance(node, dict):
             typ = node.get("type")
             if typ == "record":
-                return F.struct(*[_wrap(col.getField(f["name"]), f["type"]).alias(f["name"]) for f in node["fields"]])
+                rec_ns = node.get("namespace", ns)
+                return F.struct(*[_wrap(col.getField(f["name"]), f["type"], rec_ns).alias(f["name"]) for f in node["fields"]])
             if typ == "array":
-                return F.transform(col, lambda x: _wrap(x, node["items"]))
+                return F.transform(col, lambda x: _wrap(x, node["items"], ns))
+            if typ == "map":
+                return F.transform_values(col, lambda k, v: _wrap(v, node["values"], ns))
         return col
 
     def transform(df: DataFrame) -> DataFrame:

@@ -143,7 +143,16 @@ def kafka_producer(config, ctx):
                 for row in rows:
                     d = row.asDict(recursive=True)
                     topic = fixed_topic or d.get("topic") or "default"
-                    rec = {"value": json.loads(d["value"]) if isinstance(d.get("value"), str) else d.get("value")}
+                    v = d.get("value")
+                    if isinstance(v, str):
+                        # a string value is usually a JSON document (format=json
+                        # upstream); a plain non-JSON string is sent as-is
+                        # instead of failing the whole partition task
+                        try:
+                            v = json.loads(v)
+                        except ValueError:
+                            pass
+                    rec = {"value": v}
                     if d.get("key") is not None:
                         rec["key"] = d["key"]
                     by_topic.setdefault(topic, []).append(rec)

@@ -118,13 +118,20 @@ def read_topic_files(
         df = spark.read.schema(schema).json(path)
     if topic is not None:
         df = df.filter(F.col("topic") == topic)
-    out = df.select(
+    # streaming plans reject monotonically_increasing_id; there the offset is
+    # a per-file id derived from the source file path (files are the commit
+    # unit here), so the envelope carries the same column in both modes and a
+    # pipeline referencing _kafkaOffset runs unchanged as a stream.
+    offset = (
+        F.monotonically_increasing_id()
+        if not streaming
+        else F.abs(F.xxhash64(F.col("_metadata.file_path")))
+    )
+    return df.select(
         F.coalesce(F.col("topic"), F.lit("files")).alias(R.TOPIC),
         F.lit(0).alias(R.PARTITION),
         F.col("key").alias(R.KEY),
         F.col("value").alias(R.VALUE),
         (F.unix_timestamp(F.current_timestamp()) * 1000).alias(R.TIMESTAMP),
+        offset.alias(R.OFFSET),
     )
-    if not streaming:
-        out = out.withColumn(R.OFFSET, F.monotonically_increasing_id())
-    return out

@@ -118,3 +118,27 @@ def test_container_roundtrip(seed, n_extra, codec):
 @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
 def test_zigzag_long_roundtrip(n):
     assert decode_datum(encode_datum(n, "long"), "long") == n
+
+
+MULTI_UNION = ["null", "int", "string", "boolean", {"type": "array", "items": "int"},
+               {"type": "record", "name": "MR", "fields": [{"name": "a", "type": "long"}]}]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        st.text(max_size=20),
+        st.lists(st.integers(min_value=0, max_value=9), max_size=4),
+        st.fixed_dictionaries({"a": st.integers(min_value=-(2**62), max_value=2**62)}),
+    )
+)
+def test_multi_branch_union_roundtrip(value):
+    """Unions with several non-null branches pick the branch by the value's
+    Python type (bool before int — bool subclasses int), so the bytes decode
+    back to the same value, not a mis-typed one."""
+    got = decode_datum(encode_datum(value, MULTI_UNION), MULTI_UNION)
+    assert _eq(got, value)
+    assert (type(got) is bool) == (type(value) is bool)

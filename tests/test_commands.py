@@ -2,6 +2,7 @@
 not already pinned by the golden tests or the oracle corpus."""
 
 import base64
+import json
 
 import pytest
 from pyspark.sql import functions as F
@@ -389,3 +390,30 @@ def test_enrich_json_wrap_unions(spark):
     got = [r["wrapped"] for r in p(df).collect()]
     assert got[0] == '{"name":"a","age":{"int":27},"tags":[{"string":"t"},null],"nest":{"x":{"long":5}}}'
     assert got[1] == '{"name":"b","age":null,"tags":[],"nest":{"x":null}}'
+
+
+def test_enrich_json_wrap_unions_namespaced(spark):
+    """Named union branches (record/enum/fixed) wrap with the
+    namespace-qualified fullname — valueSchema.getFullName() in the
+    reference — including namespace inheritance into nested named types;
+    map-typed union values recurse (Avro spec, "Names" / JSON encoding)."""
+    schema = (
+        '{"type":"record","name":"P","namespace":"com.acme","fields":['
+        '{"name":"child","type":["null",{"type":"record","name":"C","fields":'
+        '[{"name":"y","type":["null","int"]}]}]},'
+        '{"name":"qualified","type":["null",{"type":"record","name":"Q","namespace":"org.other","fields":'
+        '[{"name":"z","type":"long"}]}]},'
+        '{"name":"m","type":{"type":"map","values":["null","string"]}}]}'
+    )
+    df = spark.createDataFrame(
+        [('{"child":{"y":3},"qualified":{"z":7},"m":{"k":"v","n":null}}',)],
+        "payload string",
+    )
+    p = compile_pipeline(
+        [{"enrichJson": {"valueField": "payload", "outputField": "wrapped", "schemaString": schema, "wrapUnions": True}}]
+    )
+    got = json.loads(p(df).collect()[0]["wrapped"])
+    # C inherits com.acme; Q declares its own namespace; map values wrap
+    assert got["child"] == {"com.acme.C": {"y": {"int": 3}}}
+    assert got["qualified"] == {"org.other.Q": {"z": 7}}  # z is not a union: no wrap
+    assert got["m"] == {"k": {"string": "v"}, "n": None}

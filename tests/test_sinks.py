@@ -87,6 +87,64 @@ def test_kafka_files_transport_roundtrip(spark, tmp_path):
     assert len(set(offsets)) == len(offsets)  # distinct offsets
 
 
+def test_kafka_files_streaming_envelope_has_offset(spark, tmp_path):
+    """The streaming consume face carries _kafkaOffset too (per-file id —
+    files are the commit unit), so a pipeline referencing it runs unchanged
+    in batch and stream modes."""
+    from kafka_connect_morphlines_spark import compile_pipeline
+    from kafka_connect_morphlines_spark.sources.kafka import read_topic_files
+
+    topic_dir = str(tmp_path / "topic")
+    df = spark.createDataFrame([('{"n":1}',), ('{"n":2}',)], "_value string")
+    produce = compile_pipeline([{"kafkaProducer": {"transport": "files", "path": topic_dir, "topic": "demo"}}])
+    produce(df).count()
+
+    stream = read_topic_files(spark, topic_dir, topic="demo", streaming=True)
+    batch = read_topic_files(spark, topic_dir, topic="demo")
+    assert stream.columns == batch.columns  # identical envelope
+    seen = []
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: seen.extend(r["_kafkaOffset"] for r in b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(seen) == 2 and all(o is not None and o >= 0 for o in seen)
+
+
+def test_kafka_producer_rest_transport_plain_string_value(spark):
+    """A non-JSON string value must not fail the partition task with a
+    JSONDecodeError — the rest transport sends the raw string as the record
+    value instead."""
+    from kafka_connect_morphlines_spark import compile_pipeline
+
+    received = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append(json.loads(body))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        def log_message(self, *args):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{server.server_port}"
+        df = spark.createDataFrame([("plain text, not json",)], "_value string").coalesce(1)
+        p = compile_pipeline([{"kafkaProducer": {"transport": "rest", "kafka-rest-url": url, "topic": "t"}}])
+        p(df).count()
+        assert received[0]["records"] == [{"value": "plain text, not json"}]
+    finally:
+        server.shutdown()
+
+
 def test_kafka_producer_rest_transport_with_retry(spark):
     """kafkaProducer {transport: rest}: Confluent REST-proxy POSTs
     (vnd.kafka.avro.v2+json, value_schema + records envelope, per-record
