@@ -1,0 +1,66 @@
+"""Regenerate golden outputs for the rows-only queries (no SQL oracle).
+
+The driver's DuckDB oracle can't express these (engine-specific samplers,
+xxhash64 seeds, hyperplane/IVF bucketing, sketch internals), so the hard
+equality gate is a committed golden file instead: seed-fixed output at
+sf0.01, produced under the same session config the test suite uses
+(master local[8], shuffle_partitions 8 — see tests/conftest.py).
+
+Usage: python tools/make_goldens.py [sf_dir]
+Writes tests/resources/goldens/<query>.json (sorted rows, stable layout).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_connect_morphlines_spark.session import get_spark  # noqa: E402
+from kafka_connect_morphlines_spark.plans.queries import QUERIES  # noqa: E402
+
+GOLDEN_QUERIES = [
+    "sample_seeded",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_ann_lsh",
+    "embedding_near_dupes",
+    "embedding_ivf_topk",
+    "multimodal_features",
+    "approx_sketches",
+]
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "resources", "goldens")
+
+
+def canonical_rows(df) -> list[list]:
+    """Rows as sorted JSON-safe lists (column order = sorted names, like the
+    driver's compare; bytes hex-encoded, floats kept as emitted — queries
+    round their own floats)."""
+    cols = sorted(df.columns)
+    rows = []
+    for r in df.collect():
+        d = r.asDict(recursive=True)
+        rows.append([d[c].hex() if isinstance(d[c], (bytes, bytearray)) else d[c] for c in cols])
+    rows.sort(key=lambda row: json.dumps(row, sort_keys=True, default=str))
+    return rows
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="goldens", master="local[8]", shuffle_partitions=8)
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name in GOLDEN_QUERIES:
+        df = QUERIES[name].build(spark, sf_dir)
+        payload = {"query": name, "sf_dir": sf_dir, "columns": sorted(df.columns), "rows": canonical_rows(df)}
+        path = os.path.join(GOLDEN_DIR, f"{name}.json")
+        with open(path, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh, indent=1, default=str)
+            fh.write("\n")
+        print(f"wrote {path} ({len(payload['rows'])} rows)")
+
+
+if __name__ == "__main__":
+    main()
