@@ -29,6 +29,14 @@ from kafka_connect_morphlines_spark.commands import command
 from kafka_connect_morphlines_spark.pipeline import PipelineSpecError
 from kafka_connect_morphlines_spark.templates import colref, template_to_column
 
+def _kafka_format() -> str:
+    """The session's kafka provider name — the real connector, or the
+    embedded broker when sources.embedded_broker.install() switched it."""
+    from kafka_connect_morphlines_spark.sources import kafka as kafka_mod  # noqa: PLC0415
+
+    return kafka_mod.KAFKA_FORMAT
+
+
 # In-process sink buffers for tests (name -> list of row dicts), mirroring the
 # reference's mock-loader test strategy.
 MEMORY_SINKS: dict[str, list] = {}
@@ -84,7 +92,7 @@ def kafka_producer(config, ctx):
     def transform(df: DataFrame) -> DataFrame:
         out = _value_columns(df, config)
         if transport == "kafka":
-            writer = out.write.format("kafka")
+            writer = out.write.format(_kafka_format()).mode("append")
             bootstrap = config.get("properties", {}).get("bootstrap-servers") or config.get("properties", {}).get("bootstrap.servers")
             if bootstrap:
                 writer = writer.option("kafka.bootstrap.servers", str(bootstrap))

@@ -14,6 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from kafka_connect_morphlines_spark import record as R
 
+# The format seam: "kafka" (the real connector) by default;
+# sources.embedded_broker.install() flips it to the jar-less embedded broker
+# so the same reader/writer call sites run end-to-end in environments
+# without spark-sql-kafka (this sandbox, unit tests).
+KAFKA_FORMAT = "kafka"
+
 
 class KafkaUnavailableError(RuntimeError):
     def __init__(self) -> None:
@@ -37,7 +43,7 @@ def read_kafka_batch(spark: SparkSession, bootstrap: str, topics: str, options: 
 
     def go():
         reader = (
-            spark.read.format("kafka")
+            spark.read.format(KAFKA_FORMAT)
             .option("kafka.bootstrap.servers", bootstrap)
             .option("subscribe", topics)
             .option("startingOffsets", "earliest")
@@ -54,7 +60,7 @@ def read_kafka_stream(spark: SparkSession, bootstrap: str, topics: str, options:
 
     def go():
         reader = (
-            spark.readStream.format("kafka")
+            spark.readStream.format(KAFKA_FORMAT)
             .option("kafka.bootstrap.servers", bootstrap)
             .option("subscribe", topics)
         )
@@ -73,7 +79,9 @@ def write_kafka_batch(df: DataFrame, bootstrap: str, topic: str | None = None, o
     """
 
     def go():
-        writer = df.write.format("kafka").option("kafka.bootstrap.servers", bootstrap)
+        # append is the kafka publish semantic (and the only save mode the
+        # Python-DataSource-backed embedded broker accepts)
+        writer = df.write.format(KAFKA_FORMAT).mode("append").option("kafka.bootstrap.servers", bootstrap)
         if topic:
             writer = writer.option("topic", topic)
         for k, v in (options or {}).items():

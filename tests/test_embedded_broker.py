@@ -1,0 +1,103 @@
+"""The native kafka transport, executed end-to-end against the embedded
+file-backed broker (sources/embedded_broker.py — a Python DataSource).
+
+The reference's primary loop is a real Kafka consumer/producer
+(MorphlineSinkTask.java:129-149, KafkaDataProducerCommandBuilder.java:251-331);
+the engine's analogs are read_kafka_batch/stream + kafkaProducer
+{transport: kafka}.  These tests run those call sites' REAL
+``.format(...).option(...)`` reader/writer code — only the provider behind
+the format name differs — proving the option plumbing and the envelope
+round-trip without the spark-sql-kafka jar."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_connect_morphlines_spark import compile_pipeline
+from kafka_connect_morphlines_spark.sources import embedded_broker
+from kafka_connect_morphlines_spark.sources.kafka import (
+    read_kafka_batch,
+    read_kafka_stream,
+    write_kafka_batch,
+)
+
+
+@pytest.fixture()
+def broker(spark, tmp_path):
+    embedded_broker.install(spark)
+    try:
+        yield str(tmp_path / "broker")
+    finally:
+        embedded_broker.uninstall()
+
+
+def test_batch_roundtrip_envelope(spark, broker):
+    df = spark.createDataFrame(
+        [("k1", '{"n":1}', "t1"), (None, '{"n":2}', "t2")], "key string, value string, topic string"
+    )
+    write_kafka_batch(df, broker)
+    env = read_kafka_batch(spark, broker, "t1,t2")
+    assert env.columns == ["_key", "_value", "_topic", "_kafkaPartition", "_kafkaOffset", "_timestamp", "_timestampType"]
+    rows = {r["_topic"]: r for r in env.collect()}
+    assert bytes(rows["t1"]["_value"]) == b'{"n":1}' and bytes(rows["t1"]["_key"]) == b"k1"
+    assert bytes(rows["t2"]["_value"]) == b'{"n":2}' and rows["t2"]["_key"] is None
+    assert all(r["_kafkaOffset"] == 0 and r["_kafkaPartition"] == 0 for r in rows.values())
+    # subscribe filters topics
+    assert read_kafka_batch(spark, broker, "t1").count() == 1
+
+
+def test_kafka_producer_native_transport(spark, broker):
+    """kafkaProducer {transport: kafka}: properties {bootstrap-servers}
+    map onto kafka.* writer options and the publish is a pass-through
+    (ref KafkaDataProducerCommandBuilder.java:260-331)."""
+    p = compile_pipeline(
+        [
+            {"sqlExpr": {"_value": "struct(name, n)"}},
+            {"kafkaProducer": {"topic": "out", "properties": {"bootstrap-servers": broker}}},
+        ]
+    )
+    src = spark.createDataFrame([("a", 1), ("b", 2)], "name string, n int")
+    assert p(src).count() == 2  # pass-through frame survives
+    got = sorted(bytes(r["_value"]).decode() for r in read_kafka_batch(spark, broker, "out").collect())
+    assert got == ['{"n":1,"name":"a"}', '{"n":2,"name":"b"}'] or got == ['{"name":"a","n":1}', '{"name":"b","n":2}']
+
+
+def test_per_record_topic_and_key_partitioning(spark, broker):
+    df = spark.createDataFrame(
+        [("same", "v1", "t"), ("same", "v2", "t"), ("other", "v3", "t")],
+        "key string, value string, topic string",
+    )
+    write_kafka_batch(df, broker, options={"numPartitions": "4"})
+    env = read_kafka_batch(spark, broker, "t")
+    parts = {}
+    for r in env.collect():
+        parts.setdefault(bytes(r["_key"]).decode(), set()).add(r["_kafkaPartition"])
+    assert len(parts["same"]) == 1  # identical keys land on one partition
+    offsets = sorted(r["_kafkaOffset"] for r in env.collect() if bytes(r["_key"]) == b"same")
+    assert offsets == [0, 1]  # per-partition offsets are dense record positions
+
+
+def test_streaming_consume_with_incremental_publish(spark, broker, tmp_path):
+    """The sink-connector put loop: a streaming consumer sees the initial
+    backlog AND records published while the query runs, in new micro-batches
+    (MorphlineSinkTask.java:129-149 contract)."""
+    write_kafka_batch(
+        spark.createDataFrame([(None, '{"n":1}', "t")], "key string, value string, topic string"), broker
+    )
+    seen = []
+    q = (
+        read_kafka_stream(spark, broker, "t")
+        .writeStream.foreachBatch(lambda b, e: seen.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert len(seen) == 1
+    write_kafka_batch(
+        spark.createDataFrame([(None, '{"n":2}', "t")], "key string, value string, topic string"), broker
+    )
+    q.processAllAvailable()
+    q.stop()
+    values = sorted(bytes(r["_value"]).decode() for r in seen)
+    assert values == ['{"n":1}', '{"n":2}']
+    assert [r["_kafkaOffset"] for r in sorted(seen, key=lambda r: r["_kafkaOffset"])] == [0, 1]
