@@ -12,8 +12,8 @@ every morphline command compiles to native Column expressions so predicate
 pushdown, column pruning and whole-stage codegen stay enabled.
 """
 
-from kafka_connect_morphlines_spark.pipeline import Pipeline, compile_pipeline
+from kafka_connect_morphlines_spark.pipeline import Pipeline, branch_by_schema, compile_pipeline
 from kafka_connect_morphlines_spark.session import get_spark
 
-__all__ = ["Pipeline", "compile_pipeline", "get_spark"]
+__all__ = ["Pipeline", "branch_by_schema", "compile_pipeline", "get_spark"]
 __version__ = "0.1.0"

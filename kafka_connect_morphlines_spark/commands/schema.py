@@ -284,10 +284,28 @@ def generate_solr_sequence_key(config, ctx):
 @command("sanitizeUnknownSolrFields", "sanitizeUnknownFields")
 def sanitize_unknown_fields(config, ctx):
     """Drop record fields not present in the sink schema (reference usage
-    config/cloudsolr.conf:68-72).  The sink schema is the configured
-    ``fields`` list (the offline analog of fetching the Solr collection
-    schema via solrLocator)."""
+    config/cloudsolr.conf:68-72).
+
+    The sink schema comes from either a static ``fields`` list (offline) or
+    a ``solrLocator { collection, solrUrl }`` block resolved at COMPILE time
+    against the Solr Schema API (``GET <solrUrl>/<collection>/schema/fields``)
+    — the analog of the reference's solrLocator schema fetch
+    (config/cloudsolr.conf:1-7).  Compile-time resolution is deliberate: the
+    field list becomes a literal in the plan, executors never call Solr."""
     fields = set(config.get("fields", []))
+    locator = config.get("solrLocator")
+    if locator:
+        url = locator.get("solrUrl", locator.get("solr-url"))
+        collection = locator.get("collection")
+        if not url or not collection:
+            raise PipelineSpecError("solrLocator needs solrUrl and collection")
+        import json as _json  # noqa: PLC0415
+        import urllib.request  # noqa: PLC0415
+
+        req = f"{url.rstrip('/')}/{collection}/schema/fields?wt=json"
+        with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+            payload = _json.loads(resp.read().decode("utf-8"))
+        fields |= {f["name"] for f in payload.get("fields", [])}
     keep_reserved = config.get("keepReserved", True)
 
     def transform(df: DataFrame) -> DataFrame:

@@ -96,6 +96,48 @@ class Pipeline:
         return compile_pipeline(spec, morphline_id=morphline_id, overrides=overrides, base_dir=os.path.dirname(os.path.abspath(path)))
 
 
+def branch_by_schema(
+    df: DataFrame,
+    branches: list[tuple[Any, "Pipeline | Any"]],
+    otherwise: "Pipeline | Any | None" = None,
+) -> DataFrame:
+    """Route a mixed-schema topic into per-schema pipelines and union the
+    results — the frame-wide analog of the reference's per-record
+    ``_valueSchema`` dispatch (SURVEY §7.3.1).
+
+    The reference binds a schema to each record and lets one pipeline see a
+    heterogeneous stream; a DataFrame binds one schema per *frame*, so mixed
+    topics are handled by branching: each ``(predicate, pipeline)`` pair
+    claims the records matching its predicate (first match wins, like
+    tryRules), the matching slice runs through that pipeline, and the
+    branch outputs union by column name (missing columns null-filled).
+    ``otherwise`` catches unclaimed records (DLQ them, or drop when None).
+
+    Predicates are Column expressions or SQL strings over the envelope
+    (typically on a discriminator: a JSON type field, the record key, or a
+    schema-registry id prefix).  Each branch filter is pushed into the
+    shared scan — one pass over the source, no shuffle added by the
+    branching itself.
+    """
+    from pyspark.sql import functions as F
+
+    def _pred(p) -> Any:
+        return F.expr(p) if isinstance(p, str) else p
+
+    outs = []
+    claimed = F.lit(False)
+    for pred, pipe in branches:
+        p = _pred(pred)
+        outs.append(pipe(df.filter(p & ~claimed)))
+        claimed = claimed | p
+    if otherwise is not None:
+        outs.append(otherwise(df.filter(~claimed)))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o, allowMissingColumns=True)
+    return out
+
+
 def _deep_merge(dst: dict, src: dict) -> dict:
     for k, v in src.items():
         if isinstance(v, dict) and isinstance(dst.get(k), dict):

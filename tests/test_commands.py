@@ -261,6 +261,42 @@ def test_sanitize_unknown_fields(spark):
     assert df.columns == ["keep1", "keep2"]
 
 
+def test_sanitize_unknown_fields_solr_locator(spark):
+    """solrLocator resolves the collection schema at compile time via the
+    Solr Schema API (GET <solrUrl>/<collection>/schema/fields), mirroring
+    the reference's solrLocator fetch (config/cloudsolr.conf:1-7)."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    hits = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits.append(self.path)
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(_json.dumps({"fields": [{"name": "keep1"}, {"name": "keep2"}]}).encode())
+
+        def log_message(self, *args):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{server.server_port}/solr"
+        df = run(
+            spark,
+            [{"sanitizeUnknownSolrFields": {"solrLocator": {"collection": "col1", "solrUrl": url}}}],
+            [("a", "b", "c")],
+            "keep1 string, keep2 string, surprise string",
+        )
+        assert df.columns == ["keep1", "keep2"]
+        assert hits == ["/solr/col1/schema/fields?wt=json"]  # one compile-time fetch
+    finally:
+        server.shutdown()
+
+
 def test_uri_component_port_and_fragment(spark):
     out = run(
         spark,

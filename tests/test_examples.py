@@ -25,6 +25,53 @@ def test_cloudsolr_like_pipeline(spark):
     assert "#" in doc["id"] and doc["ts"].endswith("Z")
 
 
+def test_heterogeneous_topic_branching(spark, tmp_path):
+    """Mixed-schema topic -> branch_by_schema -> per-schema pipelines ->
+    union: the frame-wide analog of the reference's per-record _valueSchema
+    dispatch (SURVEY §7.3.1), driven end-to-end through the embedded
+    broker so the consume side is the real kafka reader path."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_morphlines_spark import branch_by_schema
+    from kafka_connect_morphlines_spark.sources import embedded_broker
+    from kafka_connect_morphlines_spark.sources.kafka import read_kafka_batch, write_kafka_batch
+
+    embedded_broker.install(spark)
+    try:
+        broker = str(tmp_path / "broker")
+        records = [
+            (None, '{"type":"order","order_id":1,"amount":9.5}', "mixed"),
+            (None, '{"type":"user","user_id":7,"name":"ada"}', "mixed"),
+            (None, '{"type":"order","order_id":2,"amount":1.25}', "mixed"),
+            (None, '{"type":"mystery","x":1}', "mixed"),
+        ]
+        write_kafka_batch(spark.createDataFrame(records, "key string, value string, topic string"), broker)
+
+        env = read_kafka_batch(spark, broker, "mixed").withColumn("_value", F.col("_value").cast("string"))
+        conf = os.path.join(EXAMPLES, "heterogeneous_topic.conf")
+        orders = Pipeline.from_file(conf, morphline_id="orders_branch")
+        users = Pipeline.from_file(conf, morphline_id="users_branch")
+        unknown = Pipeline.from_file(conf, morphline_id="unknown_branch")
+        disc = F.get_json_object(F.col("_value"), "$.type")
+        out = branch_by_schema(
+            env,
+            [(disc == "order", orders), (disc == "user", users)],
+            otherwise=unknown,
+        )
+        rows = out.select("kind", "order_id", "amount", "user_id", "name").collect()
+        by_kind = {}
+        for r in rows:
+            by_kind.setdefault(r["kind"], []).append(r)
+        assert len(by_kind["order"]) == 2 and len(by_kind["user"]) == 1 and len(by_kind["unknown"]) == 1
+        o = {r["order_id"]: r["amount"] for r in by_kind["order"]}
+        assert o == {"1": 9.5, "2": 1.25}  # toString'd ids, typed amounts
+        u = by_kind["user"][0]
+        assert (u["user_id"], u["name"]) == ("7", "ada")
+        assert u["order_id"] is None and u["amount"] is None  # null-filled union
+    finally:
+        embedded_broker.uninstall()
+
+
 def test_producer_like_pipeline(spark, tmp_path, monkeypatch):
     out_dir = str(tmp_path / "produced")
     monkeypatch.setenv("PRODUCER_OUT_DIR", out_dir)
