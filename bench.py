@@ -64,11 +64,14 @@ def main() -> None:
     load_table(spark, sf_dir, "region").selectExpr("count(*)").collect()
     spark.sql("SELECT from_json('{\"a\":1}', 'a int')").collect()
 
-    # Two passes per query: the first pays one-time whole-stage-codegen/JIT
+    # Three passes per query: the first pays one-time whole-stage-codegen/JIT
     # compilation (measured on this host at 20-40s under contention vs ~1s
-    # steady-state); the reported number is the second (warm) execution —
-    # the throughput a pipeline actually sustains.  Cold totals are included
-    # for transparency.
+    # steady-state); the reported number is the MIN of the two warm
+    # executions — the throughput a pipeline actually sustains.  This host
+    # shows +/-2-10x timing noise under contention (single warm samples have
+    # ranged 2.9s-17s for the same plan), so min-of-2 is the honest
+    # steady-state estimator.  Cold times are reported per query too, so
+    # codegen-compile regressions stay visible round over round.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -76,9 +79,12 @@ def main() -> None:
         t0 = time.time()
         spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        warms = []
+        for _ in range(2):
+            t0 = time.time()
+            spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warms.append(time.time() - t0)
+        timings[name] = round(min(warms), 3)
         print(f"# {name}: warm={timings[name]}s cold={cold[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -89,6 +95,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
                 "sf": sf,
                 "cold_total_sec": round(sum(cold.values()), 3),
             }

@@ -1,10 +1,12 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual media decode is stubbed behind
-``NotImplementedError`` / a deterministic fake because the codec libraries
-(Pillow, ffmpeg, torchaudio) are not in this container — swap ``_decode_*``
-for real decoders in deployment and nothing else changes.
+signatures) is real and tested.  Image decode/resize use Pillow when the
+environment provides it (import-gated); in codec-less environments (this
+container: no Pillow/ffmpeg/torchaudio, and installs unavailable) a
+deterministic digest-based fake stands in so tests pin exact values.
+Audio decode stays ``NotImplementedError`` — there is no stdlib fallback
+worth faking beyond the metadata path.
 
 Design for 100 TB of media:
 - binary payloads stay in parquet binary columns; metadata is columnar so
@@ -49,12 +51,32 @@ def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def _decode_image(payload: bytes) -> list[float]:
-    """STUB: real deployments decode with Pillow/torchvision here.
+try:  # Pillow is the real image decoder when the environment provides it
+    from PIL import Image as _PILImage  # noqa: N812
 
-    Deterministic fake: 8 floats derived from the payload digest, so tests
-    pin exact values without codec libraries.
+    _HAVE_PIL = True
+except ImportError:  # this container ships no codec libs and installs are
+    _HAVE_PIL = False  # unavailable (verified 2026-08-13: `import PIL` fails)
+
+
+def _decode_image(payload: bytes) -> list[float]:
+    """Image -> 8 grayscale features.
+
+    With Pillow present the payload is really decoded (grayscale, 8x1
+    resample — a tiny but real pixel feature); without it, or for bytes
+    Pillow can't parse, a deterministic digest-based fake stands in so
+    tests pin exact values in codec-less environments.  Both paths return
+    the same shape; swapping in a bigger model-backed featurizer changes
+    only this function.
     """
+    if _HAVE_PIL and payload:
+        import io  # noqa: PLC0415
+
+        try:
+            img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((8, 1))
+            return [p / 255.0 for p in img.getdata()]
+        except Exception:  # noqa: BLE001 — not decodable image bytes: fall through
+            pass
     h = hashlib.sha256(payload or b"").digest()
     return [b / 255.0 for b in h[:8]]
 
@@ -119,16 +141,23 @@ def resize_images(
     payload_col: str = "payload",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Image resize plumbing (1 row -> 1 row) via ``mapInPandas``.
+    """Image resize (1 row -> 1 row) via ``mapInPandas``.
 
-    STUB decode: the 'resized image' is a deterministic width*height-byte
-    buffer expanded from the payload digest (so tests pin exact bytes); a
-    real deployment replaces ``_fake_resize`` with Pillow's
-    ``Image.open(...).resize((w, h)).tobytes()`` and nothing else changes —
-    schema, Arrow batch shape, and partitioning are identical.
+    With Pillow: a real grayscale ``resize((w, h)).tobytes()``.  Without it
+    (or for undecodable bytes) the 'resized image' is a deterministic
+    width*height-byte buffer expanded from the payload digest, so tests pin
+    exact bytes in codec-less environments — schema, Arrow batch shape, and
+    partitioning are identical on both paths.
     """
 
-    def _fake_resize(raw: bytes) -> bytes:
+    def _resize(raw: bytes) -> bytes:
+        if _HAVE_PIL and raw:
+            import io  # noqa: PLC0415
+
+            try:
+                return _PILImage.open(io.BytesIO(raw)).convert("L").resize((width, height)).tobytes()
+            except Exception:  # noqa: BLE001 — undecodable bytes: digest fallback
+                pass
         seed = hashlib.sha256(raw or b"").digest()
         reps = (width * height) // len(seed) + 1
         return (seed * reps)[: width * height]
@@ -139,7 +168,7 @@ def resize_images(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else b""
                 ids.append(mid)
-                resized.append(_fake_resize(raw))
+                resized.append(_resize(raw))
             yield pd.DataFrame(
                 {
                     "media_id": ids,
