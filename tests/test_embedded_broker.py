@@ -77,6 +77,43 @@ def test_per_record_topic_and_key_partitioning(spark, broker):
     assert offsets == [0, 1]  # per-partition offsets are dense record positions
 
 
+def test_sink_connector_loop_kafka_to_pipeline_to_sink(spark, broker, tmp_path):
+    """The reference's whole sink-connector loop on the native transport:
+    kafka consume -> morphline pipeline -> good rows to the sink, broken
+    payloads to the DLQ -- MorphlineSinkTask.java:129-149 end to end,
+    with the kafka envelope feeding the same pipeline spec batch mode uses."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_morphlines_spark.streaming import runner
+
+    records = [
+        (None, '{"name":"a","n":1}', "in"),
+        (None, '{"name":"b","n":2}', "in"),
+        (None, "broken", "in"),
+    ]
+    write_kafka_batch(spark.createDataFrame(records, "key string, value string, topic string"), broker)
+
+    pipe = compile_pipeline(
+        [
+            {"readJson": {"inputField": "_value", "schemaDdl": "name string, n int", "flagInvalid": True}},
+            {"extractJsonPaths": {"paths": {"name": "/name", "n": "/n"}}},
+        ]
+    )
+    env = read_kafka_stream(spark, broker, "in").withColumn("_value", F.col("_value").cast("string"))
+    good, bad = [], []
+    q = runner.run_stream(
+        env,
+        pipe,
+        sink=lambda df, epoch: good.extend((r["name"], r["n"]) for r in df.collect()),
+        quarantine_sink=lambda df, epoch: bad.extend(r["_value"] for r in df.collect()),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(good) == [("a", 1), ("b", 2)]
+    assert bad == ["broken"]
+
+
 def test_streaming_consume_with_incremental_publish(spark, broker, tmp_path):
     """The sink-connector put loop: a streaming consumer sees the initial
     backlog AND records published while the query runs, in new micro-batches
