@@ -1453,6 +1453,193 @@ def profit_by_nation_year(spark, sf_dir):
 
 
 @query(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name AS n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+    WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+      AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'ASIA'
+      AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue from intra-nation supply within a region.
+
+    The date filter pushes into the orders scan, the region filter prunes
+    nation before anything joins, and customer/supplier/nation/region all
+    broadcast — lineitem<->orders is the single shuffle join.  The
+    c_nationkey = s_nationkey locality predicate rides the supplier
+    broadcast join, not a separate shuffle."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "nation_market_share",
+    """
+    SELECT o_year, round(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE 0 END) / sum(vol), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS vol,
+             n2.n_name AS supp_nation
+      FROM part p, lineitem l, orders o, customer c, nation n1, region r, supplier s, nation n2
+      WHERE p.p_partkey = l.l_partkey AND l.l_orderkey = o.o_orderkey
+        AND o.o_custkey = c.c_custkey AND c.c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+        AND l.l_suppkey = s.s_suppkey AND s.s_nationkey = n2.n_nationkey
+        AND p.p_type = 'ECONOMY'
+    ) GROUP BY o_year
+    """,
+)
+def nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a part type's volume in a
+    region, per year.  Every dimension broadcasts (part pre-filtered to the
+    type, region to AMERICA); the share is a conditional-sum ratio computed
+    in the same aggregate — no second pass, no self-join."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = t(spark, sf_dir, "supplier")
+    n2 = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0))) / F.sum(vol), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+
+    The revenue 'view' is computed once; the scalar max joins back as a
+    1-row broadcast (crossJoin against a single aggregate row), the Spark
+    analog of the uncorrelated scalar subquery."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    if not revenue.isStreaming:
+        revenue = revenue.localCheckpoint()  # feeds the max AND the filter join
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+    )
+
+
+@query(
+    "supplier_part_variety",
+    """
+    SELECT p.p_brand AS p_brand, p.p_type AS p_type, p.p_size AS p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type <> 'PROMO'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def supplier_part_variety(spark, sf_dir):
+    """TPC-H Q16 shape (lineitem stands in for partsupp — this corpus has no
+    partsupp table): distinct suppliers per (brand, type, size), excluding a
+    supplier denylist.  The NOT IN compiles to a broadcast anti-join, the
+    part dim broadcasts, and the distinct count shuffles on the group key."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN (
+        SELECT l2.l_partkey AS a_partkey, 0.2 * avg(l2.l_quantity) AS qty_thresh
+        FROM lineitem l2 JOIN part p2 ON p2.p_partkey = l2.l_partkey
+        WHERE p2.p_brand = 'Brand#11'
+        GROUP BY a_partkey
+      ) a ON a.a_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11' AND l.l_quantity < a.qty_thresh
+    """,
+)
+def small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders.  The
+    correlated scalar subquery (per-part average quantity) becomes an
+    aggregate + re-join; the aggregate side is tiny (one row per brand
+    part) so it broadcasts, and the brand filter prunes both scans."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    pl = t(spark, sf_dir, "lineitem").join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    if not pl.isStreaming:
+        pl = pl.localCheckpoint()  # feeds the per-part average AND the outer filter
+    thresh = pl.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        pl.join(F.broadcast(thresh), F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
     "priority_counts_by_linestatus",
     """
     SELECT l.l_linestatus,

@@ -70,6 +70,24 @@ def test_dim_joins_broadcast_not_shuffle(spark):
         assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast:\n{plan}"
 
 
+def test_wide_tpch_shapes_broadcast_with_no_sort_merge(spark):
+    """The Q5/Q8/Q15/Q16/Q17 shapes: every dim/aggregate-side join must
+    broadcast and nothing may degrade to a sort-merge join or a real
+    cartesian product — on the 100 TB fact table those are the plans that
+    die first."""
+    for name in (
+        "local_supplier_volume",
+        "nation_market_share",
+        "top_revenue_supplier",
+        "supplier_part_variety",
+        "small_quantity_revenue",
+    ):
+        plan = plan_of(build(spark, name))
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast:\n{plan}"
+        assert "SortMergeJoin" not in plan, f"{name} degraded to sort-merge:\n{plan}"
+        assert "CartesianProduct" not in plan, f"{name} planned a cartesian:\n{plan}"
+
+
 def test_topk_uses_take_ordered_not_global_sort(spark):
     """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
     heap + driver merge), never a full Exchange rangepartitioning sort."""
