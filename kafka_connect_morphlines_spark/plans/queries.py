@@ -935,6 +935,97 @@ def lang_id_oracle_sql() -> str:
 QUERIES["lang_id_pred"] = QuerySpec(build=lang_id_pred, oracle=lang_id_oracle_sql())
 
 
+def _pii_oracle_sql() -> str:
+    """DuckDB regexp_replace chain generated from the SAME pattern table the
+    Spark operator uses (textclean.PII_PATTERNS are RE2-compatible by
+    construction), so the two can't drift."""
+    from kafka_connect_morphlines_spark.functions.textclean import PII_PATTERNS
+
+    expr = "text"
+    for pattern, repl in PII_PATTERNS:
+        p = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS clean FROM documents"
+
+
+@query("pii_redact", None)  # oracle attached below (generated from the pattern table)
+def pii_redact(spark, sf_dir):
+    """PII redaction (emails/SSNs/phones/IPs -> typed placeholders): a
+    map-only codegen regexp chain — the scan is the only cost at 100 TB."""
+    from kafka_connect_morphlines_spark.functions import textclean
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textclean.redact_pii(F.col("text")).alias("clean"))
+
+
+QUERIES["pii_redact"] = QuerySpec(build=pii_redact, oracle=_pii_oracle_sql())
+
+
+@query(
+    "html_strip",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS clean
+    FROM documents
+    """,
+)
+def html_strip(spark, sf_dir):
+    """C4-style markup scrub: drop tags, collapse whitespace (map-only)."""
+    from kafka_connect_morphlines_spark.functions import textclean
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textclean.strip_html(F.col("text")).alias("clean"))
+
+
+@query(
+    "dup_ngram_stats",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, [toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))] AS grams
+      FROM tok WHERE len(toks) >= 2
+    )
+    SELECT doc_id, len(grams) AS n_grams,
+           round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) AS dup_gram_frac
+    FROM g
+    """,
+)
+def dup_ngram_stats(spark, sf_dir):
+    """Gopher-style repetition filter signal: fraction of word 2-grams that
+    are repeats, via two-level groupBy (no countDistinct expand)."""
+    from kafka_connect_morphlines_spark.functions import ensure_parallelism, textclean
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    out = textclean.repetition_stats_df(docs, n=2)
+    return out.select("doc_id", "n_grams", F.round("dup_gram_frac", 6).alias("dup_gram_frac"))
+
+
+@query(
+    "word_entropy",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ), e AS (
+      SELECT doc_id, unnest(toks) AS tkn FROM tok
+    ), c AS (
+      SELECT doc_id, tkn, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY doc_id, tkn
+    )
+    SELECT doc_id, round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+    FROM c GROUP BY doc_id
+    """,
+)
+def word_entropy(spark, sf_dir):
+    """Token-distribution Shannon entropy per doc (nats): ln(n) - sum(c ln c)/n
+    — one pass over (doc, token) counts, no probability join-back."""
+    from kafka_connect_morphlines_spark.functions import ensure_parallelism, textclean
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return textclean.word_entropy_df(docs).select("doc_id", F.round("entropy", 6).alias("entropy"))
+
+
 @query(
     "token_frequencies",
     """

@@ -125,6 +125,55 @@ def test_fingerprint_df_matches_column_variant(spark, dup_docs):
     assert a == b
 
 
+def test_redact_pii(spark):
+    from kafka_connect_morphlines_spark.functions import textclean
+
+    rows = [
+        (1, "mail bob.smith+x@example.co.uk or call 555-867-5309 now"),
+        (2, "ssn 123-45-6789 from host 192.168.1.77"),
+        (3, "nothing sensitive here 12345"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["clean"] for r in df.select("doc_id", textclean.redact_pii(F.col("text")).alias("clean")).collect()}
+    assert got[1] == "mail <EMAIL> or call <PHONE> now"
+    assert got[2] == "ssn <SSN> from host <IP>"
+    assert got[3] == "nothing sensitive here 12345"
+
+
+def test_strip_html(spark):
+    from kafka_connect_morphlines_spark.functions import textclean
+
+    rows = [(1, '<html><body><p class="x">Hello <b>world</b></p>\n<br/>bye</body></html>')]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select(textclean.strip_html(F.col("text")).alias("c")).collect()[0]["c"]
+    assert got == "Hello world bye"
+
+
+def test_repetition_stats(spark):
+    from kafka_connect_morphlines_spark.functions import textclean
+
+    rows = [
+        (1, "a b a b a b"),       # grams: [a b, b a, a b, b a, a b] -> 2 distinct of 5
+        (2, "all words differ ok"),  # 3 grams, all distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], round(r["dup_gram_frac"], 6)) for r in textclean.repetition_stats_df(df).collect()}
+    assert got[1] == (5, round(1 - 2 / 5, 6))
+    assert got[2] == (3, 0.0)
+
+
+def test_word_entropy(spark):
+    import math
+
+    from kafka_connect_morphlines_spark.functions import textclean
+
+    rows = [(1, "x x x x"), (2, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["entropy"] for r in textclean.word_entropy_df(df).collect()}
+    assert got[1] == pytest.approx(0.0)
+    assert got[2] == pytest.approx(math.log(4))
+
+
 def test_lang_id_markers(spark):
     rows = [
         (1, "the cat sat on the mat and it is happy"),
