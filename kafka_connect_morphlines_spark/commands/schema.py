@@ -266,7 +266,11 @@ def generate_solr_sequence_key(config, ctx):
 
     ``monotonically_increasing_id`` is the distributed analog of the
     reference's per-task counter: unique across partitions without any
-    coordination or shuffle.
+    coordination or shuffle.  Like that counter, the generated sequence is
+    NOT stable under task retry / stage re-execution — a retried partition
+    re-draws its ids — so the command is not idempotent across failures
+    (honest parity with the reference; pin ``baseIdField`` to a natural key
+    when exactly-once ids matter).
     """
     base = config.get("baseIdField", "id")
     fld = config.get("field", "id")

@@ -69,12 +69,19 @@ def test_per_record_topic_and_key_partitioning(spark, broker):
     )
     write_kafka_batch(df, broker, options={"numPartitions": "4"})
     env = read_kafka_batch(spark, broker, "t")
+    rows = env.collect()
     parts = {}
-    for r in env.collect():
+    for r in rows:
         parts.setdefault(bytes(r["_key"]).decode(), set()).add(r["_kafkaPartition"])
     assert len(parts["same"]) == 1  # identical keys land on one partition
-    offsets = sorted(r["_kafkaOffset"] for r in env.collect() if bytes(r["_key"]) == b"same")
-    assert offsets == [0, 1]  # per-partition offsets are dense record positions
+    # offsets are dense record positions within each partition (cross-key:
+    # "same" and "other" may share a partition; writer-task completion order
+    # decides interleaving, density is the contract)
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["_kafkaPartition"], []).append(r["_kafkaOffset"])
+    for p, offs in by_part.items():
+        assert sorted(offs) == list(range(len(offs))), f"partition {p} offsets not dense: {offs}"
 
 
 def test_sink_connector_loop_kafka_to_pipeline_to_sink(spark, broker, tmp_path):

@@ -186,6 +186,40 @@ def test_aqe_enabled_on_corpus_plans(spark, name):
     assert "AdaptiveSparkPlan" in plan
 
 
+def test_bucketed_join_plans_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO Exchange operators — the co-located fact-fact join that
+    replaces the dominant shuffle at 100 TB."""
+    from kafka_connect_morphlines_spark.functions.bucketing import bucketed, write_bucketed
+    from kafka_connect_morphlines_spark.sources.files import load_table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{tmp_path}/bktest.db'")
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(
+            load_table(spark, SF_DIR, "orders"), "bktest.orders_b", "o_orderkey", 4, sort_cols="o_orderkey"
+        )
+        write_bucketed(
+            load_table(spark, SF_DIR, "lineitem"), "bktest.lineitem_b", "l_orderkey", 4, sort_cols="l_orderkey"
+        )
+        # force the shuffle-join path (broadcast would mask the layout win)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed(spark, "bktest.lineitem_b").join(
+            bucketed(spark, "bktest.orders_b"),
+            on=spark.table("bktest.lineitem_b").l_orderkey == spark.table("bktest.orders_b").o_orderkey,
+        )
+        plan = plan_of(j, mode="simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and an aggregation on the bucket key is exchange-free too
+        agg = bucketed(spark, "bktest.lineitem_b").groupBy("l_orderkey").count()
+        agg_plan = plan_of(agg, mode="simple")
+        assert "Exchange" not in agg_plan, f"bucketed agg still shuffles:\n{agg_plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
+        spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
+
+
 def test_read_json_parses_once_per_row(spark):
     """readJson typed mode must evaluate from_json exactly once per row:
     predicate pushdown re-inlines project aliases into filters (3 parses
