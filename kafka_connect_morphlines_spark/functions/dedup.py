@@ -90,13 +90,20 @@ def _signatures_from_exploded(ex: DataFrame, num_hashes: int) -> DataFrame:
     expressions keeps everything in whole-stage codegen with map-side partial
     aggregation — the shuffle carries one 64-long row per doc per partition.
     """
+    raw = _raw_signatures(ex, num_hashes)
+    return raw.select("_id", F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias("_sig"))
+
+
+def _raw_signatures(ex: DataFrame, num_hashes: int) -> DataFrame:
+    """(_id, _mh0.._mhK-1): the K minhash columns before array packing —
+    the banded-LSH hot path consumes the columns directly (band hash =
+    hash(_mh{4b}..), skipping the K-long array build and slice)."""
     hashed = ex.select("_id", F.hash("_s").cast("long").bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h"))
     aggs = []
     for i in range(num_hashes):
         a, b = _affine_params(i)
         aggs.append(F.min((F.col("_h") * a + b) % _MERSENNE_P).alias(f"_mh{i}"))
-    sig = hashed.groupBy("_id").agg(*aggs)
-    return sig.select("_id", F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias("_sig"))
+    return hashed.groupBy("_id").agg(*aggs)
 
 
 def _signatures_from_shingles(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
@@ -129,13 +136,18 @@ def _lsh_candidates_from_exploded(
     document text), the standard cached intermediate for LSH.
     """
     rows_per_band = num_hashes // bands
-    sig = _signatures_from_exploded(ex, num_hashes)
+    sig = _raw_signatures(ex, num_hashes)
+    # band hash straight from the min-aggregate columns — no K-long array
+    # build, no slice; hash(_mh{4b}, ..) is one codegen murmur3 call per band
     banded = sig.select(
         "_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band"), F.hash(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)).alias("bucket"))
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(*[F.col(f"_mh{b * rows_per_band + j}") for j in range(rows_per_band)]).alias("bucket"),
+                    )
                     for b in range(bands)
                 ]
             )
