@@ -81,8 +81,66 @@ def _decode_image(payload: bytes) -> list[float]:
     return [b / 255.0 for b in h[:8]]
 
 
-def _decode_audio(payload: bytes) -> list[float]:
-    raise NotImplementedError("audio decode requires torchaudio/ffmpeg — not in this container")
+def _decode_audio(payload: bytes) -> dict:
+    """Decode PCM WAV audio with the stdlib ``wave`` module (no external
+    codec needed) into scalar features: sample rate, channel count, frame
+    count, duration, RMS level and zero-crossing rate of the first channel.
+
+    Compressed formats (mp3/ogg/flac/aac) still raise — decoding those
+    requires ffmpeg/torchaudio, which this container doesn't ship, and a
+    fake would be dishonest about codec support.  WAV is the honest subset:
+    the byte layout is fully specified and stdlib-parseable.
+    """
+    import io
+    import struct
+    import wave
+
+    try:
+        w = wave.open(io.BytesIO(payload))
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(
+            "non-WAV audio decode requires ffmpeg/torchaudio — not in this container"
+        ) from e
+    with w:
+        rate, channels, width, nframes = w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes()
+        if width != 2:
+            raise NotImplementedError(f"only PCM16 WAV supported (got sample width {width})")
+        frames = w.readframes(nframes)
+    samples = struct.unpack(f"<{len(frames) // 2}h", frames)[::channels]  # first channel
+    n = len(samples)
+    rms = (sum(s * s for s in samples) / n) ** 0.5 / 32768.0 if n else 0.0
+    zc = sum(1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0))
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": nframes,
+        "duration_s": nframes / rate if rate else 0.0,
+        "rms": rms,
+        "zero_crossing_rate": zc / (n - 1) if n > 1 else 0.0,
+    }
+
+
+AUDIO_SCHEMA = (
+    "media_id long, sample_rate int, channels int, n_frames long, "
+    "duration_s double, rms double, zero_crossing_rate double"
+)
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
+    """WAV decode + feature extraction via Arrow-batched ``mapInPandas``
+    (1 row -> 1 row), the audio face of ``extract_features``."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("media_id", "sample_rate", "channels", "n_frames", "duration_s", "rms", "zero_crossing_rate")}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                feats = _decode_audio(bytes(payload) if payload is not None else b"")
+                out["media_id"].append(mid)
+                for k, v in feats.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df).mapInPandas(mapper, AUDIO_SCHEMA)
 
 
 def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id", mime_col: str = "mime") -> DataFrame:

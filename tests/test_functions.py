@@ -125,6 +125,47 @@ def test_fingerprint_df_matches_column_variant(spark, dup_docs):
     assert a == b
 
 
+def _make_wav(freq_hz: float = 440.0, rate: int = 8000, seconds: float = 0.25, channels: int = 1) -> bytes:
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    n = int(rate * seconds)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        samples = [int(0.5 * 32767 * math.sin(2 * math.pi * freq_hz * i / rate)) for i in range(n)]
+        frames = b"".join(struct.pack("<h", s) * channels for s in samples)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_extract_audio_features_wav(spark):
+    """Real stdlib WAV decode: sample rate / duration from the header, RMS
+    and zero-crossing rate from the PCM samples (a 440 Hz sine at 8 kHz
+    crosses zero ~2*440 times per second)."""
+    from kafka_connect_morphlines_spark.functions.multimodal import extract_audio_features
+
+    df = spark.createDataFrame([(1, _make_wav()), (2, _make_wav(freq_hz=880.0, channels=2))], "media_id long, payload binary")
+    got = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert got[1]["sample_rate"] == 8000 and got[1]["channels"] == 1
+    assert got[1]["duration_s"] == pytest.approx(0.25)
+    assert got[1]["rms"] == pytest.approx(0.5 / 2**0.5, rel=0.01)  # sine RMS = A/sqrt(2)
+    assert got[1]["zero_crossing_rate"] == pytest.approx(2 * 440 / 8000, rel=0.02)
+    assert got[2]["channels"] == 2
+    assert got[2]["zero_crossing_rate"] == pytest.approx(2 * 880 / 8000, rel=0.02)
+
+
+def test_extract_audio_features_non_wav_raises(spark):
+    from kafka_connect_morphlines_spark.functions.multimodal import _decode_audio
+
+    with pytest.raises(NotImplementedError):
+        _decode_audio(b"\xff\xfb\x90\x00 not a wav")
+
+
 def test_redact_pii(spark):
     from kafka_connect_morphlines_spark.functions import textclean
 
