@@ -209,7 +209,11 @@ def _encode(out: io.BytesIO, schema: Any, value: Any) -> None:
             out.write(_zigzag((value - _EPOCH_DATE).days))
             return
         if logical == "timestamp-millis" and typ == "long":
-            out.write(_zigzag(int((value - _EPOCH).total_seconds() * 1000)))
+            # integer arithmetic on the timedelta parts: total_seconds() is a
+            # float and loses a millisecond for some timestamps (e.g.
+            # 2004-02-01T00:00:00.804 -> ...803.9999 -> truncates to 803)
+            delta = value - _EPOCH
+            out.write(_zigzag(delta.days * 86_400_000 + delta.seconds * 1_000 + delta.microseconds // 1_000))
             return
         if logical == "timestamp-micros" and typ == "long":
             delta = value - _EPOCH

@@ -122,6 +122,10 @@ def test_hot_queries_have_no_python_row_path(spark):
         "convert_timestamp_millis",
         "set_values_template",
         "text_quality",
+        "pii_redact",
+        "html_strip",
+        "dup_ngram_stats",
+        "word_entropy",
         "doc_fingerprint",
         "dedup_exact",
         "lang_id_pred",
