@@ -1,0 +1,269 @@
+"""Training-data pipeline operators beyond per-document statistics:
+benchmark decontamination, sequence packing / chunking, deterministic
+splits and mixture sampling, and dedup-cluster connected components.
+
+These are the corpus-preparation steps a 100 TB pretraining pipeline runs
+after filtering/dedup (SURVEY.md §2 Part C): remove benchmark contamination,
+assign reproducible train/val/test splits, re-weight source mixtures, pack
+documents into fixed token budgets, and collapse near-dup *pairs* into
+cluster representatives.
+
+Scale design:
+- n-gram generation is explode + ``element_at`` concat — whole-stage
+  codegen, no interpreted higher-order functions in the hot path.
+- decontamination joins the corpus against the *benchmark* n-gram set,
+  which is broadcast (benchmark suites are MBs, corpora are TBs); the
+  corpus side never shuffles its text, only (id, 32-byte gram digest).
+- splits / sampling are pure map-side expressions on md5 — no shuffle, no
+  RNG state, stable across cluster size, retries, and row order
+  (SURVEY.md §7.3.5 determinism rule).
+- packing is one window (partitioned by the packing group — never a global
+  unpartitioned window) and chunking is explode over a codegen sequence.
+- connected components is the iterative min-label-propagation loop: each
+  round is a shuffle join + groupBy-min keyed on node id, lineage truncated
+  with ``localCheckpoint``.  Rounds needed = graph diameter, and near-dup
+  clusters are tiny-diameter by construction; for adversarial long-chain
+  graphs the large-star/small-star variant (Kiveris et al.) drops rounds to
+  O(log n) — the loop below is the same join primitive, so swapping the
+  message rule is local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from kafka_connect_morphlines_spark.functions import ensure_parallelism
+from kafka_connect_morphlines_spark.functions.textstats import tokens_codegen
+
+
+def word_ngrams_exploded(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """One row per word n-gram occurrence: (id_col, gram).
+
+    Tokenize (codegen split), explode the start-position sequence, and
+    concat the n window tokens — every expression whole-stage codegen.
+    Documents with fewer than ``n`` tokens produce no rows.
+    """
+    d = df.select(F.col(id_col), tokens_codegen(F.col(text_col)).alias("_w"))
+    d = d.filter(F.size("_w") >= n).select(
+        id_col, "_w", F.explode(F.sequence(F.lit(1), F.size("_w") - (n - 1))).alias("_i")
+    )
+    gram = F.concat_ws(" ", *[F.element_at("_w", F.col("_i") + j) for j in range(n)])
+    return d.select(F.col(id_col), gram.alias("gram"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination by word n-gram overlap.
+
+    For every corpus document, the fraction of its *distinct* n-grams that
+    appear anywhere in the benchmark set: (id, n_grams, n_contaminated,
+    contamination).  Callers drop documents above a threshold (the
+    GPT-3/PaLM-style 13-gram decontamination rule, here parameterized).
+
+    The benchmark gram set is deduplicated then broadcast — eval suites are
+    MB-scale while the corpus is TB-scale, so the corpus never shuffles.
+    Set ``broadcast_benchmark=False`` for a giant blocklist; the join then
+    shuffles (id, gram) pairs, never document text.
+    """
+    doc_grams = word_ngrams_exploded(docs, text_col, id_col, n).dropDuplicates([id_col, "gram"])
+    bench_grams = (
+        word_ngrams_exploded(benchmark, text_col, id_col, n)
+        .select("gram")
+        .dropDuplicates(["gram"])
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    per_doc = (
+        doc_grams.join(bench_grams, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
+        )
+    )
+    # Documents shorter than n tokens have no grams: re-attach with zeros so
+    # the output covers every input document (contamination of nothing is 0).
+    base = docs.select(F.col(id_col))
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.col("n_contaminated") / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contamination"),
+        )
+    )
+
+
+def hash_bucket(key: Column, buckets: int = 10000) -> Column:
+    """Deterministic bucket in [0, buckets) from md5 of the key string.
+
+    conv(hex, 16, 10) stays within long range for 6 hex digits (< 2^24), so
+    ANSI mode cannot overflow.  Identical SQL exists on the DuckDB side
+    (CAST('0x'||substr(md5(..),1,6) AS BIGINT)) — the same bucket is
+    reproducible outside Spark, which is the point: split membership is a
+    *property of the record*, not of the job that computed it.
+    """
+    return (F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("long") % buckets).alias("bucket")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed id.
+
+    Map-side only — no RNG, no shuffle; a record's split never changes when
+    the corpus grows, executors retry, or partitioning changes (unlike
+    ``randomSplit``, which is seed- and partitioning-dependent).
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    b = hash_bucket(F.concat_ws("/", F.lit(salt), F.col(id_col).cast("string")))
+    expr = None
+    lo = 0
+    for name, w in weights.items():
+        hi = lo + int(round(w * 10000))
+        cond = b < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    return df.withColumn("split", expr.otherwise(F.lit(list(weights)[-1])))
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-source downsampling to hit a target mixture.
+
+    keep iff hash_bucket(source/id) < rate*10000 — a pure map-side filter
+    (pushed to the scan), reproducible across runs and cluster sizes.
+    Source weights beyond [0,1] should be handled upstream by replication.
+    """
+    b = hash_bucket(F.concat_ws("/", F.col(source_col), F.col(id_col).cast("string")))
+    thresh = None
+    for src, r in rates.items():
+        t = F.when(F.col(source_col) == src, F.lit(int(round(r * 10000))))
+        thresh = t if thresh is None else thresh.when(F.col(source_col) == src, F.lit(int(round(r * 10000))))
+    thresh = thresh.otherwise(F.lit(int(round(default_rate * 10000)))) if thresh is not None else F.lit(
+        int(round(default_rate * 10000))
+    )
+    return df.filter(b < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: assign each document to a fixed
+    token-budget bin by the running token count within its group.
+
+    bin = floor(start_offset / budget) where start_offset is the running sum
+    of token counts over (group, id order) — one window shuffle partitioned
+    by the packing group (never a global window; at 100 TB the group key is
+    the unit of parallelism, e.g. source shard).  Documents are never split
+    across bins; a document longer than the budget occupies its bins alone
+    (chunk first with :func:`chunk_documents` if hard caps are required).
+    """
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    tc = F.size(tokens_codegen(F.col(text_col)))
+    d = df.select(F.col(group_col), F.col(id_col), tc.alias("n_tokens"))
+    d = d.withColumn("_end", F.sum("n_tokens").over(w))
+    return d.select(
+        group_col,
+        id_col,
+        "n_tokens",
+        F.floor((F.col("_end") - F.col("n_tokens")) / budget).alias("bin_id"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size token windows (1→N explode).
+
+    Output: (id, chunk_id, n_tokens, chunk_text).  The sequence bound is
+    guarded so zero-token documents emit no rows (Spark's ``sequence``
+    infers step -1 when start > stop — an empty doc would otherwise yield
+    [0, -1]).  All codegen: split, explode(sequence), slice, concat.
+    """
+    d = df.select(F.col(id_col), tokens_codegen(F.col(text_col)).alias("_w")).filter(F.size("_w") > 0)
+    nchunks = F.ceil(F.size("_w") / F.lit(window))
+    d = d.select(id_col, "_w", F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("chunk_id"))
+    chunk = F.slice(F.col("_w"), F.col("chunk_id") * window + 1, window)
+    return d.select(
+        id_col,
+        "chunk_id",
+        F.size(chunk).alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    (id, component) where component = min node id reachable.
+
+    Collapses near-dup *pairs* (minhash/simhash/jaccard output) into
+    clusters so dedup can keep one representative per cluster — without
+    this, A~B and B~C keeps A and C even though they're transitive dups.
+
+    Each round: symmetric edge join against current labels, then
+    groupBy-min — both shuffles keyed on node id, so AQE coalesces them and
+    a skewed mega-cluster is just a hot reduce key (capped upstream by the
+    LSH bucket cap).  Labels monotonically decrease, so the sum of labels is
+    a fixpoint detector; ``localCheckpoint`` truncates the per-round lineage
+    (without it round k recomputes rounds 1..k-1 per consumer).  Near-dup
+    graphs have tiny diameter, so 3-4 rounds typical; ``max_iter`` bounds
+    pathological chains.
+    """
+    sym = edges.select(F.col(src).alias("n"), F.col(dst).alias("m")).union(
+        edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
+    )
+    sym = ensure_parallelism(sym).localCheckpoint(eager=True)
+    labels = nodes.select(F.col(id_col).alias("n"), F.col(id_col).alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0] or 0
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["m"] == labels["n"], "inner").select(
+            sym["n"].alias("n"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(msgs).groupBy("n").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        s = new_labels.agg(F.sum("comp")).collect()[0][0] or 0
+        labels = new_labels
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select(F.col("n").alias(id_col), F.col("comp").alias("component"))

@@ -2019,3 +2019,266 @@ def enrich_json_wrap_unions(spark, sf_dir):
         ]
     )
     return p(t(spark, sf_dir, "documents")).select("doc_id", "wrapped")
+
+
+# --------------------------------------------------------------------------
+# D. Corpus-preparation operators (functions/traindata.py): decontamination,
+#    packing/chunking, deterministic splits, dedup-cluster components.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "decontaminate_ngrams",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x != '') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+      FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0),
+    dg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 25 != 0),
+    per AS (
+      SELECT dg.doc_id, count(*) AS n_grams, count(bg.g) AS n_contaminated
+      FROM dg LEFT JOIN bg ON dg.g = bg.g GROUP BY dg.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(per.n_grams, 0) AS n_grams,
+           coalesce(per.n_contaminated, 0) AS n_contaminated,
+           round(CASE WHEN coalesce(per.n_grams, 0) > 0
+                      THEN CAST(per.n_contaminated AS DOUBLE) / per.n_grams
+                      ELSE 0.0 END, 6) AS contamination
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 25 != 0) d
+    LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+)
+def decontaminate_ngrams(spark, sf_dir):
+    """Benchmark decontamination by word-3-gram overlap (traindata.py): the
+    benchmark split (doc_id % 25 == 0, standing in for an eval suite) is
+    broadcast as a distinct-gram set; the corpus side computes the fraction
+    of its distinct 3-grams that hit it.  Corpus text never shuffles."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    out = traindata.decontaminate(corpus, bench, n=3)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
+@query(
+    "pack_sequences_bins",
+    """
+    WITH d AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(trim(text), ' '), x -> x != '')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS e
+      FROM d
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(floor((e - n_tokens) / 512.0) AS BIGINT) AS bin_id
+    FROM c
+    """,
+)
+def pack_sequences_bins(spark, sf_dir):
+    """Greedy contiguous sequence packing into 512-token bins per source
+    (traindata.pack_sequences): one window shuffle partitioned by the
+    packing group, never a global window."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    out = traindata.pack_sequences(t(spark, sf_dir, "documents"), budget=512)
+    return out.select(
+        "source",
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("bin_id").cast("long").alias("bin_id"),
+    )
+
+
+@query(
+    "chunk_documents_windows",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x != '') AS w FROM documents
+    ),
+    c AS (
+      SELECT doc_id, i AS chunk_id,
+             w[i * 64 + 1 : least((i + 1) * 64, len(w))] AS ch
+      FROM tok, UNNEST(generate_series(0, CAST(ceil(len(w) / 64.0) AS BIGINT) - 1)) AS t(i)
+      WHERE len(w) > 0
+    )
+    SELECT doc_id, chunk_id, CAST(len(ch) AS BIGINT) AS n_tokens,
+           md5(array_to_string(ch, ' ')) AS chunk_digest
+    FROM c
+    """,
+)
+def chunk_documents_windows(spark, sf_dir):
+    """Fixed 64-token window chunking, 1→N codegen explode
+    (traindata.chunk_documents); digests keep the compare payload small."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    out = traindata.chunk_documents(t(spark, sf_dir, "documents"), window=64)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5("chunk_text").alias("chunk_digest"),
+    )
+
+
+@query(
+    "hash_split_assign",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('split/' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10000 AS bkt
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val' ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def hash_split_assign(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split by md5 bucket
+    (traindata.hash_split) — map-side, RNG-free, stable under retries and
+    corpus growth, reproducible outside Spark (the oracle IS the proof)."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    out = traindata.hash_split(t(spark, sf_dir, "documents"), weights={"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.select("doc_id", "split")
+
+
+@query(
+    "mixture_sample_deterministic",
+    """
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(source || '/' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10000 AS bkt
+      FROM documents
+    )
+    SELECT doc_id, source FROM b
+    WHERE bkt < CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 5000 WHEN 'src2' THEN 7500 ELSE 10000 END
+    """,
+)
+def mixture_sample_deterministic(spark, sf_dir):
+    """Deterministic per-source mixture downsampling (traindata.mixture_sample):
+    a pure map-side filter on a hashed (source, id) bucket — the source
+    re-weighting step of a pretraining mixture, pushed to the scan."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    out = traindata.mixture_sample(
+        t(spark, sf_dir, "documents"),
+        rates={"src0": 0.25, "src1": 0.5, "src2": 0.75},
+        default_rate=1.0,
+    )
+    return out.select("doc_id", "source")
+
+
+@query(
+    "dedup_cc_clusters",
+    """
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, source, list_distinct(list_filter(string_split(trim(text), ' '), x -> x != '')) AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT a.doc_id AS s, b.doc_id AS d
+      FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+            (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+    ),
+    sym AS (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),
+    reach(id, n) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.id, sym.d FROM reach r JOIN sym ON sym.s = r.n
+    )
+    SELECT id AS doc_id, min(n) AS component FROM reach GROUP BY id
+    """,
+)
+def dedup_cc_clusters(spark, sf_dir):
+    """Connected components over near-dup pairs (traindata.connected_components):
+    collapses transitive duplicate chains (A~B, B~C) into one cluster so
+    dedup keeps a single representative.  Iterative min-label propagation,
+    each round a node-keyed join + groupBy-min with checkpointed lineage;
+    the oracle is a recursive reachability CTE over the same edges."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = t(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, block_col="source", threshold=0.8)
+    return traindata.connected_components(edges, docs).orderBy("doc_id")
+
+
+@query(
+    "waiting_suppliers",
+    """
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    agg AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+      FROM li GROUP BY l_orderkey
+    ),
+    w AS (
+      SELECT DISTINCT li.l_orderkey, li.l_suppkey
+      FROM li JOIN agg ON li.l_orderkey = agg.l_orderkey
+      WHERE li.late AND agg.n_supp >= 2 AND agg.n_late = 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept multi-supplier orders waiting),
+    adapted to the testdata schema: "late" = shipped >90 days after order
+    date (no l_receiptdate/commitdate here).  The exists/not-exists pair of
+    the original is expressed as one per-order distinct-count aggregate —
+    two shuffles total instead of two correlated subquery joins; supplier
+    is broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = t(spark, sf_dir, "supplier")
+
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("late"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    waiters = (
+        j.filter("late")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        waiters.join(F.broadcast(sup), waiters["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

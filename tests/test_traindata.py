@@ -1,0 +1,79 @@
+"""Unit tests for the corpus-preparation operators (functions/traindata.py)."""
+
+from pyspark.sql import functions as F
+
+from kafka_connect_morphlines_spark.functions import traindata
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_word_ngrams_exploded(spark):
+    df = _docs(spark, [(1, "a b c d", "s"), (2, "x y", "s"), (3, "", "s")])
+    out = traindata.word_ngrams_exploded(df, n=3).orderBy("doc_id", "gram").collect()
+    assert [(r.doc_id, r.gram) for r in out] == [(1, "a b c"), (1, "b c d")]
+
+
+def test_decontaminate_bounds(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps", "s"),  # identical to benchmark doc
+            (2, "completely different words here now", "s"),  # disjoint
+            (3, "so short", "s"),  # < 3 tokens -> 0 grams
+        ],
+    )
+    bench = _docs(spark, [(100, "the quick brown fox jumps", "s")])
+    out = {r.doc_id: r for r in traindata.decontaminate(corpus, bench, n=3).collect()}
+    assert out[1].contamination == 1.0 and out[1].n_grams == 3
+    assert out[2].contamination == 0.0 and out[2].n_contaminated == 0
+    assert out[3].n_grams == 0 and out[3].contamination == 0.0
+
+
+def test_hash_split_deterministic_and_total(spark, tables):
+    docs = tables("documents")
+    a = traindata.hash_split(docs).groupBy("split").count().collect()
+    b = traindata.hash_split(docs).groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    total = sum(r["count"] for r in a)
+    assert total == docs.count()
+    by = {r["split"]: r["count"] for r in a}
+    # 90/5/5 within loose tolerance at n=500
+    assert by.get("train", 0) > 0.8 * total
+
+
+def test_mixture_sample_subset_and_rate(spark, tables):
+    docs = tables("documents")
+    kept = traindata.mixture_sample(docs, rates={"src0": 0.0, "src1": 1.0})
+    by = {r["source"]: r["count"] for r in kept.groupBy("source").count().collect()}
+    n_src1 = docs.filter("source = 'src1'").count()
+    assert "src0" not in by  # rate 0 drops everything
+    assert by["src1"] == n_src1  # rate 1 keeps everything
+    # determinism: same rows both runs
+    ids1 = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in traindata.mixture_sample(docs, rates={"src0": 0.0, "src1": 1.0}).select("doc_id").collect())
+    assert ids1 == ids2
+
+
+def test_pack_sequences_running_fill(spark):
+    # token counts: 3, 4, 5 with budget 6 -> start offsets 0, 3, 7 -> bins 0, 0, 1
+    df = _docs(spark, [(1, "a b c", "s"), (2, "a b c d", "s"), (3, "a b c d e", "s")])
+    out = {r.doc_id: r.bin_id for r in traindata.pack_sequences(df, budget=6).collect()}
+    assert out == {1: 0, 2: 0, 3: 1}
+
+
+def test_chunk_documents_roundtrip(spark):
+    text = " ".join(f"t{i}" for i in range(150))
+    df = _docs(spark, [(1, text, "s"), (2, "", "s")])
+    out = traindata.chunk_documents(df, window=64).orderBy("doc_id", "chunk_id").collect()
+    assert [r.doc_id for r in out] == [1, 1, 1]  # empty doc -> no rows
+    assert [r.n_tokens for r in out] == [64, 64, 22]
+    assert " ".join(r.chunk_text for r in out) == text
+
+
+def test_connected_components_transitive(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (6, 7)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    out = {r.doc_id: r.component for r in traindata.connected_components(edges, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6, 8: 8}
