@@ -46,6 +46,10 @@ HEADLINE = [
     "embedding_knn_join",
     "text_quality",
     "doc_fingerprint",
+    # corpus-preparation operators (traindata.py)
+    "decontaminate_ngrams",
+    "dedup_cc_clusters",
+    "waiting_suppliers",
 ]
 
 

@@ -266,9 +266,16 @@ def ngram_jaccard_pairs(
     """
     df = ensure_parallelism(df)
     t = df.select(F.col(id_col), F.col(block_col).alias("_blk") if block_col else F.lit(1).alias("_blk"), F.array_distinct(tokens(F.col(text_col))).alias("_tok"))
+    t = t.withColumn("_sz", F.size("_tok"))
     a, b = t.alias("a"), t.alias("b")
+    # Size-compatibility prefilter: jacc >= t implies |A∩B| >= t*|A∪B|, and
+    # |A∩B| <= min(|A|,|B|) while |A∪B| >= max(|A|,|B|), so min >= t*max is a
+    # necessary condition.  Putting it in the join condition drops incompatible
+    # pairs *before* the O(|A|*|B|) intersect is ever evaluated — on a
+    # near-dup-heavy block this is most of the pair space.
+    size_ok = F.least(F.col("a._sz"), F.col("b._sz")) >= threshold * F.greatest(F.col("a._sz"), F.col("b._sz"))
     return (
-        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a." + id_col) < F.col("b." + id_col)))
+        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a." + id_col) < F.col("b." + id_col)) & size_ok)
         .select(
             F.col("a." + id_col).alias("id_a"),
             F.col("b." + id_col).alias("id_b"),

@@ -251,19 +251,31 @@ def connected_components(
         edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
     )
     sym = ensure_parallelism(sym).localCheckpoint(eager=True)
-    labels = nodes.select(F.col(id_col).alias("n"), F.col(id_col).alias("comp"))
-    labels = labels.localCheckpoint(eager=True)
+    # The label loop runs only over nodes that appear in an edge — isolated
+    # nodes (the overwhelming majority of a deduped corpus) are their own
+    # component by definition and skip every iteration; they re-attach via
+    # the final left join.  The per-iteration seed is each node's min
+    # neighbor, folding what would otherwise be iteration 1 into the init.
+    labels = (
+        sym.groupBy("n")
+        .agg(F.least(F.min("m"), F.col("n")).alias("comp"))
+        .select(F.col("n").alias("ln"), "comp")
+        .localCheckpoint(eager=True)
+    )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0] or 0
     for _ in range(max_iter):
-        msgs = sym.join(labels, sym["m"] == labels["n"], "inner").select(
-            sym["n"].alias("n"), F.col("comp")
+        msgs = sym.join(labels, sym["m"] == labels["ln"], "inner").select(
+            sym["n"].alias("ln"), F.col("comp")
         )
         new_labels = (
-            labels.unionByName(msgs).groupBy("n").agg(F.min("comp").alias("comp"))
+            labels.unionByName(msgs).groupBy("ln").agg(F.min("comp").alias("comp"))
         ).localCheckpoint(eager=True)
         s = new_labels.agg(F.sum("comp")).collect()[0][0] or 0
         labels = new_labels
         if s == prev_sum:
             break
         prev_sum = s
-    return labels.select(F.col("n").alias(id_col), F.col("comp").alias("component"))
+    base = nodes.select(F.col(id_col))
+    return base.join(labels.withColumnRenamed("ln", id_col), id_col, "left").select(
+        F.col(id_col), F.coalesce("comp", F.col(id_col)).alias("component")
+    )

@@ -231,3 +231,43 @@ def test_read_json_parses_once_per_row(spark):
     pipeline at scale."""
     plan = plan_of(build(spark, "read_json_typed"), mode="simple")
     assert plan.count("from_json") == 1, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """Decontamination must broadcast the benchmark gram set — the corpus
+    side is the 100 TB side and must never shuffle its text; the only
+    exchanges allowed are the per-doc distinct/agg keyed on (id, gram)."""
+    plan = plan_of(build(spark, "decontaminate_ngrams"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, f"benchmark join fell back to shuffle:\n{plan}"
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """Packing uses exactly one window, partitioned by the packing group —
+    a global (unpartitioned) window is the single-node trap."""
+    df = build(spark, "pack_sequences_bins")
+    plan = plan_of(df)
+    assert "Window" in plan
+    # the window's Exchange must be hashpartitioning on the group key, not a
+    # SinglePartition gather
+    assert "hashpartitioning(source" in plan, f"window not partitioned by group:\n{plan}"
+    assert "SinglePartition" not in plan
+
+
+def test_waiting_suppliers_broadcasts_supplier(spark):
+    """Q21 shape: supplier dim broadcasts; only the big-big join between
+    lineitem-late rows and the per-order aggregate may sort-merge."""
+    plan = plan_of(build(spark, "waiting_suppliers"), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1, f"extra shuffle joins:\n{plan}"
+
+
+def test_mixture_sample_is_map_side_only(spark):
+    """Mixture sampling is a pure scan-side filter: zero exchanges."""
+    plan = plan_of(build(spark, "mixture_sample_deterministic"))
+    assert "Exchange" not in plan, f"sampling introduced a shuffle:\n{plan}"
+
+
+def test_hash_split_is_map_side_only(spark):
+    plan = plan_of(build(spark, "hash_split_assign"))
+    assert "Exchange" not in plan, f"split introduced a shuffle:\n{plan}"
