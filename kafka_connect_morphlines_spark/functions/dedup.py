@@ -200,7 +200,15 @@ def minhash_lsh_candidates(
 
 def jaccard(tokens_a: Column, tokens_b: Column) -> Column:
     """Exact Jaccard over two token/shingle arrays (distinct semantics)."""
-    da, db = F.array_distinct(tokens_a), F.array_distinct(tokens_b)
+    return _jaccard_distinct(F.array_distinct(tokens_a), F.array_distinct(tokens_b))
+
+
+def _jaccard_distinct(da: Column, db: Column) -> Column:
+    """Jaccard over arrays the caller guarantees are already distinct.
+
+    Pair-join hot path: skipping the redundant per-pair ``array_distinct``
+    matters when the expression runs once per candidate pair, not per doc.
+    """
     inter = F.size(F.array_intersect(da, db))
     union = F.size(da) + F.size(db) - inter
     return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
@@ -240,12 +248,14 @@ def minhash_dedup_pairs(
     docs_c = df.join(cand_ids.withColumnRenamed("_id", id_col), id_col, "left_semi")
     sets = docs_c.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
+        # hashed-shingle sets: the exact-Jaccard verify compares longs, not
+        # shingle strings (see ngram_jaccard_pairs for the collision bound)
+        F.transform(F.array_distinct(shingles(F.col(text_col), shingle_n)), lambda x: F.xxhash64(x)).alias("_sh"),
     )
     j = (
         cands.join(sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
         .join(sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
-        .select("id_a", "id_b", jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jacc"))
+        .select("id_a", "id_b", _jaccard_distinct(F.col("_sh_a"), F.col("_sh_b")).alias("jacc"))
         .filter(F.col("jacc") >= threshold)
     )
     return j
@@ -266,6 +276,13 @@ def ngram_jaccard_pairs(
     """
     df = ensure_parallelism(df)
     t = df.select(F.col(id_col), F.col(block_col).alias("_blk") if block_col else F.lit(1).alias("_blk"), F.array_distinct(tokens(F.col(text_col))).alias("_tok"))
+    # Token identity only matters for set intersection, so compare 64-bit
+    # hashes instead of strings: hashing is O(corpus tokens) once per doc,
+    # while the intersect runs once per *pair* — on long arrays it needs no
+    # string equality or per-element string hashing.  A 64-bit collision
+    # inside one document pair is the only way this diverges from
+    # string-exact Jaccard (p ~ |vocab|^2 / 2^64, negligible).
+    t = t.withColumn("_tok", F.transform("_tok", lambda x: F.xxhash64(x)))
     t = t.withColumn("_sz", F.size("_tok"))
     a, b = t.alias("a"), t.alias("b")
     # Size-compatibility prefilter: jacc >= t implies |A∩B| >= t*|A∪B|, and
@@ -279,7 +296,7 @@ def ngram_jaccard_pairs(
         .select(
             F.col("a." + id_col).alias("id_a"),
             F.col("b." + id_col).alias("id_b"),
-            jaccard(F.col("a._tok"), F.col("b._tok")).alias("jacc"),
+            _jaccard_distinct(F.col("a._tok"), F.col("b._tok")).alias("jacc"),
         )
         .filter(F.col("jacc") >= threshold)
     )

@@ -247,9 +247,11 @@ def connected_components(
     graphs have tiny diameter, so 3-4 rounds typical; ``max_iter`` bounds
     pathological chains.
     """
-    sym = edges.select(F.col(src).alias("n"), F.col(dst).alias("m")).union(
-        edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
-    )
+    # Materialize the edge frame BEFORE the symmetric union: the union scans
+    # `edges` twice, and without this the upstream pair-generation plan
+    # (typically an expensive Jaccard join) executes once per branch.
+    edges = edges.select(F.col(src).alias("n"), F.col(dst).alias("m")).localCheckpoint(eager=True)
+    sym = edges.union(edges.select(F.col("m").alias("n"), F.col("n").alias("m")))
     sym = ensure_parallelism(sym).localCheckpoint(eager=True)
     # The label loop runs only over nodes that appear in an edge — isolated
     # nodes (the overwhelming majority of a deduped corpus) are their own
