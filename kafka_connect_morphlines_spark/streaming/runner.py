@@ -116,3 +116,52 @@ def windowed_event_counts(source: DataFrame, ts_col: str = "ts", window: str = "
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
         .select(F.col("w.start").alias("window_start"), group_col, "n", "total")
     )
+
+
+def enrich_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (batch) dimension frame.
+
+    This is the streaming analog of the reference's per-record lookup
+    enrichment (a morphline command chain consulting side data before
+    ``loadSolr`` — config/cloudsolr.conf pipelines); Spark-first it is a
+    broadcast hash join re-planned per micro-batch, so a 100 TB stream never
+    shuffles — only the small dim side ships to executors.  No watermark is
+    needed: stream-static joins are stateless."""
+    from pyspark.sql.functions import broadcast
+
+    return stream.join(broadcast(dim), on, how)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    ``right.ts ∈ [left.ts + lower, left.ts + upper]`` on a shared key.
+
+    Both sides carry watermarks so the join state store can expire rows once
+    the event-time bound passes — without the time-range condition a
+    stream-stream join would buffer both streams forever.  State is keyed on
+    the equi-join key, so scale-out follows the key's hash partitioning, the
+    same shape as a batch shuffle join.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner")

@@ -231,3 +231,56 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     # batch fallback: plain dropDuplicates
     batch = spark.createDataFrame([(1, ts), (1, ts), (3, ts)], "k long, ts timestamp")
     assert dedup_stream(batch, ["k"]).count() == 2
+
+
+def test_enrich_static_stream(spark, events_stream_dir):
+    """Stream-static broadcast enrichment: every micro-batch row picks up its
+    dimension attributes; result equals the batch join."""
+    schema = spark.read.parquet(events_stream_dir).schema
+    src = spark.readStream.schema(schema).parquet(events_stream_dir)
+    dim = spark.createDataFrame(
+        [("purchase", 1.0), ("signup", 0.5), ("click", 0.1)],
+        "event_type string, weight double",
+    )
+    out = runner.enrich_static(src, dim, on="event_type")
+    q = out.writeStream.queryName("enrich_out").outputMode("append").format("memory").start()
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) AS n, round(sum(weight), 2) AS w FROM enrich_out").collect()[0]
+    batch = spark.read.parquet(events_stream_dir).join(dim, "event_type")
+    want_w = round(batch.agg(F.sum("weight")).collect()[0][0], 2)
+    assert got["n"] == spark.read.parquet(events_stream_dir).count()
+    assert got["w"] == want_w
+
+
+def test_interval_join_stream(spark, events_stream_dir, tmp_path):
+    """Stream-stream interval join: purchases within 2 hours after a click by
+    the same user, verified against the equivalent batch join."""
+    batch = spark.read.parquet(events_stream_dir)
+    schema = batch.schema
+    clicks_dir, buys_dir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    batch.filter(F.col("event_type") == "click").write.parquet(clicks_dir)
+    batch.filter(F.col("event_type") == "purchase").write.parquet(buys_dir)
+
+    def build(cl, bu):
+        return runner.interval_join(
+            cl.select("user_id", "ts"),
+            bu.select("user_id", F.col("ts").alias("ts2"), "value"),
+            key="user_id",
+            left_ts="ts",
+            right_ts="ts2",
+            upper="2 hours",
+        ).select(F.col("l.user_id").alias("user_id"), "ts", "ts2", "value")
+
+    out = build(
+        spark.readStream.schema(schema).parquet(clicks_dir),
+        spark.readStream.schema(schema).parquet(buys_dir),
+    )
+    q = out.writeStream.queryName("ij_out").outputMode("append").format("memory").start()
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) AS n FROM ij_out").collect()[0]["n"]
+    want = build(
+        spark.read.parquet(clicks_dir), spark.read.parquet(buys_dir)
+    ).count()
+    assert got == want > 0
