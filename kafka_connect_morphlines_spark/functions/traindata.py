@@ -169,6 +169,31 @@ def mixture_sample(
     return df.filter(b < thresh)
 
 
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "shuffle",
+    shards: int = 64,
+) -> DataFrame:
+    """Deterministic corpus shuffle: (shard, pos) such that reading shards in
+    order, each sorted by pos, yields a pseudo-random document order that is
+    a pure function of (seed, id).
+
+    This is the 100 TB shuffle shape: hash-partition into ``shards`` by one
+    md5, then rank *within* each shard by a second md5 — the window is
+    partitioned by shard, so no stage ever sees more than corpus/shards rows
+    and there is no global-sort or SinglePartition step.  Unlike
+    ``df.orderBy(rand())``, reruns, retries, and cluster-size changes cannot
+    change the order, and a different ``seed`` gives an independent epoch
+    permutation.
+    """
+    key = F.concat_ws("/", F.lit(seed), F.col(id_col).cast("string"))
+    shard = (F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("long") % shards).alias("shard")
+    d = df.withColumn("shard", shard).withColumn("_ord", F.md5(F.concat_ws("#", F.lit(seed), F.col(id_col).cast("string"))))
+    w = Window.partitionBy("shard").orderBy("_ord")
+    return d.withColumn("pos", F.row_number().over(w)).drop("_ord")
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

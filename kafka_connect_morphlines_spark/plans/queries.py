@@ -2282,3 +2282,82 @@ def waiting_suppliers(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "global_shuffle_order",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('ep0/' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 64 AS shard,
+             md5('ep0#' || CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY ord) AS INT) AS pos
+    FROM s
+    """,
+)
+def global_shuffle_order(spark, sf_dir):
+    """Deterministic epoch shuffle (traindata.global_shuffle): shard by one
+    md5 of (seed, id), rank within shard by a second — windows are
+    shard-partitioned, so the permutation materializes with zero global
+    sorts.  The oracle recomputes the identical (shard, pos) in DuckDB,
+    proving order is a record property, not a job artifact."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = t(spark, sf_dir, "documents")
+    return traindata.global_shuffle(docs, seed="ep0", shards=64).select("doc_id", "shard", "pos")
+
+
+@query(
+    "dominant_part_suppliers",
+    """
+    WITH pq AS (
+      SELECT l.l_partkey, l.l_suppkey, sum(l.l_quantity) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE 'red%' AND l.l_shipdate >= DATE '1995-01-01'
+        AND l.l_shipdate < DATE '1996-01-01'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    sh AS (
+      SELECT l_partkey, l_suppkey, qty,
+             qty / sum(qty) OVER (PARTITION BY l_partkey) AS share
+      FROM pq
+    )
+    SELECT s.s_name, s.s_nationkey, count(*) AS n_parts,
+           round(max(sh.share), 4) AS max_share
+    FROM sh JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+    WHERE sh.share > 0.5
+    GROUP BY s.s_name, s.s_nationkey
+    ORDER BY n_parts DESC, s.s_name
+    """,
+)
+def dominant_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (excess-availability suppliers), adapted: the testdata
+    has no partsupp, so "dominates supply of a part" = shipped >50% of the
+    part's 1995 quantity.  Part is a broadcast dim filtered before the join;
+    the share is a window over the *aggregated* (part, supp) frame — two
+    shuffles on small aggregates, never on raw lineitem; supplier broadcasts
+    at the end (reference has no relational surface; SURVEY.md §2 Part C)."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    sup = t(spark, sf_dir, "supplier")
+    pq = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    sh = pq.withColumn("share", F.col("qty") / F.sum("qty").over(w)).filter(F.col("share") > 0.5)
+    return (
+        sh.join(F.broadcast(sup), sh["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name", "s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.round(F.max("share"), 4).alias("max_share"))
+        .orderBy(F.desc("n_parts"), "s_name")
+    )

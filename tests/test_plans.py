@@ -271,3 +271,20 @@ def test_mixture_sample_is_map_side_only(spark):
 def test_hash_split_is_map_side_only(spark):
     plan = plan_of(build(spark, "hash_split_assign"))
     assert "Exchange" not in plan, f"split introduced a shuffle:\n{plan}"
+
+
+def test_global_shuffle_window_is_shard_partitioned(spark):
+    """The epoch-shuffle ranking must window per shard — a global row_number
+    would funnel the corpus through one partition."""
+    plan = plan_of(build(spark, "global_shuffle_order"))
+    assert "Window" in plan
+    assert "hashpartitioning(shard" in plan, f"window not partitioned by shard:\n{plan}"
+    assert "SinglePartition" not in plan
+
+
+def test_dominant_part_suppliers_broadcasts_dims(spark):
+    """Q20 shape: part and supplier broadcast; lineitem never shuffles raw —
+    the only exchanges key the aggregated (part, supp) frame."""
+    plan = plan_of(build(spark, "dominant_part_suppliers"), mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan, f"dim join fell back to shuffle:\n{plan}"
