@@ -194,6 +194,58 @@ def global_shuffle(
     return d.withColumn("pos", F.row_number().over(w)).drop("_ord")
 
 
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 32768,
+) -> DataFrame:
+    """Frequency-ranked vocabulary: (token, token_id), ids 1..vocab_size by
+    (count desc, token); 0 is reserved for unknowns.
+
+    The corpus-wide token count is a map-side-combined groupBy; the ranking
+    window runs on the *aggregated* vocabulary frame, which ``limit`` bounds
+    to vocab_size rows — a single-partition sort of ≤vocab_size rows is the
+    intended plan, not a scale hazard (the 100 TB side never sees a window).
+    """
+    toks = df.select(F.explode(tokens_codegen(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), "tok").limit(vocab_size)
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    return top.select("tok", F.row_number().over(w).cast("int").alias("token_id"))
+
+
+def encode_documents(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = 0,
+) -> DataFrame:
+    """Encode each document as an array of vocabulary token ids, order
+    preserved: (id, n_tokens, token_ids).
+
+    posexplode keeps each token's position; the vocab joins as a broadcast
+    hash join (bounded by vocab_size), so the only shuffle is the re-assembly
+    groupBy keyed on document id.  Out-of-vocabulary tokens map to
+    ``unk_id``.  Documents with no tokens produce no row (nothing to
+    encode) — union them back upstream if empty sequences must survive.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens_codegen(F.col(text_col))).alias("pos", "tok")
+    )
+    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
+        id_col, "pos", F.coalesce("token_id", F.lit(unk_id)).alias("tid")
+    )
+    packed = enc.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "tid"))).alias("_pt")
+    )
+    return packed.select(
+        id_col,
+        F.size("_pt").alias("n_tokens"),
+        F.transform("_pt", lambda x: x["tid"]).alias("token_ids"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

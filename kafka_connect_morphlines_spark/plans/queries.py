@@ -2361,3 +2361,43 @@ def dominant_part_suppliers(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_parts"), F.round(F.max("share"), 4).alias("max_share"))
         .orderBy(F.desc("n_parts"), "s_name")
     )
+
+
+@query(
+    "encode_documents_ids",
+    """
+    WITH exploded AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(string_split(trim(text), ' '), x -> x != ''),
+               (x, i) -> struct_pack(tok := x, ord := i))) AS u
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, u.tok AS tok, u.ord AS ord FROM exploded),
+    vocab AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS INT) AS tid
+      FROM tok GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 64
+    )
+    SELECT tok.doc_id,
+           CAST(count(*) AS INT) AS n_tokens,
+           string_agg(CAST(coalesce(v.tid, 0) AS VARCHAR), '-' ORDER BY tok.ord) AS ids_str
+    FROM tok LEFT JOIN vocab v USING (tok)
+    GROUP BY tok.doc_id
+    """,
+)
+def encode_documents_ids(spark, sf_dir):
+    """Tokenizer encode step (traindata.build_vocab + encode_documents): a
+    frequency-ranked vocab (64 ids here so OOV→0 is exercised) broadcast-
+    joined onto position-exploded tokens, re-assembled in order per doc.
+    The id arrays are certified as dash-joined strings so the oracle compare
+    stays scalar-typed."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = traindata.build_vocab(docs, vocab_size=64)
+    out = traindata.encode_documents(docs, vocab)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.array_join(F.col("token_ids"), "-").alias("ids_str"),
+    )

@@ -288,3 +288,11 @@ def test_dominant_part_suppliers_broadcasts_dims(spark):
     plan = plan_of(build(spark, "dominant_part_suppliers"), mode="simple")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan, f"dim join fell back to shuffle:\n{plan}"
+
+
+def test_encode_documents_broadcasts_vocab(spark):
+    """The encode join must broadcast the (bounded) vocab; the corpus-side
+    token stream only shuffles for the per-document re-assembly."""
+    plan = plan_of(build(spark, "encode_documents_ids"), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, f"vocab join fell back to shuffle:\n{plan}"

@@ -77,3 +77,21 @@ def test_connected_components_transitive(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
     out = {r.doc_id: r.component for r in traindata.connected_components(edges, nodes).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6, 8: 8}
+
+
+def test_encode_documents_order_and_oov(spark):
+    """Token ids come back in document order; OOV tokens map to unk_id=0."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = spark.createDataFrame(
+        [(1, "b a b c"), (2, "a a zz"), (3, "   ")],
+        "doc_id int, text string",
+    )
+    vocab = traindata.build_vocab(docs, vocab_size=2)  # keeps a(3), b(3) -> drops c, zz
+    v = {r["tok"]: r["token_id"] for r in vocab.collect()}
+    assert set(v) == {"a", "b"} and sorted(v.values()) == [1, 2]
+    out = {r["doc_id"]: r for r in traindata.encode_documents(docs, vocab).collect()}
+    assert out[1]["token_ids"] == [v["b"], v["a"], v["b"], 0]
+    assert out[2]["token_ids"] == [v["a"], v["a"], 0]
+    assert out[1]["n_tokens"] == 4
+    assert 3 not in out  # whitespace-only doc has nothing to encode
