@@ -341,15 +341,27 @@ def connected_components(
         .select(F.col("n").alias("ln"), "comp")
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0] or 0
+    # Checkpointed frames expose no size stats, so the planner would
+    # sort-merge every round, shuffling the (much larger) edge list each
+    # iteration.  The convergence check already runs one action per round —
+    # piggyback a count on it and broadcast the label frame while it fits
+    # (2 longs/row), which makes the propagation join map-side over the
+    # checkpointed edge partitions: one exchange per round (the groupBy)
+    # instead of three.  Past the limit it degrades to the shuffle join,
+    # which is the correct plan at that size anyway.
+    broadcast_limit = 2_000_000
+    stats = labels.agg(F.sum("comp"), F.count(F.lit(1))).collect()[0]
+    prev_sum, n_labels = stats[0] or 0, stats[1]
     for _ in range(max_iter):
-        msgs = sym.join(labels, sym["m"] == labels["ln"], "inner").select(
+        lab = F.broadcast(labels) if n_labels <= broadcast_limit else labels
+        msgs = sym.join(lab, sym["m"] == labels["ln"], "inner").select(
             sym["n"].alias("ln"), F.col("comp")
         )
         new_labels = (
             labels.unionByName(msgs).groupBy("ln").agg(F.min("comp").alias("comp"))
         ).localCheckpoint(eager=True)
-        s = new_labels.agg(F.sum("comp")).collect()[0][0] or 0
+        stats = new_labels.agg(F.sum("comp"), F.count(F.lit(1))).collect()[0]
+        s, n_labels = stats[0] or 0, stats[1]
         labels = new_labels
         if s == prev_sum:
             break
