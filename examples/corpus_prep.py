@@ -1,0 +1,91 @@
+"""End-to-end training-corpus preparation on the engine's operator library.
+
+The composition a pretraining data pipeline runs at 100 TB, demonstrated on
+the test tables: clean -> quality-filter -> exact dedup -> near-dup
+clustering (keep one representative per cluster) -> benchmark
+decontamination -> mixture sampling -> split assignment -> epoch shuffle ->
+tokenize/encode -> sequence packing.
+
+Every stage is a DataFrame -> DataFrame operator, so the whole pipeline is
+one lazy plan per output and Catalyst sees across stage boundaries (e.g.
+the quality filter prunes before dedup ever tokenizes).  Run directly:
+
+    python examples/corpus_prep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from kafka_connect_morphlines_spark.functions import dedup, textclean, textstats, traindata
+
+
+def prepare_corpus(docs: DataFrame, benchmark: DataFrame, vocab_size: int = 4096) -> dict[str, DataFrame]:
+    """Returns the prepared corpus plus the intermediate audit frames."""
+    # 1. clean: strip markup, redact PII (map-side column expressions)
+    cleaned = docs.withColumn("text", textclean.redact_pii(textclean.strip_html(F.col("text"))))
+
+    # 2. quality gate: drop empty/degenerate documents before anything
+    #    tokenizes them twice (stopword/length heuristics, one map pass)
+    q = textstats.quality_features_df(cleaned, text_col="text", id_col="doc_id")
+    keep_ids = q.filter((F.col("n_tokens") >= 5) & (F.col("avg_token_len") <= 20)).select("doc_id")
+    filtered = cleaned.join(keep_ids, "doc_id", "left_semi")
+
+    # 3. exact dedup first — near-dup pair output is quadratic in duplicate
+    #    cluster size, so collapse byte-identical copies before MinHash
+    distinct_docs = dedup.exact_dedup(filtered, text_col="text", id_col="doc_id")
+
+    # 4. near-dup clustering: MinHash-LSH candidate pairs -> exact-Jaccard
+    #    verify -> connected components -> keep min doc_id per cluster
+    pairs = dedup.minhash_dedup_pairs(distinct_docs, threshold=0.8, num_hashes=48, bands=12)
+    comps = traindata.connected_components(pairs, distinct_docs)
+    reps = comps.groupBy("component").agg(F.min("doc_id").alias("doc_id"))
+    deduped = distinct_docs.join(reps.select("doc_id"), "doc_id", "left_semi")
+
+    # 5. benchmark decontamination (GPT-3-style n-gram overlap rule)
+    contam = traindata.decontaminate(deduped, benchmark, n=3)
+    clean_ids = contam.filter(F.col("contamination") < 0.2).select("doc_id")
+    decontaminated = deduped.join(clean_ids, "doc_id", "left_semi")
+
+    # 6. mixture sampling + deterministic split assignment (pure map side)
+    mixed = traindata.mixture_sample(decontaminated, rates={"src0": 0.5}, default_rate=1.0)
+    split = traindata.hash_split(mixed, weights={"train": 0.9, "val": 0.05, "test": 0.05})
+
+    # 7. epoch shuffle order for the train split
+    train = split.filter(F.col("split") == "train")
+    shuffled = traindata.global_shuffle(train, seed="epoch0", shards=16)
+
+    # 8. tokenize: corpus vocab + ordered token-id encoding
+    vocab = traindata.build_vocab(train, vocab_size=vocab_size)
+    encoded = traindata.encode_documents(train, vocab)
+
+    # 9. pack into fixed token-budget bins per source shard
+    packed = traindata.pack_sequences(train, budget=512)
+
+    return {
+        "quality": q,
+        "deduped": deduped,
+        "contamination": contam,
+        "train_shuffled": shuffled,
+        "vocab": vocab,
+        "encoded": encoded,
+        "packed": packed,
+    }
+
+
+if __name__ == "__main__":
+    from kafka_connect_morphlines_spark import get_spark
+    from kafka_connect_morphlines_spark.sources.files import load_table
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark()
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.orderBy("doc_id").limit(20)  # stand-in eval suite
+    out = prepare_corpus(docs, benchmark)
+    for name, frame in out.items():
+        print(f"{name}: {frame.count()} rows")

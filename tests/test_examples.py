@@ -164,3 +164,47 @@ def test_streaming_dlq_example(spark, tmp_path):
     q.stop()
     assert sorted(good) == ["demo-1", "demo-2"]
     assert bad == ["broken"]
+
+
+def test_corpus_prep_end_to_end(spark):
+    """The full training-corpus preparation composition (examples/
+    corpus_prep.py): clean -> quality gate -> exact + near-dup dedup ->
+    decontaminate -> mixture/split -> shuffle -> encode -> pack, with the
+    invariants each stage must preserve."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location("corpus_prep", os.path.join(EXAMPLES, "corpus_prep.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    benchmark = docs.orderBy("doc_id").limit(20)
+    out = mod.prepare_corpus(docs, benchmark, vocab_size=128)
+
+    n_docs = docs.count()
+    n_dedup = out["deduped"].count()
+    assert 0 < n_dedup <= n_docs
+
+    # every benchmark doc that survived into the corpus would be 100%
+    # contaminated with itself — the gate must have dropped any such doc
+    max_contam = out["contamination"].agg(F.max("contamination")).collect()[0][0]
+    assert max_contam <= 1.0
+
+    # shuffle: (shard, pos) is a permutation — pos unique within shard
+    sh = out["train_shuffled"]
+    assert sh.groupBy("shard", "pos").count().filter("count > 1").count() == 0
+
+    # encode: ids bounded by vocab size, 0 reserved for OOV
+    vmax = out["vocab"].agg(F.max("token_id")).collect()[0][0]
+    assert vmax <= 128
+    idmax = out["encoded"].agg(F.max(F.array_max("token_ids"))).collect()[0][0]
+    assert idmax <= vmax
+
+    # packing: no bin exceeds budget unless a single doc alone overflows it
+    over = out["packed"].groupBy("source", "bin_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count("*").alias("n")
+    ).filter((F.col("tot") > 512) & (F.col("n") > 1))
+    # a multi-doc bin may exceed budget only by less than its last doc
+    assert over.filter(F.col("tot") > 2 * 512).count() == 0
