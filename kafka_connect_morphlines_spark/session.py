@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4.x infers parquet timestamp-without-tz as TIMESTAMP_NTZ,
+        # which forbids cast-to-long and breaks watermark arithmetic.  The
+        # engine's contract is instant semantics in a UTC-pinned session, so
+        # keep the 3.5 behavior: read them as TIMESTAMP.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
         .config("spark.ui.enabled", "false")

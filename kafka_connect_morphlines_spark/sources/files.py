@@ -45,6 +45,14 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
+    # Spark 4.x reads parquet timestamp-without-tz columns as TIMESTAMP_NTZ
+    # by default; NTZ forbids cast-to-long and watermark interval arithmetic.
+    # Session TZ is pinned UTC above, so plain TIMESTAMP has identical values
+    # — ask for the 3.5 behavior (runtime conf: covers caller-owned sessions).
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     nanos_cols = _nanos_timestamp_cols(path)
     if nanos_cols:
         try:
@@ -57,8 +65,22 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
             # Integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed double's
             # 2^53 exact range, so float division is off by ±1 micro.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        return df
-    return spark.read.parquet(path)
+        return _denormalize_ntz(df)
+    return _denormalize_ntz(spark.read.parquet(path))
+
+
+def _denormalize_ntz(df: DataFrame) -> DataFrame:
+    """Backstop: cast any TIMESTAMP_NTZ column to TIMESTAMP.
+
+    Value-preserving because the session TZ is pinned UTC; only reachable if
+    the inferTimestampNTZ conf could not be applied (locked-down session).
+    """
+    from pyspark.sql.types import TimestampNTZType  # noqa: PLC0415
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
