@@ -42,6 +42,7 @@ HEADLINE = [
     # LLM-pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "embedding_cosine_topk",
     "embedding_knn_join",
     "text_quality",
@@ -76,35 +77,43 @@ def main() -> None:
     # ranged 2.9s-17s for the same plan), so min-of-2 is the honest
     # steady-state estimator.  Cold times are reported per query too, so
     # codegen-compile regressions stay visible round over round.
+    # One failing query must not zero the whole bench: each query is wrapped;
+    # failures land in "errors" as the final exception line and the rest of
+    # the file stays valid.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
-        t0 = time.time()
-        spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.time() - t0, 3)
-        warms = []
-        for _ in range(2):
+        try:
             t0 = time.time()
             spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            warms.append(time.time() - t0)
-        timings[name] = round(min(warms), 3)
-        print(f"# {name}: warm={timings[name]}s cold={cold[name]}s", file=sys.stderr)
+            cold[name] = round(time.time() - t0, 3)
+            warms = []
+            for _ in range(2):
+                t0 = time.time()
+                spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                warms.append(time.time() - t0)
+            timings[name] = round(min(warms), 3)
+            print(f"# {name}: warm={timings[name]}s cold={cold[name]}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            msg = str(exc).strip().splitlines()
+            errors[name] = f"{type(exc).__name__}: {msg[0] if msg else ''}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "sf": sf,
-                "cold_total_sec": round(sum(cold.values()), 3),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_cold": cold,
+        "sf": sf,
+        "cold_total_sec": round(sum(cold.values()), 3),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -306,7 +306,12 @@ def simhash(text: Column, bits: int = 32) -> Column:
     """SimHash over tokens: sign-sum of per-token hash bits -> integer.
 
     Uses xxhash64(token) bits 0..bits-1; each bit contributes +1 if set else
-    -1; final bit j is 1 when the sum is positive.  Pure array expressions.
+    -1; final bit j is 1 when the sum is positive.
+
+    Column-shaped variant for expression contexts (small arrays): the
+    ``F.aggregate`` folds are interpreted per element, O(bits x tokens)
+    interpreted ops per row.  The corpus-scale path is
+    ``simhash_signatures`` — identical values, whole-stage codegen.
     """
     toks = F.array_distinct(tokens(text))
     h = F.transform(toks, lambda t: F.xxhash64(t))
@@ -324,6 +329,48 @@ def simhash(text: Column, bits: int = 32) -> Column:
     return out
 
 
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """(_id, _sh): per-document SimHash as an explode + codegen aggregation.
+
+    Mirrors ``_raw_signatures``: explode the distinct-token array once, hash
+    each token once, then compute the ``bits`` bit-votes as conditional-sum
+    aggregate expressions — ``sum(when(bit_j set, 1).otherwise(-1))`` — with
+    map-side partial aggregation, and pack the sign bits in the projection.
+    Everything stays in whole-stage codegen; the shuffle carries one row of
+    ``bits`` ints per doc per partition.  The interpreted-fold variant
+    (``simhash``) is O(bits x tokens) interpreted ops per row — ruinous on
+    long documents.
+
+    Value-identical to ``simhash``: votes are order-independent sums, and
+    empty/null-text docs (explode_outer keeps them as a null-hash row whose
+    votes all land in the ``otherwise(-1)`` leg) pack to 0 exactly as the
+    fold's empty/null aggregate does.
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(F.array_distinct(tokens(F.col(text_col)))).alias("_t"),
+    ).select(
+        "_id",
+        # xxhash64(null) returns the seed, not null — keep null tokens null so
+        # the vote lands in the -1 leg and empty docs pack to 0 like the fold
+        F.when(F.col("_t").isNull(), F.lit(None).cast("long")).otherwise(F.xxhash64("_t")).alias("_h"),
+    )
+    votes = ex.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("_h").bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"_v{j}")
+            for j in range(bits)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for j in range(bits):
+        packed = packed + F.when(F.col(f"_v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return votes.select("_id", packed.alias("_sh"))
+
+
 def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -338,7 +385,7 @@ def simhash_near_dupes(df: DataFrame, text_col: str = "text", id_col: str = "doc
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
     df = ensure_parallelism(df)
-    s = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col), bits).alias("_sh"))
+    s = simhash_signatures(df, text_col, id_col, bits)
     exploded = s.select(
         "_id",
         "_sh",
