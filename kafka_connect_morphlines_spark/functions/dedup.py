@@ -273,31 +273,63 @@ def ngram_jaccard_pairs(
     ``block_col`` bounds the pair space (at 100 TB an unblocked all-pairs
     join is infeasible — use minhash_dedup_pairs there; this operator is the
     exact verifier for bounded blocks).
+
+    Inverted-index shape: explode each doc's distinct hashed tokens, self-join
+    on (block, token), and count matches per pair — ``count == |A∩B|`` — then
+    Jaccard from the two stored set sizes.  Compared with joining on the block
+    key and running ``array_intersect`` per pair this wins twice at scale:
+
+    - the join key is (block, token) — cardinality ~ vocabulary, so the
+      shuffle spreads over the cluster instead of skewing onto one task per
+      block (a block key alone has as many distinct values as blocks);
+    - the per-pair hash-set build inside ``array_intersect`` (O(|A|) per
+      *pair*) becomes a codegen count aggregate with map-side combine.
+
+    Join fan-out per token is O(df_t²) within a block — the same quadratic
+    any exact all-pairs verify pays, bounded by the block size contract.
+    Requires ``threshold > 0`` (a non-positive threshold would mean the full
+    cross product including zero-overlap pairs, which an inverted index by
+    construction never materializes — and which no caller can afford anyway).
     """
+    if threshold <= 0:
+        raise ValueError("ngram_jaccard_pairs requires threshold > 0")
     df = ensure_parallelism(df)
     t = df.select(F.col(id_col), F.col(block_col).alias("_blk") if block_col else F.lit(1).alias("_blk"), F.array_distinct(tokens(F.col(text_col))).alias("_tok"))
-    # Token identity only matters for set intersection, so compare 64-bit
-    # hashes instead of strings: hashing is O(corpus tokens) once per doc,
-    # while the intersect runs once per *pair* — on long arrays it needs no
-    # string equality or per-element string hashing.  A 64-bit collision
-    # inside one document pair is the only way this diverges from
-    # string-exact Jaccard (p ~ |vocab|^2 / 2^64, negligible).
-    t = t.withColumn("_tok", F.transform("_tok", lambda x: F.xxhash64(x)))
-    t = t.withColumn("_sz", F.size("_tok"))
-    a, b = t.alias("a"), t.alias("b")
+    # Token identity only matters for set membership, so compare 64-bit
+    # hashes instead of strings: the shuffle and the join carry fixed-width
+    # longs, not token text.  A 64-bit collision inside one document pair is
+    # the only way this diverges from string-exact Jaccard
+    # (p ~ |vocab|^2 / 2^64, negligible).
+    ex = t.select(
+        "_blk",
+        F.col(id_col),
+        F.size("_tok").alias("_sz"),
+        F.explode("_tok").alias("_t"),
+    ).select("_blk", id_col, "_sz", F.xxhash64("_t").alias("_h"))
+    a, b = ex.alias("a"), ex.alias("b")
     # Size-compatibility prefilter: jacc >= t implies |A∩B| >= t*|A∪B|, and
     # |A∩B| <= min(|A|,|B|) while |A∪B| >= max(|A|,|B|), so min >= t*max is a
-    # necessary condition.  Putting it in the join condition drops incompatible
-    # pairs *before* the O(|A|*|B|) intersect is ever evaluated — on a
-    # near-dup-heavy block this is most of the pair space.
+    # necessary condition.  In the join condition it drops incompatible pairs
+    # before they ever reach the aggregation.
     size_ok = F.least(F.col("a._sz"), F.col("b._sz")) >= threshold * F.greatest(F.col("a._sz"), F.col("b._sz"))
+    inter = F.col("_inter").cast("double")
+    union = (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double")
     return (
-        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a." + id_col) < F.col("b." + id_col)) & size_ok)
-        .select(
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._h") == F.col("b._h"))
+            & (F.col("a." + id_col) < F.col("b." + id_col))
+            & size_ok,
+        )
+        .groupBy(
             F.col("a." + id_col).alias("id_a"),
             F.col("b." + id_col).alias("id_b"),
-            _jaccard_distinct(F.col("a._tok"), F.col("b._tok")).alias("jacc"),
+            F.col("a._sz").alias("_sza"),
+            F.col("b._sz").alias("_szb"),
         )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+        .select("id_a", "id_b", (inter / union).alias("jacc"))
         .filter(F.col("jacc") >= threshold)
     )
 

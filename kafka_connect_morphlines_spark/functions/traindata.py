@@ -328,8 +328,10 @@ def connected_components(
     # `edges` twice, and without this the upstream pair-generation plan
     # (typically an expensive Jaccard join) executes once per branch.
     edges = edges.select(F.col(src).alias("n"), F.col(dst).alias("m")).localCheckpoint(eager=True)
-    sym = edges.union(edges.select(F.col("m").alias("n"), F.col("n").alias("m")))
-    sym = ensure_parallelism(sym).localCheckpoint(eager=True)
+    # sym is just two scans of the checkpointed edge frame — rebuilding the
+    # union from memory-resident blocks each round is near-free, so a second
+    # materialization of 2x the edges would only cost memory and a pass.
+    sym = ensure_parallelism(edges.union(edges.select(F.col("m").alias("n"), F.col("n").alias("m"))))
     # The label loop runs only over nodes that appear in an edge — isolated
     # nodes (the overwhelming majority of a deduped corpus) are their own
     # component by definition and skip every iteration; they re-attach via
