@@ -310,6 +310,43 @@ def encode_datum(value: Any, schema: str | dict | list) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# Confluent single-record wire format
+# --------------------------------------------------------------------------
+
+# The Schema-Registry serde frames every Kafka record value as
+#   0x00 (magic) | 4-byte big-endian schema id | Avro binary datum
+# (KafkaAvroSerializer — the serializer the reference installs by default,
+# /root/reference/src/main/java/.../KafkaDataProducerCommandBuilder.java:251-256).
+# A consumer resolves the embedded id against the registry; the framing is
+# what makes the bytes interoperable with any Confluent-ecosystem client.
+CONFLUENT_MAGIC = b"\x00"
+
+
+def encode_confluent(value: Any, schema: str | dict | list, schema_id: int) -> bytes:
+    """Wire-format bytes: magic 0x00 + BE schema id + Avro binary datum."""
+    if not 0 <= int(schema_id) <= 0xFFFFFFFF:
+        raise AvroCodecError(f"schema id {schema_id!r} out of unsigned-32 range")
+    return CONFLUENT_MAGIC + struct.pack(">I", int(schema_id)) + encode_datum(value, schema)
+
+
+def split_confluent(buf: bytes) -> tuple[int, bytes]:
+    """(schema_id, datum bytes) from a wire-format record; validates framing."""
+    buf = bytes(buf)
+    if len(buf) < 5 or buf[0:1] != CONFLUENT_MAGIC:
+        raise AvroCodecError("not Confluent wire format (need 0x00 magic + 4-byte schema id)")
+    (schema_id,) = struct.unpack(">I", buf[1:5])
+    return schema_id, buf[5:]
+
+
+def decode_confluent(buf: bytes, schema: str | dict | list) -> tuple[int, Any]:
+    """(schema_id, decoded value) — the reader binds the schema at compile
+    time (frame-level contract); the embedded id is returned for callers
+    that want to verify it against the bound schema's registry id."""
+    schema_id, payload = split_confluent(buf)
+    return schema_id, decode_datum(payload, schema)
+
+
+# --------------------------------------------------------------------------
 # object container files
 # --------------------------------------------------------------------------
 

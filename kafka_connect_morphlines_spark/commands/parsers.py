@@ -385,6 +385,16 @@ def _resolve_avro_schema_json(config, ctx) -> str | None:
             path = os.path.join(ctx.base_dir, path)
         with open(path, encoding="utf-8") as f:
             schema_json = f.read()
+    if schema_json is None and "schemaRegistryUrl" in config:
+        # Compile-time registry binding (schema binds to the frame, not to
+        # each record — SURVEY.md §7.3.1): by explicit id, else by subject.
+        from kafka_connect_morphlines_spark import schema_registry  # noqa: PLC0415
+
+        url = config["schemaRegistryUrl"]
+        if "schemaId" in config:
+            schema_json = schema_registry.fetch_schema_by_id(url, int(config["schemaId"]))
+        elif "subject" in config:
+            schema_json = schema_registry.fetch_latest_schema(url, config["subject"])
     return schema_json
 
 
@@ -400,9 +410,17 @@ def read_avro(config, ctx):
     3. jar absent: pure-Python Avro binary decoder behind an Arrow-batched
        pandas UDF (avro_codec.py) — same results, Python-speed.
     A schemaString/schemaFile is required for raw bytes (a bare datum has no
-    embedded schema).
+    embedded schema), or a schemaRegistryUrl + (schemaId | subject) to fetch
+    one at compile time.
+
+    ``wireFormat: true`` (implied by schemaRegistryUrl) consumes Confluent
+    single-record framing — magic 0x00 + 4-byte BE schema id + datum, the
+    bytes KafkaAvroSerializer produces (reference default serializer,
+    KafkaDataProducerCommandBuilder.java:251-256): the 5-byte header is
+    stripped with a codegen substring before either decode path.
     """
     schema_json = _resolve_avro_schema_json(config, ctx)
+    wire = bool(config.get("wireFormat", "schemaRegistryUrl" in config))
     out = config.get("outputField", "_json")
 
     def transform(df: DataFrame) -> DataFrame:
@@ -412,11 +430,16 @@ def read_avro(config, ctx):
         if isinstance(dtype_map.get(in_name), T.StructType):
             return df.withColumn(out, colref(in_name))  # already-decoded struct
         if schema_json is None:
-            raise PipelineSpecError("readAvro on raw bytes needs schemaString/schemaFile")
+            raise PipelineSpecError(
+                "readAvro on raw bytes needs schemaString/schemaFile or schemaRegistryUrl + (schemaId|subject)"
+            )
+        payload = body.cast("binary")
+        if wire:
+            payload = F.substring(payload, 6, 2147483647)
         if _jvm_from_avro_usable(df):
             from_avro, _ = _avro_functions()
-            return df.withColumn(out, from_avro(body.cast("binary"), schema_json))
-        return df.withColumn(out, _python_decode_datum_udf(schema_json)(body.cast("binary")))
+            return df.withColumn(out, from_avro(payload, schema_json))
+        return df.withColumn(out, _python_decode_datum_udf(schema_json)(payload))
 
     return transform
 

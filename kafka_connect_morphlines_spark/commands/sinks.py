@@ -45,6 +45,87 @@ MEMORY_SINKS: dict[str, list] = {}
 LOAD_CLIENTS: dict[str, Callable[[list[dict]], Any]] = {}
 
 
+def _avro_serde_config(config) -> tuple[str | None, int | None]:
+    """(schema JSON, schema id) for ``format=avro`` from the command config.
+
+    Mirrors the reference's KafkaAvroSerializer setup (it reads
+    ``schema-registry-url`` from the producer properties and registers/looks
+    up the value schema — KafkaDataProducerCommandBuilder.java:251-256):
+    ``schemaString``/``schemaFile`` (absolute path) bind the writer schema
+    inline; otherwise ``schemaRegistryUrl`` + ``subject``/``schemaId``
+    resolves it at compile time.  ``schemaId`` alone turns on wire framing.
+    """
+    schema_json = config.get("schemaString")
+    if schema_json is None and "schemaFile" in config:
+        with open(config["schemaFile"], encoding="utf-8") as f:
+            schema_json = f.read()
+    registry = config.get("schemaRegistryUrl") or config.get("properties", {}).get("schema-registry-url")
+    schema_id = config.get("schemaId")
+    if schema_json is None and registry:
+        from kafka_connect_morphlines_spark import schema_registry  # noqa: PLC0415
+
+        if schema_id is not None:
+            schema_json = schema_registry.fetch_schema_by_id(registry, int(schema_id))
+        elif "subject" in config:
+            schema_json = schema_registry.fetch_latest_schema(registry, config["subject"])
+    return schema_json, (int(schema_id) if schema_id is not None else None)
+
+
+def _avro_value_bytes(df, value_col, dtype, config):
+    """Avro-encode the value column; Confluent wire framing when a schema id
+    is configured (magic 0x00 + BE id + datum — the bytes any
+    Schema-Registry-aware consumer expects).
+
+    JVM ``to_avro`` with the bound writer schema when the spark-avro jar is
+    present (vectorized; the header is a codegen concat), else the
+    pure-Python codec behind an Arrow-batched pandas UDF — bytes are
+    identical, the Avro binary encoding is deterministic for a schema.
+    """
+    from kafka_connect_morphlines_spark.commands.parsers import (  # noqa: PLC0415
+        _avro_functions,
+        _jvm_from_avro_usable,
+    )
+
+    schema_json, schema_id = _avro_serde_config(config)
+    header = None
+    if schema_id is not None:
+        import struct  # noqa: PLC0415
+
+        header = b"\x00" + struct.pack(">I", schema_id)
+    if _jvm_from_avro_usable(df):
+        _, to_avro = _avro_functions()
+        encoded = to_avro(value_col, schema_json) if schema_json else to_avro(value_col)
+    elif schema_json is not None:
+        encoded = _python_encode_datum_udf(schema_json, dtype)(value_col)
+    else:
+        raise NotImplementedError(
+            "format=avro without the spark-avro jar needs schemaString/schemaFile "
+            "or schemaRegistryUrl + (subject|schemaId) for the pure-Python encoder"
+        )
+    return F.concat(F.lit(header), encoded) if header else encoded
+
+
+def _python_encode_datum_udf(schema_json: str, dtype):
+    """Arrow-batched pandas UDF encoding one Avro datum per row with the
+    pure-Python codec — the jar-less fallback, partition-parallel."""
+    from kafka_connect_morphlines_spark.avro_codec import encode_datum
+
+    is_struct = isinstance(dtype, T.StructType)
+
+    @F.pandas_udf(returnType=T.BinaryType())
+    def enc(v):
+        import pandas as pd  # noqa: PLC0415
+
+        if is_struct:
+            # StructType input arrives as a pandas DataFrame (one column per
+            # field); encode each row dict against the record schema
+            rows = v.to_dict("records")
+            return pd.Series([encode_datum(r, schema_json) for r in rows])
+        return pd.Series([encode_datum(x, schema_json) for x in v])
+
+    return enc
+
+
 def _value_columns(df: DataFrame, config) -> DataFrame:
     """Project the frame to (key, value, topic) for a Kafka-shaped write."""
     topic = config.get("topic")
@@ -58,11 +139,7 @@ def _value_columns(df: DataFrame, config) -> DataFrame:
     if fmt == "json" and isinstance(dtype, (T.StructType, T.MapType, T.ArrayType)):
         value_out = F.to_json(value_col)
     elif fmt == "avro":
-        try:
-            from pyspark.sql.avro.functions import to_avro  # noqa: PLC0415
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError("format=avro requires the spark-avro package") from e
-        value_out = to_avro(value_col)
+        value_out = _avro_value_bytes(df, value_col, dtype, config)
     else:
         value_out = value_col.cast("string")
 

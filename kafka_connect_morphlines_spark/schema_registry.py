@@ -18,6 +18,10 @@ import urllib.request
 # subject -> Avro schema JSON string; checked before any network call.
 OVERRIDES: dict[str, str] = {}
 
+# schema id -> Avro schema JSON string (wire-format decode path); checked
+# before any network call, mirroring OVERRIDES.
+ID_OVERRIDES: dict[int, str] = {}
+
 
 class SchemaRegistryError(RuntimeError):
     pass
@@ -36,4 +40,21 @@ def fetch_latest_schema(url: str, subject: str, timeout: float = 10.0) -> str:
     schema = payload.get("schema")
     if not schema:
         raise SchemaRegistryError(f"registry response for {subject!r} has no 'schema' field: {payload}")
+    return schema
+
+
+def fetch_schema_by_id(url: str, schema_id: int, timeout: float = 10.0) -> str:
+    """Avro schema JSON by registry id (GET /schemas/ids/{id}) — the lookup a
+    wire-format consumer performs for the id embedded in each record."""
+    if schema_id in ID_OVERRIDES:
+        return ID_OVERRIDES[schema_id]
+    endpoint = f"{url.rstrip('/')}/schemas/ids/{int(schema_id)}"
+    try:
+        with urllib.request.urlopen(endpoint, timeout=timeout) as resp:  # noqa: S310
+            payload = json.loads(resp.read())
+    except Exception as e:
+        raise SchemaRegistryError(f"failed to fetch schema id {schema_id} from {url}: {e}") from e
+    schema = payload.get("schema")
+    if not schema:
+        raise SchemaRegistryError(f"registry response for id {schema_id} has no 'schema' field: {payload}")
     return schema
