@@ -285,24 +285,50 @@ def generate_solr_sequence_key(config, ctx):
     return transform
 
 
+# zkHost -> base Solr URL resolvers for SolrCloud locators.  The reference
+# locates SolrCloud through the ZooKeeper ensemble (cloudsolr.conf:1-7,
+# CloudSolrClient).  A real deployment registers a resolver that reads
+# ``/live_nodes`` from the ensemble (kazoo or solr's own zkcli); offline
+# tests register a stub.  Keyed by exact zkHost string; the ``None`` key, if
+# present, is the catch-all.
+ZK_RESOLVERS: dict = {}
+
+
+def resolve_zk_host(zk_host: str) -> str:
+    """Base Solr URL for a ZooKeeper ensemble string via ZK_RESOLVERS."""
+    resolver = ZK_RESOLVERS.get(zk_host) or ZK_RESOLVERS.get(None)
+    if resolver is None:
+        raise PipelineSpecError(
+            f"no ZooKeeper resolver registered for zkHost {zk_host!r}: register one in "
+            "commands.schema.ZK_RESOLVERS (a callable zkHost -> solrUrl, e.g. backed by "
+            "a ZK client reading /live_nodes) or pass solrUrl directly"
+        )
+    return resolver(zk_host) if callable(resolver) else str(resolver)
+
+
 @command("sanitizeUnknownSolrFields", "sanitizeUnknownFields")
 def sanitize_unknown_fields(config, ctx):
     """Drop record fields not present in the sink schema (reference usage
     config/cloudsolr.conf:68-72).
 
     The sink schema comes from either a static ``fields`` list (offline) or
-    a ``solrLocator { collection, solrUrl }`` block resolved at COMPILE time
-    against the Solr Schema API (``GET <solrUrl>/<collection>/schema/fields``)
-    — the analog of the reference's solrLocator schema fetch
-    (config/cloudsolr.conf:1-7).  Compile-time resolution is deliberate: the
+    a ``solrLocator { collection, solrUrl | zkHost }`` block resolved at
+    COMPILE time against the Solr Schema API
+    (``GET <solrUrl>/<collection>/schema/fields``) — the analog of the
+    reference's solrLocator schema fetch (config/cloudsolr.conf:1-7).
+    ``zkHost`` locates SolrCloud by ZooKeeper ensemble exactly like the
+    reference; the ensemble -> URL hop goes through the pluggable
+    ZK_RESOLVERS registry.  Compile-time resolution is deliberate: the
     field list becomes a literal in the plan, executors never call Solr."""
     fields = set(config.get("fields", []))
     locator = config.get("solrLocator")
     if locator:
         url = locator.get("solrUrl", locator.get("solr-url"))
         collection = locator.get("collection")
+        if not url and locator.get("zkHost"):
+            url = resolve_zk_host(locator["zkHost"])
         if not url or not collection:
-            raise PipelineSpecError("solrLocator needs solrUrl and collection")
+            raise PipelineSpecError("solrLocator needs collection plus solrUrl or zkHost")
         import json as _json  # noqa: PLC0415
         import urllib.request  # noqa: PLC0415
 

@@ -269,7 +269,17 @@ def load_solr(config, ctx):
     Without either, documents buffer into MEMORY_SINKS['solr'].
     """
     client_name = config.get("client")
-    url = config.get("url") or (config.get("solrLocator", {}) or {}).get("solrUrl")
+    locator = config.get("solrLocator", {}) or {}
+    url = config.get("url") or locator.get("solrUrl")
+    if not url and locator.get("zkHost"):
+        # SolrCloud by ZooKeeper ensemble (cloudsolr.conf:1-7) — resolve the
+        # ensemble to a base URL through the pluggable registry, then target
+        # the collection's update endpoint.
+        from kafka_connect_morphlines_spark.commands.schema import resolve_zk_host  # noqa: PLC0415
+
+        base = resolve_zk_host(locator["zkHost"])
+        collection = locator.get("collection")
+        url = f"{base.rstrip('/')}/{collection}/update" if collection else base
     batch_size = int(config.get("batchSize", 1000))
     drop_reserved = config.get("dropReserved", True)
 

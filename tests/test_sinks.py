@@ -45,6 +45,65 @@ def test_load_http_posts_batches(spark, http_collector):
     assert all(len(b) <= 2 for b in received)  # batchSize respected
 
 
+def test_load_solr_zkhost_locator(spark, http_collector):
+    """solrLocator {zkHost, collection} (reference cloudsolr.conf:1-7):
+    the ensemble resolves to a base URL via the pluggable ZK_RESOLVERS
+    registry and the posts target <base>/<collection>/update."""
+    from kafka_connect_morphlines_spark.commands import schema as schema_mod
+
+    url, received = http_collector
+    base = url.rsplit("/update", 1)[0]  # collector accepts any POST path
+    schema_mod.ZK_RESOLVERS["zk1:2181,zk2:2181/solr"] = lambda zk: base
+    try:
+        p = compile_pipeline(
+            [{"loadSolr": {"solrLocator": {"zkHost": "zk1:2181,zk2:2181/solr", "collection": "col1"}}}]
+        )
+        p(spark.createDataFrame([(1,)], "id int").coalesce(1))
+        assert [d for batch in received for d in batch] == [{"id": 1}]
+    finally:
+        schema_mod.ZK_RESOLVERS.clear()
+
+
+def test_load_solr_zkhost_unresolvable(spark):
+    from kafka_connect_morphlines_spark.commands.schema import resolve_zk_host
+    from kafka_connect_morphlines_spark.pipeline import PipelineSpecError
+
+    with pytest.raises(PipelineSpecError, match="no ZooKeeper resolver"):
+        resolve_zk_host("nowhere:2181")
+
+
+def test_sanitize_unknown_fields_zkhost(spark):
+    """sanitizeUnknownSolrFields with a zkHost locator resolves the schema
+    through the same registry (stubbed schema endpoint)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = json.dumps({"fields": [{"name": "id"}, {"name": "title"}]}).encode()
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    from kafka_connect_morphlines_spark.commands import schema as schema_mod
+
+    schema_mod.ZK_RESOLVERS[None] = f"http://127.0.0.1:{server.server_port}"
+    try:
+        p = compile_pipeline(
+            [{"sanitizeUnknownSolrFields": {"solrLocator": {"zkHost": "zk:2181", "collection": "c"}}}]
+        )
+        df = spark.createDataFrame([(1, "t", "x")], "id int, title string, junk string")
+        assert p(df).columns == ["id", "title"]
+    finally:
+        schema_mod.ZK_RESOLVERS.clear()
+        server.shutdown()
+
+
 def test_load_solr_memory_buffer(spark):
     MEMORY_SINKS.pop("solr", None)
     p = compile_pipeline([{"loadSolr": {}}])
