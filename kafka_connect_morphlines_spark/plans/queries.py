@@ -1978,6 +1978,37 @@ def avro_container_roundtrip(spark, sf_dir):
     return p(blobs).select(F.col("_json.doc_id").alias("doc_id"), F.col("_json.lang").alias("lang"))
 
 
+@query("confluent_wire_roundtrip", "SELECT doc_id, source FROM documents")
+def confluent_wire_roundtrip(spark, sf_dir):
+    """Confluent wire-format serde (KafkaAvroSerializer parity,
+    KafkaDataProducerCommandBuilder.java:251-256): every document row is
+    encoded to magic 0x00 + BE schema id + Avro binary via the kafkaProducer
+    encode path, then consumed back through readAvro {wireFormat: true} —
+    a distributed produce/consume loop whose output must hash-match a plain
+    projection of the source table.  A framing drift on either side (wrong
+    header width, wrong byte order) would shift the Avro payload and break
+    the hash-match."""
+    schema_json = (
+        '{"type":"record","name":"Doc","fields":['
+        '{"name":"doc_id","type":"long"},{"name":"source","type":"string"}]}'
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def enc(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from kafka_connect_morphlines_spark.avro_codec import encode_confluent
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"_value": [encode_confluent(r, schema_json, 7) for r in pdf.to_dict("records")]}
+            )
+
+    wire = docs.mapInPandas(enc, "_value binary")
+    p = compile_pipeline([{"readAvro": {"schemaString": schema_json, "wireFormat": True, "outputField": "rec"}}])
+    return p(wire).select(F.col("rec.doc_id").alias("doc_id"), F.col("rec.source").alias("source"))
+
+
 @query(
     "salted_agg_event_totals",
     """
