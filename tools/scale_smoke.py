@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window, functions as F  # noqa: E402
 
 from kafka_connect_morphlines_spark import compile_pipeline, get_spark  # noqa: E402
-from kafka_connect_morphlines_spark.functions import dedup, relational, similarity, textstats  # noqa: E402
+from kafka_connect_morphlines_spark.functions import dedup, relational, similarity, textstats, traindata  # noqa: E402
 
 
 def main() -> None:
@@ -105,6 +105,22 @@ def main() -> None:
         "minhash_dupheavy_after_exact": run(
             "minhash_dupheavy_after_exact",
             lambda: dedup.minhash_dedup_pairs(dedup.exact_dedup(dup_heavy), threshold=0.6),
+        ),
+        "simhash_200k": run("simhash_200k", lambda: dedup.simhash_near_dupes(docs, bits=48, max_hamming=3)),
+        "jaccard_blocked_200k": run(
+            "jaccard_blocked_200k",
+            lambda: dedup.ngram_jaccard_pairs(
+                docs.withColumn("blk", (F.col("doc_id") % 2000).cast("string")), block_col="blk", threshold=0.8
+            ),
+        ),
+        "cc_over_jaccard_200k": run(
+            "cc_over_jaccard_200k",
+            lambda: traindata.connected_components(
+                dedup.ngram_jaccard_pairs(
+                    docs.withColumn("blk", (F.col("doc_id") % 2000).cast("string")), block_col="blk", threshold=0.8
+                ),
+                docs,
+            ),
         ),
         "text_quality_200k": run("text_quality_200k", lambda: textstats.quality_features_df(docs)),
         "fingerprint_200k": run("fingerprint_200k", lambda: textstats.fingerprint_df(docs)),
