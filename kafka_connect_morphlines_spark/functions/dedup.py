@@ -237,28 +237,44 @@ def minhash_dedup_pairs(
     consumes exactly what ``collect_set`` over the exploded frame did, at
     a fraction of the materialization cost.
     """
+    if threshold <= 0:
+        raise ValueError("minhash_dedup_pairs requires threshold > 0")
     df = ensure_parallelism(df)
     ex = shingles_exploded(df, text_col, id_col, shingle_n).withColumnRenamed(id_col, "_id")
     cands = _lsh_candidates_from_exploded(ex, num_hashes, bands)
     if not cands.isStreaming:
         cands = cands.localCheckpoint()  # feeds the id list + the verify join
-    # verification sets only for docs that appear in a candidate pair: the
-    # shingle rebuild scales with candidates, not the corpus
+    # Verification only for docs that appear in a candidate pair, via the
+    # inverted-index shape (see ngram_jaccard_pairs): distinct hashed
+    # shingles are exploded once per candidate doc, the pair list fans out
+    # through two codegen hash joins, and |A∩B| is a count aggregate with
+    # map-side combine — no interpreted per-doc array build, no per-pair
+    # hash-set intersect.  Work scales with |candidates| x shingles/doc.
     cand_ids = cands.select(F.col("id_a").alias("_id")).union(cands.select(F.col("id_b").alias("_id"))).distinct()
     docs_c = df.join(cand_ids.withColumnRenamed("_id", id_col), id_col, "left_semi")
-    sets = docs_c.select(
-        F.col(id_col).alias("_id"),
-        # hashed-shingle sets: the exact-Jaccard verify compares longs, not
-        # shingle strings (see ngram_jaccard_pairs for the collision bound)
-        F.transform(F.array_distinct(shingles(F.col(text_col), shingle_n)), lambda x: F.xxhash64(x)).alias("_sh"),
+    # hashed-shingle rows: the exact-Jaccard verify compares longs, not
+    # shingle strings (see ngram_jaccard_pairs for the collision bound)
+    sh = (
+        shingles_exploded(docs_c, text_col, id_col, shingle_n)
+        .select(F.col(id_col).alias("_id"), F.xxhash64("_s").alias("_h"))
+        .distinct()
     )
-    j = (
-        cands.join(sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
-        .join(sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
-        .select("id_a", "id_b", _jaccard_distinct(F.col("_sh_a"), F.col("_sh_b")).alias("jacc"))
+    if not sh.isStreaming:
+        sh = sh.localCheckpoint()  # consumed three times: sizes + both join legs
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    inter = (
+        cands.join(sh.select(F.col("_id").alias("id_a"), "_h"), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), "_h"), ["id_b", "_h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    jacc = F.col("_inter").cast("double") / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double")
+    return (
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
+        .select("id_a", "id_b", jacc.alias("jacc"))
         .filter(F.col("jacc") >= threshold)
     )
-    return j
 
 
 def ngram_jaccard_pairs(
