@@ -359,8 +359,21 @@ def connected_components(
         msgs = sym.join(lab, sym["m"] == labels["ln"], "inner").select(
             sym["n"].alias("ln"), F.col("comp")
         )
+        # Pointer jumping (path doubling) as extra messages in the same
+        # round: each node also receives the label of its current label
+        # ("grandparent") — that label is <= comp and reachable, so the min
+        # stays within the component, and label reach doubles per round:
+        # chains collapse in O(log diameter) instead of O(diameter) rounds
+        # (a path graph longer than max_iter would otherwise never
+        # converge; with doubling, max_iter=20 covers diameters beyond
+        # 2^20).  The self-join is between two reads of the checkpointed
+        # label frame — broadcast on the same size rule.
+        lab_j = lab.select(F.col("ln").alias("jn"), F.col("comp").alias("jcomp"))
+        gmsgs = labels.join(lab_j, labels["comp"] == F.col("jn"), "inner").select(
+            labels["ln"].alias("ln"), F.col("jcomp").alias("comp")
+        )
         new_labels = (
-            labels.unionByName(msgs).groupBy("ln").agg(F.min("comp").alias("comp"))
+            labels.unionByName(msgs).unionByName(gmsgs).groupBy("ln").agg(F.min("comp").alias("comp"))
         ).localCheckpoint(eager=True)
         stats = new_labels.agg(F.sum("comp"), F.count(F.lit(1))).collect()[0]
         s, n_labels = stats[0] or 0, stats[1]

@@ -79,6 +79,18 @@ def test_connected_components_transitive(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6, 8: 8}
 
 
+def test_connected_components_long_chain(spark):
+    """A 200-node path converges well inside max_iter=10: pointer jumping
+    doubles label reach per round (plain neighbor propagation would need
+    ~200 rounds and silently return a partial labeling)."""
+    n = 200
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = traindata.connected_components(edges, nodes, max_iter=10)
+    comps = {r.component for r in out.collect()}
+    assert comps == {0}  # one component, fully collapsed to the min id
+
+
 def test_encode_documents_order_and_oov(spark):
     """Token ids come back in document order; OOV tokens map to unk_id=0."""
     from kafka_connect_morphlines_spark.functions import traindata
