@@ -142,3 +142,25 @@ def test_multi_branch_union_roundtrip(value):
     got = decode_datum(encode_datum(value, MULTI_UNION), MULTI_UNION)
     assert _eq(got, value)
     assert (type(got) is bool) == (type(value) is bool)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.text(max_size=30),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+)
+def test_confluent_wire_roundtrip_property(schema_id, s, n):
+    """Wire framing is lossless for any unsigned-32 schema id and record
+    payload, and the header is exactly magic + 4 BE bytes."""
+    from kafka_connect_morphlines_spark.avro_codec import decode_confluent, encode_confluent
+
+    schema = {
+        "type": "record",
+        "name": "W",
+        "fields": [{"name": "s", "type": "string"}, {"name": "n", "type": "long"}],
+    }
+    buf = encode_confluent({"s": s, "n": n}, schema, schema_id)
+    assert buf[0] == 0 and int.from_bytes(buf[1:5], "big") == schema_id
+    sid, val = decode_confluent(buf, schema)
+    assert sid == schema_id and val == {"s": s, "n": n}
