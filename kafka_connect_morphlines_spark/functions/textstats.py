@@ -164,3 +164,34 @@ def quality_features_df(df, text_col: str = "text", id_col: str = "doc_id"):
         F.when(nt > 0, uniq / nt).otherwise(F.lit(0.0)).alias("unique_token_ratio"),
         F.when(nt > 0, F.col("_nonws") / nt).otherwise(F.lit(0.0)).alias("avg_token_len"),
     )
+
+
+def unigram_logprob_df(df, text_col: str = "text", id_col: str = "doc_id", alpha: float = 1.0):
+    """(id, n_tokens, logprob): per-document average unigram log-probability
+    under the corpus's own add-alpha-smoothed unigram LM — the classic
+    cheap perplexity-style quality filter for LLM corpora (gibberish and
+    boilerplate score far from the corpus mode).
+
+    Shape at 100 TB: one explode + token-count groupBy builds the LM (the
+    count table is vocabulary-sized, shuffled once with map-side combine),
+    the corpus total rides along as a literal-sized single-row cross join,
+    and scoring is a broadcast-eligible join of exploded tokens against the
+    LM followed by a per-doc average — token hashes and counts in the
+    shuffle, never document text.  Empty docs keep a row (outer explode)
+    with logprob 0.
+    """
+    ex = df.select(F.col(id_col), F.explode_outer(tokens_codegen(F.col(text_col))).alias("_t"))
+    counts = ex.filter(F.col("_t").isNotNull()).groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    totals = counts.agg(F.sum("_c").alias("_total"), F.count(F.lit(1)).alias("_vocab"))
+    lm = counts.crossJoin(F.broadcast(totals)).select(
+        "_t",
+        F.log((F.col("_c") + F.lit(alpha)) / (F.col("_total") + F.lit(alpha) * F.col("_vocab"))).alias("_lp"),
+    )
+    # no broadcast hint on the LM: a 100 TB corpus's vocabulary may exceed
+    # the broadcast budget — AQE picks broadcast when the count table is
+    # small enough and falls back to a token-keyed shuffle join otherwise
+    scored = ex.join(lm, "_t", "left")
+    return scored.groupBy(id_col).agg(
+        F.count(F.col("_t")).alias("n_tokens"),
+        F.round(F.coalesce(F.avg("_lp"), F.lit(0.0)), 6).alias("logprob"),
+    )

@@ -1027,6 +1027,40 @@ def word_entropy(spark, sf_dir):
 
 
 @query(
+    "unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ), e AS (
+      SELECT doc_id, unnest(toks) AS tkn FROM tok
+    ), cnt AS (
+      SELECT tkn, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY tkn
+    ), tot AS (
+      SELECT sum(c) AS total, CAST(count(*) AS DOUBLE) AS vocab FROM cnt
+    ), lp AS (
+      SELECT e.doc_id, ln((cnt.c + 1.0) / (tot.total + 1.0 * tot.vocab)) AS lp
+      FROM e JOIN cnt USING (tkn) CROSS JOIN tot
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 6) AS logprob FROM lp GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens, coalesce(agg.logprob, 0.0) AS logprob
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+)
+def unigram_logprob(spark, sf_dir):
+    """Per-doc average unigram log-probability under the corpus's own
+    add-one-smoothed unigram LM (textstats.unigram_logprob_df) — the cheap
+    perplexity-style quality filter: LM built with one token-count groupBy,
+    scoring via a token-keyed join (AQE broadcasts the count table when it
+    fits) and a per-doc average; document text never shuffles."""
+    from kafka_connect_morphlines_spark.functions import ensure_parallelism, textstats
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return textstats.unigram_logprob_df(docs)
+
+
+@query(
     "token_frequencies",
     """
     SELECT token, count(*) AS n FROM (
