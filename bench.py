@@ -47,6 +47,7 @@ HEADLINE = [
     "embedding_knn_join",
     "text_quality",
     "doc_fingerprint",
+    "unigram_logprob",
     # corpus-preparation operators (traindata.py)
     "decontaminate_ngrams",
     "dedup_cc_clusters",

@@ -80,6 +80,33 @@ def test_read_avro_registry_binding(spark):
         schema_registry.ID_OVERRIDES.clear()
 
 
+def test_read_avro_wire_format_on_stream(spark, tmp_path):
+    """The wire-format consume path is a plain frame transform, so the same
+    compiled pipeline runs over a Structured Streaming micro-batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [encode_confluent({"name": c, "n": i}, SCHEMA, 3) for i, c in enumerate("abc")]
+    d = tmp_path / "wire_stream"
+    d.mkdir()
+    pq.write_table(pa.table({"_value": rows}, schema=pa.schema([("_value", pa.binary())])), str(d / "p0.parquet"))
+    batch = spark.read.parquet(str(d))
+    p = compile_pipeline([{"readAvro": {"schemaString": SCHEMA, "wireFormat": True, "outputField": "rec"}}])
+    src = spark.readStream.schema(batch.schema).parquet(str(d))
+    q = (
+        p(src)
+        .select("rec.name", "rec.n")
+        .writeStream.queryName("wire_stream_out")
+        .outputMode("append")
+        .format("memory")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r["name"], r["n"]) for r in spark.sql("SELECT * FROM wire_stream_out").collect())
+    assert got == [("a", 0), ("b", 1), ("c", 2)]
+
+
 def test_kafka_producer_wire_format_through_broker(spark, tmp_path):
     """kafkaProducer {format: avro, schemaId}: the raw bytes on the broker
     are Confluent wire format — an external consumer's split+decode reads
