@@ -296,3 +296,30 @@ def test_encode_documents_broadcasts_vocab(spark):
     plan = plan_of(build(spark, "encode_documents_ids"), mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, f"vocab join fell back to shuffle:\n{plan}"
+
+
+def test_jaccard_joins_on_token_not_block(spark):
+    """ngram_jaccard_pairs must key its self-join on (block, token-hash), not
+    the block key alone — one distinct value per block means one straggler
+    task per block at corpus scale.  The intersection must be an aggregate
+    (map-side combinable), never a per-pair array_intersect."""
+    plan = plan_of(build(spark, "ngram_jaccard_pairs"), mode="extended")
+    assert "array_intersect" not in plan, f"per-pair set intersect back in the plan:\n{plan}"
+    assert "xxhash64" in plan  # hashed tokens in the join key
+
+
+def test_simhash_votes_are_aggregates_not_folds(spark):
+    """SimHash bit votes must be codegen conditional-sum aggregates over
+    exploded token hashes; interpreted per-element `aggregate` folds are
+    O(bits x tokens) per row."""
+    plan = plan_of(build(spark, "dedup_simhash"), mode="extended")
+    assert "aggregate(" not in plan, f"interpreted higher-order fold in simhash plan:\n{plan}"
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_unigram_logprob_text_never_shuffles(spark):
+    """The LM scoring join keys on tokens; document text stays in the scan
+    projection and never enters an exchange."""
+    plan = plan_of(build(spark, "unigram_logprob"))
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln or "Arguments: hashpartitioning" in ln]
+    assert "text" not in " ".join(exchanges), f"document text in a shuffle:\n{plan}"
