@@ -31,10 +31,18 @@ def prepare_corpus(docs: DataFrame, benchmark: DataFrame, vocab_size: int = 4096
     cleaned = docs.withColumn("text", textclean.redact_pii(textclean.strip_html(F.col("text"))))
 
     # 2. quality gate: drop empty/degenerate documents before anything
-    #    tokenizes them twice (stopword/length heuristics, one map pass)
+    #    tokenizes them twice (stopword/length heuristics, one map pass),
+    #    then the perplexity-style filter — documents whose average unigram
+    #    log-probability under the corpus's own LM sits far below the median
+    #    are gibberish/boilerplate outliers
     q = textstats.quality_features_df(cleaned, text_col="text", id_col="doc_id")
     keep_ids = q.filter((F.col("n_tokens") >= 5) & (F.col("avg_token_len") <= 20)).select("doc_id")
     filtered = cleaned.join(keep_ids, "doc_id", "left_semi")
+    lm = textstats.unigram_logprob_df(filtered, text_col="text", id_col="doc_id")
+    lm_floor = lm.approxQuantile("logprob", [0.01], 0.001)[0]  # bottom 1% out
+    filtered = filtered.join(
+        lm.filter(F.col("logprob") >= lm_floor).select("doc_id"), "doc_id", "left_semi"
+    )
 
     # 3. exact dedup first — near-dup pair output is quadratic in duplicate
     #    cluster size, so collapse byte-identical copies before MinHash

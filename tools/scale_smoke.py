@@ -123,6 +123,7 @@ def main() -> None:
             ),
         ),
         "text_quality_200k": run("text_quality_200k", lambda: textstats.quality_features_df(docs)),
+        "unigram_logprob_200k": run("unigram_logprob_200k", lambda: textstats.unigram_logprob_df(docs)),
         "fingerprint_200k": run("fingerprint_200k", lambda: textstats.fingerprint_df(docs)),
         "cosine_topk_100k": run("cosine_topk_100k", lambda: similarity.brute_force_topk(vecs, [0.1] * 64, k=10)),
     }
