@@ -355,12 +355,17 @@ def _jvm_from_avro_usable(df) -> bool:
         return False
 
 
-def _python_decode_datum_udf(schema_json: str):
+def _python_decode_datum_udf(schema_json: str, wire: bool = False):
     """Arrow-batched pandas UDF decoding one raw Avro datum per row with the
     pure-Python codec (avro_codec.py) — the jar-less fallback.  ~10-100x
     slower per byte than the JVM path, so it is only chosen when spark-avro
-    is absent; still partition-parallel and Arrow-batched."""
-    from kafka_connect_morphlines_spark.avro_codec import decode_datum
+    is absent; still partition-parallel and Arrow-batched.
+
+    With ``wire`` the UDF consumes Confluent framing itself (split validates
+    magic + header length and raises on malformed records, matching
+    KafkaAvroDeserializer's error behavior); the JVM from_avro path has no
+    validation hook and strips the header with a substring instead."""
+    from kafka_connect_morphlines_spark.avro_codec import decode_datum, split_confluent
 
     spark_type = avro_struct(schema_json)
 
@@ -368,7 +373,14 @@ def _python_decode_datum_udf(schema_json: str):
     def dec(s):
         import pandas as pd  # noqa: PLC0415
 
-        rows = [decode_datum(v, schema_json) if v is not None else None for v in s]
+        def one(v):
+            if v is None:
+                return None
+            if wire:
+                v = split_confluent(v)[1]
+            return decode_datum(v, schema_json)
+
+        rows = [one(v) for v in s]
         return pd.DataFrame(
             [r if r is not None else dict.fromkeys([f.name for f in spark_type.fields]) for r in rows],
             columns=[f.name for f in spark_type.fields],
@@ -434,12 +446,12 @@ def read_avro(config, ctx):
                 "readAvro on raw bytes needs schemaString/schemaFile or schemaRegistryUrl + (schemaId|subject)"
             )
         payload = body.cast("binary")
-        if wire:
-            payload = F.substring(payload, 6, 2147483647)
         if _jvm_from_avro_usable(df):
             from_avro, _ = _avro_functions()
+            if wire:
+                payload = F.substring(payload, 6, 2147483647)
             return df.withColumn(out, from_avro(payload, schema_json))
-        return df.withColumn(out, _python_decode_datum_udf(schema_json)(payload))
+        return df.withColumn(out, _python_decode_datum_udf(schema_json, wire=wire)(payload))
 
     return transform
 

@@ -80,6 +80,18 @@ def test_read_avro_registry_binding(spark):
         schema_registry.ID_OVERRIDES.clear()
 
 
+def test_read_avro_wire_format_rejects_bad_magic(spark):
+    """A record without the 0x00 magic raises instead of decoding garbage —
+    KafkaAvroDeserializer parity (the jar-less python path validates
+    per-record; the JVM from_avro path has no hook and is documented)."""
+    good = encode_confluent({"name": "a", "n": 1}, SCHEMA, 7)
+    bad = b"\x01" + good[1:]
+    df = spark.createDataFrame([(good,), (bad,)], "_value binary")
+    p = compile_pipeline([{"readAvro": {"schemaString": SCHEMA, "wireFormat": True, "outputField": "rec"}}])
+    with pytest.raises(Exception, match="wire format"):
+        p(df).collect()
+
+
 def test_read_avro_wire_format_on_stream(spark, tmp_path):
     """The wire-format consume path is a plain frame transform, so the same
     compiled pipeline runs over a Structured Streaming micro-batch."""
