@@ -1548,7 +1548,8 @@ def volume_shipping_pairs(spark, sf_dir):
     "profit_by_nation_year",
     """
     SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount) - 0.1 * p.p_retailprice * l.l_quantity), 2) AS profit
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) - 0.1 * p.p_retailprice * l.l_quantity
+                               AS DECIMAL(23,6))), 2) AS DOUBLE) AS profit
     FROM lineitem l
       JOIN part p ON p.p_partkey = l.l_partkey
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1560,7 +1561,14 @@ def volume_shipping_pairs(spark, sf_dir):
 )
 def profit_by_nation_year(spark, sf_dir):
     """TPC-H Q9 shape (no partsupp: supply cost modeled as 10% of retail).
-    part/supplier/nation broadcast; lineitem<->orders is the one big join."""
+    part/supplier/nation broadcast; lineitem<->orders is the one big join.
+
+    The profit sum accumulates in DECIMAL(23,6): a double sum is
+    order-dependent, and with AQE choosing partition counts the half-cent
+    rounding of round(sum(double), 2) flipped between engines at small SFs.
+    Per-row double → decimal conversion is deterministic on both engines;
+    the decimal sum is exact and associative, so partitioning can't move
+    the rounded cent."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     s = t(spark, sf_dir, "supplier")
@@ -1573,7 +1581,7 @@ def profit_by_nation_year(spark, sf_dir):
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).alias("profit"))
+        .agg(F.round(F.sum(amount.cast("decimal(23,6)")), 2).cast("double").alias("profit"))
     )
 
 
