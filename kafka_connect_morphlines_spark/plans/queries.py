@@ -19,7 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from kafka_connect_morphlines_spark.functions import dedup, similarity, textstats
 from kafka_connect_morphlines_spark.pipeline import compile_pipeline
@@ -46,6 +46,19 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from kafka_connect_morphlines_spark.sources.files import load_table
 
     return load_table(spark, sf_dir, name)
+
+
+def money_sum(col: Column, scale: int = 2) -> Column:
+    """``round(sum(x), scale)`` with DECIMAL(23,6) accumulation, as double.
+
+    ``sum`` over doubles is summation-order dependent, so the rounded cent
+    of a revenue aggregate can flip with partitioning (observed: Q9 at
+    sf0.001, 842247.87 vs .88 between Spark and DuckDB).  Casting each
+    term double→decimal is deterministic on both engines and the decimal
+    sum is exact and associative — partitioning cannot move the result.
+    Oracles mirror it as CAST(round(sum(CAST(x AS DECIMAL(23,6))), s) AS DOUBLE).
+    """
+    return F.round(F.sum(col.cast("decimal(23,6)")), scale).cast("double")
 
 
 # --------------------------------------------------------------------------
@@ -422,9 +435,9 @@ def sample_seeded(spark, sf_dir):
     "agg_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(23,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(23,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,6))), 2) AS DOUBLE) AS sum_disc_price,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_discount), 4) AS avg_disc,
            count(*) AS count_order
@@ -437,9 +450,9 @@ def agg_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped aggregation (map-side partial agg, 2-col shuffle key)."""
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        money_sum(F.col("l_quantity")).alias("sum_qty"),
+        money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
@@ -449,7 +462,7 @@ def agg_pricing_summary(spark, sf_dir):
 @query(
     "join_revenue_by_nation",
     """
-    SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT n.n_name AS nation, CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(23,6))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -474,7 +487,7 @@ def join_revenue_by_nation(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -602,7 +615,7 @@ def except_low_priority(spark, sf_dir):
     "distinct_count_by_nation",
     """
     SELECT n.n_name AS nation, count(DISTINCT s.s_suppkey) AS n_suppliers,
-           round(sum(s.s_acctbal), 2) AS total_bal
+           CAST(round(sum(CAST(s.s_acctbal AS DECIMAL(23,6))), 2) AS DOUBLE) AS total_bal
     FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
     GROUP BY n.n_name
     """,
@@ -614,7 +627,7 @@ def distinct_count_by_nation(spark, sf_dir):
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.countDistinct("s_suppkey").alias("n_suppliers"), F.round(F.sum("s_acctbal"), 2).alias("total_bal"))
+        .agg(F.countDistinct("s_suppkey").alias("n_suppliers"), money_sum(F.col("s_acctbal")).alias("total_bal"))
     )
 
 
@@ -653,7 +666,7 @@ def pivot_event_counts(spark, sf_dir):
     "orders_by_month",
     """
     SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(23,6))), 2) AS DOUBLE) AS total
     FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
     """,
 )
@@ -662,7 +675,7 @@ def orders_by_month(spark, sf_dir):
     return (
         t(spark, sf_dir, "orders")
         .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), money_sum(F.col("o_totalprice")).alias("total"))
     )
 
 
@@ -670,7 +683,7 @@ def orders_by_month(spark, sf_dir):
     "event_time_tumbling_window",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type, count(*) AS n, round(sum(value), 2) AS total
+           event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(23,6))), 2) AS DOUBLE) AS total
     FROM events GROUP BY 1, 2
     """,
 )
@@ -681,7 +694,7 @@ def event_time_tumbling_window(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), money_sum(F.col("value")).alias("total"))
         .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"), "event_type", "n", "total")
     )
 
@@ -1324,7 +1337,7 @@ def approx_sketches(spark, sf_dir):
 @query(
     "filter_agg_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(23,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -1342,13 +1355,13 @@ def filter_agg_revenue(spark, sf_dir):
         & (F.col("l_discount") >= 0.03)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    ).agg(money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
 
 
 @query(
     "shipping_priority_topk",
     """
-    SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT l_orderkey, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,6))), 2) AS DOUBLE) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS odate
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1368,7 +1381,7 @@ def shipping_priority_topk(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -1443,7 +1456,7 @@ def string_codec_roundtrip(spark, sf_dir):
 @query(
     "returned_items_topk",
     """
-    SELECT c.c_custkey, c.c_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT c.c_custkey, c.c_name, CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(23,6))), 2) AS DOUBLE) AS revenue
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_returnflag = 'R'
@@ -1460,7 +1473,7 @@ def returned_items_topk(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -1506,7 +1519,7 @@ def argmin_supplier_per_nation(spark, sf_dir):
     """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(23,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
@@ -1540,7 +1553,7 @@ def volume_shipping_pairs(spark, sf_dir):
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -1588,7 +1601,7 @@ def profit_by_nation_year(spark, sf_dir):
 @query(
     "local_supplier_volume",
     """
-    SELECT n.n_name AS n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT n.n_name AS n_name, CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(23,6))), 2) AS DOUBLE) AS revenue
     FROM customer c, orders o, lineitem l, supplier s, nation n, region r
     WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
       AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
@@ -1621,14 +1634,14 @@ def local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
 @query(
     "nation_market_share",
     """
-    SELECT o_year, round(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE 0 END) / sum(vol), 6) AS mkt_share
+    SELECT o_year, round(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE 0 END AS DECIMAL(23,6))) AS DOUBLE) / CAST(sum(CAST(vol AS DECIMAL(23,6))) AS DOUBLE), 6) AS mkt_share
     FROM (
       SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
              l.l_extendedprice * (1 - l.l_discount) AS vol,
@@ -1667,7 +1680,7 @@ def nation_market_share(spark, sf_dir):
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0))) / F.sum(vol), 6
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0)).cast("decimal(23,6)")).cast("double") / F.sum(vol.cast("decimal(23,6)")).cast("double"), 6
             ).alias("mkt_share")
         )
     )
@@ -1677,12 +1690,12 @@ def nation_market_share(spark, sf_dir):
     "top_revenue_supplier",
     """
     WITH revenue AS (
-      SELECT l_suppkey AS supplier_no, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      SELECT l_suppkey AS supplier_no, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,6))) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
+    SELECT s.s_suppkey, s.s_name, CAST(round(r.total_revenue, 2) AS DOUBLE) AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
@@ -1697,7 +1710,7 @@ def top_revenue_supplier(spark, sf_dir):
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(23,6)")).alias("total_revenue")
     )
     if not revenue.isStreaming:
         revenue = revenue.localCheckpoint()  # feeds the max AND the filter join
@@ -1707,7 +1720,7 @@ def top_revenue_supplier(spark, sf_dir):
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).cast("double").alias("total_revenue"))
     )
 
 
@@ -1741,7 +1754,7 @@ def supplier_part_variety(spark, sf_dir):
 @query(
     "small_quantity_revenue",
     """
-    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(23,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
     FROM lineitem l
       JOIN part p ON p.p_partkey = l.l_partkey
       JOIN (
@@ -1768,7 +1781,7 @@ def small_quantity_revenue(spark, sf_dir):
     return (
         pl.join(F.broadcast(thresh), F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(23,6)")).cast("double") / 7.0, 2).alias("avg_yearly"))
     )
 
 
@@ -1829,8 +1842,8 @@ def customer_order_histogram(spark, sf_dir):
 @query(
     "promo_revenue_share",
     """
-    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share
+    SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END AS DECIMAL(23,6))) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(23,6))) AS DOUBLE), 4) AS promo_share
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
@@ -1848,7 +1861,7 @@ def promo_revenue_share(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
-                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev), 4
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0).cast("decimal(23,6)")).cast("double") / F.sum(rev.cast("decimal(23,6)")).cast("double"), 4
             ).alias("promo_share")
         )
     )
@@ -1886,7 +1899,7 @@ def large_order_customers(spark, sf_dir):
 @query(
     "disjunctive_part_revenue",
     """
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(23,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
        OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
@@ -1908,14 +1921,14 @@ def disjunctive_part_revenue(spark, sf_dir):
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
 @query(
     "idle_rich_customers",
     """
-    SELECT c.c_nationkey, count(*) AS numcust, round(sum(c.c_acctbal), 2) AS totacctbal
+    SELECT c.c_nationkey, count(*) AS numcust, CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(23,6))), 2) AS DOUBLE) AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -1935,16 +1948,16 @@ def idle_rich_customers(spark, sf_dir):
         .filter(F.col("c_acctbal") > F.col("_avg_bal"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .agg(F.count(F.lit(1)).alias("numcust"), money_sum(F.col("c_acctbal")).alias("totacctbal"))
     )
 
 
 @query(
     "lag_daily_revenue_delta",
     """
-    SELECT d, round(rev, 2) AS rev, round(rev - lag(rev) OVER (ORDER BY d), 2) AS delta
+    SELECT d, CAST(round(rev, 2) AS DOUBLE) AS rev, CAST(round(rev - lag(rev) OVER (ORDER BY d), 2) AS DOUBLE) AS delta
     FROM (
-      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d, sum(value) AS rev
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d, sum(CAST(value AS DECIMAL(23,6))) AS rev
       FROM events GROUP BY 1
     )
     """,
@@ -1958,13 +1971,13 @@ def lag_daily_revenue_delta(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d")).agg(
-        F.sum("value").alias("_rev")
+        F.sum(F.col("value").cast("decimal(23,6)")).alias("_rev")
     )
     w = Window.orderBy("d")
     return daily.select(
         "d",
-        F.round("_rev", 2).alias("rev"),
-        F.round(F.col("_rev") - F.lag("_rev").over(w), 2).alias("delta"),
+        F.round("_rev", 2).cast("double").alias("rev"),
+        F.round(F.col("_rev") - F.lag("_rev").over(w), 2).cast("double").alias("delta"),
     )
 
 
@@ -1972,7 +1985,7 @@ def lag_daily_revenue_delta(spark, sf_dir):
     "cube_order_counts",
     """
     SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(23,6))), 2) AS DOUBLE) AS total
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
@@ -1982,7 +1995,7 @@ def cube_order_counts(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), money_sum(F.col("o_totalprice")).alias("total"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -2054,7 +2067,7 @@ def confluent_wire_roundtrip(spark, sf_dir):
 @query(
     "salted_agg_event_totals",
     """
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    SELECT event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(23,6))), 2) AS DOUBLE) AS total
     FROM events GROUP BY event_type
     """,
 )
@@ -2065,9 +2078,11 @@ def salted_agg_event_totals(spark, sf_dir):
     exactly what the plain groupBy produces (the oracle)."""
     from kafka_connect_morphlines_spark.functions import skew
 
-    ev = t(spark, sf_dir, "events")
+    # decimal accumulation so the two-phase sum is exact and associative —
+    # a salted double sum re-orders terms twice (see money_sum)
+    ev = t(spark, sf_dir, "events").withColumn("value", F.col("value").cast("decimal(23,6)"))
     out = skew.salted_aggregate(ev, ["event_type"], {"n": ("count", "event_id"), "total": ("sum", "value")})
-    return out.select("event_type", "n", F.round("total", 2).alias("total"))
+    return out.select("event_type", "n", F.round("total", 2).cast("double").alias("total"))
 
 
 @query(
