@@ -190,7 +190,11 @@ def read_csv(config, ctx):
         parsed = F.from_csv(F.col("__line"), ddl, options)
         for i, orig in enumerate(columns):
             if orig:  # empty column name = skip that position (kite semantics)
-                df = df.withColumn(orig, parsed.getField(names[i]))
+                cell = parsed.getField(names[i])
+                # kite trims the parsed cell value itself (quoted content
+                # included) — Spark's ignore*WhiteSpace options only strip
+                # outside quotes, so trim post-parse for parity
+                df = df.withColumn(orig, F.trim(cell) if do_trim else cell)
         return df.drop("__line")
 
     return transform

@@ -453,3 +453,40 @@ def test_enrich_json_wrap_unions_namespaced(spark):
     assert got["child"] == {"com.acme.C": {"y": {"int": 3}}}
     assert got["qualified"] == {"org.other.Q": {"z": 7}}  # z is not a union: no wrap
     assert got["m"] == {"k": {"string": "v"}, "n": None}
+
+
+def test_read_csv_quote_skip_and_header(spark):
+    """readCSV edge config (kite parity): quoted separators survive, empty
+    column names skip positions, ignoreFirstLine drops the header, trim
+    strips padding."""
+    body = 'h1;h2;h3\n" a ";skipme;"x;y"\nb; z ;c'
+    df = spark.createDataFrame([(body,)], "_value string")
+    p = compile_pipeline(
+        [
+            {
+                "readCSV": {
+                    "separator": ";",
+                    "columns": ["first", "", "third"],
+                    "quoteChar": '"',
+                    "trim": True,
+                    "ignoreFirstLine": True,
+                }
+            }
+        ]
+    )
+    rows = sorted((r["first"], r["third"]) for r in p(df).collect())
+    assert rows == [("a", "x;y"), ("b", "c")]
+    assert "skipme" not in p(df).columns and "" not in p(df).columns
+
+
+def test_pipe_composes_and_call_parent_pipe(spark):
+    """pipe nests a child command chain; callParentPipe re-enters the full
+    chain (reference: kite pipe/callParentPipe semantics)."""
+    p = compile_pipeline(
+        [
+            {"setValues": {"a": "1"}},
+            {"pipe": {"commands": [{"setValues": {"b": "2"}}, {"setValues": {"c": "@{a}-@{b}"}}]}},
+        ]
+    )
+    [r] = p(spark.createDataFrame([("x",)], "_value string")).collect()
+    assert (r["a"], r["b"], r["c"]) == ("1", "2", "1-2")
