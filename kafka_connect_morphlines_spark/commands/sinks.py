@@ -145,7 +145,25 @@ def _value_columns(df: DataFrame, config) -> DataFrame:
 
     cols = [value_out.alias("value")]
     if key_field and key_field in df.columns:
-        cols.insert(0, colref(key_field).cast("string").alias("key"))
+        # keyFormat=avro: the reference's default key.serializer is also
+        # KafkaAvroSerializer (KafkaDataProducerCommandBuilder.java:253);
+        # key schema/id come from keySchemaString/keySchemaFile/keySchemaId
+        # through the same serde config, so keys get the same wire framing.
+        if config.get("keyFormat") == "avro":
+            key_cfg = {
+                "schemaString": config.get("keySchemaString"),
+                "schemaId": config.get("keySchemaId"),
+                "schemaRegistryUrl": config.get("schemaRegistryUrl"),
+                "subject": config.get("keySubject"),
+                "properties": config.get("properties", {}),
+            }
+            if config.get("keySchemaFile"):
+                key_cfg["schemaFile"] = config["keySchemaFile"]
+            key_cfg = {k: v for k, v in key_cfg.items() if v is not None}
+            key_dtype = {f.name: f.dataType for f in df.schema.fields}.get(key_field)
+            cols.insert(0, _avro_value_bytes(df, colref(key_field), key_dtype, key_cfg).alias("key"))
+        else:
+            cols.insert(0, colref(key_field).cast("string").alias("key"))
     if topic:
         cols.append(F.lit(topic).alias("topic"))
     elif topic_field in df.columns:

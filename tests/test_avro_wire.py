@@ -80,6 +80,39 @@ def test_read_avro_registry_binding(spark):
         schema_registry.ID_OVERRIDES.clear()
 
 
+def test_kafka_producer_avro_key_wire_format(spark, tmp_path):
+    """keyFormat=avro wire-frames the record key too (the reference's
+    default key.serializer is also KafkaAvroSerializer)."""
+    embedded_broker.install(spark)
+    try:
+        broker = str(tmp_path / "broker")
+        key_schema = '{"type":"record","name":"K","fields":[{"name":"k","type":"string"}]}'
+        p = compile_pipeline(
+            [
+                {"sqlExpr": {"_value": "struct(name, n)", "kcol": "named_struct('k', name)"}},
+                {
+                    "kafkaProducer": {
+                        "topic": "wk",
+                        "format": "avro",
+                        "schemaString": SCHEMA,
+                        "schemaId": 9,
+                        "keyField": "kcol",
+                        "keyFormat": "avro",
+                        "keySchemaString": key_schema,
+                        "keySchemaId": 4,
+                        "properties": {"bootstrap-servers": broker},
+                    }
+                },
+            ]
+        )
+        p(spark.createDataFrame([("a", 1)], "name string, n long"))
+        [row] = read_kafka_batch(spark, broker, "wk").collect()
+        assert decode_confluent(bytes(row["_key"]), key_schema) == (4, {"k": "a"})
+        assert decode_confluent(bytes(row["_value"]), SCHEMA) == (9, {"name": "a", "n": 1})
+    finally:
+        embedded_broker.uninstall()
+
+
 def test_read_avro_wire_format_rejects_bad_magic(spark):
     """A record without the 0x00 magic raises instead of decoding garbage —
     KafkaAvroDeserializer parity (the jar-less python path validates
