@@ -24,8 +24,9 @@ def from_connect_data(config, ctx):
 
     converter=string -> raw bytes + text/plain (ref :103-105)
     converter=json   -> JSON bytes + application/json (ref :107-110)
-    converter=avro   -> avro bytes + application/avro (ref :112-115; needs the
-                        spark-avro jar, else raises)
+    converter=avro   -> avro bytes + application/avro (ref :112-115; JVM
+                        to_avro with the jar, else the pure-Python encoder
+                        — which needs schemaString/schemaFile bound)
     """
     converter = config.get("converter", "avro")
     value_field = config.get("valueField", R.VALUE)
@@ -43,11 +44,9 @@ def from_connect_data(config, ctx):
                 body = F.encode(col.cast("string"), charset)
             mime = "application/json"
         elif converter == "avro":
-            try:
-                from pyspark.sql.avro.functions import to_avro  # noqa: PLC0415
-            except ImportError as e:  # pragma: no cover
-                raise NotImplementedError("converter=avro requires the spark-avro package") from e
-            body, mime = to_avro(col), "application/avro"
+            from kafka_connect_morphlines_spark.commands.sinks import _avro_value_bytes  # noqa: PLC0415
+
+            body, mime = _avro_value_bytes(df, col, dtype, config), "application/avro"
         else:
             raise PipelineSpecError(f"unknown converter {converter!r}")
         return df.withColumns(

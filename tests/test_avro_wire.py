@@ -180,3 +180,18 @@ def test_kafka_producer_wire_format_through_broker(spark, tmp_path):
         assert decoded == [(9, {"name": "a", "n": 1}), (9, {"name": "b", "n": 2})]
     finally:
         embedded_broker.uninstall()
+
+
+def test_from_connect_data_avro_roundtrip_jarless(spark):
+    """fromConnectData converter=avro works without the spark-avro jar via
+    the pure-Python encoder, and readAvro decodes the bytes back."""
+    p = compile_pipeline(
+        [
+            {"sqlExpr": {"_value": "struct(name, n)"}},
+            {"fromConnectData": {"converter": "avro", "schemaString": SCHEMA}},
+            {"readAvro": {"inputField": "_attachment_body", "schemaString": SCHEMA, "outputField": "rec"}},
+        ]
+    )
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "name string, n long")
+    got = sorted((r["rec"]["name"], r["rec"]["n"]) for r in p(df).collect())
+    assert got == [("a", 1), ("b", 2)]
