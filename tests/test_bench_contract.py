@@ -1,0 +1,43 @@
+"""bench.py driver-contract gate.
+
+Round 2 shipped a bench that crashed (rc=1, no JSON) on one broken query
+and zeroed the entire performance signal.  This test runs the real
+bench.py as a subprocess at sf0.001 and asserts the contract the driver
+relies on: rc=0, exactly one parseable JSON line on stdout with the
+agreed keys, a number for every headline query, and no errors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_emits_valid_contract_line():
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_CPUS"] = "8"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=900,
+    )
+    assert proc.returncode == 0, f"bench rc={proc.returncode}\n{proc.stderr[-2000:]}"
+    json_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert len(json_lines) == 1, f"expected exactly one JSON line, got {len(json_lines)}"
+    out = json.loads(json_lines[0])
+    assert out["metric"] == "headline_queries_total_sec"
+    assert out["unit"] == "sec" and out["value"] > 0
+    assert out["sf"] == 0.001
+    from bench import HEADLINE  # noqa: PLC0415
+
+    assert set(out["queries"]) == set(HEADLINE), "a headline query has no timing"
+    assert "errors" not in out, f"headline queries errored: {out.get('errors')}"
+    assert set(out["queries_cold"]) == set(HEADLINE)
