@@ -402,21 +402,30 @@ def simhash_signatures(
     ).select(
         "_id",
         # xxhash64(null) returns the seed, not null — keep null tokens null so
-        # the vote lands in the -1 leg and empty docs pack to 0 like the fold
+        # empty docs pack to 0 like the fold (sum/count both skip nulls)
         F.when(F.col("_t").isNull(), F.lit(None).cast("long")).otherwise(F.xxhash64("_t")).alias("_h"),
     )
+    # votes_j = sum(+1 if bit set else -1) = 2*ones_j - n, so track ones_j
+    # (one shiftright+and per aggregate — the smallest expression per bit;
+    # with K in the dozens, driver-side plan analysis is a visible cost at
+    # small data, and leaner trees also shrink the generated code) and the
+    # token count n once.  bit_j = votes_j > 0  <=>  2*ones_j > n.
     votes = ex.groupBy("_id").agg(
+        F.count("_h").alias("_n"),
         *[
-            F.sum(
-                F.when(F.col("_h").bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"_v{j}")
+            F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))).alias(f"_o{j}")
             for j in range(bits)
-        ]
+        ],
     )
-    packed = F.lit(0).cast("long")
-    for j in range(bits):
-        packed = packed + F.when(F.col(f"_v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
-    return votes.select("_id", packed.alias("_sh"))
+    # balanced pairwise reduction: depth log2(bits) instead of a bits-deep
+    # left-nested addition chain (optimizer traversals scale with depth)
+    terms = [
+        F.when(F.col(f"_o{j}") * 2 > F.col("_n"), F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        for j in range(bits)
+    ]
+    while len(terms) > 1:
+        terms = [terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i] for i in range(0, len(terms), 2)]
+    return votes.select("_id", terms[0].alias("_sh"))
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
