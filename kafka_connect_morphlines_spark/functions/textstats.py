@@ -166,6 +166,69 @@ def quality_features_df(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def hashed_linear_score_df(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+    seed: str = "qclf",
+    weights=None,
+):
+    """(id, n_tokens, score, label): fasttext-style linear quality classifier
+    over hashed bag-of-words features.
+
+    Each token maps to a feature bucket ``md5(token) % dim``; the model is a
+    weight per bucket; a document's score is the mean token weight and the
+    label is ``score > 0``.  Two weight sources:
+
+    - ``weights`` DataFrame (bucket, weight_milli: int in [-1000, 1000]) — a
+      real (externally trained) model, joined onto the exploded tokens.  The
+      table is dim-sized, far under the broadcast budget, so the join is a
+      broadcast hash join: corpus text never shuffles.
+    - ``None`` — weights derived per row from ``md5(seed, bucket)``: a fixed
+      pseudo-random model (the oracle-testable default), fully map-side.
+
+    Determinism contract: weights are integer *milli-units*, so the per-doc
+    sum is exact BIGINT arithmetic — no float summation-order sensitivity —
+    and score = sum / (1000 * n) is a single double division.  Shape at
+    100 TB: explode + per-doc groupBy with map-side combine; the shuffle
+    carries (id, long) partial sums, never text.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.explode_outer(tokens_codegen(F.col(text_col))).alias("_t"),
+    ).select(
+        F.col(id_col),
+        "_t",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"feat/{seed}/"), F.col("_t"))), 1, 6), 16, 10).cast("long")
+            % dim
+        ).alias("_bkt"),
+    )
+    if weights is not None:
+        w = F.broadcast(weights.select(F.col("bucket").alias("_bkt"), F.col("weight_milli").alias("_wm")))
+        ex = ex.join(w, "_bkt", "left")
+    else:
+        ex = ex.withColumn(
+            "_wm",
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"w/{seed}/"), F.col("_bkt").cast("string"))), 1, 6), 16, 10)
+            .cast("long")
+            % 2001
+            - 1000,
+        )
+    agg = ex.groupBy(id_col).agg(
+        F.count("_t").alias("n_tokens"),
+        F.coalesce(F.sum("_wm"), F.lit(0)).alias("_sum_milli"),
+    )
+    nt = F.col("n_tokens")
+    return agg.select(
+        F.col(id_col),
+        nt,
+        F.when(nt > 0, F.round(F.col("_sum_milli").cast("double") / (1000.0 * nt), 6)).otherwise(F.lit(0.0)).alias("score"),
+        (F.col("_sum_milli") > 0).alias("label"),
+    )
+
+
 def unigram_logprob_df(df, text_col: str = "text", id_col: str = "doc_id", alpha: float = 1.0):
     """(id, n_tokens, logprob): per-document average unigram log-probability
     under the corpus's own add-alpha-smoothed unigram LM — the classic

@@ -1040,6 +1040,42 @@ def word_entropy(spark, sf_dir):
 
 
 @query(
+    "quality_classifier_score",
+    """
+    WITH e AS (
+      SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), x -> x != '')) AS tkn
+      FROM documents
+    ), b AS (
+      SELECT doc_id, tkn,
+             CAST(('0x' || substr(md5('feat/qclf/' || tkn), 1, 6)) AS BIGINT) % 4096 AS bkt
+      FROM e
+    ), w AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('w/qclf/' || CAST(bkt AS VARCHAR)), 1, 6)) AS BIGINT) % 2001 - 1000 AS wm
+      FROM b
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(wm) AS sm FROM w GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(agg.n_tokens, 0) AS n_tokens,
+           CASE WHEN coalesce(agg.n_tokens, 0) > 0
+                THEN round(CAST(agg.sm AS DOUBLE) / (1000.0 * agg.n_tokens), 6)
+                ELSE 0.0 END AS score,
+           coalesce(agg.sm, 0) > 0 AS label
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+)
+def quality_classifier_score(spark, sf_dir):
+    """Fasttext-style hashed linear quality classifier
+    (textstats.hashed_linear_score_df): md5 feature hashing into 4096
+    buckets, integer milli-weights derived from the seeded bucket hash, one
+    explode + per-doc groupBy (map-side combine; the shuffle carries (id,
+    bigint) partial sums).  The weight sum is exact BIGINT arithmetic so the
+    score is summation-order independent on both engines."""
+    return textstats.hashed_linear_score_df(t(spark, sf_dir, "documents"))
+
+
+@query(
     "unigram_logprob",
     """
     WITH tok AS (

@@ -293,3 +293,30 @@ def test_resize_images_shape_and_determinism(spark):
     assert all((r["width"], r["height"]) == (16, 8) for r in out)
     assert bytes(by_id[1]["resized"]) == bytes(by_id[2]["resized"])  # same payload -> same bytes
     assert bytes(by_id[1]["resized"]) != bytes(by_id[3]["resized"])
+
+
+def test_hashed_linear_score_derived_and_weight_table(spark):
+    """hashed_linear_score_df: derived weights are deterministic; a supplied
+    (bucket, weight_milli) table overrides them; empty docs keep a row with
+    score 0 / label false; sums are exact integer arithmetic."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.hashed_linear_score_df(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3]["n_tokens"] == 0 and out[3]["score"] == 0.0 and out[3]["label"] is False
+    assert out[4]["n_tokens"] == 0 and out[4]["score"] == 0.0
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in textstats.hashed_linear_score_df(df).collect()}
+    assert out[1]["score"] == again[1]["score"]
+    # doc 2 repeats one token: its score must equal that token's weight
+    assert abs(out[2]["score"] * 2 * 1000 - round(out[2]["score"] * 2 * 1000)) < 1e-9
+
+    # supplied model: every bucket weight +1000 -> every token votes +1
+    dim = 4096
+    w = spark.createDataFrame([(b, 1000) for b in range(dim)], "bucket long, weight_milli long")
+    scored = {r["doc_id"]: r for r in textstats.hashed_linear_score_df(df, weights=w).collect()}
+    assert scored[1]["score"] == 1.0 and scored[1]["label"] is True
+    assert scored[2]["score"] == 1.0
+    assert scored[3]["score"] == 0.0 and scored[3]["label"] is False
