@@ -991,6 +991,85 @@ def html_strip(spark, sf_dir):
 
 
 @query(
+    "url_canonical_dedup",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'HTTP://WWW.Example.COM/page/' || CAST(doc_id % 50 AS VARCHAR)
+          WHEN 1 THEN 'http://example.com:80/page/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+          WHEN 2 THEN 'http://Example.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+                      || '?utm_source=feed&gclid=' || CAST(doc_id AS VARCHAR)
+          ELSE 'https://example.com:443/page/' || CAST(doc_id % 50 AS VARCHAR)
+               || '?id=7&utm_campaign=x#sec-' || CAST(doc_id AS VARCHAR)
+        END AS url
+      FROM documents
+    ), c1 AS (
+      SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM u
+    ), c2 AS (
+      SELECT doc_id, u, regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*') AS p FROM c1
+    ), c3 AS (
+      SELECT doc_id, lower(p) || substr(u, length(p) + 1) AS u FROM c2
+    ), c4 AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+          '^(https?://)www\.', '\1'),
+          '^(http://[^/?#]*):80([/?#])', '\1\2'),
+          '^(http://[^/?#]*):80$', '\1'),
+          '^(https://[^/?#]*):443([/?#])', '\1\2'),
+          '^(https://[^/?#]*):443$', '\1') AS u
+      FROM c3
+    ), c5 AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+          '([?&])(utm_[^=&]*|gclid|fbclid|msclkid)=[^&#]*', '\1', 'g'),
+          '&&+', '&', 'g'),
+          '[?]&', '?'),
+          '[?&]$', ''),
+          '([^/])/$', '\1'),
+          '([^/])/[?]', '\1?') AS u
+      FROM c4
+    )
+    SELECT u AS canonical_url, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM c5 GROUP BY u
+    """,
+)
+def url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + canonical-URL dedup (web.url_dedup_keys).
+
+    The corpus has no URL column, so the query derives a deliberately messy
+    URL per document (scheme/host case, www, default ports, tracking params,
+    fragments, trailing slashes — four spellings of the same page family)
+    and reduces it to (canonical_url, keep_id, n_copies).  Canonicalization
+    is a map-only codegen regexp chain; the dedup groupBy shuffles one short
+    key per row."""
+    from kafka_connect_morphlines_spark.functions import web
+
+    d = t(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 50).cast("string")
+    did = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("HTTP://WWW.Example.COM/page/"), page))
+        .when(v == 1, F.concat(F.lit("http://example.com:80/page/"), page, F.lit("/")))
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("http://Example.com/page/"), page,
+                F.lit("?utm_source=feed&gclid="), did,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com:443/page/"), page,
+                F.lit("?id=7&utm_campaign=x#sec-"), did,
+            )
+        )
+    )
+    return web.url_dedup_keys(d.select("doc_id", url.alias("url")))
+
+
+@query(
     "dup_ngram_stats",
     """
     WITH tok AS (

@@ -320,3 +320,43 @@ def test_hashed_linear_score_derived_and_weight_table(spark):
     assert scored[1]["score"] == 1.0 and scored[1]["label"] is True
     assert scored[2]["score"] == 1.0
     assert scored[3]["score"] == 0.0 and scored[3]["label"] is False
+
+
+def test_canonicalize_url_rules(spark):
+    """canonicalize_url: fragment, case, www, default ports, tracking params,
+    separator repair, trailing slash; schemeless and null pass-through."""
+    from kafka_connect_morphlines_spark.functions import web
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/Path/?utm_source=x&id=3&fbclid=9#frag", "http://example.com/Path?id=3"),
+        ("https://Example.com:443/a/", "https://example.com/a"),
+        ("https://example.com:8443/a", "https://example.com:8443/a"),  # non-default port kept
+        ("http://a.com/?utm_a=1&utm_b=2&utm_c=3", "http://a.com"),
+        ("http://a.com/x?gclid=1", "http://a.com/x"),
+        ("http://a.com/", "http://a.com"),
+        ("http://a.com//", "http://a.com//"),  # '//' tail left alone (scheme guard)
+        ("no-scheme/path/?utm_x=1", "no-scheme/path"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["c"] for r in df.select("i", web.canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: got {got[i]!r}, want {want!r}"
+
+
+def test_url_dedup_keeps_first(spark):
+    from kafka_connect_morphlines_spark.functions import web
+
+    df = spark.createDataFrame(
+        [
+            (5, "http://A.com/x?utm_s=1"),
+            (2, "http://a.com/x/"),
+            (9, "http://a.com/x#top"),
+            (7, "http://b.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = sorted(r["doc_id"] for r in web.url_dedup(df).collect())
+    assert kept == [2, 7]
+    keys = {r["canonical_url"]: r for r in web.url_dedup_keys(df).collect()}
+    assert keys["http://a.com/x"]["n_copies"] == 3
