@@ -531,6 +531,48 @@ def window_running_sum(spark, sf_dir):
 
 
 @query(
+    "session_window_agg",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           epoch_ms(min(ts)) AS session_start_ms,
+           epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS session_end_ms,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_agg(spark, sf_dir):
+    """Native gap-based session windows (``F.session_window``, the batch face
+    of streaming/runner.session_windows): Spark merges events into
+    [first_ts, last_ts + gap) sessions inside one groupBy — no
+    lag/cumulative-sum window pass.  Oracle recomputes the same sessions via
+    gaps-and-islands (new session when the gap is >= 30 min, matching
+    session_window's exclusive end bound)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("s.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("s.end")).alias("session_end_ms"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "sessionize",
     """
     SELECT user_id, count(DISTINCT session_id) AS n_sessions FROM (

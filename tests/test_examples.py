@@ -132,6 +132,9 @@ def test_session_window_stream(spark, tmp_path):
     )
     stream_sessions = spark.sql("SELECT count(*) AS c FROM sess_out").collect()[0]["c"]
     assert stream_sessions == batch_sessions
+    # and the batch face of the same native operator: one row per session
+    batch_face = QUERIES["session_window_agg"].build(spark, "/root/testdata/sf0.001").count()
+    assert batch_face == stream_sessions
 
 
 def test_streaming_dlq_example(spark, tmp_path):
