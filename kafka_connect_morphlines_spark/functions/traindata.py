@@ -300,6 +300,68 @@ def chunk_documents(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    span_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4/RefinedWeb-style span-level dedup: of every ``span_tokens``-token
+    non-overlapping span that occurs more than once in the corpus, keep only
+    the first occurrence (smallest (doc_id, position)) and rebuild each
+    document from its surviving spans.
+
+    Output: (id, clean_text, n_spans, n_removed) — one row per input
+    document (empty/whitespace docs keep a row with clean_text '').
+
+    Shape at 100 TB:
+    - chunking is the codegen explode(sequence)+slice pattern
+      (chunk_documents); the winner aggregation groups on the span's md5
+      digest and min-reduces a (doc_id, pos) struct with map-side combine —
+      that shuffle carries 16-byte keys + two longs, never span text;
+    - span text crosses the wire exactly once, in the digest-keyed join
+      that filters spans down to winners (sort-merge; AQE broadcasts the
+      winner side when small);
+    - reassembly groups by doc id (array_sort over (pos, span) structs —
+      spans-per-doc bounded, per-row codegen).
+    """
+    d = df.select(F.col(id_col), tokens_codegen(F.col(text_col)).alias("_w")).filter(F.size("_w") > 0)
+    nspans = F.ceil(F.size("_w") / F.lit(span_tokens))
+    d = d.select(id_col, "_w", F.explode(F.sequence(F.lit(0), nspans - 1)).alias("_pos"))
+    span = F.concat_ws(" ", F.slice(F.col("_w"), F.col("_pos") * span_tokens + 1, span_tokens))
+    spans = d.select(F.col(id_col).alias("_id"), "_pos", span.alias("_span"), F.md5(span).alias("_key"))
+    winners = spans.groupBy("_key").agg(
+        F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_first"),
+    )
+    kept = (
+        spans.join(winners, "_key")
+        .filter((F.col("_id") == F.col("_first._id")) & (F.col("_pos") == F.col("_first._pos")))
+        .select("_id", "_pos", "_span")
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_span")))),
+                lambda s: s["_span"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = spans.groupBy("_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        df.select(F.col(id_col))
+        .join(totals.withColumnRenamed("_id", id_col), id_col, "left")
+        .join(rebuilt.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            (F.coalesce(F.col("n_spans"), F.lit(0)) - F.coalesce(F.col("_n_kept"), F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,

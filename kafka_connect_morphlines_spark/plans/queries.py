@@ -1033,6 +1033,50 @@ def html_strip(spark, sf_dir):
 
 
 @query(
+    "span_dedup_clean",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(toks[(CAST(i AS BIGINT)*16+1):(CAST(i AS BIGINT)*16+16)], ' ') AS span
+      FROM tok, UNNEST(range(CAST(ceil(len(toks)/16.0) AS BIGINT))) AS t(i)
+    ), ranked AS (
+      SELECT doc_id, pos, span,
+             row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, pos) AS rn
+      FROM spans
+    ), rebuilt AS (
+      SELECT doc_id,
+             string_agg(span, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           coalesce(t.n_spans, 0) AS n_spans,
+           coalesce(t.n_spans, 0) - coalesce(r.n_kept, 0) AS n_removed
+    FROM documents d
+    LEFT JOIN totals t ON d.doc_id = t.doc_id
+    LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def span_dedup_clean(spark, sf_dir):
+    """C4/RefinedWeb-style duplicate-span removal
+    (traindata.remove_duplicate_spans): every 16-token non-overlapping span
+    that repeats anywhere in the corpus survives only at its first
+    (doc_id, pos) occurrence; documents are rebuilt from surviving spans.
+    Winner selection is a digest-keyed min-struct groupBy (16-byte keys in
+    the shuffle); span text crosses the wire once, in the winner-filter
+    join."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    return traindata.remove_duplicate_spans(t(spark, sf_dir, "documents"), span_tokens=16)
+
+
+@query(
     "url_canonical_dedup",
     r"""
     WITH u AS (

@@ -360,3 +360,27 @@ def test_url_dedup_keeps_first(spark):
     assert kept == [2, 7]
     keys = {r["canonical_url"]: r for r in web.url_dedup_keys(df).collect()}
     assert keys["http://a.com/x"]["n_copies"] == 3
+
+
+def test_remove_duplicate_spans(spark):
+    """remove_duplicate_spans: corpus-wide first occurrence survives, later
+    occurrences (cross-doc and within-doc) are removed, docs rebuild in span
+    order, empty docs keep a row."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    boiler = "a b c d"  # 4-token span, duplicated everywhere
+    rows = [
+        (1, boiler + " x1 x2 x3 x4"),            # first occurrence of boiler
+        (2, boiler + " y1 y2 y3 y4"),            # boiler removed
+        (3, "z1 z2 z3 z4 " + boiler),            # boiler at pos 1 removed
+        (4, boiler + " " + boiler),              # within-doc repeat: keep pos 0? no - doc 1 owns it
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in traindata.remove_duplicate_spans(df, span_tokens=4).collect()}
+    assert out[1]["clean_text"] == boiler + " x1 x2 x3 x4" and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "y1 y2 y3 y4" and out[2]["n_removed"] == 1
+    assert out[3]["clean_text"] == "z1 z2 z3 z4" and out[3]["n_removed"] == 1
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 2
+    assert out[5]["clean_text"] == "" and out[5]["n_spans"] == 0 and out[5]["n_removed"] == 0
+    assert set(out) == {1, 2, 3, 4, 5}
