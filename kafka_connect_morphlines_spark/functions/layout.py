@@ -1,0 +1,114 @@
+"""Data-layout operators: bucketed tables for shuffle-free co-located
+joins, and Z-order clustering for multi-dimensional file skipping.
+
+Why this is a first-class operator family at 100 TB:
+
+- **Bucketing** pre-shuffles a table ONCE at write time.  Two tables
+  bucketed on the same key with the same bucket count join with ZERO
+  exchanges — the per-query shuffle (the dominant cost of a big fact-fact
+  join) is amortized into the write.  This is Spark's native answer to
+  "co-located join" (``df.write.bucketBy(n, key).sortBy(key)``); the scan
+  reports the bucket spec and Catalyst drops the Exchange on both sides
+  (pinned by tests/test_layout.py).
+- **Z-ordering** linearizes a multi-dimensional key space onto one
+  dimension such that range-clustered files are simultaneously clustered
+  in EVERY interleaved dimension.  Parquet min/max row-group stats then
+  skip files for predicates on any of the dimensions — not just the lead
+  sort column.  ``repartitionByRange + sortWithinPartitions`` on the
+  Z-value produces one tight Z-range per output file.
+
+Both are write-side layout choices: they cost one shuffle at prep time and
+pay back on every subsequent query — exactly the trade a 100 TB corpus
+wants (prep once, query thousands of times).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def zorder_value(cols: list[Column], bits: int = 8) -> Column:
+    """Interleave the low ``bits`` bits of each column into one Z-value.
+
+    Callers normalize each dimension into [0, 2^bits) first (modulo a
+    bucket count, a rank, or a range bucket) — and should scale every
+    dimension to USE the full ``bits`` width: a dimension occupying only
+    the low bits contributes nothing to the high interleaved positions, so
+    the curve degenerates toward a plain sort on the wider dimensions.
+    Bit j of dimension d lands
+    at position ``j * len(cols) + d`` — the classic Morton code.  The
+    expression is a flat sum of shift/mask terms, all codegen; with D
+    dimensions and B bits that's D*B integer ops per row, map-only.
+    """
+    terms = [
+        F.shiftleft(F.shiftright(c.cast("long"), j).bitwiseAND(F.lit(1)), j * len(cols) + d)
+        for j in range(bits)
+        for d, c in enumerate(cols)
+    ]
+    # balanced pairwise reduction keeps the expression tree log-deep
+    while len(terms) > 1:
+        terms = [terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i] for i in range(0, len(terms), 2)]
+    return terms[0]
+
+
+def zorder_sql(exprs: list[str], bits: int = 8) -> str:
+    """The SAME Morton code as ``zorder_value``, as engine-neutral SQL text
+    (generated from one term list so the two cannot drift — the
+    _pii_oracle_sql pattern)."""
+    terms = [
+        # outer parens matter: SQL's << binds looser than +, so an unwrapped
+        # "a << 3 + b << 5" would parse as a << (3 + b) << 5
+        f"(((({e}) >> {j}) & 1) << {j * len(exprs) + d})"
+        for j in range(bits)
+        for d, e in enumerate(exprs)
+    ]
+    return " + ".join(terms)
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    bits: int = 8,
+    num_files: int = 32,
+    dim_buckets: int | None = None,
+) -> None:
+    """Write ``df`` as parquet range-clustered by the Z-value of ``cols``.
+
+    Each dimension is first bucketed into [0, 2^bits) by modulo
+    (``dim_buckets`` defaults to 2^bits); ``repartitionByRange`` over the
+    Z-value gives each output file one contiguous Z-range, so parquet
+    min/max stats on the ORIGINAL columns are tight per file in every
+    dimension — the file-skipping property tests/test_layout.py measures.
+    The Z-value itself is dropped before write (layout, not schema).
+    """
+    buckets = dim_buckets or (1 << bits)
+    zv = zorder_value([F.col(c) % buckets for c in cols], bits=bits)
+    (
+        df.withColumn("_z", zv)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort: bool = True,
+) -> None:
+    """Save ``df`` as a bucketed (and bucket-sorted) managed table.
+
+    Bucketed scans expose hash-distribution to Catalyst: an equi-join of
+    two tables bucketed on the same key and count plans with NO Exchange
+    (and with ``sort=True`` no per-query Sort either) — the join shuffle
+    is paid once here, at write time.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)

@@ -1032,6 +1032,31 @@ def html_strip(spark, sf_dir):
     return docs.select("doc_id", textclean.strip_html(F.col("text")).alias("clean"))
 
 
+def _zorder_oracle_sql() -> str:
+    """Morton-code SQL generated from the SAME term list the Spark operator
+    uses (layout.zorder_sql) so the two cannot drift."""
+    from kafka_connect_morphlines_spark.functions.layout import zorder_sql
+
+    expr = zorder_sql(["user_id % 256", "CAST(floor(value) AS BIGINT) % 256"], bits=8)
+    return f"SELECT event_id, {expr} AS zval FROM events"
+
+
+@query("zorder_values", None)  # oracle attached below (generated from the term list)
+def zorder_values(spark, sf_dir):
+    """Z-order (Morton) interleave of two normalized dimensions
+    (layout.zorder_value) — the clustering key behind
+    layout.cluster_by_zorder's multi-dimensional file skipping.  A flat
+    codegen shift/mask sum, map-only."""
+    from kafka_connect_morphlines_spark.functions import layout
+
+    ev = t(spark, sf_dir, "events")
+    zv = layout.zorder_value([F.col("user_id") % 256, F.floor(F.col("value")) % 256], bits=8)
+    return ev.select("event_id", zv.alias("zval"))
+
+
+QUERIES["zorder_values"] = QuerySpec(build=zorder_values, oracle=_zorder_oracle_sql())
+
+
 @query(
     "span_dedup_clean",
     """

@@ -1,0 +1,87 @@
+"""Data-layout tests: bucketed co-located joins (no per-query Exchange)
+and Z-order clustering (per-file min/max stats tight in every dimension)."""
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from kafka_connect_morphlines_spark.functions import layout
+from kafka_connect_morphlines_spark.sources.files import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_drops_exchanges(spark, tmp_path):
+    """Two tables bucketed on the same key/count join with zero Exchange
+    nodes — the shuffle was paid once at write time."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ev = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+        users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        layout.write_bucketed(ev, "ev_bkt", "user_id", num_buckets=8)
+        layout.write_bucketed(users, "users_bkt", "user_id", num_buckets=8)
+        joined = spark.table("ev_bkt").join(spark.table("users_bkt"), "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # same rows as the plain (shuffling) join
+        assert joined.count() == ev.join(users, "user_id").count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS ev_bkt")
+        spark.sql("DROP TABLE IF EXISTS users_bkt")
+
+
+def test_zorder_files_are_tight_in_both_dims(spark, tmp_path):
+    """Z-range-clustered files have narrow min/max spans on BOTH interleaved
+    dimensions, so parquet stats can skip files for predicates on either —
+    the property a lead-column sort only gives its first column."""
+    out = str(tmp_path / "zorder")
+    # both dims scaled to the full 4-bit width (user_id 0..14, v2 0..15):
+    # mismatched widths degenerate the curve toward a sort on the wider dim
+    ev = (
+        load_table(spark, SF, "events")
+        .select("event_id", "user_id", F.floor(F.col("value") / 32).alias("v2"))
+    )
+    layout.cluster_by_zorder(ev, ["user_id", "v2"], out, bits=4, num_files=16)
+
+    import glob
+
+    spans_u, spans_v = [], []
+    lo_u, hi_u, lo_v, hi_v = None, None, None, None
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert len(files) > 4
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols = {md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)}
+        mn_u = min(md.row_group(g).column(cols["user_id"]).statistics.min for g in range(md.num_row_groups))
+        mx_u = max(md.row_group(g).column(cols["user_id"]).statistics.max for g in range(md.num_row_groups))
+        mn_v = min(md.row_group(g).column(cols["v2"]).statistics.min for g in range(md.num_row_groups))
+        mx_v = max(md.row_group(g).column(cols["v2"]).statistics.max for g in range(md.num_row_groups))
+        spans_u.append(mx_u - mn_u)
+        spans_v.append(mx_v - mn_v)
+        lo_u = mn_u if lo_u is None else min(lo_u, mn_u)
+        hi_u = mx_u if hi_u is None else max(hi_u, mx_u)
+        lo_v = mn_v if lo_v is None else min(lo_v, mn_v)
+        hi_v = mx_v if hi_v is None else max(hi_v, mx_v)
+
+    frac_u = (sum(spans_u) / len(spans_u)) / max(1, hi_u - lo_u)
+    frac_v = (sum(spans_v) / len(spans_v)) / max(1, hi_v - lo_v)
+    # with 2 interleaved dims over 16 z-range files, each file should cover
+    # well under the full range of each dimension
+    assert frac_u < 0.6, (frac_u, spans_u)
+    assert frac_v < 0.6, (frac_v, spans_v)
+
+
+def test_zorder_value_matches_generated_sql(spark):
+    """zorder_value (Column) and zorder_sql (text) come from the same term
+    list; pin their equality through Spark's own SQL parser."""
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        (F.col("id") * 7 % 256).alias("x"),
+        (F.col("id") * 13 % 256).alias("y"),
+    )
+    got = df.select(
+        "id",
+        layout.zorder_value([F.col("x"), F.col("y")], bits=8).alias("zc"),
+        F.expr(layout.zorder_sql(["x", "y"], bits=8)).alias("zs"),
+    )
+    assert got.filter(F.col("zc") != F.col("zs")).count() == 0
