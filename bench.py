@@ -48,6 +48,8 @@ HEADLINE = [
     "text_quality",
     "doc_fingerprint",
     "unigram_logprob",
+    "quality_classifier_score",
+    "span_dedup_clean",
     # corpus-preparation operators (traindata.py)
     "decontaminate_ngrams",
     "dedup_cc_clusters",

@@ -1,25 +1,16 @@
-"""Data-layout operators: bucketed tables for shuffle-free co-located
-joins, and Z-order clustering for multi-dimensional file skipping.
+"""Z-order (Morton) clustering: multi-dimensional file skipping.
 
-Why this is a first-class operator family at 100 TB:
+Z-ordering linearizes a multi-dimensional key space onto one dimension
+such that range-clustered files are simultaneously clustered in EVERY
+interleaved dimension.  Parquet min/max row-group stats then skip files
+for predicates on any of the dimensions — not just the lead sort column.
+``repartitionByRange + sortWithinPartitions`` on the Z-value produces one
+tight Z-range per output file.
 
-- **Bucketing** pre-shuffles a table ONCE at write time.  Two tables
-  bucketed on the same key with the same bucket count join with ZERO
-  exchanges — the per-query shuffle (the dominant cost of a big fact-fact
-  join) is amortized into the write.  This is Spark's native answer to
-  "co-located join" (``df.write.bucketBy(n, key).sortBy(key)``); the scan
-  reports the bucket spec and Catalyst drops the Exchange on both sides
-  (pinned by tests/test_layout.py).
-- **Z-ordering** linearizes a multi-dimensional key space onto one
-  dimension such that range-clustered files are simultaneously clustered
-  in EVERY interleaved dimension.  Parquet min/max row-group stats then
-  skip files for predicates on any of the dimensions — not just the lead
-  sort column.  ``repartitionByRange + sortWithinPartitions`` on the
-  Z-value produces one tight Z-range per output file.
-
-Both are write-side layout choices: they cost one shuffle at prep time and
-pay back on every subsequent query — exactly the trade a 100 TB corpus
-wants (prep once, query thousands of times).
+Like bucketing (functions/bucketing.py — the co-located-join layout
+contract), this is a write-side layout choice: it costs one shuffle at
+prep time and pays back on every subsequent query — exactly the trade a
+100 TB corpus wants (prep once, query thousands of times).
 """
 
 from __future__ import annotations
@@ -92,23 +83,3 @@ def cluster_by_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
-
-
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    bucket_col: str,
-    num_buckets: int = 16,
-    sort: bool = True,
-) -> None:
-    """Save ``df`` as a bucketed (and bucket-sorted) managed table.
-
-    Bucketed scans expose hash-distribution to Catalyst: an equi-join of
-    two tables bucketed on the same key and count plans with NO Exchange
-    (and with ``sort=True`` no per-query Sort either) — the join shuffle
-    is paid once here, at write time.
-    """
-    w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, bucket_col)
-    if sort:
-        w = w.sortBy(bucket_col)
-    w.saveAsTable(table)

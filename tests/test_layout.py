@@ -1,5 +1,6 @@
-"""Data-layout tests: bucketed co-located joins (no per-query Exchange)
-and Z-order clustering (per-file min/max stats tight in every dimension)."""
+"""Z-order clustering tests: per-file min/max stats tight in every
+dimension (the bucketed co-located-join layout is pinned in
+tests/test_plans.py::test_bucketed_join_plans_no_exchange)."""
 
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
@@ -8,26 +9,6 @@ from kafka_connect_morphlines_spark.functions import layout
 from kafka_connect_morphlines_spark.sources.files import load_table
 
 SF = "/root/testdata/sf0.001"
-
-
-def test_bucketed_join_drops_exchanges(spark, tmp_path):
-    """Two tables bucketed on the same key/count join with zero Exchange
-    nodes — the shuffle was paid once at write time."""
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        ev = load_table(spark, SF, "events").select("event_id", "user_id", "value")
-        users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-        layout.write_bucketed(ev, "ev_bkt", "user_id", num_buckets=8)
-        layout.write_bucketed(users, "users_bkt", "user_id", num_buckets=8)
-        joined = spark.table("ev_bkt").join(spark.table("users_bkt"), "user_id")
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, plan
-        # same rows as the plain (shuffling) join
-        assert joined.count() == ev.join(users, "user_id").count()
-    finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.sql("DROP TABLE IF EXISTS ev_bkt")
-        spark.sql("DROP TABLE IF EXISTS users_bkt")
 
 
 def test_zorder_files_are_tight_in_both_dims(spark, tmp_path):

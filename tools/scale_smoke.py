@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window, functions as F  # noqa: E402
 
 from kafka_connect_morphlines_spark import compile_pipeline, get_spark  # noqa: E402
-from kafka_connect_morphlines_spark.functions import dedup, relational, similarity, textstats, traindata  # noqa: E402
+from kafka_connect_morphlines_spark.functions import dedup, relational, similarity, textstats, traindata, web  # noqa: E402
 
 
 def main() -> None:
@@ -120,6 +120,22 @@ def main() -> None:
                     docs.withColumn("blk", (F.col("doc_id") % 2000).cast("string")), block_col="blk", threshold=0.8
                 ),
                 docs,
+            ),
+        ),
+        "span_dedup_200k": run("span_dedup_200k", lambda: traindata.remove_duplicate_spans(docs, span_tokens=8)),
+        "qclf_200k": run("qclf_200k", lambda: textstats.hashed_linear_score_df(docs)),
+        "url_dedup_200k": run(
+            "url_dedup_200k",
+            lambda: web.url_dedup_keys(
+                docs.select(
+                    "doc_id",
+                    F.concat(
+                        F.lit("HTTP://WWW.Example.COM:80/p/"),
+                        (F.col("doc_id") % 50000).cast("string"),
+                        F.lit("/?utm_source=s&id="),
+                        (F.col("doc_id") % 7).cast("string"),
+                    ).alias("url"),
+                )
             ),
         ),
         "text_quality_200k": run("text_quality_200k", lambda: textstats.quality_features_df(docs)),
