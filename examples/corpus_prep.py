@@ -43,10 +43,26 @@ def prepare_corpus(docs: DataFrame, benchmark: DataFrame, vocab_size: int = 4096
     filtered = filtered.join(
         lm.filter(F.col("logprob") >= lm_floor).select("doc_id"), "doc_id", "left_semi"
     )
+    #    ... and the model-based gate: a hashed linear classifier scores
+    #    each doc (here the derived pseudo-random model; production swaps
+    #    in a trained (bucket, weight_milli) table via weights=)
+    clf = textstats.hashed_linear_score_df(filtered, text_col="text", id_col="doc_id")
+    filtered = filtered.join(
+        clf.filter(F.col("score") > -0.1).select("doc_id"), "doc_id", "left_semi"
+    )
 
     # 3. exact dedup first — near-dup pair output is quadratic in duplicate
     #    cluster size, so collapse byte-identical copies before MinHash
     distinct_docs = dedup.exact_dedup(filtered, text_col="text", id_col="doc_id")
+
+    # 3b. span-level dedup: boilerplate repeated ACROSS surviving documents
+    #     (headers, license blocks) is removed at span granularity while the
+    #     documents themselves survive
+    spans = traindata.remove_duplicate_spans(distinct_docs, span_tokens=16)
+    distinct_docs = (
+        distinct_docs.drop("text")
+        .join(spans.filter(F.col("n_spans") > 0).select("doc_id", F.col("clean_text").alias("text")), "doc_id")
+    )
 
     # 4. near-dup clustering: MinHash-LSH candidate pairs -> exact-Jaccard
     #    verify -> connected components -> keep min doc_id per cluster
