@@ -32,6 +32,11 @@ NAMES = [
     "disjunctive_part_revenue",
     "large_order_customers",
     "cube_order_counts",
+    "session_window_agg",
+    "quality_classifier_score",
+    "span_dedup_clean",
+    "url_canonical_dedup",
+    "zorder_values",
 ]
 
 
