@@ -323,3 +323,31 @@ def test_unigram_logprob_text_never_shuffles(spark):
     plan = plan_of(build(spark, "unigram_logprob"))
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln or "Arguments: hashpartitioning" in ln]
     assert "text" not in " ".join(exchanges), f"document text in a shuffle:\n{plan}"
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's InjectRuntimeFilter must add a bloom-filter semi-join
+    reduction to the fact side of a shuffle join whose build side is
+    selectively filtered: the fact scan then drops non-joining rows before
+    the shuffle.  At real scale this fires out of the box (the application
+    side must exceed spark.sql.optimizer.runtime.bloomFilter.
+    applicationSideScanSizeThreshold, default 10 GB); the test lowers the
+    threshold because sf0.01 is far below it."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_morphlines_spark.sources.files import load_table
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_thr = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prev_thr)
