@@ -351,3 +351,22 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prev_thr)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A fact table written partitionBy(key) joined to a filtered dim must
+    plan with a dynamicpruning subquery on the fact's PartitionFilters —
+    at 100 TB this skips whole partition directories of the fact scan based
+    on the dim filter, before any data is read."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_morphlines_spark.sources.files import load_table
+
+    out = str(tmp_path / "ev_part")
+    load_table(spark, SF_DIR, "events").write.partitionBy("event_type").mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame([("click", 1), ("error", 2)], "event_type string, w int").filter(
+        F.col("w") == 1
+    )
+    plan = fact.join(dim, "event_type")._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
