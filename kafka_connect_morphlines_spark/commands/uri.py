@@ -66,3 +66,21 @@ def extract_uri_query_parameters(config, ctx):
         return df.withColumn(out_fld, F.parse_url(col, F.lit("QUERY"), F.lit(parameter)))
 
     return transform
+
+
+@command("canonicalizeURI")
+def canonicalize_uri(config, ctx):
+    """Beyond-kite extension of the URI family: normalize a URL field for
+    identity comparison (web.canonicalize_url — scheme/host case, www,
+    default ports, tracking params, fragments, trailing slashes).  Config:
+    ``inputField``, ``outputField`` (default = in place)."""
+    from kafka_connect_morphlines_spark.functions.web import canonicalize_url
+
+    in_fld = config.get("inputField")
+    out_fld = config.get("outputField", in_fld)
+    value = canonicalize_url(colref(in_fld).cast("string"))
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.withColumn(out_fld, value)
+
+    return transform

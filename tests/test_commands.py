@@ -490,3 +490,16 @@ def test_pipe_composes_and_call_parent_pipe(spark):
     )
     [r] = p(spark.createDataFrame([("x",)], "_value string")).collect()
     assert (r["a"], r["b"], r["c"]) == ("1", "2", "1-2")
+
+
+def test_canonicalize_uri_command(spark):
+    from kafka_connect_morphlines_spark.pipeline import compile_pipeline
+
+    p = compile_pipeline(
+        [{"canonicalizeURI": {"inputField": "url", "outputField": "canon"}}]
+    )
+    df = spark.createDataFrame(
+        [(1, "HTTP://WWW.Example.COM:80/A/?utm_source=x&id=2#f")], "id long, url string"
+    )
+    got = p(df).select("canon").collect()[0][0]
+    assert got == "http://example.com/A?id=2"
