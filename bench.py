@@ -29,6 +29,7 @@ HEADLINE = [
     "join_revenue_by_nation",
     "window_topk_orders",
     "sessionize",
+    "session_window_agg",
     "event_time_tumbling_window",
     "sort_topn_lineitems",
     "asof_join_events",
@@ -50,6 +51,8 @@ HEADLINE = [
     "unigram_logprob",
     "quality_classifier_score",
     "span_dedup_clean",
+    "url_canonical_dedup",
+    "zorder_values",
     # corpus-preparation operators (traindata.py)
     "decontaminate_ngrams",
     "dedup_cc_clusters",

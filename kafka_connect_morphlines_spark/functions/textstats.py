@@ -190,9 +190,13 @@ def hashed_linear_score_df(
 
     Determinism contract: weights are integer *milli-units*, so the per-doc
     sum is exact BIGINT arithmetic — no float summation-order sensitivity —
-    and score = sum / (1000 * n) is a single double division.  Shape at
-    100 TB: explode + per-doc groupBy with map-side combine; the shuffle
-    carries (id, long) partial sums, never text.
+    and the 6-dp score is computed by integer half-away-from-zero division
+    (micro = (2*|sum|*1000 + n) div (2*n)), so no engine-dependent float
+    rounding exists anywhere (a plain round(sum/(1000n), 6) hit a
+    half-boundary tie at sf0.1 where Spark and DuckDB rounded the same
+    double differently).  Shape at 100 TB: explode + per-doc groupBy with
+    map-side combine; the shuffle carries (id, long) partial sums, never
+    text.
     """
     ex = df.select(
         F.col(id_col),
@@ -221,11 +225,17 @@ def hashed_linear_score_df(
         F.coalesce(F.sum("_wm"), F.lit(0)).alias("_sum_milli"),
     )
     nt = F.col("n_tokens")
+    sm = F.col("_sum_milli")
+    # score in exact integer micro-units, half away from zero; operands are
+    # non-negative so `div` (truncating) == floor
+    micro = F.when(sm < 0, F.lit(-1)).otherwise(F.lit(1)) * F.expr(
+        "(abs(_sum_milli) * 2000 + n_tokens) div (2 * n_tokens)"
+    )
     return agg.select(
         F.col(id_col),
         nt,
-        F.when(nt > 0, F.round(F.col("_sum_milli").cast("double") / (1000.0 * nt), 6)).otherwise(F.lit(0.0)).alias("score"),
-        (F.col("_sum_milli") > 0).alias("label"),
+        F.when(nt > 0, micro.cast("double") / F.lit(1000000.0)).otherwise(F.lit(0.0)).alias("score"),
+        (sm > 0).alias("label"),
     )
 
 

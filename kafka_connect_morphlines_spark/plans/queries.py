@@ -1249,7 +1249,9 @@ def word_entropy(spark, sf_dir):
     SELECT d.doc_id,
            coalesce(agg.n_tokens, 0) AS n_tokens,
            CASE WHEN coalesce(agg.n_tokens, 0) > 0
-                THEN round(CAST(agg.sm AS DOUBLE) / (1000.0 * agg.n_tokens), 6)
+                THEN (CASE WHEN agg.sm < 0 THEN -1 ELSE 1 END
+                      * ((abs(agg.sm) * 2000 + agg.n_tokens) // (2 * agg.n_tokens)))
+                     / 1000000.0
                 ELSE 0.0 END AS score,
            coalesce(agg.sm, 0) > 0 AS label
     FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
