@@ -166,6 +166,32 @@ def quality_features_df(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def zipf_slope_df(df, text_col: str = "text"):
+    """One-row corpus statistic: the Zipf slope — the OLS slope of
+    ln(frequency) on ln(rank) over the token frequency table (natural
+    corpora sit near -1; gibberish and templated text deviate — a cheap
+    corpus-health diagnostic).
+
+    Output: (n_vocab, zipf_slope).  The token-count groupBy is the only
+    data-sized shuffle; the rank window runs over the vocabulary-sized
+    count table on a single partition (bounded by |vocab|, same contract
+    as build_vocab), and the regression is one covar/var aggregate.
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(F.explode(tokens_codegen(F.col(text_col))).alias("_t"))
+    counts = ex.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    ranked = counts.withColumn(
+        "_rank", F.row_number().over(Window.orderBy(F.col("_c").desc(), F.col("_t")))
+    )
+    x = F.log(F.col("_rank").cast("double"))
+    y = F.log(F.col("_c").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.round(F.covar_pop(x, y) / F.var_pop(x), 6).alias("zipf_slope"),
+    )
+
+
 def hashed_linear_score_df(
     df,
     text_col: str = "text",

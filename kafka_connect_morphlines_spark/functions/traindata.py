@@ -300,6 +300,29 @@ def chunk_documents(
     )
 
 
+def stratified_sample_exact(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "strat",
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, deterministically.
+
+    Rank rows within each group by md5(seed, id) (a fixed random order —
+    rerun-stable, partitioning-independent) and keep rank <= k.  Unlike
+    rate-based ``mixture_sample`` this guarantees the exact per-group count
+    (eval-set construction, per-source caps).  One shuffle on the group key;
+    a pathologically large group sorts within its partition — for skewed
+    group keys pre-filter with a rate sample first.
+    """
+    from pyspark.sql import Window
+
+    order = F.md5(F.concat(F.lit(f"{seed}/"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     span_tokens: int = 16,

@@ -1230,6 +1230,51 @@ def word_entropy(spark, sf_dir):
 
 
 @query(
+    "stratified_sample_exact_k",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5('strat/' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 7
+    """,
+)
+def stratified_sample_exact_k(spark, sf_dir):
+    """Exact-k-per-group deterministic sampling
+    (traindata.stratified_sample_exact): rank within each group by a seeded
+    md5 of the id and keep rank <= k — guarantees the per-group count that
+    rate-based mixture sampling cannot."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    d = t(spark, sf_dir, "documents")
+    return traindata.stratified_sample_exact(d, "source", k=7).select("doc_id", "source")
+
+
+@query(
+    "zipf_slope",
+    """
+    WITH cnt AS (
+      SELECT tkn, count(*) AS c FROM (
+        SELECT unnest(list_filter(string_split(trim(text), ' '), x -> x != '')) AS tkn
+        FROM documents
+      ) GROUP BY tkn
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tkn ASC) AS rk FROM cnt
+    )
+    SELECT count(*) AS n_vocab,
+           round(covar_pop(ln(rk), ln(c)) / var_pop(ln(rk)), 6) AS zipf_slope
+    FROM ranked
+    """,
+)
+def zipf_slope(spark, sf_dir):
+    """Corpus Zipf slope (textstats.zipf_slope_df): OLS slope of
+    ln(frequency) on ln(rank) — natural corpora sit near -1; the regression
+    is one covar/var aggregate over the vocabulary-sized count table."""
+    return textstats.zipf_slope_df(t(spark, sf_dir, "documents"))
+
+
+@query(
     "quality_classifier_score",
     """
     WITH e AS (

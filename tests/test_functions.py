@@ -384,3 +384,30 @@ def test_remove_duplicate_spans(spark):
     assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 2
     assert out[5]["clean_text"] == "" and out[5]["n_spans"] == 0 and out[5]["n_removed"] == 0
     assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_stratified_sample_exact_k(spark):
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(60)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = traindata.stratified_sample_exact(df, "source", k=5).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) == 5 for g, v in by_group.items() if g != "tiny")
+    assert len(by_group["tiny"]) == 1  # min(k, |group|)
+    again = traindata.stratified_sample_exact(df, "source", k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))  # deterministic
+
+
+def test_zipf_slope_negative_on_skewed_corpus(spark):
+    # a corpus with frequencies 32,16,8,4,2,1 has slope ~ -ln2-ish; the
+    # operator just needs to see a clearly negative slope and exact vocab
+    words = []
+    for rank, (w, c) in enumerate([("a", 32), ("b", 16), ("c", 8), ("d", 4), ("e", 2), ("f", 1)]):
+        words += [w] * c
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    row = textstats.zipf_slope_df(df).collect()[0]
+    assert row["n_vocab"] == 6
+    assert row["zipf_slope"] < -1.0
