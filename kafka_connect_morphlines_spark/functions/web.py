@@ -50,7 +50,7 @@ def canonicalize_url(url: Column) -> Column:
     u = F.regexp_replace(u, r"([?&])" + TRACKING_PARAMS + r"=[^&#]*", "$1")
     u = F.regexp_replace(u, r"&&+", "&")
     u = F.regexp_replace(u, r"[?]&", "?")
-    u = F.regexp_replace(u, r"[?&]$", "")
+    u = F.regexp_replace(u, r"[?&]+$", "")
     u = F.regexp_replace(u, r"([^/])/$", "$1")
     u = F.regexp_replace(u, r"([^/])/[?]", "$1?")
     return u

@@ -1136,7 +1136,7 @@ def span_dedup_clean(spark, sf_dir):
           '([?&])(utm_[^=&]*|gclid|fbclid|msclkid)=[^&#]*', '\1', 'g'),
           '&&+', '&', 'g'),
           '[?]&', '?'),
-          '[?&]$', ''),
+          '[?&]+$', ''),
           '([^/])/$', '\1'),
           '([^/])/[?]', '\1?') AS u
       FROM c4

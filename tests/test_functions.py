@@ -411,3 +411,24 @@ def test_zipf_slope_negative_on_skewed_corpus(spark):
     row = textstats.zipf_slope_df(df).collect()[0]
     assert row["n_vocab"] == 6
     assert row["zipf_slope"] < -1.0
+
+
+def test_canonicalize_url_idempotent(spark):
+    """A canonicalizer must be a projection: canon(canon(x)) == canon(x).
+    Fuzz with a combinatorial corpus of adversarial URL fragments (repeated
+    separators, tracking runs, ports, fragments) in one job."""
+    import itertools
+
+    from kafka_connect_morphlines_spark.functions import web
+
+    schemes = ["http://", "HTTPS://WWW.", "", "ftp://"]
+    hosts = ["A.com", "a.com:80", "a.com:443", "a.com:8080"]
+    paths = ["", "/", "/x", "/x/", "/x//", "/x/?", "/??", "/?&", "///"]
+    queries = ["", "?utm_a=1", "?utm_a=1&utm_b=2&id=3", "?id=1&gclid=2&", "?&", "????", "?a=1&&b=2"]
+    frags = ["", "#f", "#a#b"]
+    urls = ["".join(p) for p in itertools.product(schemes, hosts, paths, queries, frags)]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+    once = web.canonicalize_url(F.col("url"))
+    twice = web.canonicalize_url(once)
+    bad = df.select("url", once.alias("c1"), twice.alias("c2")).filter(F.col("c1") != F.col("c2")).collect()
+    assert not bad, [(r["url"], r["c1"], r["c2"]) for r in bad[:10]]
