@@ -1,0 +1,171 @@
+"""Semantic (embedding-space) clustering and dedup.
+
+SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
+cluster the embedding space with k-means, then drop documents whose cosine
+similarity to an earlier document *in the same cluster* exceeds a threshold.
+Clustering bounds the pairwise comparison to within-cluster pairs — the same
+blocking idea as LSH dedup (functions/dedup.py) but driven by the embedding
+geometry instead of token hashes.
+
+Scale design (100 TB):
+- k-means assignment is a map-only Arrow-batched matmul ``(N×d) @ (d×k)``
+  against broadcast centroids (similarity.ivf_assign) — no shuffle.
+- the Lloyd update is one codegen groupBy: ``d`` per-dimension SUM aggregates
+  + COUNT per centroid, map-side combined; only ``k×(d+1)`` numbers reach
+  the driver per iteration.  The corpus shuffles (centroid, d partial sums),
+  never raw text.
+- within-cluster pairing self-joins on the cluster id; cluster sizes are the
+  skew knob — pick k so n/k fits a task (SemDeDup uses k≈100k at web scale),
+  and cap runaway clusters the same way dedup.py caps LSH mega-buckets.
+
+The reference repo has no embedding operators at all; this family is part of
+the beyond-reference LLM-pipeline surface (SURVEY.md Part C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kafka_connect_morphlines_spark.functions import ensure_parallelism
+from kafka_connect_morphlines_spark.functions.similarity import cosine, ivf_assign
+
+
+def _vector_dim(df: DataFrame, vec_col: str) -> int:
+    probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    return int(probe[0]["d"]) if probe else 0
+
+
+def seeded_centroids(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seeded init: the k rows with the smallest
+    ``md5(seed || id)`` — a uniform pseudo-random sample that any rerun
+    reproduces exactly (no RNG state, SURVEY.md §7.3.5 determinism).
+
+    A TakeOrdered over a map-side hash column: no shuffle beyond the k-row
+    reduce, so init cost is one corpus scan regardless of scale.
+    """
+    pick = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.md5(F.concat(F.lit(f"kmeans:{seed}:"), F.col(id_col).cast("string"))))
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    # centroid ids are their rank in hash order: stable, dense 0..k-1
+    return [(i, list(r[vec_col])) for i, r in enumerate(pick)]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means over an embedding column, DataFrame-native.
+
+    Each iteration: broadcast-assign (Arrow matmul, map-only) then ONE
+    codegen aggregate — ``d`` per-dimension sums + a count per centroid
+    (``element_at`` is codegen; no explode, no row inflation).  The driver
+    sees only the k×(d+1) reduced numbers.  Empty clusters keep their
+    previous centroid (standard Lloyd fallback), so the result is
+    deterministic for a fixed (seed, k, n_iter).
+    """
+    dim = _vector_dim(df, vec_col)
+    if dim == 0 or k <= 0:
+        return []
+    centroids = seeded_centroids(df, k, vec_col, id_col, seed)
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
+    sums = [F.sum(F.element_at(F.col(vec_col), j + 1).cast("double")).alias(f"s{j}") for j in range(dim)]
+    for _ in range(n_iter):
+        assigned = ivf_assign(src, centroids, vec_col)
+        rows = assigned.groupBy("centroid").agg(F.count(F.lit(1)).alias("n"), *sums).collect()
+        by_id = {int(r["centroid"]): r for r in rows}
+        nxt = []
+        for cid, old in centroids:
+            r = by_id.get(cid)
+            if r is None or r["n"] == 0:
+                nxt.append((cid, old))
+            else:
+                n = float(r["n"])
+                nxt.append((cid, [float(r[f"s{j}"]) / n for j in range(dim)]))
+        centroids = nxt
+    return centroids
+
+
+def kmeans_inertia(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster size + mean cosine distance to the centroid (fit
+    diagnostic).  One assignment pass + one codegen aggregate."""
+    assigned = ivf_assign(ensure_parallelism(df), centroids, vec_col)
+    cent = F.create_map(
+        *[x for cid, vec in centroids for x in (F.lit(cid), F.array(*[F.lit(float(v)) for v in vec]))]
+    )
+    d = assigned.withColumn("_dist", F.lit(1.0) - cosine(F.col(vec_col), cent[F.col("centroid")]))
+    return d.groupBy("centroid").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.round(F.avg("_dist"), 6).alias("mean_cos_dist"),
+    )
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs: (id_a, id_b, cos) with
+    id_a < id_b, both in the same k-means cluster, cosine ≥ threshold.
+
+    The self-join key is the cluster id, so the pair space is
+    Σ|cluster|² instead of n² — the SemDeDup blocking bargain.  Both join
+    sides read one materialized assignment (single Arrow pass).
+    """
+    b = ivf_assign(
+        ensure_parallelism(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        centroids,
+        "_v",
+    )
+    if not b.isStreaming:
+        b = b.localCheckpoint()  # one assignment pass feeds both sides
+    l, r = b.alias("a"), b.alias("b")
+    return (
+        l.join(r, (F.col("a.centroid") == F.col("b.centroid")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine(F.col("a._v"), F.col("b._v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup keep-set: drop any row that has a *lower-id* within-cluster
+    neighbor with cosine ≥ threshold; keep the rest.
+
+    Keep-lowest-id is the deterministic stand-in for SemDeDup's
+    keep-farthest-from-centroid; the pruning set is identical up to the
+    per-group representative.  The removal is a broadcast-friendly anti-join
+    against the (small) dup-pair victim list.
+    """
+    victims = semantic_dup_pairs(df, centroids, threshold, vec_col, id_col).select(
+        F.col("id_b").alias(id_col)
+    )
+    return df.join(victims, on=id_col, how="left_anti")

@@ -2762,3 +2762,95 @@ def encode_documents_ids(spark, sf_dir):
         F.col("n_tokens").cast("int").alias("n_tokens"),
         F.array_join(F.col("token_ids"), "-").alias("ids_str"),
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic (embedding-space) dedup — SemDeDup family (functions/semantic.py)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "semantic_centroid_assign",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    )
+    SELECT vec_id, centroid FROM (
+      SELECT e.vec_id, c.cid AS centroid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                        c.cid ASC) AS rn
+      FROM embeddings e, cent c
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def semantic_centroid_assign(spark, sf_dir):
+    """k-means assignment step (semantic.py / similarity.ivf_assign): nearest
+    of 8 fixed centroids by cosine, Arrow-batched matmul against broadcast
+    centroids — map-only, no shuffle.  Fixed lowest-id centroids keep the
+    step SQL-expressible; the Lloyd-fit path is certified by
+    kmeans_cluster_stats (rows-only) + a golden."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = similarity.deterministic_centroids(emb, 8)
+    out = similarity.ivf_assign(emb, cents)
+    return out.select("vec_id", "centroid").orderBy("vec_id")
+
+
+@query(
+    "semantic_dedup",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    a AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                          c.cid ASC) AS rn
+        FROM embeddings e, cent c
+      ) WHERE rn = 1
+    ),
+    victims AS (
+      SELECT DISTINCT y.vec_id
+      FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN embeddings ex ON ex.vec_id = x.vec_id
+      JOIN embeddings ey ON ey.vec_id = y.vec_id
+      WHERE list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                                   CAST(ey.embedding AS DOUBLE[])) >= 0.3
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM victims)
+    ORDER BY e.vec_id
+    """,
+)
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup (semantic.semantic_dedup_keep): cluster-block the embedding
+    space, drop rows with a lower-id same-cluster neighbor above the cosine
+    threshold.  Pair space is Σ|cluster|², not n² — clustering is the
+    blocking structure, exactly like LSH buckets in dedup.py."""
+    from kafka_connect_morphlines_spark.functions import semantic
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = similarity.deterministic_centroids(emb, 8)
+    kept = semantic.semantic_dedup_keep(emb, cents, threshold=0.3)
+    return kept.select("vec_id", "label").orderBy("vec_id")
+
+
+@query("kmeans_cluster_stats", None)
+def kmeans_cluster_stats(spark, sf_dir):
+    """Full Lloyd k-means fit (semantic.kmeans_fit: broadcast-assign matmul +
+    d codegen per-dimension SUMs per iteration, k×(d+1) numbers to the
+    driver) with per-cluster size + mean cosine distance.  Iterative —
+    not SQL-expressible; golden-pinned at sf0.01 (tests/test_goldens)."""
+    from kafka_connect_morphlines_spark.functions import semantic
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = semantic.kmeans_fit(emb, k=8, n_iter=3, seed=1)
+    out = semantic.kmeans_inertia(emb, cents)
+    return out.orderBy("centroid")

@@ -432,3 +432,61 @@ def test_canonicalize_url_idempotent(spark):
     twice = web.canonicalize_url(once)
     bad = df.select("url", once.alias("c1"), twice.alias("c2")).filter(F.col("c1") != F.col("c2")).collect()
     assert not bad, [(r["url"], r["c1"], r["c2"]) for r in bad[:10]]
+
+
+# ---------------------------------------------------------------------------
+# semantic (k-means + SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def _toy_embeddings(spark):
+    """Two tight clusters on orthogonal axes plus one outlier."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.05, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.05, 0.99, 0.0, 0.0]),   # near-dup of 2
+        (4, [0.0, 0.0, 1.0, 0.0]),     # lone axis
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_fit_deterministic_and_converged(spark):
+    from kafka_connect_morphlines_spark.functions import semantic
+
+    df = _toy_embeddings(spark)
+    c1 = semantic.kmeans_fit(df, k=3, n_iter=4, seed=7)
+    c2 = semantic.kmeans_fit(df, k=3, n_iter=4, seed=7)
+    assert c1 == c2, "same seed must reproduce the exact fit"
+    # every point should sit close to its centroid after convergence on
+    # this trivially-separable set: mean cosine distance well under the
+    # cross-cluster distance (~1.0)
+    stats = semantic.kmeans_inertia(df, c1).collect()
+    assert sum(r["cluster_size"] for r in stats) == 5
+    assert all(r["mean_cos_dist"] < 0.1 for r in stats)
+
+
+def test_semantic_dedup_drops_lower_id_neighbors(spark):
+    from kafka_connect_morphlines_spark.functions import semantic
+
+    df = _toy_embeddings(spark)
+    # one centroid per axis: near-dup pairs land in the same cluster.
+    # (Centroids ON the dup points would split a pair across clusters —
+    # that's the documented SemDeDup blocking approximation.)
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0, 0.0])]
+    pairs = semantic.semantic_dup_pairs(df, cents, threshold=0.95).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, 1), (2, 3)}
+    kept = semantic.semantic_dedup_keep(df, cents, threshold=0.95)
+    assert sorted(r["vec_id"] for r in kept.collect()) == [0, 2, 4]
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from kafka_connect_morphlines_spark.functions import semantic
+
+    # k larger than the number of distinct directions: some centroid keeps
+    # its init vector instead of collapsing to NaN
+    df = _toy_embeddings(spark)
+    cents = semantic.kmeans_fit(df, k=5, n_iter=3, seed=1)
+    assert len(cents) == 5
+    assert all(all(v == v for v in vec) for _, vec in cents)  # no NaNs

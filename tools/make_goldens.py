@@ -30,6 +30,7 @@ GOLDEN_QUERIES = [
     "embedding_ivf_topk",
     "multimodal_features",
     "approx_sketches",
+    "kmeans_cluster_stats",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "resources", "goldens")
