@@ -2854,3 +2854,30 @@ def kmeans_cluster_stats(spark, sf_dir):
     cents = semantic.kmeans_fit(emb, k=8, n_iter=3, seed=1)
     out = semantic.kmeans_inertia(emb, cents)
     return out.orderBy("centroid")
+
+
+@query(
+    "bloom_incremental_dedup",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_orderkey % 13 = 0
+      AND o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 != 0)
+    ORDER BY o_orderkey
+    """,
+)
+def bloom_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest dedup (functions/bloom.py): a replayed batch
+    (o_orderkey % 13 == 0) deduped against the corpus snapshot
+    (o_orderkey % 7 != 0).  The corpus keys are summarized once into a
+    broadcast bloom words table; only rows the filter cannot rule out reach
+    the exact verify anti-join, so the semantics stay exactly NOT IN while
+    the join input shrinks to dups + fpp of the batch."""
+    from kafka_connect_morphlines_spark.functions import bloom
+
+    orders = t(spark, sf_dir, "orders")
+    corpus = orders.filter(F.col("o_orderkey") % 7 != 0)
+    incoming = orders.filter(F.col("o_orderkey") % 13 == 0)
+    kept = bloom.incremental_dedup(
+        incoming, corpus, F.col("o_orderkey"), F.col("o_orderkey"), fpp=0.01
+    )
+    return kept.select("o_orderkey", "o_custkey").orderBy("o_orderkey")

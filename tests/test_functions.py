@@ -490,3 +490,43 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     cents = semantic.kmeans_fit(df, k=5, n_iter=3, seed=1)
     assert len(cents) == 5
     assert all(all(v == v for v in vec) for _, vec in cents)  # no NaNs
+
+
+# ---------------------------------------------------------------------------
+# bloom (incremental dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from kafka_connect_morphlines_spark.functions import bloom
+
+    keys = spark.range(0, 1000).select(F.col("id").alias("k"))
+    m, k = bloom.bloom_parameters(1000, fpp=0.01)
+    words = bloom.bloom_words(keys, F.col("k"), m, k)
+    # members: every inserted key must probe maybe=True (no false negatives)
+    probed = bloom.probe_bloom(keys, F.col("k"), words, m, k)
+    assert probed.filter(~F.col("_maybe")).count() == 0
+    # non-members: false-positive rate near the design point (well under 5x)
+    outside = spark.range(10_000, 20_000).select(F.col("id").alias("k"))
+    fp = bloom.probe_bloom(outside, F.col("k"), words, m, k).filter(F.col("_maybe")).count()
+    assert fp < 500, f"fp rate {fp / 10_000} far above design 0.01"
+
+
+def test_incremental_dedup_matches_exact_anti_join(spark):
+    from kafka_connect_morphlines_spark.functions import bloom
+
+    corpus = spark.range(0, 500).select((F.col("id") * 3).alias("k"))        # 0,3,...,1497
+    new = spark.range(0, 300).select(F.col("id").alias("nk"), (F.col("id") * 2).alias("payload"))
+    got = bloom.incremental_dedup(new, corpus, F.col("nk"), F.col("k"), fpp=0.05)
+    expect = new.join(corpus, new["nk"] == corpus["k"], "left_anti")
+    assert sorted(r["nk"] for r in got.collect()) == sorted(r["nk"] for r in expect.collect())
+    assert set(got.columns) == {"nk", "payload"}
+
+
+def test_bloom_parameters_sane(spark):
+    from kafka_connect_morphlines_spark.functions import bloom
+
+    m, k = bloom.bloom_parameters(1_000_000, 0.01)
+    assert m % 64 == 0 and 9_000_000 < m < 11_000_000 and 6 <= k <= 8
+    m2, k2 = bloom.bloom_parameters(0, 0.01)
+    assert m2 >= 64 and k2 >= 1
