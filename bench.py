@@ -57,6 +57,10 @@ HEADLINE = [
     "decontaminate_ngrams",
     "dedup_cc_clusters",
     "waiting_suppliers",
+    # semantic dedup + incremental ingest (semantic.py, bloom.py)
+    "semantic_dedup",
+    "kmeans_cluster_stats",
+    "bloom_incremental_dedup",
 ]
 
 

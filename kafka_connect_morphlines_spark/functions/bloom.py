@@ -126,6 +126,7 @@ def incremental_dedup(
     corpus_key: Column,
     fpp: float = 0.01,
     n_corpus_keys: int | None = None,
+    distinct_keys: bool = True,
 ) -> DataFrame:
     """Rows of ``new_df`` whose key does not appear in the corpus — exact
     anti-join semantics, bloom-pruned verify join.
@@ -134,8 +135,14 @@ def incremental_dedup(
     corpus scan — in an incremental deployment pass the running count).
     Definitely-new rows bypass the verify join entirely; only maybe-rows
     (dups + fpp of the batch) join against the corpus key set.
+
+    ``distinct_keys=False`` skips the distinct shuffle when corpus keys are
+    already unique (e.g. a primary key) — the anti-join is dup-insensitive
+    and duplicate keys set no new bloom bits, so only the shuffle is saved.
     """
-    keys = corpus_df.select(corpus_key.alias("_ck")).distinct()
+    keys = corpus_df.select(corpus_key.alias("_ck"))
+    if distinct_keys:
+        keys = keys.distinct()
     n = n_corpus_keys if n_corpus_keys is not None else keys.count()
     m_bits, k = bloom_parameters(n, fpp)
     words = bloom_words(keys, F.col("_ck"), m_bits, k)

@@ -82,6 +82,11 @@ def kmeans_fit(
         return []
     centroids = seeded_centroids(df, k, vec_col, id_col, seed)
     src = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
+    if not src.isStreaming:
+        # every Lloyd iteration re-reads the (id, vector) projection; pin it
+        # once so n_iter iterations don't recompute the upstream plan (the
+        # standard iterative-algorithm persist, same as connected_components)
+        src = src.localCheckpoint()
     sums = [F.sum(F.element_at(F.col(vec_col), j + 1).cast("double")).alias(f"s{j}") for j in range(dim)]
     for _ in range(n_iter):
         assigned = ivf_assign(src, centroids, vec_col)
@@ -127,26 +132,59 @@ def semantic_dup_pairs(
     """Within-cluster near-duplicate pairs: (id_a, id_b, cos) with
     id_a < id_b, both in the same k-means cluster, cosine ≥ threshold.
 
-    The self-join key is the cluster id, so the pair space is
-    Σ|cluster|² instead of n² — the SemDeDup blocking bargain.  Both join
-    sides read one materialized assignment (single Arrow pass).
+    The pair space is Σ|cluster|² instead of n² — the SemDeDup blocking
+    bargain.  Instead of a self-join whose quadratic part would run an
+    interpreted dot-product fold per pair, each cluster is ONE
+    ``applyInPandas`` group: normalize once, gram matmul ``U @ U.T`` in
+    BLAS, emit only the above-threshold upper-triangle pairs.  One shuffle
+    of n vectors total; the quadratic work is dense float64 matmul
+    (~100× an interpreted per-pair fold).  Gram blocks are row-chunked so a
+    skewed mega-cluster costs bounded memory instead of |cluster|² at once.
     """
-    b = ivf_assign(
+    import numpy as np
+    import pandas as pd
+
+    assigned = ivf_assign(
         ensure_parallelism(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
         centroids,
         "_v",
     )
-    if not b.isStreaming:
-        b = b.localCheckpoint()  # one assignment pass feeds both sides
-    l, r = b.alias("a"), b.alias("b")
-    return (
-        l.join(r, (F.col("a.centroid") == F.col("b.centroid")) & (F.col("a._id") < F.col("b._id")))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            cosine(F.col("a._v"), F.col("b._v")).alias("cos"),
+
+    thr = float(threshold)
+
+    def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = len(pdf)
+        if s < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(v, axis=1)
+        n[n == 0] = 1.0
+        u = v / n[:, None]
+        # row-chunked gram: memory ~ chunk×s, never s×s
+        chunk = max(1, (1 << 22) // max(s, 1))
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, s, chunk):
+            i1 = min(i0 + chunk, s)
+            g = u[i0:i1] @ u.T  # (i1-i0, s)
+            rows, cols = np.nonzero(g >= thr)
+            keep = cols > (rows + i0)  # upper triangle: id_a < id_b
+            out_a.append(ids[rows[keep] + i0])
+            out_b.append(ids[cols[keep]])
+            out_c.append(g[rows[keep], cols[keep]])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "cos": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+            }
         )
-        .filter(F.col("cos") >= threshold)
+
+    return assigned.groupBy("centroid").applyInPandas(
+        emit_pairs, schema="id_a long, id_b long, cos double"
     )
 
 

@@ -2774,7 +2774,7 @@ def encode_documents_ids(spark, sf_dir):
     """
     WITH cent AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-      FROM embeddings ORDER BY vec_id LIMIT 8
+      FROM embeddings ORDER BY vec_id LIMIT 64
     )
     SELECT vec_id, centroid FROM (
       SELECT e.vec_id, c.cid AS centroid,
@@ -2794,7 +2794,7 @@ def semantic_centroid_assign(spark, sf_dir):
     step SQL-expressible; the Lloyd-fit path is certified by
     kmeans_cluster_stats (rows-only) + a golden."""
     emb = t(spark, sf_dir, "embeddings")
-    cents = similarity.deterministic_centroids(emb, 8)
+    cents = similarity.deterministic_centroids(emb, 64)
     out = similarity.ivf_assign(emb, cents)
     return out.select("vec_id", "centroid").orderBy("vec_id")
 
@@ -2804,7 +2804,7 @@ def semantic_centroid_assign(spark, sf_dir):
     """
     WITH cent AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-      FROM embeddings ORDER BY vec_id LIMIT 8
+      FROM embeddings ORDER BY vec_id LIMIT 64
     ),
     a AS (
       SELECT vec_id, cid FROM (
@@ -2837,7 +2837,9 @@ def semantic_dedup(spark, sf_dir):
     from kafka_connect_morphlines_spark.functions import semantic
 
     emb = t(spark, sf_dir, "embeddings")
-    cents = similarity.deterministic_centroids(emb, 8)
+    # 64 clusters: the blocking knob — cluster size, not corpus size, bounds
+    # the quadratic verify (SemDeDup uses k~100k at web scale)
+    cents = similarity.deterministic_centroids(emb, 64)
     kept = semantic.semantic_dedup_keep(emb, cents, threshold=0.3)
     return kept.select("vec_id", "label").orderBy("vec_id")
 

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window, functions as F  # noqa: E402
 
 from kafka_connect_morphlines_spark import compile_pipeline, get_spark  # noqa: E402
-from kafka_connect_morphlines_spark.functions import dedup, relational, similarity, textstats, traindata, web  # noqa: E402
+from kafka_connect_morphlines_spark.functions import bloom, dedup, relational, semantic, similarity, textstats, traindata, web  # noqa: E402
 
 
 def main() -> None:
@@ -142,6 +142,28 @@ def main() -> None:
         "unigram_logprob_200k": run("unigram_logprob_200k", lambda: textstats.unigram_logprob_df(docs)),
         "fingerprint_200k": run("fingerprint_200k", lambda: textstats.fingerprint_df(docs)),
         "cosine_topk_100k": run("cosine_topk_100k", lambda: similarity.brute_force_topk(vecs, [0.1] * 64, k=10)),
+        # semantic dedup at 100k vectors: k=1024 clusters keeps within-cluster
+        # pair space ~ n*(n/k)/2 — the SemDeDup blocking bargain at scale
+        "semantic_dedup_100k": run(
+            "semantic_dedup_100k",
+            lambda: semantic.semantic_dedup_keep(
+                vecs, semantic.kmeans_fit(vecs, k=1024, n_iter=2, seed=1), threshold=0.999
+            ),
+        ),
+        # incremental ingest: 2M-row batch deduped against a 20M-key corpus
+        # snapshot; only maybe-rows reach the verify anti-join
+        "bloom_dedup_2m_vs_20m": run(
+            "bloom_dedup_2m_vs_20m",
+            lambda: bloom.incremental_dedup(
+                spark.range(19_000_000, 21_000_000).select(F.col("id").alias("k")),
+                spark.range(n_events).select(F.col("id").alias("k")),
+                F.col("k"),
+                F.col("k"),
+                fpp=0.01,
+                n_corpus_keys=n_events,
+                distinct_keys=False,
+            ),
+        ),
     }
     print(json.dumps(results))
 
