@@ -2883,3 +2883,104 @@ def bloom_incremental_dedup(spark, sf_dir):
         incoming, corpus, F.col("o_orderkey"), F.col("o_orderkey"), fpp=0.01
     )
     return kept.select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Data-quality validation — Deequ-style suites (functions/validation.py)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "data_quality_check",
+    """
+    SELECT "constraint", col_name, violations, violations = 0 AS passed FROM (
+      SELECT 'not_null' AS "constraint", 'o_custkey' AS col_name,
+             (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS violations
+      UNION ALL
+      SELECT 'unique', 'o_orderkey',
+             (SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders)
+      UNION ALL
+      SELECT 'matches[^[1-5]-]', 'o_orderpriority',
+             (SELECT count(*) FROM orders
+              WHERE o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+      UNION ALL
+      SELECT 'in_range[0.0,100000.0]', 'o_totalprice',
+             (SELECT count(*) FROM orders
+              WHERE o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 100000)
+      UNION ALL
+      SELECT 'in_range[0.0,0.05]', 'l_tax',
+             (SELECT count(*) FROM lineitem
+              WHERE l_tax IS NULL OR l_tax < 0 OR l_tax > 0.05)
+      UNION ALL
+      SELECT 'subset_of', 'l_orderkey',
+             (SELECT count(*) FROM lineitem
+              WHERE l_orderkey IS NOT NULL
+                AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    ) t
+    """,
+)
+def data_quality_check(spark, sf_dir):
+    """Deequ-style constraint suite (validation.check): all scalar
+    constraints of a table ride one codegen aggregate; referential
+    integrity is one anti-join count.  The admission gate of an ingest
+    pipeline run as a query."""
+    from kafka_connect_morphlines_spark.functions import validation as V
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    suite_orders = V.check(
+        orders,
+        [
+            V.NotNull("o_custkey"),
+            V.Unique("o_orderkey"),
+            V.Matches("o_orderpriority", "^[1-5]-"),
+            V.InRange("o_totalprice", 0.0, 100000.0),
+        ],
+    )
+    suite_li = V.check(li, [V.InRange("l_tax", 0.0, 0.05), V.SubsetOf("l_orderkey", orders, "o_orderkey")])
+    out = suite_orders.unionByName(suite_li)
+    return out.select(
+        "constraint", F.col("column").alias("col_name"), "violations", "passed"
+    )
+
+
+@query(
+    "data_quality_profile",
+    """
+    WITH wide AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(CASE WHEN l_quantity IS NOT NULL THEN 1.0 ELSE 0.0 END) AS comp0,
+             CAST(count(DISTINCT l_quantity) AS DOUBLE) AS nd0,
+             CAST(min(l_quantity) AS DOUBLE) AS min0,
+             CAST(max(l_quantity) AS DOUBLE) AS max0,
+             avg(CAST(l_quantity AS DOUBLE)) AS mean0,
+             avg(CASE WHEN l_discount IS NOT NULL THEN 1.0 ELSE 0.0 END) AS comp1,
+             CAST(count(DISTINCT l_discount) AS DOUBLE) AS nd1,
+             CAST(min(l_discount) AS DOUBLE) AS min1,
+             CAST(max(l_discount) AS DOUBLE) AS max1,
+             avg(CAST(l_discount AS DOUBLE)) AS mean1
+      FROM lineitem
+    )
+    SELECT col_name, metric, round(value, 4) AS value FROM (
+      SELECT 'l_quantity' AS col_name, m.metric, m.value
+      FROM wide, LATERAL (VALUES ('row_count', n), ('completeness', comp0), ('n_distinct', nd0),
+                                 ('min', min0), ('max', max0), ('mean', mean0)) m(metric, value)
+      UNION ALL
+      SELECT 'l_discount', m.metric, m.value
+      FROM wide, LATERAL (VALUES ('row_count', n), ('completeness', comp1), ('n_distinct', nd1),
+                                 ('min', min1), ('max', max1), ('mean', mean1)) m(metric, value)
+    )
+    ORDER BY col_name, metric
+    """,
+)
+def data_quality_profile(spark, sf_dir):
+    """One-pass numeric column profile (validation.profile, exact-distinct
+    leg so the oracle matches; the 100 TB default is HLL approx to avoid
+    the multi-distinct Expand)."""
+    from kafka_connect_morphlines_spark.functions import validation as V
+
+    li = t(spark, sf_dir, "lineitem")
+    out = V.profile(li, ["l_quantity", "l_discount"], exact_distinct=True)
+    return out.select(
+        F.col("column").alias("col_name"), "metric", F.round("value", 4).alias("value")
+    ).orderBy("col_name", "metric")

@@ -530,3 +530,67 @@ def test_bloom_parameters_sane(spark):
     assert m % 64 == 0 and 9_000_000 < m < 11_000_000 and 6 <= k <= 8
     m2, k2 = bloom.bloom_parameters(0, 0.01)
     assert m2 >= 64 and k2 >= 1
+
+
+# ---------------------------------------------------------------------------
+# validation (Deequ-style quality gates)
+# ---------------------------------------------------------------------------
+
+
+def test_check_constraint_suite(spark):
+    from kafka_connect_morphlines_spark.functions import validation as V
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A-ok"), (2, 55.0, "B-ok"), (2, None, "bad"), (4, -1.0, None)],
+        "k long, v double, s string",
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "rk long")
+    out = V.check(
+        df,
+        [
+            V.NotNull("v"),
+            V.InRange("v", 0.0, 50.0),
+            V.Matches("s", "^[A-Z]-"),
+            V.Unique("k"),
+            V.SubsetOf("k", ref, "rk"),
+        ],
+    ).collect()
+    got = {(r["constraint"], r["column"]): (r["violations"], r["passed"]) for r in out}
+    assert got[("not_null", "v")] == (1, False)
+    assert got[("in_range[0.0,50.0]", "v")] == (3, False)  # 55, null, -1
+    assert got[("matches[^[A-Z]-]", "s")] == (2, False)  # "bad", null
+    assert got[("unique", "k")] == (1, False)  # k=2 twice
+    assert got[("subset_of", "k")] == (1, False)  # k=4 not in ref
+
+
+def test_expect_raises_with_detail(spark):
+    from kafka_connect_morphlines_spark.functions import validation as V
+
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    with pytest.raises(V.ConstraintViolation, match="not_null"):
+        V.expect(df, [V.NotNull("k")])
+    clean = spark.createDataFrame([(1,), (2,)], "k long")
+    assert V.expect(clean, [V.NotNull("k"), V.Unique("k")]).count() == 2
+
+
+def test_single_unique_plans_without_expand(spark):
+    """One distinct aggregate must not trigger the Expand multi-distinct
+    plan — the whole suite stays a single-scan Aggregate."""
+    from kafka_connect_morphlines_spark.functions import validation as V
+
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    aggs = [V._violations(c).alias(f"v{i}") for i, c in enumerate([V.NotNull("v"), V.InRange("v", 0, 3), V.Unique("k")])]
+    plan = df.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
+def test_profile_exact_values(spark):
+    from kafka_connect_morphlines_spark.functions import validation as V
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (2.0,), (None,)], "x double")
+    got = {(r["column"], r["metric"]): r["value"] for r in V.profile(df, ["x"], exact_distinct=True).collect()}
+    assert got[("x", "row_count")] == 4.0
+    assert got[("x", "completeness")] == 0.75
+    assert got[("x", "n_distinct")] == 2.0
+    assert got[("x", "min")] == 1.0 and got[("x", "max")] == 2.0
+    assert got[("x", "mean")] == pytest.approx(5.0 / 3.0)
