@@ -84,3 +84,50 @@ def word_entropy_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     n = F.sum("_c")
     s = F.sum(F.col("_c") * F.log(F.col("_c")))
     return lvl1.groupBy(id_col).agg((F.log(n) - s / n).alias("entropy"))
+
+
+def gopher_filter_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 30,
+    max_tokens: int = 50_000,
+    min_stopword_ratio: float = 0.02,
+    min_unique_ratio: float = 0.4,
+    max_dup_gram_frac: float = 0.05,
+) -> DataFrame:
+    """Gopher-style composite corpus filter (Rae et al. 2021, §A1.1):
+    length, stopword, lexical-diversity, and repetition rules combined into
+    one verdict per document, with the failed-rule list kept for audit.
+
+    Output: (id, passed, reasons) — ``reasons`` is a comma-joined,
+    fixed-order list of failed rules ('' when passed).
+
+    Shape: the length/stopword/diversity signals are the map-only
+    quality_features_df projection; repetition adds its two-level groupBy;
+    one join on the doc id reunites them (docs with <2 tokens have no
+    bigram row — treated as repetition 0).  Nothing here touches the text
+    twice: at 100 TB the cost is one scan + the bigram aggregation.
+    """
+    from kafka_connect_morphlines_spark.functions.textstats import quality_features_df
+
+    q = quality_features_df(df, text_col, id_col)
+    r = repetition_stats_df(df, text_col, id_col, n=2).select(id_col, "dup_gram_frac")
+    j = q.join(r, id_col, "left").withColumn(
+        "dup_gram_frac", F.coalesce(F.col("dup_gram_frac"), F.lit(0.0))
+    )
+    rules = [
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("too_long", F.col("n_tokens") > max_tokens),
+        ("low_stopword", F.col("stopword_ratio") < min_stopword_ratio),
+        ("low_diversity", F.col("unique_token_ratio") < min_unique_ratio),
+        ("repetitive", F.col("dup_gram_frac") > max_dup_gram_frac),
+    ]
+    # concat_ws skips NULLs, so the reasons string is the fixed-order list
+    # of failed rules with no placeholder handling
+    reasons = F.concat_ws(",", *[F.when(cond, F.lit(name)) for name, cond in rules])
+    return j.select(
+        F.col(id_col),
+        (reasons == "").alias("passed"),
+        reasons.alias("reasons"),
+    )

@@ -2984,3 +2984,81 @@ def data_quality_profile(spark, sf_dir):
     return out.select(
         F.col("column").alias("col_name"), "metric", F.round("value", 4).alias("value")
     ).orderBy("col_name", "metric")
+
+
+@query(
+    "gopher_filter_verdicts",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, x -> list_contains(
+                       ['the','and','of','to','a','in','is','it','that','for','on','with','as','at','by','an','be','this','are','was'],
+                       lower(x)))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS stopword_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS unique_token_ratio
+      FROM tok
+    ),
+    g AS (
+      SELECT doc_id,
+             1.0 - CAST(len(list_distinct([toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))])) AS DOUBLE)
+                   / (len(toks) - 1) AS dup_gram_frac
+      FROM tok WHERE len(toks) >= 2
+    ),
+    j AS (
+      SELECT q.*, coalesce(g.dup_gram_frac, 0.0) AS dup_gram_frac
+      FROM q LEFT JOIN g USING (doc_id)
+    )
+    SELECT doc_id,
+           reasons = '' AS passed,
+           reasons
+    FROM (
+      SELECT doc_id,
+             concat_ws(',',
+               CASE WHEN n_tokens < 30 THEN 'too_short' END,
+               CASE WHEN n_tokens > 50000 THEN 'too_long' END,
+               CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END,
+               CASE WHEN unique_token_ratio < 0.4 THEN 'low_diversity' END,
+               CASE WHEN dup_gram_frac > 0.05 THEN 'repetitive' END) AS reasons
+      FROM j
+    )
+    ORDER BY doc_id
+    """,
+)
+def gopher_filter_verdicts(spark, sf_dir):
+    """Gopher composite corpus filter (textclean.gopher_filter_df): four
+    rule families, one verdict + audit trail per doc."""
+    from kafka_connect_morphlines_spark.functions import textclean
+
+    docs = t(spark, sf_dir, "documents")
+    return textclean.gopher_filter_df(docs).orderBy("doc_id")
+
+
+@query("hll_sketch_rollup", None)
+def hll_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup (Apache DataSketches HLL via
+    F.hll_sketch_agg): distinct customers per order-priority as binary
+    sketches, merged with hll_union_agg to the corpus-wide estimate WITHOUT
+    rescanning — the 100 TB pattern for daily→monthly distinct-count
+    rollups.  Sketch internals are engine-specific → golden-pinned, plus a
+    pytest asserting the merged estimate tracks the exact count."""
+    orders = t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    per_rows = per.select(
+        F.col("o_orderpriority").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("estimate"),
+    )
+    merged = per.agg(
+        F.lit("merged").alias("scope"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("estimate"),
+    )
+    return per_rows.unionByName(merged).orderBy("scope")

@@ -594,3 +594,12 @@ def test_profile_exact_values(spark):
     assert got[("x", "n_distinct")] == 2.0
     assert got[("x", "min")] == 1.0 and got[("x", "max")] == 2.0
     assert got[("x", "mean")] == pytest.approx(5.0 / 3.0)
+
+
+def test_hll_rollup_tracks_exact(spark):
+    """Merged HLL union over group sketches must track the exact global
+    distinct count within the sketch's error envelope."""
+    df = spark.range(50_000).select((F.col("id") % 23).alias("g"), (F.col("id") % 4999).alias("k"))
+    sk = df.groupBy("g").agg(F.hll_sketch_agg("k").alias("sk"))
+    merged = sk.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")).collect()[0]["e"]
+    assert abs(merged - 4999) / 4999 < 0.05

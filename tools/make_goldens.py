@@ -31,6 +31,7 @@ GOLDEN_QUERIES = [
     "multimodal_features",
     "approx_sketches",
     "kmeans_cluster_stats",
+    "hll_sketch_rollup",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "resources", "goldens")
