@@ -37,6 +37,12 @@ NAMES = [
     "span_dedup_clean",
     "url_canonical_dedup",
     "zorder_values",
+    "semantic_centroid_assign",
+    "semantic_dedup",
+    "bloom_incremental_dedup",
+    "data_quality_profile",
+    "gopher_filter_verdicts",
+    "hll_sketch_rollup",
 ]
 
 

@@ -1,10 +1,12 @@
 """End-to-end training-corpus preparation on the engine's operator library.
 
 The composition a pretraining data pipeline runs at 100 TB, demonstrated on
-the test tables: clean -> quality-filter -> exact dedup -> near-dup
-clustering (keep one representative per cluster) -> benchmark
-decontamination -> mixture sampling -> split assignment -> epoch shuffle ->
-tokenize/encode -> sequence packing.
+the test tables: admission validation gate -> (optional) bloom incremental
+dedup against the prior snapshot -> clean -> Gopher composite quality
+filter -> exact dedup -> near-dup clustering (keep one representative per
+cluster) -> (optional) SemDeDup semantic dedup -> benchmark decontamination
+-> mixture sampling -> split assignment -> epoch shuffle -> tokenize/encode
+-> sequence packing.
 
 Every stage is a DataFrame -> DataFrame operator, so the whole pipeline is
 one lazy plan per output and Catalyst sees across stage boundaries (e.g.
@@ -22,11 +24,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, functions as F
 
-from kafka_connect_morphlines_spark.functions import dedup, textclean, textstats, traindata
+from kafka_connect_morphlines_spark.functions import bloom, dedup, semantic, textclean, textstats, traindata
+from kafka_connect_morphlines_spark.functions import validation as V
 
 
-def prepare_corpus(docs: DataFrame, benchmark: DataFrame, vocab_size: int = 4096) -> dict[str, DataFrame]:
-    """Returns the prepared corpus plus the intermediate audit frames."""
+def prepare_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    vocab_size: int = 4096,
+    embeddings: DataFrame | None = None,
+    prior_corpus: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Returns the prepared corpus plus the intermediate audit frames.
+
+    ``embeddings`` (vec_id aligned with doc_id) switches on the SemDeDup
+    semantic-dedup stage; ``prior_corpus`` (a previously-ingested documents
+    frame) switches on bloom incremental dedup so re-ingested batches drop
+    already-seen content without joining the full prior corpus.
+    """
+    # 0. admission gate: malformed batches abort before any compute is
+    #    spent on them (one aggregate pass; raises ConstraintViolation)
+    V.expect(docs, [V.NotNull("doc_id"), V.Unique("doc_id"), V.NotNull("text")])
+
+    # 0b. incremental ingest: drop documents whose content digest already
+    #     exists in the prior snapshot (bloom prefilter + exact verify)
+    if prior_corpus is not None:
+        docs = bloom.incremental_dedup(
+            docs, prior_corpus, F.md5(F.col("text")), F.md5(F.col("text")), fpp=0.01
+        )
+        # pin the ingest boundary: the dedup output is a two-branch union
+        # and every downstream self-join would double it — without this the
+        # corpus-prep DAG sends Catalyst into minutes of plan analysis
+        docs = docs.localCheckpoint()
+
     # 1. clean: strip markup, redact PII (map-side column expressions)
     cleaned = docs.withColumn("text", textclean.redact_pii(textclean.strip_html(F.col("text"))))
 
@@ -36,8 +66,16 @@ def prepare_corpus(docs: DataFrame, benchmark: DataFrame, vocab_size: int = 4096
     #    log-probability under the corpus's own LM sits far below the median
     #    are gibberish/boilerplate outliers
     q = textstats.quality_features_df(cleaned, text_col="text", id_col="doc_id")
-    keep_ids = q.filter((F.col("n_tokens") >= 5) & (F.col("avg_token_len") <= 20)).select("doc_id")
-    filtered = cleaned.join(keep_ids, "doc_id", "left_semi")
+    #    Gopher-style composite rules, relaxed to this corpus's scale; the
+    #    per-doc failed-rule audit trail rides along in the output
+    gopher = textclean.gopher_filter_df(
+        cleaned,
+        min_tokens=5,
+        min_stopword_ratio=0.0,
+        min_unique_ratio=0.2,
+        max_dup_gram_frac=0.5,
+    )
+    filtered = cleaned.join(gopher.filter(F.col("passed")).select("doc_id"), "doc_id", "left_semi")
     lm = textstats.unigram_logprob_df(filtered, text_col="text", id_col="doc_id")
     lm_floor = lm.approxQuantile("logprob", [0.01], 0.001)[0]  # bottom 1% out
     filtered = filtered.join(
@@ -71,6 +109,15 @@ def prepare_corpus(docs: DataFrame, benchmark: DataFrame, vocab_size: int = 4096
     reps = comps.groupBy("component").agg(F.min("doc_id").alias("doc_id"))
     deduped = distinct_docs.join(reps.select("doc_id"), "doc_id", "left_semi")
 
+    # 4b. semantic dedup (SemDeDup): cluster the embedding space, drop docs
+    #     with a lower-id same-cluster neighbor above the cosine threshold
+    if embeddings is not None:
+        cents = semantic.kmeans_fit(embeddings, k=32, n_iter=2, seed=0)
+        sem_keep = semantic.semantic_dedup_keep(embeddings, cents, threshold=0.3)
+        deduped = deduped.join(
+            sem_keep.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+        )
+
     # 5. benchmark decontamination (GPT-3-style n-gram overlap rule)
     contam = traindata.decontaminate(deduped, benchmark, n=3)
     clean_ids = contam.filter(F.col("contamination") < 0.2).select("doc_id")
@@ -93,6 +140,7 @@ def prepare_corpus(docs: DataFrame, benchmark: DataFrame, vocab_size: int = 4096
 
     return {
         "quality": q,
+        "gopher_audit": gopher,
         "deduped": deduped,
         "contamination": contam,
         "train_shuffled": shuffled,
@@ -109,7 +157,8 @@ if __name__ == "__main__":
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark()
     docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
     benchmark = docs.orderBy("doc_id").limit(20)  # stand-in eval suite
-    out = prepare_corpus(docs, benchmark)
+    out = prepare_corpus(docs, benchmark, embeddings=emb)
     for name, frame in out.items():
         print(f"{name}: {frame.count()} rows")

@@ -211,3 +211,30 @@ def test_corpus_prep_end_to_end(spark):
     ).filter((F.col("tot") > 512) & (F.col("n") > 1))
     # a multi-doc bin may exceed budget only by less than its last doc
     assert over.filter(F.col("tot") > 2 * 512).count() == 0
+
+
+def test_corpus_prep_incremental_and_semantic(spark):
+    """The optional stages: bloom incremental dedup drops every re-ingested
+    document (digest seen in the prior snapshot) and the SemDeDup stage
+    runs end-to-end when embeddings are supplied."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location("corpus_prep2", os.path.join(EXAMPLES, "corpus_prep.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    benchmark = docs.orderBy("doc_id").limit(5)
+    prior = docs.filter(F.col("doc_id") % 2 == 0)
+    out = mod.prepare_corpus(
+        docs, benchmark, vocab_size=128, embeddings=emb, prior_corpus=prior
+    )
+    # every even-id doc was already ingested: its digest is in the prior
+    # snapshot, so nothing even-id may survive into the deduped corpus
+    assert out["deduped"].filter(F.col("doc_id") % 2 == 0).count() == 0
+    assert out["deduped"].count() > 0
+    # the gopher audit covers exactly the post-ingest batch
+    assert out["gopher_audit"].filter(F.col("doc_id") % 2 == 0).count() == 0
