@@ -46,6 +46,7 @@ def run_stream(
     query_name: str = "morphline_stream",
     trigger: dict[str, Any] | None = None,
     output_mode: str = "append",
+    constraints: list[Any] | None = None,
 ) -> StreamingQuery:
     """Run a compiled pipeline over a streaming frame via ``foreachBatch``.
 
@@ -53,11 +54,24 @@ def run_stream(
     transactional boundary, mirroring the reference's per-put
     begin/commit notifications (MorphlineSinkTask.java:132,148).  Exactly-once
     is the sink's contract (idempotent write keyed on epoch_id + checkpoint).
+
+    ``constraints`` (validation.Constraint list) adds a per-batch quality
+    gate AFTER the pipeline: a micro-batch that violates any constraint is
+    routed whole to the quarantine sink instead of the main sink — the
+    batch-level analog of the per-record DLQ, so one poisoned producer
+    can't leak partial garbage into the sink's transaction.
     """
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         out = pipeline(batch_df)
         good, bad = quarantine_split(out)
+        if constraints:
+            from kafka_connect_morphlines_spark.functions import validation
+
+            verdict = validation.check(good, constraints)
+            if verdict.filter(~F.col("passed")).count() > 0:
+                bad = bad.unionByName(good, allowMissingColumns=True)
+                good = good.filter(F.lit(False))
         if quarantine_sink is not None:
             quarantine_sink(bad, epoch_id)
         if sink is not None:

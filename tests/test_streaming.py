@@ -284,3 +284,50 @@ def test_interval_join_stream(spark, events_stream_dir, tmp_path):
         spark.read.parquet(clicks_dir), spark.read.parquet(buys_dir)
     ).count()
     assert got == want > 0
+
+
+def test_constraint_gate_quarantines_bad_batch(spark, tmp_path):
+    """Per-batch quality gate: a micro-batch violating the constraint suite
+    routes WHOLE to the quarantine sink (batch-level DLQ), a clean batch
+    flows to the main sink."""
+    from kafka_connect_morphlines_spark.functions import validation as V
+
+    src_dir = tmp_path / "gate_src"
+    src_dir.mkdir()
+    # one clean file-batch, one poisoned (duplicate keys)
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1).write.parquet(
+        str(src_dir / "data")
+    )
+    pipe = compile_pipeline([{"setValues": {"tag": "row-@{k}"}}])
+    good_rows, bad_rows = [], []
+    schema = spark.read.parquet(str(src_dir / "data")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src_dir / "data"))
+    q = runner.run_stream(
+        stream,
+        pipe,
+        sink=lambda df, e: good_rows.extend(r["k"] for r in df.collect()),
+        quarantine_sink=lambda df, e: bad_rows.extend(r["k"] for r in df.collect()),
+        constraints=[V.NotNull("k"), V.Unique("k")],
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(good_rows) == [1, 2] and bad_rows == []
+
+    # poisoned data: duplicate key violates Unique.  A fresh run (no
+    # checkpoint) re-reads everything as ONE micro-batch, so the whole
+    # batch — clean rows included — must land in quarantine: the gate is
+    # batch-granular by design.
+    spark.createDataFrame([(7, "x"), (7, "y")], "k long, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src_dir / "data"))
+    good2, bad2 = [], []
+    q = runner.run_stream(
+        stream,
+        pipe,
+        sink=lambda df, e: good2.extend(r["k"] for r in df.collect()),
+        quarantine_sink=lambda df, e: bad2.extend(r["k"] for r in df.collect()),
+        constraints=[V.NotNull("k"), V.Unique("k")],
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert good2 == [] and sorted(bad2) == [1, 2, 7, 7]
