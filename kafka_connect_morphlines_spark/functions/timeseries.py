@@ -1,0 +1,97 @@
+"""Time-series regularization: resampling to a fixed grid + gap filling.
+
+The shape monitoring/feature pipelines need over event streams: per key,
+snap observations to a regular grid (last observation per bucket), generate
+the missing buckets, and forward-fill values across gaps.
+
+Scale design (100 TB):
+- bucketing + last-per-bucket is one map-side-combined groupBy (max_by is
+  an ordinary aggregate);
+- the grid generates from each key's (min, max) bucket with
+  ``sequence``+``explode`` — grid size is bounded by span/step per key,
+  never by the observation count;
+- forward fill is ``last(ignorenulls)`` over a per-key ordered window — one
+  shuffle by key total for grid+fill (the join and window share the
+  partitioning).
+Skew note: a key whose span/step is huge explodes a long grid row — cap
+``step`` appropriately or pre-split the span; observations themselves never
+inflate.
+
+The reference repo has no temporal operators beyond convertTimestamp
+(SURVEY.md §2 Part B.2); this family is part of the beyond-reference
+Part C surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_UNIT_TO_INTERVAL = {
+    "minute": "INTERVAL 1 MINUTE",
+    "hour": "INTERVAL 1 HOUR",
+    "day": "INTERVAL 1 DAY",
+    "week": "INTERVAL 1 WEEK",
+}
+
+
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Per-key regular grid at ``unit`` granularity with forward-filled
+    values.
+
+    Output: (key, bucket, value, n_obs) — ``value`` is the last observation
+    at-or-before the bucket (within the key's own [min, max] span),
+    ``n_obs`` the observation count inside the bucket (0 = gap row).
+    The last-in-bucket pick is max_by over the raw timestamp; the window
+    fill is ``last(ignorenulls)`` over bucket order.
+    """
+    if unit not in _UNIT_TO_INTERVAL:
+        raise ValueError(f"unsupported unit {unit!r}; one of {sorted(_UNIT_TO_INTERVAL)}")
+    step = F.expr(_UNIT_TO_INTERVAL[unit])
+    key, ts, val = F.col(key_col), F.col(ts_col), F.col(value_col)
+    b = df.select(key.alias("_k"), F.date_trunc(unit, ts).alias("bucket"), ts.alias("_ts"), val.alias("_v"))
+    per_bucket = b.groupBy("_k", "bucket").agg(
+        F.max_by("_v", "_ts").alias("_obs"), F.count(F.lit(1)).alias("n_obs")
+    )
+    span = b.groupBy("_k").agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+    grid = span.select("_k", F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias("bucket"))
+    j = grid.join(per_bucket, ["_k", "bucket"], "left")
+    w = Window.partitionBy("_k").orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        F.col("_k").alias(key_col),
+        F.col("bucket"),
+        F.last("_obs", ignorenulls=True).over(w).alias(value_col),
+        F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+    )
+
+
+def rolling_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window_rows: int = 24,
+) -> DataFrame:
+    """Trailing moving average / min / max over the previous ``window_rows``
+    observations per key (row-frame window — one shuffle by key)."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    # decimal accumulation: double summation is order-dependent, so a
+    # repartition could flip a rounded digit (see queries.money_sum); the
+    # exact decimal sum also backs the oracle-certified roll_sum leg
+    dec_sum = F.sum(F.col(value_col).cast("decimal(23,6)")).over(w)
+    return df.select(
+        "*",
+        dec_sum.alias("roll_sum_dec"),
+        (dec_sum.cast("double") / F.count(F.col(value_col)).over(w)).alias("roll_avg"),
+        F.min(value_col).over(w).alias("roll_min"),
+        F.max(value_col).over(w).alias("roll_max"),
+    )

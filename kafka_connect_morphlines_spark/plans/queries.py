@@ -3062,3 +3062,83 @@ def hll_sketch_rollup(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("estimate"),
     )
     return per_rows.unionByName(merged).orderBy("scope")
+
+
+# --------------------------------------------------------------------------
+# Time-series regularization (functions/timeseries.py)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "resample_ffill_hourly",
+    """
+    WITH b AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS bucket, ts, value
+      FROM events
+    ),
+    per_bucket AS (
+      SELECT k, bucket, arg_max(value, ts) AS obs, count(*) AS n_obs
+      FROM b GROUP BY k, bucket
+    ),
+    span AS (SELECT k, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY k),
+    grid AS (
+      SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM span
+    ),
+    j AS (
+      SELECT g.k, g.bucket, p.obs, coalesce(p.n_obs, 0) AS n_obs
+      FROM grid g LEFT JOIN per_bucket p ON g.k = p.k AND g.bucket = p.bucket
+    )
+    SELECT k AS event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           round(last_value(obs IGNORE NULLS) OVER (
+             PARTITION BY k ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value,
+           n_obs
+    FROM j
+    ORDER BY event_type, bucket
+    """,
+)
+def resample_ffill_hourly(spark, sf_dir):
+    """Per-key hourly grid + forward fill (timeseries.resample_ffill): gaps
+    materialize as n_obs=0 rows carrying the last seen value."""
+    from kafka_connect_morphlines_spark.functions import timeseries
+
+    ev = t(spark, sf_dir, "events")
+    out = timeseries.resample_ffill(ev, unit="hour")
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.round("value", 4).alias("value"),
+        "n_obs",
+    ).orderBy("event_type", "bucket")
+
+
+@query(
+    "rolling_event_stats",
+    """
+    SELECT event_id,
+           CAST(round(sum(CAST(value AS DECIMAL(23,6))) OVER w, 4) AS DOUBLE) AS roll_sum,
+           round(min(value) OVER w, 4) AS roll_min,
+           round(max(value) OVER w, 4) AS roll_max
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def rolling_event_stats(spark, sf_dir):
+    """Trailing 24-observation moving stats per key
+    (timeseries.rolling_stats) — one shuffle by key, row-frame window."""
+    from kafka_connect_morphlines_spark.functions import timeseries
+
+    ev = t(spark, sf_dir, "events")
+    out = timeseries.rolling_stats(ev.select("event_id", "ts", "event_type", "value"), window_rows=24)
+    # certify the decimal-exact rolling SUM (the money_sum pattern; the
+    # double mean is 1-ulp sensitive to engine rounding and is pinned by
+    # pytest instead)
+    return out.select(
+        "event_id",
+        F.round(F.col("roll_sum_dec"), 4).cast("double").alias("roll_sum"),
+        F.round("roll_min", 4).alias("roll_min"),
+        F.round("roll_max", 4).alias("roll_max"),
+    ).orderBy("event_id")

@@ -603,3 +603,50 @@ def test_hll_rollup_tracks_exact(spark):
     sk = df.groupBy("g").agg(F.hll_sketch_agg("k").alias("sk"))
     merged = sk.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")).collect()[0]["e"]
     assert abs(merged - 4999) / 4999 < 0.05
+
+
+# ---------------------------------------------------------------------------
+# timeseries (resample + gap fill, rolling stats)
+# ---------------------------------------------------------------------------
+
+
+def test_resample_ffill_fills_gaps(spark):
+    from kafka_connect_morphlines_spark.functions import timeseries
+
+    rows = [
+        ("a", "2024-01-01 00:10:00", 1.0),
+        ("a", "2024-01-01 00:40:00", 2.0),   # later obs in same bucket wins
+        ("a", "2024-01-01 03:05:00", 9.0),   # hours 1,2 are gaps
+        ("b", "2024-01-01 05:00:00", 7.0),   # single-bucket key
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts_s string, value double").select(
+        "event_type", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+    out = timeseries.resample_ffill(df, unit="hour")
+    got = {(r["event_type"], str(r["bucket"])): (r["value"], r["n_obs"]) for r in out.collect()}
+    assert got[("a", "2024-01-01 00:00:00")] == (2.0, 2)
+    assert got[("a", "2024-01-01 01:00:00")] == (2.0, 0)  # gap carries last value
+    assert got[("a", "2024-01-01 02:00:00")] == (2.0, 0)
+    assert got[("a", "2024-01-01 03:00:00")] == (9.0, 1)
+    assert got[("b", "2024-01-01 05:00:00")] == (7.0, 1)
+    assert len(got) == 5  # b has no gap rows outside its span
+
+
+def test_rolling_stats_window_frame(spark):
+    from kafka_connect_morphlines_spark.functions import timeseries
+
+    rows = [("a", "2024-01-01 00:0%d:00" % i, float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "event_type string, ts_s string, value double").select(
+        "event_type", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+    out = timeseries.rolling_stats(df, window_rows=2).orderBy("ts").collect()
+    assert [r["roll_avg"] for r in out] == [0.0, 0.5, 1.5, 2.5]
+    assert [r["roll_min"] for r in out] == [0.0, 0.0, 1.0, 2.0]
+    assert [r["roll_max"] for r in out] == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_resample_rejects_unknown_unit(spark):
+    from kafka_connect_morphlines_spark.functions import timeseries
+
+    with pytest.raises(ValueError, match="unsupported unit"):
+        timeseries.resample_ffill(spark.range(1), unit="fortnight")
