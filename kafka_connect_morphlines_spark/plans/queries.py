@@ -3142,3 +3142,34 @@ def rolling_event_stats(spark, sf_dir):
         F.round("roll_min", 4).alias("roll_min"),
         F.round("roll_max", 4).alias("roll_max"),
     ).orderBy("event_id")
+
+
+@query("pq_encode_codes", None)
+def pq_encode_codes(spark, sf_dir):
+    """Product-quantization encode (functions/pq.py): 64-dim float vectors
+    -> 8 codebook ids (32x compression).  Codebooks are k-means-fit, so not
+    SQL-expressible; golden-pinned with deterministic seeds."""
+    from kafka_connect_morphlines_spark.functions import pq
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq.pq_fit(emb, m_subspaces=8, k_codes=16, n_iter=2, seed=0)
+    out = pq.pq_encode(emb, books)
+    return out.select(
+        "vec_id", F.array_join(F.col("codes"), "-").alias("codes_str")
+    ).orderBy("vec_id")
+
+
+@query("pq_topk_adc", None)
+def pq_topk_adc(spark, sf_dir):
+    """ADC top-k over PQ codes (functions/pq.py): the query builds an m x k
+    lookup table; scoring is a map-only LUT-gather scan + TakeOrdered —
+    the original vectors are never read at query time."""
+    from kafka_connect_morphlines_spark.functions import pq
+
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = list(qrow[0]["embedding"]) if qrow else []
+    books = pq.pq_fit(emb, m_subspaces=8, k_codes=16, n_iter=2, seed=0)
+    codes = pq.pq_encode(emb.filter(F.col("vec_id") != 0), books)
+    out = pq.pq_topk(codes, books, qvec, k=10)
+    return out.select("vec_id", F.round("score", 4).alias("score"))

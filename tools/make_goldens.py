@@ -32,6 +32,8 @@ GOLDEN_QUERIES = [
     "approx_sketches",
     "kmeans_cluster_stats",
     "hll_sketch_rollup",
+    "pq_encode_codes",
+    "pq_topk_adc",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "resources", "goldens")
