@@ -331,3 +331,51 @@ def test_constraint_gate_quarantines_bad_batch(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert good2 == [] and sorted(bad2) == [1, 2, 7, 7]
+
+
+def test_upsert_sink_last_writer_wins_and_replay_idempotent(spark, tmp_path):
+    """Epoch-staged upsert sink: later epochs win per key, deletes
+    tombstone, and replaying an epoch leaves the published state unchanged
+    (the exactly-once sink contract)."""
+    from kafka_connect_morphlines_spark.streaming.upsert import UpsertParquetSink
+
+    root = str(tmp_path / "upsert")
+    sink = UpsertParquetSink(root, key_cols=["k"], op_col="op")
+    b0 = spark.createDataFrame(
+        [("a", 1.0, "upsert"), ("b", 2.0, "upsert")], "k string, v double, op string"
+    )
+    b1 = spark.createDataFrame(
+        [("a", 10.0, "upsert"), ("c", 3.0, "upsert"), ("b", 0.0, "delete")],
+        "k string, v double, op string",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    got = {r["k"]: r["v"] for r in sink.read_current(spark).collect()}
+    assert got == {"a": 10.0, "c": 3.0}  # a updated, b deleted, c inserted
+    # replay epoch 1 (failure recovery): state must not change
+    sink(b1, 1)
+    again = {r["k"]: r["v"] for r in sink.read_current(spark).collect()}
+    assert again == got
+
+
+def test_upsert_sink_through_run_stream(spark, tmp_path):
+    """The sink plugged into the foreachBatch runner end-to-end."""
+    from kafka_connect_morphlines_spark.streaming.upsert import UpsertParquetSink
+
+    src_dir = tmp_path / "upsrc"
+    src_dir.mkdir()
+    spark.createDataFrame([(1, "x"), (2, "y"), (1, "z")], "k long, v string").coalesce(
+        1
+    ).write.parquet(str(src_dir / "data"))
+    sink = UpsertParquetSink(str(tmp_path / "uptab"), key_cols=["k"])
+    pipe = compile_pipeline([{"setValues": {"tag": "row-@{k}"}}])
+    schema = spark.read.parquet(str(src_dir / "data")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src_dir / "data"))
+    q = runner.run_stream(stream, pipe, sink=sink)
+    q.processAllAvailable()
+    q.stop()
+    cur = sink.read_current(spark)
+    # one row per key survives, with the deterministic struct-max winner
+    assert cur.count() == 2
+    assert {r["k"] for r in cur.collect()} == {1, 2}
+    assert {r["v"] for r in cur.filter("k = 1").collect()} == {"z"}  # max payload tie-break
