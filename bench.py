@@ -38,6 +38,9 @@ HEADLINE = [
     "volume_shipping_pairs",
     "customer_order_histogram",
     "large_order_customers",
+    # temporal tables: SCD2 build + point-in-time join
+    "scd2_order_versions",
+    "pit_join_ship_state",
     # format layer
     "avro_container_roundtrip",
     # LLM-pipeline operators
@@ -49,6 +52,8 @@ HEADLINE = [
     "text_quality",
     "doc_fingerprint",
     "unigram_logprob",
+    "bigram_logprob",
+    "bm25_topk_search",
     "quality_classifier_score",
     "span_dedup_clean",
     "url_canonical_dedup",

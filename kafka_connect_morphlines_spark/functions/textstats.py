@@ -294,3 +294,59 @@ def unigram_logprob_df(df, text_col: str = "text", id_col: str = "doc_id", alpha
         F.count(F.col("_t")).alias("n_tokens"),
         F.round(F.coalesce(F.avg("_lp"), F.lit(0.0)), 6).alias("logprob"),
     )
+
+
+def bigram_logprob_df(df, text_col: str = "text", id_col: str = "doc_id", alpha: float = 1.0):
+    """(id, n_bigrams, logprob): per-document average conditional bigram
+    log-probability ``ln P(w2 | w1)`` under the corpus's own add-alpha-smoothed
+    bigram LM — the next step up from :func:`unigram_logprob_df` on the
+    perplexity-filter ladder (catches shuffled-word salad that unigram
+    statistics cannot: the same tokens in implausible order score low).
+
+    ``P(w2|w1) = (c(w1 w2) + alpha) / (c(w1) + alpha * V)`` with V = unigram
+    vocabulary size.  Documents with fewer than two tokens get logprob 0 and
+    n_bigrams 0 (kept via a left join back to the corpus ids).
+
+    Shape at 100 TB: bigrams come from one codegen index-explode (no
+    interpreted higher-order fold), both count tables shuffle once with
+    map-side combine (bigram table ~ O(V^2) worst case but Zipf-bounded in
+    practice), scoring joins carry only (id, hash, count) — document text
+    never shuffles.  AQE broadcasts the count tables when they fit.
+    """
+    toks = tokens_codegen(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    # one row per bigram occurrence: (id, w1, w2), codegen explode of the
+    # token index — same shape as shingles_exploded but keeping the pair
+    # components separate (we need c(w1) as well as c(w1 w2))
+    pairs = base.filter(F.size("_t") >= 2).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.size("_t") - 1)).alias("_i"),
+        F.col("_t"),
+    ).select(
+        F.col(id_col),
+        F.element_at("_t", F.col("_i")).alias("_w1"),
+        F.element_at("_t", F.col("_i") + 1).alias("_w2"),
+    )
+    uni = df.select(F.explode(toks).alias("_w")).groupBy("_w").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("_v"))
+    big = pairs.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c2"))
+    lm = (
+        big.join(uni.withColumnRenamed("_w", "_w1"), "_w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "_w1",
+            "_w2",
+            F.log((F.col("_c2") + F.lit(alpha)) / (F.col("_c1") + F.lit(alpha) * F.col("_v"))).alias("_lp"),
+        )
+    )
+    scored = pairs.join(lm, ["_w1", "_w2"], "left")
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_lp"), 6).alias("logprob"),
+    )
+    ids = df.select(F.col(id_col))
+    return ids.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("logprob", F.lit(0.0)).alias("logprob"),
+    )

@@ -3173,3 +3173,185 @@ def pq_topk_adc(spark, sf_dir):
     codes = pq.pq_encode(emb.filter(F.col("vec_id") != 0), books)
     out = pq.pq_topk(codes, books, qvec, k=10)
     return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+# --------------------------------------------------------------------------
+# Text retrieval (functions/retrieval.py): the Spark-native stand-in for the
+# reference's Solr hand-off (loadSolr, config/cloudsolr.conf:74-78) —
+# inverted-index statistics and BM25 ranked search over the corpus itself.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "inverted_index_stats",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), x -> x != '')) AS term
+      FROM documents
+    ), tp AS (
+      SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+    )
+    SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ctf,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM tp GROUP BY term
+    """,
+)
+def inverted_index_stats(spark, sf_dir):
+    """Index build, stats face: per-term document frequency, collection
+    frequency, posting bounds (retrieval.index_stats).  All algebraic
+    aggregates — map-side combine, vocabulary-sized result, no posting list
+    ever materialized (the unbounded-stopword hazard at corpus scale)."""
+    from kafka_connect_morphlines_spark.functions import ensure_parallelism, retrieval
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return retrieval.index_stats(docs)
+
+
+@query(
+    "bm25_topk_search",
+    """
+    WITH d AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x->x!='') AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    hits AS (SELECT doc_id, term FROM tok WHERE term IN ('spark','vector','window')),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    per AS (
+      SELECT tf.doc_id,
+             CAST(round( ln(1.0 + (s.n_docs - dfreq.df + 0.5)/(dfreq.df + 0.5))
+                   * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)
+                  AS DECIMAL(18,6)) AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(round(sum(s), 4) AS DOUBLE) AS score, count(*) AS n_terms_matched
+    FROM per GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_topk_search(spark, sf_dir):
+    """BM25 ranked retrieval, top-10 for a 3-term query
+    (retrieval.bm25_topk).  The exploded token stream is filtered against
+    the literal query terms before any shuffle; per-term scores are rounded
+    and summed as DECIMAL so the ranking is aggregation-order independent.
+    Deterministic total order: (score desc, doc_id)."""
+    from kafka_connect_morphlines_spark.functions import ensure_parallelism, retrieval
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return retrieval.bm25_topk(docs, ["spark", "vector", "window"], k=10)
+
+
+@query(
+    "bigram_logprob",
+    """
+    WITH d AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x->x!='') AS toks FROM documents),
+    uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w),
+    voc AS (SELECT count(*) AS v FROM uni),
+    pairs AS (
+      SELECT doc_id, z[1] AS w1, z[2] AS w2
+      FROM (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+            FROM d WHERE len(toks) >= 2)
+    ),
+    big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+    lp AS (SELECT p.doc_id, ln((b.c2 + 1.0)/(u.c1 + 1.0*v.v)) AS lp
+           FROM pairs p JOIN big b USING (w1, w2) JOIN uni u ON u.w = p.w1 CROSS JOIN voc v),
+    agg AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS logprob FROM lp GROUP BY doc_id)
+    SELECT dd.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams, coalesce(agg.logprob, 0.0) AS logprob
+    FROM documents dd LEFT JOIN agg ON dd.doc_id = agg.doc_id
+    """,
+)
+def bigram_logprob(spark, sf_dir):
+    """Per-doc average conditional bigram log-probability under the corpus's
+    own add-one-smoothed bigram LM (textstats.bigram_logprob_df) — the
+    word-order-sensitive rung of the perplexity-filter ladder.  Codegen
+    index-explode for the pairs, two count shuffles with map-side combine,
+    text never shuffles."""
+    from kafka_connect_morphlines_spark.functions import ensure_parallelism, textstats
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return textstats.bigram_logprob_df(docs)
+
+
+# --------------------------------------------------------------------------
+# Temporal tables (functions/temporal.py): SCD2 version building and
+# point-in-time joins — the time-aware form of the reference's side-data
+# enrichment (EnrichJsonBuilder.java:191-200 consults *current* state only).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scd2_order_versions",
+    """
+    WITH chg AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from, count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(23,6))), 2) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+    )
+    SELECT o_custkey, valid_from, lead(valid_from) OVER w AS valid_to,
+           row_number() OVER w AS version,
+           (lead(valid_from) OVER w IS NULL) AS is_current,
+           n_orders, spend
+    FROM chg WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from)
+    """,
+)
+def scd2_order_versions(spark, sf_dir):
+    """SCD2 dimension build from an append-only change stream
+    (temporal.scd2_versions): per-customer daily order state becomes
+    versioned rows with valid_from/valid_to/version/is_current.  One
+    key-partitioned window — a single shuffle on the key, no self-join."""
+    from kafka_connect_morphlines_spark.functions import temporal
+
+    orders = t(spark, sf_dir, "orders")
+    chg = orders.groupBy(
+        "o_custkey", F.to_date("o_orderdate").alias("chg_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("spend"),
+    )
+    out = temporal.scd2_versions(chg, "o_custkey", "chg_date", ["n_orders", "spend"])
+    return out
+
+
+@query(
+    "pit_join_ship_state",
+    """
+    WITH chg AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(23,6))), 2) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+    ),
+    v AS (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY valid_from) AS version FROM chg),
+    f AS (SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, CAST(l.l_shipdate AS DATE) AS ship
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT f.l_orderkey, f.l_linenumber, f.o_custkey, v.version, v.spend
+    FROM f ASOF JOIN v ON f.o_custkey = v.o_custkey AND f.ship >= v.valid_from
+    """,
+)
+def pit_join_ship_state(spark, sf_dir):
+    """Point-in-time join (temporal.point_in_time_join): each lineitem picks
+    the customer's order-state version valid at ship time.  Union+window
+    as-of form — one shuffle on the key, no fact-x-version range-join
+    explosion.  Inner semantics (facts shipping before any version drop),
+    matching DuckDB ASOF JOIN."""
+    from kafka_connect_morphlines_spark.functions import temporal
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    chg = orders.groupBy(
+        "o_custkey", F.to_date("o_orderdate").alias("chg_date")
+    ).agg(money_sum(F.col("o_totalprice")).alias("spend"))
+    versions = temporal.scd2_versions(chg, "o_custkey", "chg_date", ["spend"]).select(
+        "o_custkey", "valid_from", "version", "spend"
+    )
+    facts = li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey")).select(
+        "l_orderkey", "l_linenumber", "o_custkey", F.to_date("l_shipdate").alias("ship")
+    )
+    out = temporal.point_in_time_join(
+        facts, versions, key="o_custkey", fact_ts="ship", value_cols=["version", "spend"]
+    )
+    return out.filter(F.col("version_asof").isNotNull()).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        F.col("version_asof").alias("version"),
+        F.col("spend_asof").alias("spend"),
+    )
