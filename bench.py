@@ -41,6 +41,8 @@ HEADLINE = [
     # temporal tables: SCD2 build + point-in-time join
     "scd2_order_versions",
     "pit_join_ship_state",
+    # behavioral analytics
+    "funnel_conversion",
     # format layer
     "avro_container_roundtrip",
     # LLM-pipeline operators

@@ -1,0 +1,101 @@
+"""Behavioral analytics operators: ordered funnels and cohort retention.
+
+The reference engine's event records (Kafka envelope + timestamp fields,
+MorphlineTransform.java:138-147) are exactly the input these consume; the
+reference itself can only transform events one at a time — cross-event
+sequencing is a capability the Spark engine adds.
+
+Shape at 100 TB:
+- A funnel is N tiny per-step aggregates chained by user-keyed joins: each
+  step filters the event scan to one type (predicate pushed to parquet),
+  groupBy(user) min(ts) with map-side combine, then an equi-join on the
+  user key against the previous step's (user, ts) frame — the frames
+  shrink monotonically (each step keeps a subset of users), so every join
+  after the first is a candidate for AQE broadcast.  Event payloads never
+  travel: only (user, ts) pairs shuffle.
+- Cohort retention is one distinct-(user, bucket) aggregate plus one
+  user-keyed join against the cohort frame; the result is
+  (cohorts x offsets)-sized, independent of event volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: for each user, the earliest time they completed each
+    step AFTER completing the previous one (inclusive ordering, so a step
+    sharing the prior step's timestamp counts).
+
+    Returns one row per user who completed step 1, with a nullable
+    ``t_<step>`` timestamp per step — nulls from the first uncompleted step
+    onward.  Completion counts/conversion rates are a trivial aggregate of
+    this frame.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    out = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"t_{steps[0]}"))
+    )
+    prev = f"t_{steps[0]}"
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(out.select(user_col, prev), user_col)
+            .filter(F.col(ts_col) >= F.col(prev))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{step}"))
+        )
+        out = out.join(nxt, user_col, "left")
+        prev = f"t_{step}"
+    return out
+
+
+def funnel_counts(funnel: DataFrame, steps: list[str]) -> DataFrame:
+    """One-row completion counts for a :func:`funnel_steps` frame."""
+    return funnel.agg(
+        *[F.count(F.col(f"t_{s}")).alias(f"n_{s}") for s in steps]
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    cohort_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    ``cohort_type`` event; for each later week, how many were active (any
+    event).
+
+    Returns (cohort_week: date, week_offset: int, n_active: long) with
+    offset 0 = the cohort week itself; negative offsets (activity before
+    signup) are excluded.  Result size is cohorts x offsets — independent
+    of event volume, so the final aggregate is never the bottleneck.
+    """
+    cohort = (
+        events.filter(F.col(type_col) == cohort_type)
+        .groupBy(user_col)
+        .agg(F.to_date(F.date_trunc("week", F.min(ts_col))).alias("cohort_week"))
+    )
+    active = events.select(
+        F.col(user_col), F.to_date(F.date_trunc("week", F.col(ts_col))).alias("week")
+    ).distinct()
+    j = active.join(cohort, user_col)
+    offset = (F.datediff("week", "cohort_week") / 7).cast("int")
+    return (
+        j.select("cohort_week", offset.alias("week_offset"), F.col(user_col))
+        .filter(F.col("week_offset") >= 0)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -3355,3 +3355,63 @@ def pit_join_ship_state(spark, sf_dir):
         F.col("version_asof").alias("version"),
         F.col("spend_asof").alias("spend"),
     )
+
+
+# --------------------------------------------------------------------------
+# Behavioral analytics (functions/funnel.py): cross-event sequencing the
+# record-at-a-time reference cannot express — ordered funnels and cohort
+# retention over the Kafka-envelope event stream.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type='signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id=s1.user_id
+           WHERE e.event_type='click' AND e.ts >= s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id=s2.user_id
+           WHERE e.event_type='purchase' AND e.ts >= s2.t2 GROUP BY e.user_id)
+    SELECT s1.user_id, CAST(epoch_ms(s1.t1) AS BIGINT) AS t_signup,
+           CAST(epoch_ms(s2.t2) AS BIGINT) AS t_click,
+           CAST(epoch_ms(s3.t3) AS BIGINT) AS t_purchase
+    FROM s1 LEFT JOIN s2 ON s1.user_id=s2.user_id LEFT JOIN s3 ON s1.user_id=s3.user_id
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel signup -> click -> purchase (funnel.funnel_steps):
+    per-user earliest completion time of each step after the previous one.
+    N-1 user-keyed joins over monotonically shrinking (user, ts) frames —
+    event payloads never shuffle; later joins AQE-broadcast."""
+    from kafka_connect_morphlines_spark.functions import funnel
+
+    ev = t(spark, sf_dir, "events")
+    steps = ["signup", "click", "purchase"]
+    out = funnel.funnel_steps(ev, steps)
+    return out.select(
+        "user_id",
+        *[F.unix_millis(F.col(f"t_{s}")).alias(f"t_{s}") for s in steps],
+    )
+
+
+@query(
+    "cohort_retention_weekly",
+    """
+    WITH cohort AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+                    FROM events WHERE event_type='signup' GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+    j AS (SELECT c.cohort_week, CAST(date_diff('day', c.cohort_week, a.week)/7 AS INT) AS week_offset
+          FROM act a JOIN cohort c ON a.user_id=c.user_id
+          WHERE date_diff('day', c.cohort_week, a.week) >= 0)
+    SELECT cohort_week, week_offset, count(*) AS n_active FROM j GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark, sf_dir):
+    """Weekly cohort retention (funnel.cohort_retention): signup-week
+    cohorts x active-week offsets.  One distinct-(user, week) aggregate +
+    one user-keyed join; the result is cohorts-x-offsets-sized regardless
+    of event volume."""
+    from kafka_connect_morphlines_spark.functions import funnel
+
+    ev = t(spark, sf_dir, "events")
+    return funnel.cohort_retention(ev, "signup")
