@@ -43,6 +43,13 @@ NAMES = [
     "data_quality_profile",
     "gopher_filter_verdicts",
     "hll_sketch_rollup",
+    "inverted_index_stats",
+    "bm25_topk_search",
+    "bigram_logprob",
+    "scd2_order_versions",
+    "pit_join_ship_state",
+    "funnel_conversion",
+    "cohort_retention_weekly",
 ]
 
 

@@ -112,8 +112,14 @@ def bm25_topk(
     terms = [t for t in query_terms if t]
     ex = df.select(F.col(id_col), F.explode(tokens_codegen(F.col(text_col))).alias("term"))
 
-    # corpus stats: one row — N docs and average doc length
+    # corpus stats: one row — N docs and average doc length.  dl feeds both
+    # the stats aggregate and the per-doc score join; without materializing
+    # it the full-corpus tokenization runs once per consumer (SCALE.md
+    # lesson 7).  The checkpointed frame is two numbers per doc — tiny
+    # relative to the text it replaces.
     dl = df.select(F.col(id_col), F.size(tokens_codegen(F.col(text_col))).alias("dl"))
+    if not dl.isStreaming:
+        dl = dl.localCheckpoint()
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
 
     hits = ex.filter(F.col("term").isin(terms))

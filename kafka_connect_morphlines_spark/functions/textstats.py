@@ -327,6 +327,11 @@ def bigram_logprob_df(df, text_col: str = "text", id_col: str = "doc_id", alpha:
         F.element_at("_t", F.col("_i")).alias("_w1"),
         F.element_at("_t", F.col("_i") + 1).alias("_w2"),
     )
+    # pairs feeds the bigram-count aggregate AND the scoring join; without a
+    # checkpoint the tokenize+explode runs once per consumer (SCALE.md
+    # lesson 7)
+    if not pairs.isStreaming:
+        pairs = pairs.localCheckpoint()
     uni = df.select(F.explode(toks).alias("_w")).groupBy("_w").agg(F.count(F.lit(1)).alias("_c1"))
     vocab = uni.agg(F.count(F.lit(1)).alias("_v"))
     big = pairs.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c2"))

@@ -3415,3 +3415,31 @@ def cohort_retention_weekly(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     return funnel.cohort_retention(ev, "signup")
+
+
+@query(
+    "cms_heavy_hitters",
+    """
+    WITH d AS (SELECT i FROM (VALUES (0),(1),(2),(3)) t(i)),
+    ex AS (SELECT i, CAST(('0x'||substr(md5(CAST(i AS VARCHAR)||':'||CAST(user_id AS VARCHAR)),1,6)) AS BIGINT)%1024 AS bucket
+           FROM events CROSS JOIN d),
+    sk AS (SELECT i, bucket, count(*) AS cnt FROM ex GROUP BY i, bucket),
+    cand AS (SELECT DISTINCT user_id FROM events),
+    ke AS (SELECT user_id, i, CAST(('0x'||substr(md5(CAST(i AS VARCHAR)||':'||CAST(user_id AS VARCHAR)),1,6)) AS BIGINT)%1024 AS bucket
+           FROM cand CROSS JOIN d),
+    est AS (SELECT ke.user_id AS key, min(coalesce(sk.cnt,0)) AS est_count
+            FROM ke LEFT JOIN sk USING (i, bucket) GROUP BY ke.user_id)
+    SELECT key, CAST(est_count AS BIGINT) AS est_count FROM est
+    ORDER BY est_count DESC, key LIMIT 10
+    """,
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (functions/sketches.py): depth-4 x
+    width-1024 mergeable frequency sketch, md5-derived buckets reproducible
+    outside Spark (the oracle builds the identical sketch).  Sketch state is
+    bounded by depth x width regardless of key cardinality; estimation joins
+    a broadcastable 4096-row table."""
+    from kafka_connect_morphlines_spark.functions import sketches
+
+    ev = t(spark, sf_dir, "events")
+    return sketches.cms_heavy_hitters(ev, F.col("user_id"), k=10, depth=4, width=1024)

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window, functions as F  # noqa: E402
 
 from kafka_connect_morphlines_spark import compile_pipeline, get_spark  # noqa: E402
-from kafka_connect_morphlines_spark.functions import bloom, dedup, relational, semantic, similarity, textstats, traindata, web  # noqa: E402
+from kafka_connect_morphlines_spark.functions import bloom, dedup, funnel, relational, retrieval, semantic, similarity, temporal, textstats, traindata, web  # noqa: E402
 
 
 def main() -> None:
@@ -164,6 +164,32 @@ def main() -> None:
                 distinct_keys=False,
             ),
         ),
+        "index_stats_200k": run("index_stats_200k", lambda: retrieval.index_stats(docs)),
+        "bm25_200k": run(
+            "bm25_200k", lambda: retrieval.bm25_topk(docs, ["w1", "w17", "w104"], k=10)
+        ),
+        "bigram_logprob_200k": run("bigram_logprob_200k", lambda: textstats.bigram_logprob_df(docs)),
+        # SCD2 build over the purchase stream (1000 keys x ~4k versions each),
+        # then every click point-in-time joined to its user's state
+        "scd2_pit_20m": run(
+            "scd2_pit_20m",
+            lambda: temporal.point_in_time_join(
+                events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts"),
+                temporal.scd2_versions(
+                    events.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value"),
+                    "user_id",
+                    "ts",
+                    ["value"],
+                ).select("user_id", "valid_from", "version", "value"),
+                key="user_id",
+                fact_ts="ts",
+                value_cols=["version", "value"],
+            ),
+        ),
+        "funnel_20m": run(
+            "funnel_20m", lambda: funnel.funnel_steps(events, ["view", "click", "purchase"])
+        ),
+        "cohort_20m": run("cohort_20m", lambda: funnel.cohort_retention(events, "click")),
     }
     print(json.dumps(results))
 
