@@ -47,12 +47,13 @@ _CERTIFIED_PRIOR_ROUNDS = {
     "try_rules", "window_running_sum", "window_topk_orders",
 }
 
-# Round 3 listed the 52 then-uncertified queries first; a 50-entry driver
-# prefix would have certified all but the last two (dominant_part_suppliers,
-# encode_documents_ids).  Rank those presumed-certified entries between the
-# two stragglers and the r01/r02 set so the round-4 prefix starts with the
-# only queries that can still be missing from the certification union.
-_PRESUMED_CERTIFIED_R03 = {
+# Second rotation tier: queries that were at the FRONT of the round-3
+# registration order (so a 50-entry round-3 prefix certifies most of them).
+# They rank between the never-fronted entries and the r01/r02-certified
+# set; newly added queries fall in neither set and therefore sort first —
+# each round's prefix starts with the queries most likely to still be
+# missing from the union of CORRECTNESS_r* files.
+_ROTATION_TIER_2 = {
     "dup_ngram_stats", "word_entropy", "unigram_logprob", "doc_fingerprint",
     "multimodal_binary_meta", "multimodal_features", "asof_join_events",
     "range_join_bucketed", "stats_by_returnflag", "percentiles_by_status",
@@ -80,7 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         QUERIES,
         key=lambda name: (
             name in _CERTIFIED_PRIOR_ROUNDS,
-            name in _PRESUMED_CERTIFIED_R03,
+            name in _ROTATION_TIER_2,
         ),
     )
     return {name: QUERIES[name].build for name in ordered}

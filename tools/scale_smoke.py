@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window, functions as F  # noqa: E402
 
 from kafka_connect_morphlines_spark import compile_pipeline, get_spark  # noqa: E402
-from kafka_connect_morphlines_spark.functions import bloom, dedup, funnel, relational, retrieval, semantic, similarity, temporal, textstats, traindata, web  # noqa: E402
+from kafka_connect_morphlines_spark.functions import bloom, dedup, funnel, relational, retrieval, semantic, similarity, sketches, temporal, textstats, traindata, web  # noqa: E402
 
 
 def main() -> None:
@@ -190,6 +190,10 @@ def main() -> None:
             "funnel_20m", lambda: funnel.funnel_steps(events, ["view", "click", "purchase"])
         ),
         "cohort_20m": run("cohort_20m", lambda: funnel.cohort_retention(events, "click")),
+        "cms_heavy_hitters_20m": run(
+            "cms_heavy_hitters_20m",
+            lambda: sketches.cms_heavy_hitters(events, F.col("user_id"), k=10, depth=4, width=1024),
+        ),
     }
     print(json.dumps(results))
 
