@@ -238,3 +238,41 @@ def test_corpus_prep_incremental_and_semantic(spark):
     assert out["deduped"].count() > 0
     # the gopher audit covers exactly the post-ingest batch
     assert out["gopher_audit"].filter(F.col("doc_id") % 2 == 0).count() == 0
+
+
+def test_warehouse_analytics_end_to_end(spark):
+    """The event-warehouse analytics composition (examples/
+    warehouse_analytics.py): SCD2 build -> point-in-time enrichment ->
+    funnel/cohort -> heavy-hitter sketch -> audit search, with the
+    invariants each stage must preserve."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "warehouse_analytics", os.path.join(EXAMPLES, "warehouse_analytics.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = mod.analyze_events(events, docs, search_terms=["spark", "window"])
+
+    # SCD2: exactly one open (current) version per user with versions
+    v = out["dim_versions"]
+    per_user_current = v.filter("is_current").groupBy("user_id").count()
+    assert per_user_current.filter("count != 1").count() == 0
+
+    # enrichment keeps every click exactly once (left as-of join)
+    n_clicks = events.filter(F.col("event_type") == "click").count()
+    assert out["enriched_clicks"].count() == n_clicks
+
+    # funnel monotonicity: each step's completions <= previous step's
+    conv = out["conversion"].collect()[0]
+    assert conv["n_signup"] >= conv["n_click"] >= conv["n_purchase"]
+
+    # retention offsets are non-negative; heavy hitters returns k rows max
+    assert out["retention"].filter("week_offset < 0").count() == 0
+    assert out["heavy_hitters"].count() <= 10
+    assert out["audit_search"].count() <= 10
