@@ -3443,3 +3443,29 @@ def cms_heavy_hitters(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     return sketches.cms_heavy_hitters(ev, F.col("user_id"), k=10, depth=4, width=1024)
+
+
+@query(
+    "k_anonymity_audit",
+    """
+    SELECT c_nationkey, c_mktsegment, count(*) AS n,
+           count(DISTINCT CAST(floor(c_acctbal/2000) AS BIGINT)*2000) AS n_sensitive,
+           count(*) < 8 AS k_violation,
+           count(DISTINCT CAST(floor(c_acctbal/2000) AS BIGINT)*2000) < 3 AS l_violation
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def k_anonymity_audit(spark, sf_dir):
+    """Privacy release gate (functions/privacy.py): k-anonymity (class size
+    >= k) and l-diversity (distinct sensitive values >= l) over the
+    (nation, segment) quasi-identifier with bucketed account balance as the
+    sensitive attribute.  One groupBy with map-side combine; the audit
+    table is equivalence-class-sized, not row-sized."""
+    from kafka_connect_morphlines_spark.functions import privacy
+
+    cust = t(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", privacy.generalize_bucket(F.col("c_acctbal"), 2000)
+    )
+    return privacy.anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], k=8, sensitive_col="bal_bucket", l=3
+    )
