@@ -24,11 +24,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def _bucket(i: Column, key: Column, width: int) -> Column:
-    # 6 hex digits < 2^24: conv cannot overflow a long even under ANSI mode;
-    # mirrored in SQL as CAST('0x'||substr(md5(i||':'||key),1,6) AS BIGINT)%w
-    h = F.md5(F.concat(i.cast("string"), F.lit(":"), key.cast("string")))
-    return (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % width).alias("bucket")
+MAX_DEPTH = 5  # 32 md5 hex chars / 6 per row — one digest serves all rows
+
+
+def _buckets(key: Column, depth: int, width: int) -> Column:
+    """All ``depth`` bucket indices from ONE md5 of the key.
+
+    Row i reads hex digits [1+6i, 6+6i) of the digest — disjoint 24-bit
+    slices of one 128-bit hash (the Kirsch-Mitzenmacher double-hashing
+    argument: independent-enough rows without d hash invocations).  md5 is
+    the per-row cost at corpus scale, so computing it once instead of
+    ``depth`` times is a ~d-fold build speedup.  6 hex digits < 2^24 keeps
+    ``conv`` inside long range under ANSI mode; mirrored in SQL as
+    CAST('0x'||substr(md5(key), 1+6*i, 6) AS BIGINT) % width.
+    """
+    if depth > MAX_DEPTH:
+        raise ValueError(f"depth {depth} > {MAX_DEPTH}: one md5 digest holds only 5 6-hex slices")
+    h = F.md5(key.cast("string"))
+    return F.array(
+        *[
+            (F.conv(F.substring(h, 1 + 6 * i, 6), 16, 10).cast("long") % width)
+            for i in range(depth)
+        ]
+    )
 
 
 def cms_sketch(
@@ -41,16 +59,15 @@ def cms_sketch(
     """Build a count-min sketch (i, bucket, cnt) over one pass of ``df``.
 
     ``weight`` (default 1 per row) supports pre-aggregated inputs.  The
-    result has at most depth x width rows regardless of input size.
+    result has at most depth x width rows regardless of input size.  The
+    md5 digest is computed once per input row; posexplode then fans out the
+    depth pre-computed bucket indices (cheap codegen substrings).
     """
-    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i")
     w = weight if weight is not None else F.lit(1)
-    ex = df.select(key.alias("_k"), w.alias("_w")).select(rows, "_k", "_w")
-    return (
-        ex.select("i", _bucket(F.col("i"), F.col("_k"), width), "_w")
-        .groupBy("i", "bucket")
-        .agg(F.sum("_w").cast("long").alias("cnt"))
+    ex = df.select(_buckets(key, depth, width).alias("_bs"), w.alias("_w")).select(
+        F.posexplode("_bs").alias("i", "bucket"), "_w"
     )
+    return ex.groupBy("i", "bucket").agg(F.sum("_w").cast("long").alias("cnt"))
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
@@ -75,8 +92,9 @@ def cms_estimate(
     Over-counts only (hash collisions add, never subtract); keys the sketch
     never saw estimate as the collision noise floor (0 when their buckets
     are clean).  The sketch side is depth x width rows — broadcast."""
-    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i")
-    ex = keys.select("*", rows).select("*", _bucket(F.col("i"), key, width))
+    ex = keys.select("*", _buckets(key, depth, width).alias("_bs")).select(
+        "*", F.posexplode("_bs").alias("i", "bucket")
+    ).drop("_bs")
     joined = ex.join(F.broadcast(sketch), ["i", "bucket"], "left")
     group_cols = [c for c in keys.columns]
     return joined.groupBy(*group_cols).agg(
@@ -93,11 +111,17 @@ def cms_heavy_hitters(
 ) -> DataFrame:
     """Top-k keys by count-min estimate, deterministic (est desc, key asc).
 
-    The candidate set is the input's distinct keys (exact heavy hitters are
-    always in it; the sketch only decides the ranking), so the scan is one
-    distinct plus one sketch build — both map-side combinable."""
-    sk = cms_sketch(df, key, depth, width)
-    cand = df.select(key.alias("_key")).distinct()
+    Batch plan: pre-aggregate exact per-key counts first (one map-side
+    combinable groupBy — the same shuffle the candidate distinct would
+    cost), then build the sketch from the weighted key table.  The sketch
+    content is IDENTICAL to the row-at-a-time build (bucket sums commute),
+    but md5 runs once per distinct key instead of once per input row —
+    40M events over 2k keys hash 2k strings, not 40M.  (Streaming callers
+    keep the per-row :func:`cms_sketch`; its state, unlike this groupBy, is
+    bounded by depth x width rather than key cardinality.)"""
+    counts = df.groupBy(key.alias("_key")).agg(F.count(F.lit(1)).alias("_n"))
+    sk = cms_sketch(counts, F.col("_key"), depth, width, weight=F.col("_n"))
+    cand = counts.select("_key")
     est = cms_estimate(sk, cand, F.col("_key"), depth, width)
     return (
         est.select(F.col("_key").alias("key"), "est_count")

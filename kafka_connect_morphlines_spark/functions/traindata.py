@@ -470,3 +470,36 @@ def connected_components(
     return base.join(labels.withColumnRenamed("ln", id_col), id_col, "left").select(
         F.col(id_col), F.coalesce("comp", F.col(id_col)).alias("component")
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    alpha: float = 0.7,
+    token_budget: int = 10_000,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based mixture rates: per-source sampling probabilities
+    ``p_s = n_s^alpha / sum_t n_t^alpha`` over token counts, flattened
+    toward uniform as alpha -> 0 (the multilingual/UniMax-style upweighting
+    of small sources), and the per-source keep ``rate`` that realizes a
+    token budget (capped at 1 — a source cannot yield more than it has).
+
+    Feed the resulting rates to :func:`mixture_sample` for the actual
+    deterministic downsample.  One groupBy on the source key (map-side
+    combine); the rate table is source-count-sized.
+    """
+    from kafka_connect_morphlines_spark.functions.textstats import tokens_codegen
+
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.sum(F.size(tokens_codegen(F.col(text_col)))).alias("n_tokens"))
+    )
+    z = counts.agg(F.sum(F.pow("n_tokens", F.lit(alpha))).alias("_z"))
+    p = F.pow("n_tokens", F.lit(alpha)) / F.col("_z")
+    return counts.crossJoin(F.broadcast(z)).select(
+        source_col,
+        "n_tokens",
+        F.round(p, 6).alias("p"),
+        F.round(F.least(F.lit(1.0), F.lit(float(token_budget)) * p / F.col("n_tokens")), 6).alias("rate"),
+    )

@@ -3421,11 +3421,11 @@ def cohort_retention_weekly(spark, sf_dir):
     "cms_heavy_hitters",
     """
     WITH d AS (SELECT i FROM (VALUES (0),(1),(2),(3)) t(i)),
-    ex AS (SELECT i, CAST(('0x'||substr(md5(CAST(i AS VARCHAR)||':'||CAST(user_id AS VARCHAR)),1,6)) AS BIGINT)%1024 AS bucket
+    ex AS (SELECT i, CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)), 1+6*i, 6)) AS BIGINT)%1024 AS bucket
            FROM events CROSS JOIN d),
     sk AS (SELECT i, bucket, count(*) AS cnt FROM ex GROUP BY i, bucket),
     cand AS (SELECT DISTINCT user_id FROM events),
-    ke AS (SELECT user_id, i, CAST(('0x'||substr(md5(CAST(i AS VARCHAR)||':'||CAST(user_id AS VARCHAR)),1,6)) AS BIGINT)%1024 AS bucket
+    ke AS (SELECT user_id, i, CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)), 1+6*i, 6)) AS BIGINT)%1024 AS bucket
            FROM cand CROSS JOIN d),
     est AS (SELECT ke.user_id AS key, min(coalesce(sk.cnt,0)) AS est_count
             FROM ke LEFT JOIN sk USING (i, bucket) GROUP BY ke.user_id)
@@ -3435,10 +3435,10 @@ def cohort_retention_weekly(spark, sf_dir):
 )
 def cms_heavy_hitters(spark, sf_dir):
     """Count-min-sketch heavy hitters (functions/sketches.py): depth-4 x
-    width-1024 mergeable frequency sketch, md5-derived buckets reproducible
-    outside Spark (the oracle builds the identical sketch).  Sketch state is
-    bounded by depth x width regardless of key cardinality; estimation joins
-    a broadcastable 4096-row table."""
+    width-1024 mergeable frequency sketch; all depth buckets come from
+    disjoint 24-bit slices of ONE md5 digest (the oracle builds the
+    identical sketch).  Sketch state is bounded by depth x width regardless
+    of key cardinality; estimation joins a broadcastable 4096-row table."""
     from kafka_connect_morphlines_spark.functions import sketches
 
     ev = t(spark, sf_dir, "events")
@@ -3469,3 +3469,25 @@ def k_anonymity_audit(spark, sf_dir):
     return privacy.anonymity_audit(
         cust, ["c_nationkey", "c_mktsegment"], k=8, sensitive_col="bal_bucket", l=3
     )
+
+
+@query(
+    "temperature_mixture_rates",
+    """
+    WITH c AS (SELECT source, CAST(sum(len(list_filter(string_split(trim(text),' '), x->x!=''))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+    z AS (SELECT sum(pow(n_tokens, 0.7)) AS z FROM c)
+    SELECT source, n_tokens, round(pow(n_tokens,0.7)/z.z, 6) AS p,
+           round(least(1.0, 10000 * (pow(n_tokens,0.7)/z.z) / n_tokens), 6) AS rate
+    FROM c CROSS JOIN z
+    """,
+)
+def temperature_mixture_rates(spark, sf_dir):
+    """Temperature-based source mixture (traindata.temperature_rates):
+    p_s = n_s^0.7 / sum n^0.7 over per-source token counts — the
+    UniMax-style small-source upweighting — plus the per-source keep rate
+    realizing a 10k-token budget.  One source-keyed groupBy; the rate table
+    is source-count-sized and feeds mixture_sample."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    return traindata.temperature_rates(t(spark, sf_dir, "documents"), alpha=0.7, token_budget=10_000)

@@ -1,5 +1,6 @@
 """Unit tests for the corpus-preparation operators (functions/traindata.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafka_connect_morphlines_spark.functions import traindata
@@ -107,3 +108,23 @@ def test_encode_documents_order_and_oov(spark):
     assert out[2]["token_ids"] == [v["a"], v["a"], 0]
     assert out[1]["n_tokens"] == 4
     assert 3 not in out  # whitespace-only doc has nothing to encode
+
+
+def test_temperature_rates_flatten_toward_uniform(spark):
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = spark.createDataFrame(
+        [(i, "big " * 99 + "big", "large") for i in range(9)]
+        + [(100, "small word two three", "tiny")],
+        "doc_id long, text string, source string",
+    )
+    hot = {r["source"]: r for r in traindata.temperature_rates(docs, alpha=1.0).collect()}
+    cool = {r["source"]: r for r in traindata.temperature_rates(docs, alpha=0.3).collect()}
+    # alpha=1: p proportional to raw token mass
+    assert hot["large"]["n_tokens"] == 900 and hot["tiny"]["n_tokens"] == 4
+    assert hot["large"]["p"] == pytest.approx(900 / 904, abs=1e-6)
+    # lower temperature flattens: the small source's share must rise
+    assert cool["tiny"]["p"] > hot["tiny"]["p"]
+    # rate is capped at 1 even when the budget exceeds the source size
+    caps = traindata.temperature_rates(docs, alpha=1.0, token_budget=10_000_000)
+    assert all(r["rate"] == 1.0 for r in caps.collect())
