@@ -135,24 +135,8 @@ def _lsh_candidates_from_exploded(
     At B rows per doc it's tiny relative to the corpus (16 longs vs the
     document text), the standard cached intermediate for LSH.
     """
-    rows_per_band = num_hashes // bands
     sig = _raw_signatures(ex, num_hashes)
-    # band hash straight from the min-aggregate columns — no K-long array
-    # build, no slice; hash(_mh{4b}, ..) is one codegen murmur3 call per band
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(*[F.col(f"_mh{b * rows_per_band + j}") for j in range(rows_per_band)]).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _banded_frame(sig, num_hashes, bands)
     if not banded.isStreaming:
         banded = banded.localCheckpoint()
     if max_bucket_size:
@@ -170,6 +154,30 @@ def _lsh_candidates_from_exploded(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
+
+
+def _banded_frame(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, band, bucket) from a raw-signature frame.
+
+    Band hash straight from the min-aggregate columns — no K-long array
+    build, no slice; ``hash(_mh{4b}, ..)`` is one codegen murmur3 call per
+    band.
+    """
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(*[F.col(f"_mh{b * rows_per_band + j}") for j in range(rows_per_band)]).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def minhash_signatures(
@@ -468,4 +476,62 @@ def simhash_near_dupes(df: DataFrame, text_col: str = "text", id_col: str = "doc
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), hamming_distance(F.col("a._sh"), F.col("b._sh")).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def minhash_cross_dupes(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Two-table near-duplicate join: corpus documents near-duplicating any
+    ``reference`` document (the lexical face of eval-set decontamination —
+    decontaminate() flags n-gram *overlap*; this finds whole-document
+    near-copies of benchmark items).  Output (id_col, ref_id, jacc) with
+    exact shingle-Jaccard >= threshold.
+
+    Shape at 100 TB: the reference side is benchmark-scale (MBs), so its
+    banded frame broadcasts and the corpus NEVER self-joins — the LSH
+    bucket probe is a broadcast hash join over the corpus's banded rows,
+    and the expensive per-doc shingle-set build for verification is
+    semi-joined down to candidate ids first, so it is bounded by the
+    candidate count, not the corpus.
+    """
+    corpus = ensure_parallelism(corpus)
+    exc = shingles_exploded(corpus, text_col, id_col, shingle_n).withColumnRenamed(id_col, "_id")
+    exr = shingles_exploded(reference, text_col, id_col, shingle_n).withColumnRenamed(id_col, "_id")
+    bc = _banded_frame(_raw_signatures(exc, num_hashes), num_hashes, bands)
+    br = _banded_frame(_raw_signatures(exr, num_hashes), num_hashes, bands).withColumnRenamed("_id", "_ref")
+    cands = bc.join(F.broadcast(br), ["band", "bucket"]).select("_id", "_ref").distinct()
+    if not cands.isStreaming:
+        cands = cands.localCheckpoint()  # feeds the semi-join and the verify join
+
+    # verify with hashed distinct shingle sets (SCALE.md lesson 9), built
+    # only for candidate docs
+    hit_ids = cands.select("_id").distinct()
+    hc = (
+        exc.join(F.broadcast(hit_ids), "_id", "left_semi")
+        .select("_id", F.xxhash64("_s").alias("_h"))
+        .groupBy("_id")
+        .agg(F.collect_set("_h").alias("_sc"))
+    )
+    hr = (
+        exr.select(F.col("_id").alias("_ref"), F.xxhash64("_s").alias("_h"))
+        .groupBy("_ref")
+        .agg(F.collect_set("_h").alias("_sr"))
+    )
+    return (
+        cands.join(hc, "_id")
+        .join(F.broadcast(hr), "_ref")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_ref").alias("ref_id"),
+            _jaccard_distinct(F.col("_sc"), F.col("_sr")).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= threshold)
     )

@@ -3491,3 +3491,36 @@ def temperature_mixture_rates(spark, sf_dir):
     from kafka_connect_morphlines_spark.functions import traindata
 
     return traindata.temperature_rates(t(spark, sf_dir, "documents"), alpha=0.7, token_budget=10_000)
+
+
+@query(
+    "cross_dedup_benchmark",
+    """
+    WITH d AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x->x!='') AS toks FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks)-1), i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])
+               ELSE [array_to_string(toks, ' ')] END) AS s
+           FROM d),
+    bench AS (SELECT * FROM sh WHERE doc_id < 20),
+    pairs AS (SELECT c.doc_id, b.doc_id AS ref_id,
+       CAST(len(list_intersect(c.s, b.s)) AS DOUBLE)
+         / (len(c.s) + len(b.s) - len(list_intersect(c.s, b.s))) AS jacc
+       FROM sh c CROSS JOIN bench b)
+    SELECT doc_id, ref_id, round(jacc, 6) AS jacc FROM pairs WHERE jacc >= 0.8
+    """,
+)
+def cross_dedup_benchmark(spark, sf_dir):
+    """Two-table near-dup join (dedup.minhash_cross_dupes): corpus docs
+    near-duplicating any of the 20 'benchmark' docs — whole-document
+    eval-set decontamination.  Benchmark banded frame broadcasts; the
+    corpus never self-joins; shingle-set verification is candidate-bounded.
+    The oracle is the EXACT all-pairs Jaccard (admissible because every
+    >=0.8 pair in this corpus sits far above the LSH recall knee; the
+    banded probe provably recalls jacc=1 self-matches)."""
+    from kafka_connect_morphlines_spark.functions import dedup
+
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    out = dedup.minhash_cross_dupes(docs, bench, threshold=0.8)
+    return out.select("doc_id", "ref_id", F.round("jacc", 6).alias("jacc"))

@@ -155,3 +155,25 @@ def test_point_in_time_enforce_valid_to(spark, changes):
     got = {r["fact_id"]: r["tier_asof"] for r in out.collect()}
     assert got[1] == "bronze"  # inside validity
     assert got[2] is None  # after the close -> no state
+
+
+def test_minhash_cross_dupes(spark):
+    from kafka_connect_morphlines_spark.functions import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),                                  # exact copy of ref 100
+            (2, base + " extra"),                       # near copy
+            (3, "totally different words here now ok"), # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["ref_id"]): r["jacc"]
+        for r in dedup.minhash_cross_dupes(corpus, ref, threshold=0.5).collect()
+    }
+    assert got[(1, 100)] == 1.0
+    assert 0.5 <= got[(2, 100)] < 1.0
+    assert (3, 100) not in got
