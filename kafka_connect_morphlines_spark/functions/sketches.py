@@ -128,3 +128,111 @@ def cms_heavy_hitters(
         .orderBy(F.col("est_count").desc(), F.col("key"))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# DDSketch: mergeable quantile sketch with relative-error guarantee.
+# Completes the sketch family: HLL (how many distinct), count-min (how
+# often), DDSketch (how big — p50/p95/p99 at any rollup level).
+# --------------------------------------------------------------------------
+#
+# A DDSketch [Masson, Rim, Lee — VLDB 2019] is a log-spaced histogram:
+# value v > 0 lands in bucket ceil(log_gamma(v)) with gamma = (1+a)/(1-a),
+# which pins every estimate within relative error a of the true quantile.
+# As with the count-min above, the sketch is a plain (key..., bucket, cnt)
+# DataFrame, so at 100 TB:
+# - the build is one map-side-combinable groupBy whose shuffled state is
+#   bounded by keys x occupied-buckets (~ keys x log_gamma(max/min), a few
+#   hundred per key at a=0.01), never by row count;
+# - per-day / per-shard partials merge by union + sum (exactly — bucket
+#   counts commute), the property that makes quantile *rollups* possible
+#   without re-scanning raw data (impossible with exact percentiles);
+# - quantile extraction walks a cumulative sum over <=buckets rows per key.
+#
+# gamma and log(gamma) are computed ONCE in Python and inlined as literals
+# on both the Spark and the oracle side, so the only per-engine libm call
+# is ln(v) / exp(b*log_gamma) — last-ulp differences cannot move a bucket
+# unless a value sits within one ulp of a bucket boundary.
+
+import math
+
+
+def dd_gamma(alpha: float = 0.01) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_bucket(value: Column, alpha: float = 0.01) -> Column:
+    """Log-gamma bucket index for strictly positive values.
+
+    Zero/negative values are clamped to the smallest representable bucket
+    via a floor at 1e-9 (documents the DDSketch positive-domain contract
+    without crashing on dirty data)."""
+    log_gamma = math.log(dd_gamma(alpha))
+    v = F.greatest(value.cast("double"), F.lit(1e-9))
+    return F.ceil(F.log(v) / F.lit(log_gamma)).cast("long")
+
+
+def dd_sketch(
+    df: DataFrame,
+    value: Column,
+    keys: list[Column] | None = None,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Build per-key DDSketches: (key..., bucket, cnt) in one pass."""
+    ks = keys or []
+    return (
+        df.select(*ks, dd_bucket(value, alpha).alias("bucket"))
+        .groupBy(*[c for c in df.select(*ks).columns], "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dd_merge(*sketches: DataFrame) -> DataFrame:
+    """union + sum: dd_sketch(A ∪ B) == dd_merge(dd_sketch(A), dd_sketch(B))
+    exactly, for identical alpha."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    group = [c for c in out.columns if c not in ("cnt",)]
+    return out.groupBy(*group).agg(F.sum("cnt").alias("cnt"))
+
+
+def dd_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    alpha: float = 0.01,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a sketch: one row per key, one column per q.
+
+    The q-quantile is the smallest bucket whose cumulative count reaches
+    ceil(q * n); its estimate is the bucket midpoint 2*gamma^b/(gamma+1)
+    (within relative error alpha of the true order statistic).  The walk is
+    a window over the per-key bucket rows — input is sketch-sized, not
+    data-sized (so the no-partition-column WindowExec warning on a merged
+    global sketch is benign: "all data" is <= occupied-buckets rows)."""
+    from pyspark.sql import Window
+
+    gamma = dd_gamma(alpha)
+    log_gamma = math.log(gamma)
+    kc = key_cols or []
+    w = Window.partitionBy(*kc).orderBy("bucket")
+    cum = sketch.select(
+        *kc,
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(*kc)).alias("total"),
+    )
+    aggs = []
+    for q in qs:
+        b = F.min(
+            F.when(
+                F.col("cum") >= F.greatest(F.ceil(F.lit(q) * F.col("total")), F.lit(1)),
+                F.col("bucket"),
+            )
+        )
+        est = F.round(
+            F.lit(2.0) * F.exp(b.cast("double") * F.lit(log_gamma)) / F.lit(gamma + 1.0), 4
+        )
+        aggs.append(est.alias(f"p{int(round(q * 100)):02d}"))
+    return cum.groupBy(*kc).agg(*aggs)

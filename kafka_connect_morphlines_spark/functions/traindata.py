@@ -503,3 +503,38 @@ def temperature_rates(
         F.round(p, 6).alias("p"),
         F.round(F.least(F.lit(1.0), F.lit(float(token_budget)) * p / F.col("n_tokens")), 6).alias("rate"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "wsamp",
+) -> DataFrame:
+    """Exact-k weighted sample WITHOUT replacement (Efraimidis-Spirakis A-ES).
+
+    Each row draws key = -ln(u)/w with u ~ Uniform(0,1]; the k smallest
+    keys are a weighted sample without replacement — the standard one-pass
+    distributed construction (quality-weighted corpus subsampling, where
+    "weight" is a classifier score or doc length).  u comes from md5 of
+    (seed, id) — deterministic, rerun-stable, partitioning-independent, and
+    reproducible outside Spark (same idiom as hash_split).
+
+    100 TB shape: the key is a map-only expression; the global k-smallest
+    is TakeOrderedAndProject (per-partition top-k, then a k-row driver
+    merge) — no shuffle, no global sort.  Weights <= 0 are clamped to 1e-9
+    (never sampled in practice, never a crash).
+    """
+    # 15 hex chars = 60 bits: fits a BIGINT in both engines; +1 keeps u > 0.
+    u = (
+        (F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}/"), F.col(id_col).cast("string"))), 1, 15), 16, 10).cast("long") + 1)
+        / F.lit(float(1 << 60))
+    )
+    key = -F.log(u) / F.greatest(weight.cast("double"), F.lit(1e-9))
+    return (
+        df.withColumn("_es", key)
+        .orderBy("_es", F.col(id_col))
+        .limit(k)
+        .drop("_es")
+    )

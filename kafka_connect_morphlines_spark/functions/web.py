@@ -73,3 +73,69 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
     """Drop rows whose canonical URL was already seen (keep the smallest id)."""
     keys = url_dedup_keys(df, url_col, id_col).select(F.col("keep_id").alias(id_col))
     return df.join(keys, id_col, "left_semi")
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list — link-graph quality weighting.
+
+    The standard web-corpus quality signal (a la Common Crawl harmonic /
+    pagerank centrality feeds): rank_i+1(v) = (1-d)/N + d * sum over
+    in-neighbors u of rank_i(u)/outdeg(u).  Callers with undirected graphs
+    pass both edge directions; dangling mass (nodes with no out-edges) is
+    dropped, the usual simplification — symmetric graphs have none.
+
+    Determinism contract (the reason this iterative algorithm is
+    hash-certifiable against a SQL oracle with unrolled iterations):
+    per-node contribution sums accumulate in DECIMAL(38,18) (exact,
+    associative — partitioning cannot reorder a result) and each rank is
+    rounded to 12 dp each round, so every iteration's frame is bit-identical
+    across engines and reruns.
+
+    100 TB shape: one groupBy(outdeg) + per-iteration [join ranks on src ->
+    groupBy dst] — both shuffles key on node id; ranks frames are
+    localCheckpoint-ed per round (multi-consumer + lineage cut, the
+    connected_components lesson).  Rounds are O(iters), each a single
+    shuffle of (node, contribution) longs+doubles, never adjacency payload.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    ranks = nodes.select("id", F.lit(round(1.0 / n, 12)).alias("rank"))
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "_s"), "_s")
+            .join(deg.withColumnRenamed(src, "_s"), "_s")
+            .select(
+                F.col("_d").alias("id"),
+                (F.col("rank") / F.col("outdeg")).alias("_c"),
+            )
+        )
+        sums = contrib.groupBy("id").agg(
+            F.sum(F.col("_c").cast("decimal(38,18)")).alias("_sum")
+        )
+        ranks = (
+            nodes.join(sums, "id", "left")
+            .select(
+                "id",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("_sum").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

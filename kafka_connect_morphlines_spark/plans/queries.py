@@ -3524,3 +3524,162 @@ def cross_dedup_benchmark(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") < 20)
     out = dedup.minhash_cross_dupes(docs, bench, threshold=0.8)
     return out.select("doc_id", "ref_id", F.round("jacc", 6).alias("jacc"))
+
+
+# --------------------------------------------------------------------------
+# DDSketch quantile rollup (functions/sketches.py dd_*)
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_DD_ALPHA = 0.01
+_DD_GAMMA = (1.0 + _DD_ALPHA) / (1.0 - _DD_ALPHA)
+_DD_LOG_GAMMA = _math.log(_DD_GAMMA)
+
+
+def _dd_oracle_sql() -> str:
+    """The oracle builds the IDENTICAL sketch: gamma / ln(gamma) are inlined
+    from the same Python doubles on both sides, so only per-row ln(v) /
+    exp(b*ln_gamma) touch each engine's libm (a bucket flips only if a
+    value sits within one ulp of a bucket boundary)."""
+    lg = repr(_DD_LOG_GAMMA)
+    gp1 = repr(_DD_GAMMA + 1.0)
+
+    def est(q: str) -> str:
+        return (
+            "round(2.0 * exp(CAST(min(CASE WHEN cum >= greatest(ceil({q}*total), 1) "
+            "THEN bucket END) AS DOUBLE) * {lg}) / {gp1}, 4)"
+        ).format(q=q, lg=lg, gp1=gp1)
+
+    return f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(ceil(ln(greatest(CAST(value AS DOUBLE), 1e-9)) / {lg}) AS BIGINT) AS bucket
+      FROM events
+    ),
+    sk AS (
+      SELECT event_type AS scope, bucket, count(*) AS cnt FROM b GROUP BY 1, 2
+      UNION ALL
+      SELECT 'merged' AS scope, bucket, count(*) AS cnt FROM b GROUP BY 2
+    ),
+    cum AS (
+      SELECT scope, bucket,
+             sum(cnt) OVER (PARTITION BY scope ORDER BY bucket) AS cum,
+             sum(cnt) OVER (PARTITION BY scope) AS total
+      FROM sk
+    )
+    SELECT scope,
+           {est('0.5')} AS p50,
+           {est('0.95')} AS p95,
+           {est('0.99')} AS p99
+    FROM cum GROUP BY scope ORDER BY scope
+    """
+
+
+@query("ddsketch_value_quantiles", _dd_oracle_sql())
+def ddsketch_value_quantiles(spark, sf_dir):
+    """DDSketch quantile rollup (sketches.dd_sketch/dd_merge/dd_quantiles):
+    p50/p95/p99 of event value per event_type as mergeable log-bucket
+    sketches, PLUS the corpus-wide quantiles obtained by merging the per-key
+    sketches WITHOUT rescanning raw events — the quantile analogue of the
+    HLL rollup (hll_sketch_rollup), with relative-error guarantee alpha=1%.
+    100 TB shape: build is one map-side-combinable groupBy bounded by
+    keys x occupied-buckets; merge is union+sum over sketch rows only."""
+    from kafka_connect_morphlines_spark.functions import sketches
+
+    ev = t(spark, sf_dir, "events")
+    sk = sketches.dd_sketch(ev, F.col("value"), keys=[F.col("event_type")], alpha=_DD_ALPHA)
+    sk = sk.localCheckpoint()  # feeds both the per-key walk and the merge
+    per = sketches.dd_quantiles(sk, [0.5, 0.95, 0.99], _DD_ALPHA, ["event_type"]).select(
+        F.col("event_type").alias("scope"), "p50", "p95", "p99"
+    )
+    merged_sk = sketches.dd_merge(sk.drop("event_type"))
+    merged = sketches.dd_quantiles(merged_sk, [0.5, 0.95, 0.99], _DD_ALPHA).select(
+        F.lit("merged").alias("scope"), "p50", "p95", "p99"
+    )
+    return per.unionByName(merged).orderBy("scope")
+
+
+@query(
+    "weighted_sample_docs",
+    """
+    WITH s AS (
+      SELECT doc_id, lang, source, n_chars,
+             -ln((CAST('0x' || substr(md5('wsamp/' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)
+                 / 1152921504606846976.0)
+               / greatest(CAST(n_chars AS DOUBLE), 1e-9) AS es
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM (SELECT * FROM s ORDER BY es, doc_id LIMIT 200)
+    ORDER BY doc_id
+    """,
+)
+def weighted_sample_docs(spark, sf_dir):
+    """Weighted sampling without replacement (traindata.weighted_sample,
+    Efraimidis-Spirakis A-ES): 200 docs drawn with probability proportional
+    to n_chars — the length/quality-weighted subsample step of corpus
+    mixing.  Map-only key + TakeOrderedAndProject; no shuffle."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return traindata.weighted_sample(docs, F.col("n_chars"), 200).orderBy("doc_id")
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """Unrolled PageRank: one CTE per iteration mirrors the engine's
+    deterministic-arithmetic contract (decimal(38,18) contribution sums,
+    rank rounded to 12 dp per round) term for term."""
+    head = """
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      UNION
+      SELECT DISTINCT 1000000 + l_suppkey AS src, o_custkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT id, round(1.0 / (SELECT n FROM nn), 12) AS rank FROM nodes)"""
+    step = """,
+    s{i} AS (
+      SELECT e.dst AS id,
+             CAST(sum(CAST(r.rank / d.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS csum
+      FROM edges e
+      JOIN r{p} r ON e.src = r.id
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.id,
+             round(0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.csum, 0.0), 12) AS rank
+      FROM nodes n LEFT JOIN s{i} s ON n.id = s.id
+    )"""
+    body = head + "".join(step.format(i=i, p=i - 1) for i in range(1, iters + 1))
+    return body + f"""
+    SELECT id, rank FROM r{iters} ORDER BY id
+    """
+
+
+@query("pagerank_trade_graph", _pagerank_oracle_sql())
+def pagerank_trade_graph(spark, sf_dir):
+    """PageRank (web.pagerank) over the symmetric customer<->supplier trade
+    graph (who-buys-from-whom via orders x lineitem) — the link-graph
+    quality-weighting signal of web-corpus prep, here hash-certified
+    against a fully unrolled 3-iteration SQL oracle (possible because the
+    operator pins per-round arithmetic: exact decimal contribution sums +
+    12 dp rank rounding)."""
+    from kafka_connect_morphlines_spark.functions import web
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), (F.lit(1000000) + F.col("l_suppkey")).alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    ).distinct()
+    return web.pagerank(edges, iters=3).orderBy("id")

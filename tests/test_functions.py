@@ -694,3 +694,30 @@ def test_pq_fit_rejects_indivisible_dim(spark):
     df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="not divisible"):
         pq.pq_fit(df, m_subspaces=2)
+
+
+def test_pagerank_ring_uniform_and_mass(spark):
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import web
+
+    # symmetric ring of 10 nodes: stationary distribution is uniform, and
+    # with no dangling nodes total mass stays 1 every iteration
+    n = 10
+    e = spark.range(n).select(F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst"))
+    edges = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = web.pagerank(edges, iters=4).collect()
+    vals = [r["rank"] for r in ranks]
+    assert len(vals) == n
+    assert all(abs(v - 0.1) < 1e-9 for v in vals)
+    assert abs(sum(vals) - 1.0) < 1e-8
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import web
+
+    # star: hub 0 <-> leaves 1..9; hub must outrank every leaf
+    e = spark.range(1, 10).select(F.lit(0).alias("src"), F.col("id").alias("dst"))
+    edges = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = {r["id"]: r["rank"] for r in web.pagerank(edges, iters=5).collect()}
+    assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 3

@@ -53,3 +53,43 @@ def test_mergeability(spark):
 def test_heavy_hitters_order(keyed):
     got = sketches.cms_heavy_hitters(keyed, F.col("k"), k=2, depth=4, width=4096).collect()
     assert [(r["key"], r["est_count"]) for r in got] == [("a", 5), ("b", 3)]
+
+
+# ---------------------------------------------------------------------------
+# DDSketch
+# ---------------------------------------------------------------------------
+
+
+def test_dd_quantiles_within_alpha(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import sketches
+
+    rng = np.random.RandomState(7)
+    vals = np.exp(rng.normal(3.0, 1.5, size=5000))  # lognormal, wide range
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    sk = sketches.dd_sketch(df, F.col("value"), alpha=0.01)
+    row = sketches.dd_quantiles(sk, [0.5, 0.95, 0.99], alpha=0.01).collect()[0]
+    svals = np.sort(vals)
+    for q, col in [(0.5, "p50"), (0.95, "p95"), (0.99, "p99")]:
+        exact = svals[max(int(np.ceil(q * len(svals))) - 1, 0)]
+        rel = abs(row[col] - exact) / exact
+        assert rel <= 0.011, (col, row[col], exact, rel)
+
+
+def test_dd_merge_exact(spark):
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import sketches
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).alias("shard"), (F.col("id") * 0.37 + 0.01).alias("value")
+    )
+    whole = sketches.dd_sketch(df, F.col("value"))
+    parts = [
+        sketches.dd_sketch(df.filter(F.col("shard") == s), F.col("value"))
+        for s in range(3)
+    ]
+    merged = sketches.dd_merge(*parts)
+    a = {(r["bucket"]): r["cnt"] for r in whole.collect()}
+    b = {(r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert a == b and sum(a.values()) == 2000

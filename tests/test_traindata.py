@@ -128,3 +128,21 @@ def test_temperature_rates_flatten_toward_uniform(spark):
     # rate is capped at 1 even when the budget exceeds the source size
     caps = traindata.temperature_rates(docs, alpha=1.0, token_budget=10_000_000)
     assert all(r["rate"] == 1.0 for r in caps.collect())
+
+
+def test_weighted_sample_exact_k_and_bias(spark):
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    # 500 light rows (w=1) + 500 heavy rows (w=50)
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 500, F.lit(50.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    out = traindata.weighted_sample(df, F.col("w"), k=100).collect()
+    assert len(out) == 100
+    heavy = sum(1 for r in out if r["doc_id"] >= 500)
+    assert heavy > 80  # heavy rows are 50x likelier; expect ~98
+    # deterministic across reruns
+    again = traindata.weighted_sample(df, F.col("w"), k=100).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)

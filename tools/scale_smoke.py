@@ -194,6 +194,31 @@ def main() -> None:
             "cms_heavy_hitters_20m",
             lambda: sketches.cms_heavy_hitters(events, F.col("user_id"), k=10, depth=4, width=1024),
         ),
+        "ddsketch_quantiles_20m": run(
+            "ddsketch_quantiles_20m",
+            lambda: sketches.dd_quantiles(
+                sketches.dd_sketch(events, F.col("value") + 0.01, keys=[F.col("event_type")]),
+                [0.5, 0.95, 0.99],
+                key_cols=["event_type"],
+            ),
+        ),
+        "weighted_sample_200k": run(
+            "weighted_sample_200k",
+            lambda: traindata.weighted_sample(docs, F.length("text"), k=1000),
+        ),
+        # trade-graph analogue: 200k nodes, ~8 out-edges each, symmetric
+        "pagerank_200k_nodes": run(
+            "pagerank_200k_nodes",
+            lambda: web.pagerank(
+                (lambda e: e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))))(
+                    spark.range(n_docs * 8).select(
+                        (F.col("id") % n_docs).alias("src"),
+                        ((F.col("id") * 7919 + 13) % n_docs).alias("dst"),
+                    )
+                ).distinct(),
+                iters=3,
+            ),
+        ),
     }
     print(json.dumps(results))
 
