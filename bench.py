@@ -43,6 +43,12 @@ HEADLINE = [
     "pit_join_ship_state",
     # behavioral analytics
     "funnel_conversion",
+    "event_transition_probs",
+    # monitoring / sketches
+    "zscore_hourly_anomalies",
+    "ddsketch_value_quantiles",
+    # graph
+    "pagerank_trade_graph",
     # format layer
     "avro_container_roundtrip",
     # LLM-pipeline operators

@@ -99,3 +99,46 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams.
+
+    lead() within each user's (ts, id)-ordered stream pairs every event
+    with its successor; the transition probability is the pair count over
+    the from-state total.  The canonical "what do users do next"
+    behavioral-analytics query and the statistics behind session-path
+    mining.
+
+    100 TB shape: one shuffle keyed on the user (the lead window), then a
+    groupBy on the (from, to) pair — a result bounded by |event types|^2,
+    with map-side combine.  The probability normalization runs over the
+    pair table only (states^2 rows), never the event volume.  Tie-break on
+    a unique id makes lead() — and therefore every count — deterministic
+    under any partitioning.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(totals), 6).alias("prob"),
+    )

@@ -95,3 +95,62 @@ def rolling_stats(
         F.min(value_col).over(w).alias("roll_min"),
         F.max(value_col).over(w).alias("roll_max"),
     )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key z-score anomaly flags over bucketed series — metric-monitor
+    style outlier detection (which hours deviate >z sigma from the key's
+    own distribution).
+
+    Determinism contract: stddev over doubles is summation-order dependent
+    (not associative), so instead of stddev_samp the moments accumulate as
+    DECIMAL sums — sum(x) and sum(x^2) are exact and associative, and
+    variance = (sx2 - sx^2/n) / (n-1) is then a fixed double expression.
+    Same idiom as plans/queries.money_sum; the oracle mirrors it term for
+    term, making the z-scores hash-stable across engines and partitionings.
+
+    100 TB shape: one bucketed groupBy (map-side combine) collapses event
+    volume to keys x buckets rows; the per-key moment aggregation and the
+    final z projection run over that bucket table only.
+    """
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    per_bucket = b.groupBy("k", "bucket").agg(
+        F.round(F.sum(F.col("v").cast("decimal(23,6)")), 4).cast("double").alias("x"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.partitionBy("k")
+    stats = per_bucket.select(
+        "*",
+        F.sum(F.col("x").cast("decimal(23,6)")).over(w).alias("_sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,6)")).over(w).alias("_sx2"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    )
+    # divide in DOUBLE, not decimal: decimal-division result scales differ
+    # between engines, double division is IEEE-identical everywhere
+    mean = F.col("_sx").cast("double") / F.col("_n")
+    var = (
+        (F.col("_sx2").cast("double") - F.col("_sx").cast("double") * F.col("_sx").cast("double") / F.col("_n"))
+        / (F.col("_n") - 1)
+    )
+    z = (F.col("x") - mean) / F.sqrt(var)
+    return (
+        stats.select(
+            "k",
+            "bucket",
+            "x",
+            "n_events",
+            F.round(z, 4).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > z_threshold)
+    )

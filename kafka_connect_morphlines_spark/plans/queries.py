@@ -3683,3 +3683,81 @@ def pagerank_trade_graph(spark, sf_dir):
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     ).distinct()
     return web.pagerank(edges, iters=3).orderBy("id")
+
+
+@query(
+    "event_transition_probs",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           round(n / sum(n) OVER (PARTITION BY from_type), 6) AS prob
+    FROM pairs
+    ORDER BY from_type, to_type
+    """,
+)
+def event_transition_probs(spark, sf_dir):
+    """First-order Markov transition matrix (funnel.event_transitions):
+    P(next event type | current) per user stream — session-path mining.
+    One user-keyed window shuffle; the probability normalization runs over
+    the states^2 pair table only."""
+    from kafka_connect_morphlines_spark.functions import funnel
+
+    ev = t(spark, sf_dir, "events")
+    return funnel.event_transitions(ev).orderBy("from_type", "to_type")
+
+
+@query(
+    "zscore_hourly_anomalies",
+    """
+    WITH b AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS bucket, CAST(value AS DOUBLE) AS v
+      FROM events
+    ),
+    per_bucket AS (
+      SELECT k, bucket,
+             CAST(round(sum(CAST(v AS DECIMAL(23,6))), 4) AS DOUBLE) AS x,
+             count(*) AS n_events
+      FROM b GROUP BY k, bucket
+    ),
+    stats AS (
+      SELECT k, bucket, x, n_events,
+             CAST(sum(CAST(x AS DECIMAL(23,6))) OVER (PARTITION BY k) AS DOUBLE) AS sx,
+             CAST(sum(CAST(x * x AS DECIMAL(30,6))) OVER (PARTITION BY k) AS DOUBLE) AS sx2,
+             count(*) OVER (PARTITION BY k) AS n
+      FROM per_bucket
+    )
+    SELECT k, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, x, n_events, z
+    FROM (
+      SELECT k, bucket, x, n_events,
+             round((x - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)), 4) AS z
+      FROM stats
+    )
+    WHERE abs(z) > 3.0
+    ORDER BY k, bucket
+    """,
+)
+def zscore_hourly_anomalies(spark, sf_dir):
+    """Metric-monitor anomaly detection (timeseries.zscore_anomalies):
+    hours whose value total deviates >3 sigma from the key's distribution.
+    Variance from DECIMAL-exact moment sums (sum x, sum x^2) so the z-score
+    is hash-stable across engines — stddev_samp over doubles would not be."""
+    from kafka_connect_morphlines_spark.functions import timeseries
+
+    ev = t(spark, sf_dir, "events")
+    out = timeseries.zscore_anomalies(ev, z_threshold=3.0)
+    return out.select(
+        "k",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "x",
+        "n_events",
+        "z",
+    ).orderBy("k", "bucket")

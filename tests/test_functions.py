@@ -721,3 +721,17 @@ def test_pagerank_hub_outranks_leaves(spark):
     edges = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = {r["id"]: r["rank"] for r in web.pagerank(edges, iters=5).collect()}
     assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 3
+
+
+def test_zscore_anomalies_flags_spike(spark):
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import timeseries
+
+    # 47 quiet hours at ~10 plus one 1000-value spike hour
+    base = spark.range(48).select(
+        F.lit("m").alias("event_type"),
+        F.timestamp_millis(1700000000000 + F.col("id") * 3600 * 1000).alias("ts"),
+        F.when(F.col("id") == 30, 1000.0).otherwise(10.0 + (F.col("id") % 3).cast("double")).alias("value"),
+    )
+    out = timeseries.zscore_anomalies(base, z_threshold=3.0).collect()
+    assert len(out) == 1 and out[0]["x"] == 1000.0 and out[0]["z"] > 3.0

@@ -66,3 +66,23 @@ def test_cohort_retention(events):
     assert got.get(("2024-01-08", 0)) == 1
     # no negative offsets, user 4 absent everywhere
     assert all(off >= 0 for (_, off) in got)
+
+
+def test_event_transitions_probs_sum_to_one(spark):
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import funnel
+
+    df = spark.createDataFrame(
+        [(1, 1, "a", 1000), (2, 1, "b", 2000), (3, 1, "a", 3000),
+         (4, 2, "a", 1000), (5, 2, "c", 2000)],
+        "event_id long, user_id long, event_type string, ts long",
+    ).withColumn("ts", F.timestamp_millis("ts"))
+    out = funnel.event_transitions(df).collect()
+    # user1: a->b, b->a; user2: a->c
+    m = {(r["from_type"], r["to_type"]): (r["n"], r["prob"]) for r in out}
+    assert m[("a", "b")] == (1, 0.5) and m[("a", "c")] == (1, 0.5)
+    assert m[("b", "a")] == (1, 1.0)
+    by_from = {}
+    for (f_, _), (_, p) in m.items():
+        by_from[f_] = by_from.get(f_, 0.0) + p
+    assert all(abs(v - 1.0) < 1e-9 for v in by_from.values())
