@@ -103,6 +103,9 @@ def pagerank(
     connected_components lesson).  Rounds are O(iters), each a single
     shuffle of (node, contribution) longs+doubles, never adjacency payload.
     """
+    # edges feed every iteration's join plus nodes and deg — materialize
+    # the (possibly expensive) upstream edge derivation exactly once
+    edges = edges.select(F.col(src), F.col(dst)).localCheckpoint()
     nodes = (
         edges.select(F.col(src).alias("id"))
         .unionByName(edges.select(F.col(dst).alias("id")))
@@ -111,17 +114,19 @@ def pagerank(
     )
     n = nodes.count()
     base = (1.0 - damping) / n
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    # pre-join outdeg into the edge frame ONCE so each iteration is a
+    # single (edges x ranks) join + groupBy instead of two joins
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    e = (
+        edges.join(deg, src)
+        .select(F.col(src).alias("_s"), F.col(dst).alias("_d"), "outdeg")
+        .localCheckpoint()
+    )
     ranks = nodes.select("id", F.lit(round(1.0 / n, 12)).alias("rank"))
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     for _ in range(iters):
-        contrib = (
-            e.join(ranks.withColumnRenamed("id", "_s"), "_s")
-            .join(deg.withColumnRenamed(src, "_s"), "_s")
-            .select(
-                F.col("_d").alias("id"),
-                (F.col("rank") / F.col("outdeg")).alias("_c"),
-            )
+        contrib = e.join(ranks.withColumnRenamed("id", "_s"), "_s").select(
+            F.col("_d").alias("id"),
+            (F.col("rank") / F.col("outdeg")).alias("_c"),
         )
         sums = contrib.groupBy("id").agg(
             F.sum(F.col("_c").cast("decimal(38,18)")).alias("_sum")
