@@ -538,3 +538,103 @@ def weighted_sample(
         .limit(k)
         .drop("_es")
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    max_words: int | None = 50000,
+    end_token: str = "</w>",
+) -> DataFrame:
+    """Distributed BPE tokenizer training: learn the top merge rules.
+
+    The classic algorithm [Sennrich et al. 2016]: start from characters,
+    repeatedly merge the most frequent adjacent symbol pair.  The scale
+    structure mirrors every published distributed implementation:
+
+    1. ONE corpus-wide shuffle collapses text to the (distinct word,
+       frequency) table — pair statistics over the corpus equal pair
+       statistics over this table weighted by frequency, so the iteration
+       never touches raw text again.  At web scale the distinct-word table
+       is vocabulary-sized (~10-100M), 3-5 orders below corpus tokens.
+    2. Optionally cap to the ``max_words`` most frequent words (standard
+       practice; deterministic tie-break freq desc / word asc).
+    3. Each round: explode adjacent pairs weighted by word freq, groupBy
+       pair with map-side combine, argmax with deterministic tie-break
+       (count desc, pair asc), then apply the merge to the symbol arrays.
+       The merge application is an Arrow-batched mapInPandas over the
+       word table (bounded by max_words, never by corpus size); the pair
+       count stays a codegen aggregate.
+
+    Returns the learned rules as (rank, left, right, pair_count).
+    Deterministic end-to-end — pinned in pytest against a pure-Python
+    reference implementation on the same corpus.
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if max_words is not None:
+        rk = Window.orderBy(F.col("freq").desc(), F.col("w"))
+        words = (
+            words.withColumn("_rk", F.row_number().over(rk))
+            .filter(F.col("_rk") <= max_words)
+            .drop("_rk")
+        )
+    # symbols: characters plus an end-of-word marker on the last char
+    syms = words.select(
+        "freq",
+        F.concat(
+            F.split(F.col("w"), ""), F.array(F.lit(end_token))
+        ).alias("s"),
+    ).localCheckpoint()
+
+    rules = []
+    for rank in range(n_merges):
+        pairs = (
+            syms.filter(F.size("s") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("s"), 1, F.size("s") - 1),
+                        F.slice(F.col("s"), 2, F.size("s") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), F.col("l"), F.col("r")).limit(1).collect()
+        if not top or top[0]["cnt"] < 2:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        rules.append((rank, left, right, int(cnt)))
+        merged = left + right
+
+        def apply_merge(batches, _l=left, _r=right, _m=merged):
+            for pdf in batches:
+                out = []
+                for s in pdf["s"]:
+                    res, i, n = [], 0, len(s)
+                    while i < n:
+                        if i + 1 < n and s[i] == _l and s[i + 1] == _r:
+                            res.append(_m)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame({"freq": pdf["freq"], "s": out})
+
+        syms = syms.mapInPandas(apply_merge, schema="freq long, s array<string>").localCheckpoint()
+
+    return spark.createDataFrame(rules, "rank int, left string, right string, pair_count long")

@@ -3761,3 +3761,18 @@ def zscore_hourly_anomalies(spark, sf_dir):
         "n_events",
         "z",
     ).orderBy("k", "bucket")
+
+
+@query("bpe_merge_rules", None)
+def bpe_merge_rules(spark, sf_dir):
+    """Distributed BPE tokenizer training (traindata.bpe_train): the top 20
+    merge rules learned from the corpus.  Iterative (argmax per round) —
+    not SQL-expressible, so rows-only for the driver; exact-match golden at
+    sf0.01 plus a pytest equality gate against a pure-Python reference
+    implementation.  Scale story: one corpus shuffle collapses text to the
+    (distinct word, freq) table; every round then runs on that
+    vocabulary-sized table (codegen pair counts, Arrow-batched merge)."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = t(spark, sf_dir, "documents")
+    return traindata.bpe_train(docs, n_merges=20).orderBy("rank")

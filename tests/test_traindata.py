@@ -146,3 +146,57 @@ def test_weighted_sample_exact_k_and_bias(spark):
     # deterministic across reruns
     again = traindata.weighted_sample(df, F.col("w"), k=100).collect()
     assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+def _ref_bpe(texts, n_merges, end="</w>"):
+    """Pure-Python reference BPE (Sennrich-style) for exact comparison."""
+    from collections import Counter
+
+    freqs = Counter()
+    for t in texts:
+        for w in t.split():
+            freqs[w] += 1
+    words = {w: list(w) + [end] for w in freqs}
+    rules = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for w, syms in words.items():
+            f = freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        rules.append((rank, l, r, cnt))
+        m = l + r
+        for w, syms in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(m)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[w] = res
+    return rules
+
+
+def test_bpe_train_matches_reference(spark):
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the lazy dog sleeps all the long day",
+        "quick foxes and lazy dogs the the the",
+        "lower lowest newer newest wider widest",
+    ] * 3
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in traindata.bpe_train(df, n_merges=12).orderBy("rank").collect()
+    ]
+    want = _ref_bpe(texts, 12)
+    assert got == want and len(got) == 12

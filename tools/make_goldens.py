@@ -34,6 +34,7 @@ GOLDEN_QUERIES = [
     "hll_sketch_rollup",
     "pq_encode_codes",
     "pq_topk_adc",
+    "bpe_merge_rules",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "resources", "goldens")
