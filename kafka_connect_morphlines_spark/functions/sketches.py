@@ -236,3 +236,41 @@ def dd_quantiles(
         )
         aggs.append(est.alias(f"p{int(round(q * 100)):02d}"))
     return cum.groupBy(*kc).agg(*aggs)
+
+
+def hll_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Audience-overlap estimate from HLL sketches (inclusion-exclusion).
+
+    |A ∩ B| ≈ |A| + |B| - |A ∪ B|, with all three cardinalities estimated
+    from two DataSketches HLL sketches — the union comes from merging the
+    sketches, so neither input is rescanned or joined.  The classic
+    marketing/dedup-planning primitive: at 100 TB each side is one
+    map-side-combinable sketch aggregate, and the overlap math runs on two
+    sketch blobs.  Relative error follows the HLL envelope (~1.6% at the
+    default lgConfigK=12), amplified in the subtraction when the true
+    overlap is small — pytest pins the envelope.
+    """
+    sa = a.agg(F.hll_sketch_agg(key).alias("sk")).localCheckpoint()
+    sb = b.agg(F.hll_sketch_agg(key).alias("sk")).localCheckpoint()
+    both = sa.unionByName(sb)
+    est_union = both.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union")
+    )
+    ea = sa.select(F.hll_sketch_estimate("sk").alias("est_a"))
+    eb = sb.select(F.hll_sketch_estimate("sk").alias("est_b"))
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(est_union)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                (F.col("est_a") + F.col("est_b") - F.col("est_union")), F.lit(0)
+            ).alias("est_intersection"),
+        )
+    )

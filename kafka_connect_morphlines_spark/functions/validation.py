@@ -192,3 +192,45 @@ def profile(
         ]:
             stacked.append(F.struct(F.lit(name).alias("column"), F.lit(metric).alias("metric"), col.alias("value")))
     return wide.select(F.explode(F.array(*stacked)).alias("m")).select("m.column", "m.metric", "m.value")
+
+
+def histogram(
+    df: DataFrame,
+    value: Column,
+    n_bins: int = 20,
+    key: Column | None = None,
+) -> DataFrame:
+    """Fixed-width histogram: (key?, bin, lo, hi, cnt) — the profiling
+    companion to :func:`profile` (distribution shape, not just moments).
+
+    Two passes, both map-side-combinable aggregates: one for per-key
+    min/max, one for bin counts (bin index is a pure codegen expression;
+    the boundary frame is keys-sized and broadcast back).  Constant-width
+    bins keep the result exact and engine-portable — equal-frequency
+    binning needs exact percentiles, which don't scale (full sort /
+    per-group collection); at 100 TB use dd_sketch for quantile shape
+    instead.  Degenerate keys (min == max) land every row in bin 0.
+    """
+    kcols = [key.alias("k")] if key is not None else []
+    base = df.select(*kcols, value.cast("double").alias("v")).filter(F.col("v").isNotNull())
+    gb = ["k"] if key is not None else []
+    bounds = base.groupBy(*gb).agg(F.min("v").alias("_lo"), F.max("v").alias("_hi"))
+    joined = base.join(F.broadcast(bounds), gb) if gb else base.crossJoin(F.broadcast(bounds))
+    width = (F.col("_hi") - F.col("_lo")) / n_bins
+    bin_ = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("v") - F.col("_lo")) / width).cast("int"), F.lit(n_bins - 1)
+        )
+    )
+    return (
+        joined.select(*gb, bin_.alias("bin"), "_lo", "_hi")
+        .groupBy(*gb, "bin", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            *gb,
+            "bin",
+            F.round(F.col("_lo") + F.col("bin") * (F.col("_hi") - F.col("_lo")) / n_bins, 6).alias("lo"),
+            F.round(F.col("_lo") + (F.col("bin") + 1) * (F.col("_hi") - F.col("_lo")) / n_bins, 6).alias("hi"),
+            "cnt",
+        )
+    )

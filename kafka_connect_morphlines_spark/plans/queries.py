@@ -3776,3 +3776,55 @@ def bpe_merge_rules(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return traindata.bpe_train(docs, n_merges=20).orderBy("rank")
+
+
+@query(
+    "value_histogram_by_type",
+    """
+    WITH base AS (
+      SELECT event_type AS k, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (SELECT k, min(v) AS lo0, max(v) AS hi0 FROM base GROUP BY k),
+    binned AS (
+      SELECT b.k,
+             CASE WHEN bo.hi0 = bo.lo0 THEN 0
+                  ELSE least(CAST(floor((b.v - bo.lo0) / ((bo.hi0 - bo.lo0) / 20)) AS INTEGER), 19)
+             END AS bin,
+             bo.lo0, bo.hi0
+      FROM base b JOIN bounds bo USING (k)
+    )
+    SELECT k, bin,
+           round(lo0 + bin * (hi0 - lo0) / 20, 6) AS lo,
+           round(lo0 + (bin + 1) * (hi0 - lo0) / 20, 6) AS hi,
+           count(*) AS cnt
+    FROM binned
+    GROUP BY k, bin, lo0, hi0
+    ORDER BY k, bin
+    """,
+)
+def value_histogram_by_type(spark, sf_dir):
+    """Fixed-width histogram profiling (validation.histogram): 20-bin value
+    distribution per event type.  Two map-side-combinable aggregates; the
+    bounds frame is keys-sized and broadcast — no sort, no percentile
+    collection (the scale trap of equal-frequency binning)."""
+    from kafka_connect_morphlines_spark.functions import validation
+
+    ev = t(spark, sf_dir, "events")
+    return validation.histogram(ev, F.col("value"), n_bins=20, key=F.col("event_type")).orderBy(
+        "k", "bin"
+    )
+
+
+@query("hll_audience_overlap", None)
+def hll_audience_overlap(spark, sf_dir):
+    """HLL inclusion-exclusion overlap (sketches.hll_overlap): how many
+    users both click AND purchase, estimated from two mergeable sketches
+    without a join or rescan.  Sketch internals are engine-specific ->
+    golden-pinned; pytest pins the error envelope vs the exact overlap."""
+    from kafka_connect_morphlines_spark.functions import sketches
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    out = sketches.hll_overlap(clicks, buys, "user_id")
+    return out.select(*[F.round(F.col(c), 1).alias(c) for c in out.columns])

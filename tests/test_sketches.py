@@ -93,3 +93,16 @@ def test_dd_merge_exact(spark):
     a = {(r["bucket"]): r["cnt"] for r in whole.collect()}
     b = {(r["bucket"]): r["cnt"] for r in merged.collect()}
     assert a == b and sum(a.values()) == 2000
+
+
+def test_hll_overlap_tracks_exact(spark):
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import sketches
+
+    a = spark.range(0, 8000).select(F.col("id").alias("u"))       # 0..7999
+    b = spark.range(6000, 14000).select(F.col("id").alias("u"))   # 6000..13999 -> overlap 2000
+    row = sketches.hll_overlap(a, b, "u").collect()[0]
+    assert abs(row["est_a"] - 8000) / 8000 < 0.05
+    assert abs(row["est_b"] - 8000) / 8000 < 0.05
+    # subtraction amplifies HLL error; allow a wider envelope on the overlap
+    assert abs(row["est_intersection"] - 2000) / 2000 < 0.25

@@ -35,6 +35,7 @@ GOLDEN_QUERIES = [
     "pq_encode_codes",
     "pq_topk_adc",
     "bpe_merge_rules",
+    "hll_audience_overlap",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "resources", "goldens")
