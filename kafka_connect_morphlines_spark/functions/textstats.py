@@ -355,3 +355,66 @@ def bigram_logprob_df(df, text_col: str = "text", id_col: str = "doc_id", alpha:
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         F.coalesce("logprob", F.lit(0.0)).alias("logprob"),
     )
+
+
+def kn_bigram_logprob_df(df, text_col: str = "text", id_col: str = "doc_id", discount: float = 0.75):
+    """(id, n_bigrams, logprob): per-doc average ln P(w2|w1) under interpolated
+    Kneser-Ney — the standard n-gram smoothing for perplexity filtering
+    (add-alpha over-penalizes unseen pairs of common words; KN backs off to
+    how promiscuously a word CONTINUES contexts, not how often it occurs).
+
+    P(w2|w1) = max(c(w1w2) - D, 0)/c(w1·) + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+
+    Every factor derives from the bigram count table alone (left-context
+    totals, per-context fan-out, continuation counts, total bigram types) —
+    four aggregates over a Zipf-bounded table, then a scoring join that
+    carries only (id, w1, w2).  Document text never shuffles.
+    """
+    toks = tokens_codegen(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    pairs = base.filter(F.size("_t") >= 2).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.size("_t") - 1)).alias("_i"),
+        F.col("_t"),
+    ).select(
+        F.col(id_col),
+        F.element_at("_t", F.col("_i")).alias("_w1"),
+        F.element_at("_t", F.col("_i") + 1).alias("_w2"),
+    )
+    if not pairs.isStreaming:
+        pairs = pairs.localCheckpoint()
+    big = pairs.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c2")).localCheckpoint()
+    # left-context totals and fan-out: c(w1·) and N1+(w1·)
+    ctx = big.groupBy("_w1").agg(
+        F.sum("_c2").alias("_c1"), F.count(F.lit(1)).alias("_nfol")
+    )
+    # continuation counts N1+(·w2) and total bigram types N1+(··)
+    cont = big.groupBy("_w2").agg(F.count(F.lit(1)).alias("_ncont"))
+    types = big.agg(F.count(F.lit(1)).alias("_ntypes"))
+    lm = (
+        big.join(ctx, "_w1")
+        .join(cont, "_w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "_w1",
+            "_w2",
+            F.log(
+                F.greatest(F.col("_c2") - F.lit(discount), F.lit(0.0)) / F.col("_c1")
+                + F.lit(discount)
+                * F.col("_nfol")
+                / F.col("_c1")
+                * (F.col("_ncont") / F.col("_ntypes"))
+            ).alias("_lp"),
+        )
+    )
+    scored = pairs.join(lm, ["_w1", "_w2"], "left")
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_lp"), 6).alias("logprob"),
+    )
+    ids = df.select(F.col(id_col))
+    return ids.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("logprob", F.lit(0.0)).alias("logprob"),
+    )

@@ -3828,3 +3828,41 @@ def hll_audience_overlap(spark, sf_dir):
     buys = ev.filter(F.col("event_type") == "purchase")
     out = sketches.hll_overlap(clicks, buys, "user_id")
     return out.select(*[F.round(F.col(c), 1).alias(c) for c in out.columns])
+
+
+@query(
+    "kn_bigram_logprob",
+    """
+    WITH d AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x->x!='') AS toks FROM documents),
+    pairs AS (
+      SELECT doc_id, z[1] AS w1, z[2] AS w2
+      FROM (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+            FROM d WHERE len(toks) >= 2)
+    ),
+    big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c2) AS c1, count(*) AS nfol FROM big GROUP BY w1),
+    cont AS (SELECT w2, count(*) AS ncont FROM big GROUP BY w2),
+    types AS (SELECT count(*) AS ntypes FROM big),
+    lp AS (
+      SELECT p.doc_id,
+             ln(greatest(b.c2 - 0.75, 0.0) / x.c1
+                + 0.75 * x.nfol / x.c1 * (co.ncont / t.ntypes)) AS lp
+      FROM pairs p
+      JOIN big b USING (w1, w2)
+      JOIN ctx x ON x.w1 = p.w1
+      JOIN cont co ON co.w2 = p.w2
+      CROSS JOIN types t
+    ),
+    agg AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS logprob FROM lp GROUP BY doc_id)
+    SELECT dd.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams, coalesce(agg.logprob, 0.0) AS logprob
+    FROM documents dd LEFT JOIN agg ON dd.doc_id = agg.doc_id
+    """,
+)
+def kn_bigram_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (textstats.kn_bigram_logprob_df)
+    — the standard LM smoothing for perplexity filters; all factors derive
+    from four aggregates over the Zipf-bounded bigram count table."""
+    from kafka_connect_morphlines_spark.functions import ensure_parallelism, textstats
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return textstats.kn_bigram_logprob_df(docs)

