@@ -50,6 +50,13 @@ NAMES = [
     "pit_join_ship_state",
     "funnel_conversion",
     "cohort_retention_weekly",
+    "ddsketch_value_quantiles",
+    "weighted_sample_docs",
+    "pagerank_trade_graph",
+    "event_transition_probs",
+    "zscore_hourly_anomalies",
+    "value_histogram_by_type",
+    "kn_bigram_logprob",
 ]
 
 
