@@ -638,3 +638,72 @@ def bpe_train(
         syms = syms.mapInPandas(apply_merge, schema="freq long, s array<string>").localCheckpoint()
 
     return spark.createDataFrame(rules, "rank int, left string, right string, pair_count long")
+
+
+def bpe_encode(
+    df: DataFrame,
+    rules: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    end_token: str = "</w>",
+) -> DataFrame:
+    """Encode text with learned BPE merges: (id, n_tokens, tokens).
+
+    The standard greedy encode: per word, repeatedly apply the
+    highest-priority (lowest rank) applicable merge until none applies —
+    exactly the algorithm of the reference tokenizers, so
+    ``bpe_encode(df, bpe_train(df))`` reproduces trained-tokenizer output.
+
+    100 TB shape: the rules table is tiny (n_merges rows) and collected
+    once to the driver, then closure-broadcast into ONE Arrow-batched
+    mapInPandas over the corpus — a single map-only pass, no shuffle, no
+    per-row Python round trips.  Memoizing per distinct word inside each
+    batch makes the per-row cost amortize to a dict lookup for frequent
+    words (Zipf does the rest).
+    """
+    import pandas as pd
+
+    rank_of = {
+        (r["left"], r["right"]): r["rank"]
+        for r in rules.select("rank", "left", "right").collect()
+    }
+
+    def encode_word(w: str) -> list[str]:
+        syms = list(w) + [end_token]
+        while len(syms) >= 2:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                rk = rank_of.get((syms[i], syms[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best, best_rank = i, rk
+            if best is None:
+                break
+            l, r = syms[best], syms[best + 1]
+            merged, res, i = l + r, [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return syms
+
+    def encode(batches):
+        for pdf in batches:
+            cache: dict[str, list[str]] = {}
+            toks_out, n_out = [], []
+            for text in pdf["_text"]:
+                toks: list[str] = []
+                for w in (text or "").split():
+                    if w not in cache:
+                        cache[w] = encode_word(w)
+                    toks.extend(cache[w])
+                toks_out.append(toks)
+                n_out.append(len(toks))
+            yield pd.DataFrame({"_id": pdf["_id"], "n_tokens": n_out, "tokens": toks_out})
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    out = src.mapInPandas(encode, schema="_id long, n_tokens int, tokens array<string>")
+    return out.withColumnRenamed("_id", id_col)

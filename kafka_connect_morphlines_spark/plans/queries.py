@@ -3866,3 +3866,19 @@ def kn_bigram_logprob(spark, sf_dir):
 
     docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     return textstats.kn_bigram_logprob_df(docs)
+
+
+@query("bpe_encode_sample", None)
+def bpe_encode_sample(spark, sf_dir):
+    """BPE encode with self-trained merges (traindata.bpe_encode after
+    bpe_train): token counts + first tokens for the 50 lowest-id docs.
+    Iterative training + greedy encode — rows-only + golden; pytest pins
+    train->encode round-trip consistency."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = t(spark, sf_dir, "documents")
+    rules = traindata.bpe_train(docs, n_merges=20)
+    enc = traindata.bpe_encode(docs.filter(F.col("doc_id") < 50), rules)
+    return enc.select(
+        "doc_id", "n_tokens", F.slice("tokens", 1, 8).alias("head_tokens")
+    ).orderBy("doc_id")

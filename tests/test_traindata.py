@@ -200,3 +200,22 @@ def test_bpe_train_matches_reference(spark):
     ]
     want = _ref_bpe(texts, 12)
     assert got == want and len(got) == 12
+
+
+def test_bpe_encode_applies_merges_greedily(spark):
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    texts = ["low lower lowest low low", "new newer newest new new"] * 5
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rules = traindata.bpe_train(df, n_merges=8)
+    enc = {r["doc_id"]: r for r in traindata.bpe_encode(df, rules).collect()}
+    # every doc encodes; tokens reassemble to the original text (merge
+    # concatenation is lossless modulo the end marker)
+    for i, t in enumerate(texts):
+        toks = enc[i]["tokens"]
+        rebuilt = "".join(toks).replace("</w>", " ").strip()
+        assert rebuilt == t.replace(" ", " ").strip()
+        assert enc[i]["n_tokens"] == len(toks)
+    # merges actually fired: fewer symbols than raw chars+markers
+    raw_syms = sum(len(w) + 1 for w in texts[0].split())
+    assert enc[0]["n_tokens"] < raw_syms

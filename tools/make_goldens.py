@@ -36,6 +36,7 @@ GOLDEN_QUERIES = [
     "pq_topk_adc",
     "bpe_merge_rules",
     "hll_audience_overlap",
+    "bpe_encode_sample",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "resources", "goldens")
