@@ -83,3 +83,50 @@ def cluster_by_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_mb``-sized files, atomically.
+
+    The standard 100 TB maintenance job — streaming sinks and fine-grained
+    partition writes accumulate small files, and small files tax every
+    subsequent scan (per-file open/footer cost, tiny row groups defeating
+    the columnar format, scheduler pressure from 10^6 splits).  Sizing from
+    the on-disk byte total (not row counts) keeps the output near the
+    parquet sweet spot regardless of schema width.
+
+    With ``sort_cols`` the rewrite uses ``repartitionByRange`` + in-file
+    sort, so compaction doubles as re-clustering (tight per-file min/max
+    stats — pair with :func:`cluster_by_zorder`'s Z-value for multi-dim).
+    Without, a plain ``repartition`` balances bytes evenly.
+
+    Publication is write-to-staging + atomic directory swap (the
+    streaming upsert sink's pattern): readers see the old files or the new
+    files, never a mix.  Returns {files_before, files_after, bytes}.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    files = [f for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)]
+    total_bytes = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_out)
+    staging = path.rstrip("/") + ".compact-staging"
+    out.write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + ".compact-old"
+    _os.rename(path, old)
+    _os.rename(staging, path)
+    _shutil.rmtree(old)
+    after = len(_glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True))
+    return {"files_before": len(files), "files_after": after, "bytes": total_bytes}

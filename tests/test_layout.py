@@ -66,3 +66,32 @@ def test_zorder_value_matches_generated_sql(spark):
         F.expr(layout.zorder_sql(["x", "y"], bits=8)).alias("zs"),
     )
     assert got.filter(F.col("zc") != F.col("zs")).count() == 0
+
+
+def test_compact_small_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import layout
+
+    path = str(tmp_path / "frag")
+    df = spark.range(50_000).select("id", (F.col("id") % 97).alias("k"))
+    df.repartition(64).write.parquet(path)
+    stats = layout.compact(spark, path, target_mb=128, sort_cols=["k"])
+    assert stats["files_before"] == 64
+    assert stats["files_after"] <= 2
+    back = spark.read.parquet(path)
+    assert back.count() == 50_000
+    assert back.agg(F.sum("id")).collect()[0][0] == 50_000 * 49_999 // 2
+    # range-clustered: per-file k-spans must not all cover the full domain
+    import glob, os
+    import pyarrow.parquet as pq
+    spans = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(1)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    if len(spans) > 1:
+        assert any(hi - lo < 96 for lo, hi in spans)
