@@ -85,3 +85,22 @@ def _denormalize_ntz(df: DataFrame) -> DataFrame:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[str]:
+    """Register every table under ``sf_dir`` as a temp view for raw
+    ``spark.sql`` querying — the SQL entry point next to the DataFrame API
+    (mirrors how the DuckDB oracle harness sees the same data).  Returns
+    the registered names.  Views go through :func:`load_table`, so the NTZ
+    and TIMESTAMP_NANOS fix-ups apply to SQL users too."""
+    import glob as _glob
+    import os as _os
+
+    if names is None:
+        names = sorted(
+            _os.path.splitext(_os.path.basename(p))[0]
+            for p in _glob.glob(_os.path.join(sf_dir, "*.parquet"))
+        )
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+    return list(names)

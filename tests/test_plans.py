@@ -370,3 +370,41 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     )
     plan = fact.join(dim, "event_type")._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, plan
+
+
+def test_parquet_aggregate_pushdown_metadata_only(spark, tmp_path):
+    """count/min/max over parquet resolve from footer statistics when
+    aggregate pushdown is on — a full-table count at 100 TB becomes a
+    metadata read, no data pages touched."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "agg_push")
+    spark.range(100_000).select("id", (F.col("id") % 7).alias("k")).write.parquet(path)
+    # pushdown lives in the DataSource V2 scan builder; the v1 path ignores it
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        df = spark.read.parquet(path).agg(
+            F.count(F.lit(1)).alias("n"), F.min("id").alias("lo"), F.max("id").alias("hi")
+        )
+        plan = plan_of(df)
+        assert "PushedAggregation: [COUNT(*), MIN(id), MAX(id)]" in plan, plan
+        row = df.collect()[0]
+        assert (row["n"], row["lo"], row["hi"]) == (100_000, 0, 99_999)
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+        spark.conf.unset("spark.sql.sources.useV1SourceList")
+
+
+def test_register_views_sql_surface(spark):
+    from kafka_connect_morphlines_spark.sources.files import register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert "lineitem" in names and "documents" in names
+    got = spark.sql(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1"
+    ).collect()
+    assert len(got) == 3 and sum(r["n"] for r in got) > 0
+    # NTZ fix-up reaches SQL users: events.ts must be instant-typed
+    t = dict(spark.sql("SELECT * FROM events").dtypes)["ts"]
+    assert t == "timestamp"
