@@ -161,8 +161,9 @@ def interval_join(
     lower: str = "0 seconds",
     upper: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval condition:
+    """Stream-stream join with an event-time interval condition:
     ``right.ts ∈ [left.ts + lower, left.ts + upper]`` on a shared key.
 
     Both sides carry watermarks so the join state store can expire rows once
@@ -170,6 +171,12 @@ def interval_join(
     stream-stream join would buffer both streams forever.  State is keyed on
     the equi-join key, so scale-out follows the key's hash partitioning, the
     same shape as a batch shuffle join.
+
+    ``how`` may be ``inner`` or ``left_outer``/``full_outer``: outer results
+    (null-padded unmatched rows) emit once the watermark passes the row's
+    join-window upper bound — i.e. when the engine can PROVE no future match
+    exists; rows near the head of a bounded stream therefore stay withheld
+    until more data (or stream end) advances the watermark.
     """
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
@@ -178,4 +185,4 @@ def interval_join(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)

@@ -411,3 +411,41 @@ def test_ddsketch_streaming_incremental(spark, events_stream_dir):
         for r in sketches.dd_sketch(batch, F.col("value"), keys=[F.col("event_type")]).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, events_stream_dir):
+    """left_outer stream-stream interval join: unmatched left rows emit
+    null-padded once the watermark clears their join window; every inner
+    match of the inner-join variant is present too."""
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.streaming import runner
+
+    schema = spark.read.parquet(events_stream_dir).schema
+
+    def src():
+        return spark.readStream.schema(schema).parquet(events_stream_dir)
+
+    clicks = src().filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    buys = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id"), F.col("ts"), F.col("value"))
+    )
+    joined = runner.interval_join(
+        clicks, buys, "user_id", upper="30 minutes", watermark="1 minute", how="left_outer"
+    )
+    q = (
+        joined.select(F.col("l.event_id").alias("eid"), F.col("r.value").alias("v"))
+        .writeStream.queryName("lo_join")
+        .outputMode("append")
+        .format("memory")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM lo_join").collect()
+    matched = [r for r in rows if r["v"] is not None]
+    unmatched = [r for r in rows if r["v"] is None]
+    assert len(matched) > 0 and len(unmatched) > 0
+    # no left row is both matched and null-padded
+    assert set(r["eid"] for r in matched).isdisjoint(r["eid"] for r in unmatched)
