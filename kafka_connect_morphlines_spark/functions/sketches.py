@@ -274,3 +274,42 @@ def hll_overlap(
             ).alias("est_intersection"),
         )
     )
+
+
+def hll_rolling_distinct(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    window_buckets: int = 24,
+    group: str | None = None,
+) -> DataFrame:
+    """Rolling-window distinct counts from HLL sketches — "unique users in
+    the trailing 24 h", per bucket, without ever re-scanning raw events.
+
+    Exact sliding distinct is quadratic in practice (each of N windows
+    re-deduplicates its span); the mergeable-sketch form is the standard
+    production answer: ONE pass builds a per-bucket sketch (map-side
+    combinable, state bounded by buckets x sketch size), then
+    ``hll_union_agg`` runs as a window aggregate over the bucket table —
+    windows x sketch-merge cost, independent of event volume.  The frame is
+    ``rangeBetween`` on epoch seconds, so sparse buckets still get
+    time-correct windows (a rows-frame would silently widen them).
+    """
+    from pyspark.sql import Window
+
+    sec = {"minute": 60, "hour": 3600, "day": 86400}[bucket]
+    gcols = [group] if group else []
+    per = df.groupBy(
+        *gcols, F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    ).agg(F.hll_sketch_agg(key).alias("_sk"))
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col("bucket").cast("long"))
+        .rangeBetween(-(window_buckets - 1) * sec, 0)
+    )
+    return per.select(
+        *gcols,
+        "bucket",
+        F.hll_sketch_estimate(F.hll_union_agg("_sk").over(w)).alias("rolling_distinct"),
+    )

@@ -3882,3 +3882,20 @@ def bpe_encode_sample(spark, sf_dir):
     return enc.select(
         "doc_id", "n_tokens", F.slice("tokens", 1, 8).alias("head_tokens")
     ).orderBy("doc_id")
+
+
+@query("hll_rolling_distinct_users", None)
+def hll_rolling_distinct_users(spark, sf_dir):
+    """Trailing-24h unique users per hour from mergeable HLL sketches
+    (sketches.hll_rolling_distinct): one event scan builds hourly sketches;
+    the rolling union runs over the bucket table only.  Sketch estimates
+    are engine-specific -> golden; pytest pins the estimates against exact
+    sliding distinct within the HLL error envelope."""
+    from kafka_connect_morphlines_spark.functions import sketches
+
+    ev = t(spark, sf_dir, "events")
+    out = sketches.hll_rolling_distinct(ev, "user_id", window_buckets=24)
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("rolling_distinct").cast("long").alias("rolling_distinct"),
+    ).orderBy("bucket")

@@ -106,3 +106,31 @@ def test_hll_overlap_tracks_exact(spark):
     assert abs(row["est_b"] - 8000) / 8000 < 0.05
     # subtraction amplifies HLL error; allow a wider envelope on the overlap
     assert abs(row["est_intersection"] - 2000) / 2000 < 0.25
+
+
+def test_hll_rolling_distinct_tracks_exact(spark):
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import sketches
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        r["bucket"]: r["rolling_distinct"]
+        for r in sketches.hll_rolling_distinct(ev, "user_id", window_buckets=6).collect()
+    }
+    # exact sliding distinct via a range self-join (fine at test scale)
+    b = ev.select(F.date_trunc("hour", "ts").alias("b"), "user_id").distinct()
+    exact = {
+        r["b"]: r["n"]
+        for r in b.alias("x")
+        .join(
+            b.select(F.col("b").alias("b2"), F.col("user_id").alias("u2")).alias("y"),
+            (F.col("b2") <= F.col("b"))
+            & (F.col("b2") >= F.col("b") - F.expr("INTERVAL 5 hours")),
+        )
+        .groupBy("b")
+        .agg(F.countDistinct("u2").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k] - exact[k]) / max(exact[k], 1) < 0.05, (k, got[k], exact[k])

@@ -37,6 +37,7 @@ GOLDEN_QUERIES = [
     "bpe_merge_rules",
     "hll_audience_overlap",
     "bpe_encode_sample",
+    "hll_rolling_distinct_users",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "resources", "goldens")
