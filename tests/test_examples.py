@@ -276,3 +276,32 @@ def test_warehouse_analytics_end_to_end(spark):
     assert out["retention"].filter("week_offset < 0").count() == 0
     assert out["heavy_hitters"].count() <= 10
     assert out["audit_search"].count() <= 10
+
+
+def test_observability_pipeline_end_to_end(spark):
+    """The monitoring composition (examples/observability_pipeline.py):
+    morphline parse -> z-score anomalies -> DDSketch quantile rollup ->
+    rolling HLL uniques -> Markov transitions -> event-type PageRank."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "observability_pipeline", os.path.join(EXAMPLES, "observability_pipeline.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from kafka_connect_morphlines_spark.sources.files import load_table
+
+    frames = mod.monitor_events(load_table(spark, "/root/testdata/sf0.001", "events"))
+    qpk = frames["quantiles_per_key"].collect()
+    assert len(qpk) == 5 and all(r["p50"] <= r["p95"] <= r["p99"] for r in qpk)
+    fleet = frames["quantiles_fleet"].collect()
+    assert len(fleet) == 1 and fleet[0]["p50"] <= fleet[0]["p99"]
+    assert frames["rolling_users"].count() > 0
+    tr = frames["transitions"].collect()
+    froms = {}
+    for r in tr:
+        froms[r["from_type"]] = froms.get(r["from_type"], 0.0) + r["prob"]
+    assert all(abs(v - 1.0) < 1e-4 for v in froms.values())
+    ranks = frames["event_type_ranks"].collect()
+    assert len(ranks) == 5 and all(r["rank"] > 0 for r in ranks)
