@@ -86,3 +86,64 @@ def range_join(
     )
     joined = p.join(r, "_bkt").filter((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col)))
     return joined.drop("_bkt")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_id: str,
+    right_id: str,
+    max_edit: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """Edit-distance join without the cross product: q-gram inverted-index
+    blocking, length prefilter, exact levenshtein verify.
+
+    Record-linkage staple (vendor-name reconciliation, entity resolution).
+    Strings within edit distance k share a q-gram whenever they are longer
+    than q*(k+1)-1 — one edit disturbs at most q positional grams — so the
+    candidate set from joining on shared grams is recall-complete for all
+    but degenerate inputs (near-single-gram strings like "aaaa"; the
+    sf0.01 oracle is the exact all-pairs join, so a recall miss would fail
+    the hash gate, not hide).
+
+    100 TB shape (SCALE.md lesson 11): the self/cross join runs on the
+    exploded (gram, id) inverted index — the shuffle spreads over the gram
+    vocabulary, with the length-compatibility filter inside the join
+    condition; the levenshtein verify is candidate-bounded.  Each side's
+    gram explode is O(len) codegen; no pair ever materializes text except
+    the verified candidates.
+    """
+    def grams(df: DataFrame, col: str, idc: str, side: str) -> DataFrame:
+        s = F.lower(F.trim(F.col(col)))
+        g = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(s) - q + 1, F.lit(1))),
+                lambda i: s.substr(i, F.lit(q)),
+            )
+        )
+        return df.select(
+            F.col(idc).alias(f"{side}_id"),
+            s.alias(f"{side}_s"),
+            F.length(s).alias(f"{side}_len"),
+            F.explode(g).alias("gram"),
+        )
+
+    lg = grams(left, left_col, left_id, "l")
+    rg = grams(right, right_col, right_id, "r")
+    cand = (
+        lg.join(
+            rg,
+            (lg["gram"] == rg["gram"])
+            & (F.abs(lg["l_len"] - rg["r_len"]) <= max_edit),
+        )
+        .select("l_id", "r_id", "l_s", "r_s")
+        .distinct()
+    )
+    return cand.select(
+        "l_id",
+        "r_id",
+        F.levenshtein("l_s", "r_s").alias("edit_dist"),
+    ).filter(F.col("edit_dist") <= max_edit)

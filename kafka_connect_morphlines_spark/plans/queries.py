@@ -3899,3 +3899,28 @@ def hll_rolling_distinct_users(spark, sf_dir):
         F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
         F.col("rolling_distinct").cast("long").alias("rolling_distinct"),
     ).orderBy("bucket")
+
+
+@query(
+    "fuzzy_join_part_names",
+    """
+    SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
+           levenshtein(lower(trim(a.p_name)), lower(trim(b.p_name))) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND levenshtein(lower(trim(a.p_name)), lower(trim(b.p_name))) <= 1
+    ORDER BY l_id, r_id
+    """,
+)
+def fuzzy_join_part_names(spark, sf_dir):
+    """Edit-distance join (relational.fuzzy_join): near-identical part
+    names across the catalog via q-gram inverted-index blocking + exact
+    levenshtein verify.  The oracle is the exact all-pairs join, so it
+    certifies the blocking's RECALL, not just the verify."""
+    from kafka_connect_morphlines_spark.functions import relational
+
+    part = t(spark, sf_dir, "part")
+    out = relational.fuzzy_join(
+        part, part, "p_name", "p_name", "p_partkey", "p_partkey", max_edit=1, q=2
+    )
+    return out.filter(F.col("l_id") < F.col("r_id")).orderBy("l_id", "r_id")

@@ -94,3 +94,22 @@ def test_convert_timestamp_bad_pattern_compile_error(spark):
 
     with pytest.raises(PipelineSpecError, match="invalid datetime pattern"):
         compile_pipeline([{"convertTimestamp": {"field": "ts", "inputFormats": ["YYYY-ww-uu bogus"], "outputFormat": "unixTimeInMillis"}}])
+
+
+def test_fuzzy_join_finds_typos_across_tables(spark):
+    from kafka_connect_morphlines_spark.functions import relational
+
+    vendors = spark.createDataFrame(
+        [(1, "Acme Corp"), (2, "Globex"), (3, "Initech")], "vid long, name string"
+    )
+    invoices = spark.createDataFrame(
+        [(10, "acme corp"), (11, "Globexx"), (12, "Umbrella"), (13, "Initch")],
+        "iid long, vendor string",
+    )
+    got = {
+        (r["l_id"], r["r_id"]): r["edit_dist"]
+        for r in relational.fuzzy_join(
+            vendors, invoices, "name", "vendor", "vid", "iid", max_edit=1
+        ).collect()
+    }
+    assert got == {(1, 10): 0, (2, 11): 1, (3, 13): 1}
