@@ -142,3 +142,94 @@ def event_transitions(
         "n",
         F.round(F.col("n") / F.sum("n").over(totals), 6).alias("prob"),
     )
+
+
+def frequent_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket co-occurrence: item pairs appearing together in at
+    least ``min_support`` baskets, with support counts and lift.
+
+    The useful four-fifths of association mining without FP-tree machinery:
+    distinct (basket, item) pairs self-join within basket (item_a < item_b
+    halves the pair space), groupBy pair with map-side combine, then lift
+    from broadcast per-item basket counts.
+
+    100 TB shape: the within-basket self-join keys on the basket id, so
+    the shuffle carries (basket, item) ids only and a basket of size s
+    contributes s*(s-1)/2 rows — bounded for retail-shaped baskets (the
+    operator is quadratic in single-basket size, not in catalog or basket
+    count; cap pathological baskets upstream like the LSH mega-bucket
+    guard).  Item counts are catalog-sized -> broadcast.
+    """
+    bi = baskets.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    if not bi.isStreaming:
+        bi = bi.localCheckpoint()  # feeds the self-join twice + item counts
+    n_baskets = bi.select("_b").distinct().count()
+    item_counts = bi.groupBy("_i").agg(F.count(F.lit(1)).alias("_ni"))
+    a = bi.select(F.col("_b"), F.col("_i").alias("item_a"))
+    b = bi.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return (
+        pairs.join(F.broadcast(item_counts.withColumnRenamed("_i", "item_a").withColumnRenamed("_ni", "_na")), "item_a")
+        .join(F.broadcast(item_counts.withColumnRenamed("_i", "item_b").withColumnRenamed("_ni", "_nb")), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            F.round(
+                (F.col("support") / F.lit(n_baskets))
+                / ((F.col("_na") / F.lit(n_baskets)) * (F.col("_nb") / F.lit(n_baskets))),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def ab_test_zscores(
+    events: DataFrame,
+    assign_col: str,
+    success_col,
+    group_a: str = "a",
+    group_b: str = "b",
+) -> DataFrame:
+    """Two-proportion z-test over experiment arms: one aggregated row with
+    per-arm conversion rates and the pooled z statistic.
+
+    Pairs with traindata.hash_split (deterministic assignment is a record
+    property; analysis is one map-side-combinable aggregate).  All moments
+    are exact integer counts, so the statistic is engine-portable with no
+    decimal gymnastics; z = (pa - pb) / sqrt(p(1-p)(1/na + 1/nb)).
+    """
+    agg = events.groupBy(F.col(assign_col).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(success_col, 1).otherwise(0)).alias("conv"),
+    )
+    a = agg.filter(F.col("arm") == group_a).select(
+        F.col("n").alias("na"), F.col("conv").alias("ca")
+    )
+    b = agg.filter(F.col("arm") == group_b).select(
+        F.col("n").alias("nb"), F.col("conv").alias("cb")
+    )
+    j = a.crossJoin(b)
+    pa = F.col("ca") / F.col("na")
+    pb = F.col("cb") / F.col("nb")
+    pool = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb"))
+    z = (pa - pb) / F.sqrt(pool * (1 - pool) * (1 / F.col("na") + 1 / F.col("nb")))
+    return j.select(
+        "na", "ca", "nb", "cb",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z"),
+    )

@@ -3924,3 +3924,72 @@ def fuzzy_join_part_names(spark, sf_dir):
         part, part, "p_name", "p_name", "p_partkey", "p_partkey", max_edit=1, q=2
     )
     return out.filter(F.col("l_id") < F.col("r_id")).orderBy("l_id", "r_id")
+
+
+@query(
+    "frequent_part_pairs",
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+    ic AS (SELECT i, count(*) AS ni FROM bi GROUP BY i),
+    pairs AS (
+      SELECT x.i AS item_a, y.i AS item_b, count(*) AS support
+      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+      GROUP BY x.i, y.i HAVING count(*) >= 2
+    )
+    SELECT p.item_a, p.item_b, p.support,
+           round((p.support / nb.n) / ((ia.ni / nb.n) * (ib.ni / nb.n)), 6) AS lift
+    FROM pairs p
+    JOIN ic ia ON ia.i = p.item_a
+    JOIN ic ib ON ib.i = p.item_b
+    CROSS JOIN nb
+    ORDER BY item_a, item_b
+    """,
+)
+def frequent_part_pairs(spark, sf_dir):
+    """Market-basket mining (funnel.frequent_pairs): parts ordered together
+    in >=2 orders, with lift.  Basket-keyed self-join (shuffle carries ids
+    only), map-side-combined pair counts, broadcast item counts."""
+    from kafka_connect_morphlines_spark.functions import funnel
+
+    li = t(spark, sf_dir, "lineitem")
+    out = funnel.frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    return out.orderBy("item_a", "item_b")
+
+
+@query(
+    "ab_test_event_values",
+    """
+    WITH assigned AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5('exp1/' || CAST(user_id AS VARCHAR)), 1, 6) AS BIGINT) % 2 = 0
+                  THEN 'a' ELSE 'b' END AS arm,
+             value > 100 AS success
+      FROM events
+    ),
+    agg AS (SELECT arm, count(*) AS n, sum(CASE WHEN success THEN 1 ELSE 0 END) AS conv
+            FROM assigned GROUP BY arm)
+    SELECT a.n AS na, a.conv AS ca, b.n AS nb, b.conv AS cb,
+           round(a.conv / a.n, 6) AS rate_a,
+           round(b.conv / b.n, 6) AS rate_b,
+           round((a.conv / a.n - b.conv / b.n)
+                 / sqrt(((a.conv + b.conv) / (a.n + b.n)) * (1 - (a.conv + b.conv) / (a.n + b.n))
+                        * (1.0 / a.n + 1.0 / b.n)), 4) AS z
+    FROM (SELECT * FROM agg WHERE arm = 'a') a
+    CROSS JOIN (SELECT * FROM agg WHERE arm = 'b') b
+    """,
+)
+def ab_test_event_values(spark, sf_dir):
+    """Experiment analysis (funnel.ab_test_zscores over traindata-style md5
+    assignment): deterministic 50/50 arm split on user_id, success = value
+    > 100, two-proportion pooled z.  Assignment is a map-side record
+    property; analysis is one aggregate."""
+    from kafka_connect_morphlines_spark.functions import funnel
+
+    ev = t(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("exp1/"), F.col("user_id").cast("string"))), 1, 6), 16, 10).cast("long") % 2
+        == 0,
+        "a",
+    ).otherwise("b")
+    assigned = ev.select(arm.alias("arm"), (F.col("value") > 100).alias("success"))
+    return funnel.ab_test_zscores(assigned, "arm", F.col("success"))

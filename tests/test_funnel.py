@@ -86,3 +86,38 @@ def test_event_transitions_probs_sum_to_one(spark):
     for (f_, _), (_, p) in m.items():
         by_from[f_] = by_from.get(f_, 0.0) + p
     assert all(abs(v - 1.0) < 1e-9 for v in by_from.values())
+
+
+def test_frequent_pairs_counts_and_lift(spark):
+    from kafka_connect_morphlines_spark.functions import funnel
+
+    rows = [
+        (1, "milk"), (1, "bread"), (1, "eggs"),
+        (2, "milk"), (2, "bread"),
+        (3, "milk"), (3, "beer"),
+        (4, "bread"), (4, "eggs"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): (r["support"], r["lift"])
+        for r in funnel.frequent_pairs(df, "basket", "item", min_support=2).collect()
+    }
+    # milk+bread in baskets 1,2; bread+eggs in 1,4
+    assert got[("bread", "milk")][0] == 2 and got[("bread", "eggs")][0] == 2
+    assert ("beer", "milk") not in got  # support 1 < 2
+    # lift(bread, milk) = (2/4) / ((3/4)*(3/4)) = 8/9
+    assert abs(got[("bread", "milk")][1] - round(8 / 9, 6)) < 1e-9
+
+
+def test_ab_test_z_sign_and_magnitude(spark):
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import funnel
+
+    # arm a converts 60/100, arm b converts 40/100 -> z > 2
+    df = spark.range(200).select(
+        F.when(F.col("id") < 100, "a").otherwise("b").alias("arm"),
+        ((F.col("id") < 60) | ((F.col("id") >= 100) & (F.col("id") < 140))).alias("ok"),
+    )
+    row = funnel.ab_test_zscores(df, "arm", F.col("ok")).collect()[0]
+    assert (row["na"], row["ca"], row["nb"], row["cb"]) == (100, 60, 100, 40)
+    assert row["z"] > 2.5
