@@ -109,6 +109,13 @@ def fuzzy_join(
     sf0.01 oracle is the exact all-pairs join, so a recall miss would fail
     the hash gate, not hide).
 
+    DEDUP FIRST (SCALE.md lesson 2): pair output is quadratic in
+    duplicate-cluster size — 20k rows sharing 64 distinct strings yield
+    ~6M zero-distance pairs no blocking can avoid.  Feed each side
+    DISTINCT strings (joining ids back afterwards if needed); the operator
+    does not collapse duplicates itself because id-level output is the
+    record-linkage semantic for near-unique keys.
+
     100 TB shape (SCALE.md lesson 11): the self/cross join runs on the
     exploded (gram, id) inverted index — the shuffle spreads over the gram
     vocabulary, with the length-compatibility filter inside the join

@@ -3904,24 +3904,32 @@ def hll_rolling_distinct_users(spark, sf_dir):
 @query(
     "fuzzy_join_part_names",
     """
-    SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
-           levenshtein(lower(trim(a.p_name)), lower(trim(b.p_name))) AS edit_dist
-    FROM part a JOIN part b
-      ON a.p_partkey < b.p_partkey
-     AND levenshtein(lower(trim(a.p_name)), lower(trim(b.p_name))) <= 1
+    WITH n AS (SELECT DISTINCT lower(trim(p_name)) AS name FROM part)
+    SELECT a.name AS l_id, b.name AS r_id,
+           levenshtein(a.name, b.name) AS edit_dist
+    FROM n a JOIN n b
+      ON a.name < b.name
+     AND levenshtein(a.name, b.name) <= 1
     ORDER BY l_id, r_id
     """,
 )
 def fuzzy_join_part_names(spark, sf_dir):
     """Edit-distance join (relational.fuzzy_join): near-identical part
-    names across the catalog via q-gram inverted-index blocking + exact
-    levenshtein verify.  The oracle is the exact all-pairs join, so it
-    certifies the blocking's RECALL, not just the verify."""
+    names via q-gram inverted-index blocking + exact levenshtein verify,
+    over DISTINCT names — the dedup-first composition (SCALE.md lesson 2:
+    pair output is quadratic in duplicate-cluster size, so collapse exact
+    duplicates BEFORE any similarity join; this corpus has 20k parts over
+    64 distinct names at sf0.1).  The oracle is the exact all-pairs join
+    over the same distinct set, certifying the blocking's RECALL."""
     from kafka_connect_morphlines_spark.functions import relational
 
-    part = t(spark, sf_dir, "part")
+    names = (
+        t(spark, sf_dir, "part")
+        .select(F.lower(F.trim(F.col("p_name"))).alias("name"))
+        .distinct()
+    )
     out = relational.fuzzy_join(
-        part, part, "p_name", "p_name", "p_partkey", "p_partkey", max_edit=1, q=2
+        names, names, "name", "name", "name", "name", max_edit=1, q=2
     )
     return out.filter(F.col("l_id") < F.col("r_id")).orderBy("l_id", "r_id")
 
