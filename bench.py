@@ -44,11 +44,19 @@ HEADLINE = [
     # behavioral analytics
     "funnel_conversion",
     "event_transition_probs",
+    "frequent_part_pairs",
+    "ab_test_event_values",
     # monitoring / sketches
     "zscore_hourly_anomalies",
     "ddsketch_value_quantiles",
-    # graph
+    "value_histogram_by_type",
+    # graph + linkage
     "pagerank_trade_graph",
+    "fuzzy_join_part_names",
+    # LM ladder top rung
+    "kn_bigram_logprob",
+    # weighted corpus sampling
+    "weighted_sample_docs",
     # format layer
     "avro_container_roundtrip",
     # LLM-pipeline operators

@@ -57,6 +57,8 @@ NAMES = [
     "zscore_hourly_anomalies",
     "value_histogram_by_type",
     "kn_bigram_logprob",
+    "fuzzy_join_part_names",
+    "frequent_part_pairs",
 ]
 
 
