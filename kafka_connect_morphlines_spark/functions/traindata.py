@@ -707,3 +707,51 @@ def bpe_encode(
     src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     out = src.mapInPandas(encode, schema="_id long, n_tokens int, tokens array<string>")
     return out.withColumnRenamed("_id", id_col)
+
+
+def normalize_scores(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    out_col: str = "score_pct",
+) -> DataFrame:
+    """Per-source percent-rank calibration of a quality score.
+
+    Heterogeneous corpus sources have incomparable raw classifier scores
+    (a 0.7 from web text != a 0.7 from code); ranking within source and
+    normalizing to [0,1] makes one global threshold meaningful — the
+    standard calibration step before mixture sampling on quality.
+
+    One shuffle keyed on the source; percent_rank is a window over each
+    source partition (ties share a rank, so the result is deterministic
+    under any partitioning with no id tie-break needed)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col))
+    return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff: (key, status) with status in
+    added | removed | changed | unchanged.
+
+    The data-ops primitive behind incremental corpus releases ("what moved
+    between v3 and v4") — a full outer join on the key comparing content
+    DIGESTS, so the shuffle carries (key, 32-byte md5) and never document
+    text; at 100 TB both sides reduce to key+digest projections before the
+    join."""
+    o = old.select(F.col(key_col).alias("k"), F.md5(F.col(content_col)).alias("_ho"))
+    n = new.select(F.col(key_col).alias("k"), F.md5(F.col(content_col)).alias("_hn"))
+    j = o.join(n, "k", "full_outer")
+    status = (
+        F.when(F.col("_ho").isNull(), "added")
+        .when(F.col("_hn").isNull(), "removed")
+        .when(F.col("_ho") != F.col("_hn"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(F.col("k").alias(key_col), status.alias("status"))

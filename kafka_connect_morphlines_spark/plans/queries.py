@@ -4001,3 +4001,59 @@ def ab_test_event_values(spark, sf_dir):
     ).otherwise("b")
     assigned = ev.select(arm.alias("arm"), (F.col("value") > 100).alias("success"))
     return funnel.ab_test_zscores(assigned, "arm", F.col("success"))
+
+
+@query(
+    "score_pct_by_source",
+    """
+    SELECT doc_id, source,
+           round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6) AS score_pct
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def score_pct_by_source(spark, sf_dir):
+    """Cross-source score calibration (traindata.normalize_scores): raw
+    quality proxies become per-source percent ranks so one global
+    threshold is meaningful before mixture sampling.  One source-keyed
+    window shuffle; ties need no id tie-break (shared ranks)."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = t(spark, sf_dir, "documents")
+    return traindata.normalize_scores(docs, "n_chars").select(
+        "doc_id", "source", "score_pct"
+    ).orderBy("doc_id")
+
+
+@query(
+    "snapshot_diff_docs",
+    """
+    WITH o AS (SELECT doc_id AS k, md5(text) AS ho FROM documents WHERE doc_id % 7 != 0),
+    n AS (SELECT doc_id AS k,
+                 md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS hn
+          FROM documents WHERE doc_id % 11 != 0)
+    SELECT coalesce(o.k, n.k) AS doc_id,
+           CASE WHEN o.ho IS NULL THEN 'added'
+                WHEN n.hn IS NULL THEN 'removed'
+                WHEN o.ho != n.hn THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM o FULL OUTER JOIN n ON o.k = n.k
+    ORDER BY doc_id
+    """,
+)
+def snapshot_diff_docs(spark, sf_dir):
+    """Corpus snapshot diff (traindata.diff_snapshots): v3->v4 release
+    audit via digest compare on a full outer join — the shuffle carries
+    (key, md5), never text.  Old = docs minus every 7th; new = docs minus
+    every 11th with every 5th edited."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return traindata.diff_snapshots(old, new).orderBy("doc_id")

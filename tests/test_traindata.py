@@ -219,3 +219,31 @@ def test_bpe_encode_applies_merges_greedily(spark):
     # merges actually fired: fewer symbols than raw chars+markers
     raw_syms = sum(len(w) + 1 for w in texts[0].split())
     assert enc[0]["n_tokens"] < raw_syms
+
+
+def test_normalize_scores_rank_semantics(spark):
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 20.0), (4, "a", 30.0),
+         (5, "b", 1000.0), (6, "b", 2000.0)],
+        "doc_id long, source string, score double",
+    )
+    got = {r["doc_id"]: r["score_pct"] for r in
+           traindata.normalize_scores(df, "score").collect()}
+    assert got[1] == 0.0 and got[4] == 1.0
+    assert got[2] == got[3]                      # ties share a rank
+    assert got[5] == 0.0 and got[6] == 1.0       # per-source calibration
+
+
+def test_diff_snapshots_statuses(spark):
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    old = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "y"), (3, "z2"), (4, "w")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in traindata.diff_snapshots(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
