@@ -85,3 +85,34 @@ class UpsertParquetSink:
 
     def read_current(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.current_path())
+
+
+class SketchParquetSink:
+    """Epoch-staged sink for MERGEABLE sketches (count-min, DDSketch — any
+    (keys..., cnt) table where merge = union + sum).
+
+    Same exactly-once argument as :class:`UpsertParquetSink`: each
+    micro-batch overwrites its own ``_staging/epoch=<N>`` partial, so epoch
+    replay is idempotent; but publication is a SUM-merge across epochs
+    (bucket counts commute) instead of last-writer-wins — the streaming
+    maintenance path for quantile/frequency monitors.  ``read_merged``
+    re-aggregates the staged partials (epochs x sketch-size rows, never
+    event volume); a periodic compaction can fold old epochs into one
+    without changing the result, by the same commutativity.
+    """
+
+    def __init__(self, root: str, merge_keys: list[str], value_col: str = "cnt") -> None:
+        self.root = root
+        self.merge_keys = list(merge_keys)
+        self.value_col = value_col
+
+    def __call__(self, sketch_df: DataFrame, epoch_id: int) -> None:
+        sketch_df.write.mode("overwrite").parquet(
+            os.path.join(self.root, "_staging", f"epoch={int(epoch_id)}")
+        )
+
+    def read_merged(self, spark: SparkSession) -> DataFrame:
+        staged = spark.read.parquet(os.path.join(self.root, "_staging"))
+        return staged.groupBy(*self.merge_keys).agg(
+            F.sum(self.value_col).alias(self.value_col)
+        )

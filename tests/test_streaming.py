@@ -449,3 +449,46 @@ def test_interval_join_left_outer_emits_unmatched(spark, events_stream_dir):
     assert len(matched) > 0 and len(unmatched) > 0
     # no left row is both matched and null-padded
     assert set(r["eid"] for r in matched).isdisjoint(r["eid"] for r in unmatched)
+
+
+def test_sketch_sink_streaming_maintenance(spark, events_stream_dir, tmp_path):
+    """Streaming sketch maintenance end-to-end: each micro-batch writes its
+    DDSketch partial (epoch-staged, replay-idempotent), the merged view
+    equals the batch sketch exactly, and a checkpointed restart with no new
+    data adds nothing."""
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import sketches
+    from kafka_connect_morphlines_spark.streaming import runner
+    from kafka_connect_morphlines_spark.streaming.upsert import SketchParquetSink
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    sink = SketchParquetSink(str(tmp_path / "sk"), ["event_type", "bucket"])
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(events_stream_dir)
+        q = src.writeStream.foreachBatch(
+            lambda df, e: sink(
+                sketches.dd_sketch(df, F.col("value"), keys=[F.col("event_type")]), e
+            )
+        ).option("checkpointLocation", ckpt).start()
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    merged = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in sink.read_merged(spark).collect()
+    }
+    batch = spark.read.parquet(events_stream_dir)
+    want = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in sketches.dd_sketch(batch, F.col("value"), keys=[F.col("event_type")]).collect()
+    }
+    assert merged == want
+    run_once()  # restart, no new files -> merged view unchanged
+    merged2 = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in sink.read_merged(spark).collect()
+    }
+    assert merged2 == want
