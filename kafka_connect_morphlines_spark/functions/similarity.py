@@ -237,3 +237,39 @@ def embedding_near_dupes(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), cosine(F.col("a._v"), F.col("b._v")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_rp",
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: dim -> out_dim, preserving
+    pairwise distances within ~(1 ± eps) — the cheap first stage before
+    ANN/clustering when embeddings are wide (shrinks every downstream
+    shuffle and distance computation by dim/out_dim).
+
+    The projection matrix is regenerated from md5 on any executor (same
+    determinism contract as the LSH hyperplanes — no RNG state, no
+    broadcast needed) and scaled by sqrt(3/out_dim) — the md5 entries are
+    uniform in [-1,1) with variance 1/3, so this makes E[|Px|^2] = |x|^2
+    (norm-preserving in expectation).  The projection itself is one Arrow-batched numpy matmul
+    per batch (SCALE.md lesson 8: never per-row interpreted folds).
+    """
+    import numpy as np
+    import pandas as pd
+
+    mat = np.array(
+        [_hyperplane(dim, f"{seed}:{r}") for r in range(out_dim)], dtype=np.float64
+    ).T * float(np.sqrt(3.0 / out_dim))  # dim x out_dim
+
+    @F.pandas_udf("array<double>")
+    def project(s: pd.Series) -> pd.Series:
+        x = np.vstack(s.to_numpy())  # n x dim
+        y = x @ mat
+        return pd.Series(list(np.round(y, 6)))
+
+    return df.withColumn(out_col, project(F.col(vec_col)))

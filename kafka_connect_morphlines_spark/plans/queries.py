@@ -4057,3 +4057,22 @@ def snapshot_diff_docs(spark, sf_dir):
         ),
     )
     return traindata.diff_snapshots(old, new).orderBy("doc_id")
+
+
+@query("embedding_random_projection", None)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss projection (similarity.random_projection):
+    64-dim embeddings -> 16 dims via a deterministic md5-seeded matrix,
+    Arrow-batched matmul.  Downstream ANN/clustering shuffles shrink 4x.
+    Matrix generation is engine-specific -> golden; pytest pins distance
+    preservation and rerun determinism."""
+    from kafka_connect_morphlines_spark.functions import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    out = similarity.random_projection(emb, dim, out_dim=16)
+    return (
+        out.filter(F.col("vec_id") < 20)
+        .select("vec_id", "embedding_rp")
+        .orderBy("vec_id")
+    )

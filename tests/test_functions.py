@@ -762,3 +762,30 @@ def test_kn_probabilities_sum_to_one(spark):
     )
     out = textstats.kn_bigram_logprob_df(df).collect()
     assert all(math.isfinite(r["logprob"]) and r["logprob"] < 0 for r in out)
+
+
+def test_random_projection_preserves_distances(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    out = similarity.random_projection(emb, dim, out_dim=24).limit(200).collect()
+    X = np.array([r["embedding"] for r in out])
+    Y = np.array([r["embedding_rp"] for r in out])
+    rng = np.random.RandomState(0)
+    ratios = []
+    for _ in range(300):
+        i, j = rng.randint(0, len(X), 2)
+        dx = np.linalg.norm(X[i] - X[j])
+        if dx < 1e-9:
+            continue
+        ratios.append(np.linalg.norm(Y[i] - Y[j]) / dx)
+    r = np.array(ratios)
+    # JL with out_dim=24: distances preserved in distribution (mean ~1)
+    assert 0.85 < r.mean() < 1.15
+    assert (np.abs(r - 1) < 0.6).mean() > 0.95
+    # determinism: same projection on re-run
+    again = similarity.random_projection(emb, dim, out_dim=24).limit(200).collect()
+    assert again[0]["embedding_rp"] == out[0]["embedding_rp"]

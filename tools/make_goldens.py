@@ -38,6 +38,7 @@ GOLDEN_QUERIES = [
     "hll_audience_overlap",
     "bpe_encode_sample",
     "hll_rolling_distinct_users",
+    "embedding_random_projection",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "resources", "goldens")
