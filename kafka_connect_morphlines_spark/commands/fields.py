@@ -463,3 +463,47 @@ def translate(config, ctx):
         return df.withColumn("__t", looked).filter(F.col("__t").isNotNull()).withColumn(fld, F.col("__t")).drop("__t")
 
     return transform
+
+
+# Latin accent fold map for normalizeText — one translate() codegen pass,
+# mirrored verbatim by the oracle's translate() so both engines fold the
+# same characters (a portable subset, unlike engine-specific strip_accents).
+_ACCENTS_FROM = "áàâäãåāéèêëēíìîïīóòôöõøōúùûüūýÿñçćčšžÁÀÂÄÃÅĀÉÈÊËĒÍÌÎÏĪÓÒÔÖÕØŌÚÙÛÜŪÝŸÑÇĆČŠŽ"
+_ACCENTS_TO = "aaaaaaaeeeeeiiiiiooooooouuuuuyyncccszAAAAAAAEEEEEIIIIIOOOOOOOUUUUUYYNCCCSZ"
+
+
+@command("normalizeText")
+def normalize_text(config, ctx):
+    """Text normalization for dedup/matching keys: trim, whitespace
+    collapse, optional lowercase + Latin accent fold.  All codegen string
+    ops (translate/regexp_replace/lower) — map-only at any scale."""
+    fld = config.get("field", "text")
+    out_fld = config.get("outputField", fld)
+    col = colref(fld).cast("string")
+    out = F.regexp_replace(F.trim(col), r"\s+", " ")
+    if config.get("lowercase", True):
+        out = F.lower(out)
+    if config.get("foldAccents", True):
+        out = F.translate(out, _ACCENTS_FROM, _ACCENTS_TO)
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.withColumn(out_fld, out)
+
+    return transform
+
+
+@command("tokenizeText")
+def tokenize_text(config, ctx):
+    """Whitespace/regex tokenizer (kite tokenizeText without the Lucene
+    dependency): splits ``inputField`` into an array ``outputField``,
+    dropping empties.  Codegen split+filter; explode stays the caller's
+    choice (1->N is a plan decision, not a tokenizer side effect)."""
+    in_fld = config.get("inputField", "text")
+    out_fld = config.get("outputField", "tokens")
+    pattern = str(config.get("pattern", r"\s+"))
+    toks = F.filter(F.split(F.trim(colref(in_fld).cast("string")), pattern), lambda t: t != "")
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.withColumn(out_fld, toks)
+
+    return transform

@@ -4076,3 +4076,39 @@ def embedding_random_projection(spark, sf_dir):
         .select("vec_id", "embedding_rp")
         .orderBy("vec_id")
     )
+
+
+def _norm_text_oracle() -> str:
+    from kafka_connect_morphlines_spark.commands.fields import _ACCENTS_FROM, _ACCENTS_TO
+
+    return f"""
+    WITH n AS (
+      SELECT doc_id,
+             translate(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                       '{_ACCENTS_FROM}', '{_ACCENTS_TO}') AS norm
+      FROM documents
+    )
+    SELECT doc_id, norm,
+           len(list_filter(string_split(norm, ' '), x -> x != '')) AS n_tokens
+    FROM n ORDER BY doc_id
+    """
+
+
+@query("normalize_tokenize_text", _norm_text_oracle())
+def normalize_tokenize_text(spark, sf_dir):
+    """normalizeText + tokenizeText pipeline commands (commands/fields.py):
+    trim/collapse/lowercase/accent-fold then whitespace tokenize — the
+    normalization front of every dedup/matching key, as HOCON-configurable
+    commands.  All codegen string ops, map-only."""
+    pipe = compile_pipeline(
+        [
+            {"normalizeText": {"field": "text", "outputField": "norm"}},
+            {"tokenizeText": {"inputField": "norm", "outputField": "toks"}},
+        ]
+    )
+    docs = t(spark, sf_dir, "documents")
+    return (
+        pipe(docs)
+        .select("doc_id", "norm", F.size("toks").alias("n_tokens"))
+        .orderBy("doc_id")
+    )

@@ -503,3 +503,23 @@ def test_canonicalize_uri_command(spark):
     )
     got = p(df).select("canon").collect()[0][0]
     assert got == "http://example.com/A?id=2"
+
+
+def test_normalize_text_folds_accents_and_whitespace(spark):
+    from kafka_connect_morphlines_spark.pipeline import compile_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "  Crème   BRÛLÉE\trecipe "), (2, "naïve  café")], "id long, text string"
+    )
+    pipe = compile_pipeline([{"normalizeText": {"field": "text"}}])
+    got = {r["id"]: r["text"] for r in pipe(df).collect()}
+    assert got[1] == "creme brulee recipe"
+    assert got[2] == "naive cafe"
+
+
+def test_tokenize_text_drops_empties(spark):
+    from kafka_connect_morphlines_spark.pipeline import compile_pipeline
+
+    df = spark.createDataFrame([(1, "  a  b   c ")], "id long, text string")
+    pipe = compile_pipeline([{"tokenizeText": {"inputField": "text"}}])
+    assert pipe(df).collect()[0]["tokens"] == ["a", "b", "c"]
