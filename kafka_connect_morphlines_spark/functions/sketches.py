@@ -181,7 +181,9 @@ def dd_sketch(
     """Build per-key DDSketches: (key..., bucket, cnt) in one pass."""
     ks = keys or []
     return (
-        df.select(*ks, dd_bucket(value, alpha).alias("bucket"))
+        df.filter(value.isNotNull())  # Spark greatest() skips nulls, which
+        # would otherwise silently count NULL as the epsilon bucket
+        .select(*ks, dd_bucket(value, alpha).alias("bucket"))
         .groupBy(*[c for c in df.select(*ks).columns], "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

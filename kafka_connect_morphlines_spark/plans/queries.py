@@ -3555,7 +3555,7 @@ def _dd_oracle_sql() -> str:
     WITH b AS (
       SELECT event_type,
              CAST(ceil(ln(greatest(CAST(value AS DOUBLE), 1e-9)) / {lg}) AS BIGINT) AS bucket
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     sk AS (
       SELECT event_type AS scope, bucket, count(*) AS cnt FROM b GROUP BY 1, 2

@@ -134,3 +134,14 @@ def test_hll_rolling_distinct_tracks_exact(spark):
     assert set(got) == set(exact)
     for k in exact:
         assert abs(got[k] - exact[k]) / max(exact[k], 1) < 0.05, (k, got[k], exact[k])
+
+
+def test_dd_sketch_ignores_nulls(spark):
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import sketches
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,), (None,)], "value double"
+    )
+    sk = sketches.dd_sketch(df, F.col("value"))
+    assert sum(r["cnt"] for r in sk.collect()) == 2
