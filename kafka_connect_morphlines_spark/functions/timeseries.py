@@ -139,11 +139,14 @@ def zscore_anomalies(
     # divide in DOUBLE, not decimal: decimal-division result scales differ
     # between engines, double division is IEEE-identical everywhere
     mean = F.col("_sx").cast("double") / F.col("_n")
-    var = (
+    # ANSI mode makes x/0 an error: a key with one bucket has no variance
+    # and can never be its own anomaly — null z, filtered out below
+    var = F.when(
+        F.col("_n") > 1,
         (F.col("_sx2").cast("double") - F.col("_sx").cast("double") * F.col("_sx").cast("double") / F.col("_n"))
-        / (F.col("_n") - 1)
+        / (F.col("_n") - 1),
     )
-    z = (F.col("x") - mean) / F.sqrt(var)
+    z = F.when(var > 0, (F.col("x") - mean) / F.sqrt(var))
     return (
         stats.select(
             "k",

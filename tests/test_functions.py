@@ -789,3 +789,16 @@ def test_random_projection_preserves_distances(spark):
     # determinism: same projection on re-run
     again = similarity.random_projection(emb, dim, out_dim=24).limit(200).collect()
     assert again[0]["embedding_rp"] == out[0]["embedding_rp"]
+
+
+def test_zscore_single_bucket_key_is_not_anomalous(spark):
+    """A key with one bucket (or zero variance) has no distribution to
+    deviate from — must yield no flags, not an ANSI divide-by-zero."""
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import timeseries
+
+    df = spark.createDataFrame(
+        [("only", 1700000000000, 5.0)] + [("flat", 1700000000000 + i * 3600_000, 7.0) for i in range(10)],
+        "event_type string, ms long, value double",
+    ).withColumn("ts", F.timestamp_millis("ms"))
+    assert timeseries.zscore_anomalies(df).collect() == []
