@@ -90,6 +90,7 @@ def compact(
     path: str,
     target_mb: int = 128,
     sort_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Small-file compaction: rewrite a parquet directory into
     ~``target_mb``-sized files, atomically.
@@ -117,13 +118,28 @@ def compact(
     files = [f for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)]
     total_bytes = sum(_os.path.getsize(f) for f in files)
     n_out = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
+    # hive-partitioned input MUST be rewritten partitioned, or the layout
+    # (and every partition-pruned query) silently degrades to a flat table
+    partitioned = any("=" in _os.path.basename(_os.path.dirname(f)) for f in files)
+    if partitioned and not partition_by:
+        raise ValueError(
+            f"{path} is hive-partitioned; pass partition_by=[...] so compaction "
+            "preserves the partition layout"
+        )
     df = spark.read.parquet(path)
-    if sort_cols:
+    if partition_by:
+        # repartition by the partition columns so each output partition is
+        # written by few tasks (avoids the small-files relapse)
+        out = df.repartition(n_out, *partition_by)
+    elif sort_cols:
         out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
     else:
         out = df.repartition(n_out)
     staging = path.rstrip("/") + ".compact-staging"
-    out.write.mode("overwrite").parquet(staging)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     old = path.rstrip("/") + ".compact-old"
     _os.rename(path, old)
     _os.rename(staging, path)
