@@ -572,7 +572,6 @@ def bpe_train(
     reference implementation on the same corpus.
     """
     import pandas as pd
-    from pyspark.sql import Window
 
     spark = df.sparkSession
     words = (
@@ -582,12 +581,10 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     if max_words is not None:
-        rk = Window.orderBy(F.col("freq").desc(), F.col("w"))
-        words = (
-            words.withColumn("_rk", F.row_number().over(rk))
-            .filter(F.col("_rk") <= max_words)
-            .drop("_rk")
-        )
+        # top-k via TakeOrderedAndProject (per-partition top-k + k-row
+        # driver merge) — a global row_number window would funnel the whole
+        # distinct-word table through one partition
+        words = words.orderBy(F.col("freq").desc(), F.col("w")).limit(max_words)
     # symbols: characters plus an end-of-word marker on the last char
     syms = words.select(
         "freq",
