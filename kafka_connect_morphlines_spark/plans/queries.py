@@ -4112,3 +4112,35 @@ def normalize_tokenize_text(spark, sf_dir):
         .select("doc_id", "norm", F.size("toks").alias("n_tokens"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "udtf_split_sentences",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]?'), x -> trim(x)),
+                         x -> x != '') AS arr
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, u.pos, u.sentence
+    FROM s, unnest(list_transform(range(len(arr)), i -> {'pos': i, 'sentence': arr[i+1]})) AS t(u)
+    ORDER BY doc_id, u.pos
+    """,
+)
+def udtf_split_sentences(spark, sf_dir):
+    """Python UDTF surface (functions/udtfs.SplitSentences): LATERAL
+    table-function join producing one typed row per sentence — the 1->N
+    UDF leg, certified against the identical RE2-safe pattern in SQL."""
+    from kafka_connect_morphlines_spark.functions import udtfs
+
+    udtfs.register(spark)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence
+        FROM _udtf_docs d, LATERAL split_sentences(d.text) s
+        WHERE d.doc_id < 100
+        ORDER BY doc_id, pos
+        """
+    )

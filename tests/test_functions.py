@@ -802,3 +802,22 @@ def test_zscore_single_bucket_key_is_not_anomalous(spark):
         "event_type string, ms long, value double",
     ).withColumn("ts", F.timestamp_millis("ms"))
     assert timeseries.zscore_anomalies(df).collect() == []
+
+
+def test_udtf_split_sentences_lateral(spark):
+    from kafka_connect_morphlines_spark.functions import udtfs
+
+    udtfs.register(spark)
+    spark.createDataFrame(
+        [(1, "One. Two! Three?"), (2, "No punctuation here"), (3, None)],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("_udtf_t")
+    rows = spark.sql(
+        "SELECT d.doc_id, s.pos, s.sentence FROM _udtf_t d, "
+        "LATERAL split_sentences(d.text) s ORDER BY doc_id, pos"
+    ).collect()
+    got = [(r["doc_id"], r["pos"], r["sentence"]) for r in rows]
+    assert got == [
+        (1, 0, "One."), (1, 1, "Two!"), (1, 2, "Three?"),
+        (2, 0, "No punctuation here"),
+    ]
