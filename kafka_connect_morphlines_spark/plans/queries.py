@@ -4144,3 +4144,27 @@ def udtf_split_sentences(spark, sf_dir):
         ORDER BY doc_id, pos
         """
     )
+
+
+@query(
+    "map_functions_props",
+    """
+    SELECT event_id, 'k' AS key, CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS value
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 >= 100
+    ORDER BY event_id
+    """,
+)
+def map_functions_props(spark, sf_dir):
+    """Map higher-order functions (Part C map fns): from_json to a MapType,
+    transform_values (v*2), map_filter (>= 100), map_entries + explode back
+    to flat typed columns — all codegen, no Python."""
+    ev = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    doubled = F.map_filter(
+        F.transform_values(m, lambda k, v: v * 2), lambda k, v: v >= 100
+    )
+    return (
+        ev.select("event_id", F.explode(doubled).alias("key", "value"))
+        .orderBy("event_id")
+    )
