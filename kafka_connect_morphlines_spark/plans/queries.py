@@ -4168,3 +4168,40 @@ def map_functions_props(spark, sf_dir):
         ev.select("event_id", F.explode(doubled).alias("key", "value"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "grouping_sets_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(23,6))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY rf, ls
+    """,
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (Part C aggregations, completing cube/rollup):
+    (flag, status), (flag), and grand total in ONE pass — Catalyst plans a
+    single Expand + aggregate, not three scans.  Decimal-exact revenue."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "revenue",
+            "n",
+        )
+        .orderBy("rf", "ls")
+    )
