@@ -102,3 +102,35 @@ def point_in_time_join(
             ],
         )
     return out
+
+
+def enrich_scd2_stream(
+    stream: DataFrame,
+    versions: DataFrame,
+    key: str,
+    ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Stream-side point-in-time enrichment against a STATIC SCD2 dimension:
+    each streaming fact joins the version that was valid at its event time
+    (not the current one — the batch `point_in_time_join`'s streaming twin).
+
+    Stream-static joins need no watermark and keep no state: the static
+    side broadcasts (dimensions are small next to 100 TB facts), and the
+    validity-window condition `valid_from <= ts < coalesce(valid_to, inf)`
+    is evaluated per joined row.  Facts older than the key's first version
+    pass through with null attributes (left join) rather than dropping —
+    at-least-once pipelines must not lose facts to dimension lag.
+    """
+    v = F.broadcast(versions).alias("v")
+    s = stream.alias("s")
+    cond = (
+        (F.col(f"s.{key}") == F.col(f"v.{key}"))
+        & (F.col(f"v.{valid_from}") <= F.col(f"s.{ts}"))
+        & (
+            F.col(f"v.{valid_to}").isNull()
+            | (F.col(f"s.{ts}") < F.col(f"v.{valid_to}"))
+        )
+    )
+    return s.join(v, cond, "left").drop(F.col(f"v.{key}"))

@@ -492,3 +492,36 @@ def test_sketch_sink_streaming_maintenance(spark, events_stream_dir, tmp_path):
         for r in sink.read_merged(spark).collect()
     }
     assert merged2 == want
+
+
+def test_enrich_scd2_stream_point_in_time(spark, events_stream_dir):
+    """Streaming facts enrich against the SCD2 version valid AT EVENT TIME:
+    results must equal the batch point-in-time semantics exactly."""
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import temporal
+
+    batch = spark.read.parquet(events_stream_dir)
+    changes = (
+        batch.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    versions = temporal.scd2_versions(changes, "user_id", "day", ["n_purchases"])
+
+    schema = batch.schema
+    src = spark.readStream.schema(schema).parquet(events_stream_dir)
+    enriched = temporal.enrich_scd2_stream(
+        src.filter(F.col("event_type") == "click"), versions, "user_id"
+    ).select("event_id", "n_purchases")
+    q = enriched.writeStream.queryName("scd2_out").outputMode("append").format("memory").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {r["event_id"]: r["n_purchases"] for r in spark.sql("SELECT * FROM scd2_out").collect()}
+
+    want_df = temporal.enrich_scd2_stream(
+        batch.filter(F.col("event_type") == "click"), versions, "user_id"
+    ).select("event_id", "n_purchases")
+    want = {r["event_id"]: r["n_purchases"] for r in want_df.collect()}
+    assert got == want and len(got) > 0
+    # at least one fact predates its user's first version -> null attribute kept
+    assert any(v is None for v in got.values())
