@@ -4205,3 +4205,57 @@ def grouping_sets_revenue(spark, sf_dir):
         )
         .orderBy("rf", "ls")
     )
+
+
+@query(
+    "grouped_regression_hourly",
+    """
+    WITH b AS (
+      SELECT event_type AS k,
+             CAST(extract(hour FROM ts) AS DOUBLE) AS x,
+             CAST(value AS DOUBLE) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT k, count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(23,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(23,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+      FROM b GROUP BY k
+    )
+    SELECT k, n,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+           round(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sx / n), 6) AS intercept
+    FROM m
+    ORDER BY k
+    """,
+)
+def grouped_regression_hourly(spark, sf_dir):
+    """Grouped OLS (Part C aggregations, the regr_slope/intercept family):
+    per event type, fit value ~ hour-of-day in closed form from ONE
+    map-side-combinable aggregate of decimal-exact moments — the
+    engine-portable equivalent of regr_slope/regr_intercept (whose double
+    accumulation is summation-order dependent)."""
+    ev = t(spark, sf_dir, "events")
+    b = ev.select(
+        F.col("event_type").alias("k"),
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").cast("double").alias("y"),
+    )
+    m = b.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(23,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(23,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,6)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,6)")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return m.select(
+        "k",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n")), 6).alias("intercept"),
+    ).orderBy("k")
