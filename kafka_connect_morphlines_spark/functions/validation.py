@@ -234,3 +234,54 @@ def histogram(
             "cnt",
         )
     )
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value: Column,
+    n_bins: int = 10,
+    key: Column | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a distribution:
+    PSI = sum over bins of (p_new - p_old) * ln(p_new / p_old).
+
+    The standard drift monitor for scores/features between corpus or model
+    releases (rule of thumb: <0.1 stable, 0.1-0.25 drifting, >0.25 shifted).
+    Bin edges come from the OLD snapshot's min/max (the reference
+    distribution), so a shifted new snapshot lands in the clamp bins rather
+    than silently re-normalizing; empty bins are floored at ``eps`` before
+    the log.  Cost: two histogram aggregates + a bins-sized join — the
+    event volume is never joined or re-scanned.
+    """
+    kcols = [key.alias("k")] if key is not None else []
+    gb = ["k"] if key is not None else []
+    o = old.select(*kcols, value.cast("double").alias("v")).filter(F.col("v").isNotNull())
+    n = new.select(*kcols, value.cast("double").alias("v")).filter(F.col("v").isNotNull())
+    bounds = o.groupBy(*gb).agg(F.min("v").alias("_lo"), F.max("v").alias("_hi"))
+
+    def binned(df: DataFrame, cnt_name: str) -> DataFrame:
+        j = df.join(F.broadcast(bounds), gb) if gb else df.crossJoin(F.broadcast(bounds))
+        width = (F.col("_hi") - F.col("_lo")) / n_bins
+        b = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+            F.least(
+                F.greatest(F.floor((F.col("v") - F.col("_lo")) / width), F.lit(0)),
+                F.lit(n_bins - 1),
+            ).cast("int")
+        )
+        return j.select(*gb, b.alias("bin")).groupBy(*gb, "bin").agg(
+            F.count(F.lit(1)).alias(cnt_name)
+        )
+
+    ho = binned(o, "c_old")
+    hn = binned(n, "c_new")
+    joined = ho.join(hn, [*gb, "bin"], "full_outer").fillna(0, ["c_old", "c_new"])
+    tot = joined.groupBy(*gb).agg(
+        F.sum("c_old").alias("_to"), F.sum("c_new").alias("_tn")
+    )
+    j2 = joined.join(F.broadcast(tot), gb) if gb else joined.crossJoin(F.broadcast(tot))
+    po = F.greatest(F.col("c_old") / F.col("_to"), F.lit(eps))
+    pn = F.greatest(F.col("c_new") / F.col("_tn"), F.lit(eps))
+    term = (pn - po) * F.log(pn / po)
+    return j2.groupBy(*gb).agg(F.round(F.sum(term), 6).alias("psi"))

@@ -4259,3 +4259,48 @@ def grouped_regression_hourly(spark, sf_dir):
         F.round(slope, 6).alias("slope"),
         F.round(F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n")), 6).alias("intercept"),
     ).orderBy("k")
+
+
+@query(
+    "psi_value_drift",
+    """
+    WITH o AS (SELECT event_type AS k, CAST(value AS DOUBLE) AS v FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+    n AS (SELECT event_type AS k, CAST(value AS DOUBLE) AS v FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+    bounds AS (SELECT k, min(v) AS lo, max(v) AS hi FROM o GROUP BY k),
+    ho AS (
+      SELECT b.k, CASE WHEN bo.hi = bo.lo THEN 0
+             ELSE CAST(least(greatest(floor((b.v - bo.lo) / ((bo.hi - bo.lo) / 10)), 0), 9) AS INTEGER) END AS bin,
+             count(*) AS c_old
+      FROM o b JOIN bounds bo USING (k) GROUP BY 1, 2
+    ),
+    hn AS (
+      SELECT b.k, CASE WHEN bo.hi = bo.lo THEN 0
+             ELSE CAST(least(greatest(floor((b.v - bo.lo) / ((bo.hi - bo.lo) / 10)), 0), 9) AS INTEGER) END AS bin,
+             count(*) AS c_new
+      FROM n b JOIN bounds bo USING (k) GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT coalesce(ho.k, hn.k) AS k, coalesce(ho.bin, hn.bin) AS bin,
+             coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+      FROM ho FULL OUTER JOIN hn ON ho.k = hn.k AND ho.bin = hn.bin
+    ),
+    t AS (SELECT k, sum(c_old) AS tot_o, sum(c_new) AS tot_n FROM j GROUP BY k)
+    SELECT j.k,
+           round(sum((greatest(c_new / tot_n, 1e-6) - greatest(c_old / tot_o, 1e-6))
+                     * ln(greatest(c_new / tot_n, 1e-6) / greatest(c_old / tot_o, 1e-6))), 6) AS psi
+    FROM j JOIN t ON j.k = t.k
+    GROUP BY j.k
+    ORDER BY j.k
+    """,
+)
+def psi_value_drift(spark, sf_dir):
+    """Population Stability Index (validation.psi_drift): distribution
+    drift of event values between two deterministic halves of the corpus,
+    per event type — the standard release-over-release drift monitor.
+    Two histogram aggregates + a bins-sized join; volume never re-joined."""
+    from kafka_connect_morphlines_spark.functions import validation
+
+    ev = t(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    return validation.psi_drift(old, new, F.col("value"), key=F.col("event_type")).orderBy("k")

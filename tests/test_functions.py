@@ -821,3 +821,16 @@ def test_udtf_split_sentences_lateral(spark):
         (1, 0, "One."), (1, 1, "Two!"), (1, 2, "Three?"),
         (2, 0, "No punctuation here"),
     ]
+
+
+def test_psi_drift_detects_shift(spark):
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import validation
+
+    base = spark.range(10_000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = spark.range(10_000).select(((F.col("id") + 7) % 100).cast("double").alias("v"))
+    shifted = spark.range(10_000).select((F.col("id") % 100 + 60.0).alias("v"))
+    stable = validation.psi_drift(base, same, F.col("v")).collect()[0]["psi"]
+    drifted = validation.psi_drift(base, shifted, F.col("v")).collect()[0]["psi"]
+    assert stable < 0.01
+    assert drifted > 0.25
