@@ -4304,3 +4304,86 @@ def psi_value_drift(spark, sf_dir):
     old = ev.filter(F.col("event_id") % 2 == 0)
     new = ev.filter(F.col("event_id") % 2 == 1)
     return validation.psi_drift(old, new, F.col("value"), key=F.col("event_type")).orderBy("k")
+
+
+@query(
+    "top_event_paths",
+    """
+    WITH seq AS (
+      SELECT event_type AS a,
+             lead(event_type, 1) OVER w AS b,
+             lead(event_type, 2) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT a || ' > ' || b || ' > ' || c AS path, count(*) AS n
+    FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+)
+def top_event_paths(spark, sf_dir):
+    """Top user journeys (order-2 extension of event_transition_probs):
+    most frequent 3-step event paths across user streams.  One user-keyed
+    window shuffle (two leads share the frame), a states^3-bounded groupBy,
+    TakeOrdered top-k."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    return (
+        seq.select(F.concat_ws(" > ", "a", "b", "c").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+@query(
+    "chi2_type_vs_daypart",
+    """
+    WITH obs AS (
+      SELECT event_type AS r, CAST(floor(extract(hour FROM ts) / 6) AS INTEGER) AS c, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    rm AS (SELECT r, sum(o) AS ro FROM obs GROUP BY r),
+    cm AS (SELECT c, sum(o) AS co FROM obs GROUP BY c)
+    SELECT round(sum(power(obs.o - rm.ro * cm.co / tot.n, 2) / (rm.ro * cm.co / tot.n)), 4) AS chi2,
+           CAST((count(DISTINCT obs.r) - 1) * (count(DISTINCT obs.c) - 1) AS BIGINT) AS dof
+    FROM obs JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN tot
+    """,
+)
+def chi2_type_vs_daypart(spark, sf_dir):
+    """Chi-square independence test (contingency analytics): is event type
+    independent of day-part?  Expected counts from broadcast row/column
+    marginals over the cells-sized contingency table; the event volume is
+    aggregated exactly once."""
+    ev = t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.col("event_type").alias("r"),
+        F.floor(F.hour("ts") / 6).cast("int").alias("c"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    obs = obs.localCheckpoint()  # feeds marginals + the cell join
+    tot = obs.agg(F.sum("o").alias("n"))
+    rm = obs.groupBy("r").agg(F.sum("o").alias("ro"))
+    cm = obs.groupBy("c").agg(F.sum("o").alias("co"))
+    j = (
+        obs.join(F.broadcast(rm), "r")
+        .join(F.broadcast(cm), "c")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("ro") * F.col("co") / F.col("n")
+    return j.agg(
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
+        (
+            (F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)
+        ).cast("long").alias("dof"),
+    )
