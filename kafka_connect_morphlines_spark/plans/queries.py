@@ -11,7 +11,10 @@ Conventions for oracle hash-matching:
 - every computed column is aliased identically on both sides;
 - doubles are rounded (2-6 dp) on both sides;
 - timestamps leave as epoch millis or formatted strings;
-- deterministic tie-breaks on every top-k / window rank.
+- deterministic tie-breaks on every top-k / window rank;
+- integer bucketing uses explicit floor(): Spark's cast-to-int truncates
+  while DuckDB's CAST rounds half-away — a silent off-by-one-bucket
+  mismatch otherwise (caught on chi2_type_vs_daypart).
 """
 
 from __future__ import annotations
