@@ -146,3 +146,30 @@ def compact(
     _shutil.rmtree(old)
     after = len(_glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True))
     return {"files_before": len(files), "files_after": after, "bytes": total_bytes}
+
+
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: dict[str, int],
+    num_files: int | None = None,
+) -> None:
+    """Write parquet with column bloom filters: ``bloom_cols`` maps column
+    name -> expected distinct count (sizes the filter's bit budget).
+
+    The point-lookup complement to Z-order/min-max skipping: needle-in-
+    haystack predicates (``doc_key = 'abc...'``) skip row groups whose
+    bloom filter excludes the value — min/max stats are useless for
+    high-cardinality hash-like keys, which is exactly where blooms shine.
+    Caveat (parquet-mr behavior): a column whose values are fully
+    dictionary-encoded gets NO bloom filter (the dictionary is already an
+    exact membership structure); blooms only materialize on columns that
+    overflow dictionary encoding, i.e. the high-cardinality ones that need
+    them.  Size cost ~1.2 bytes/ndv per row group at the default FPP.
+    """
+    w = df.repartition(num_files) if num_files else df
+    writer = w.write.mode("overwrite")
+    for col, ndv in bloom_cols.items():
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        writer = writer.option(f"parquet.bloom.filter.expected.ndv#{col}", str(int(ndv)))
+    writer.parquet(path)

@@ -118,3 +118,23 @@ def test_compact_preserves_hive_partitions(spark, tmp_path):
     # partition pruning still works post-compaction
     plan = back.filter(F.col("day") == 1)._jdf.queryExecution().executedPlan().toString()
     assert back.filter(F.col("day") == 1).count() == 3334 or True
+
+
+def test_write_with_bloom_materializes_filters(spark, tmp_path):
+    import glob, os
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import layout
+
+    df = spark.range(100_000).select(F.md5(F.col("id").cast("string")).alias("doc_key"))
+    with_bloom = str(tmp_path / "bloom")
+    without = str(tmp_path / "plain")
+    layout.write_with_bloom(df, with_bloom, {"doc_key": 100_000}, num_files=4)
+    df.repartition(4).write.parquet(without)
+    a = sum(os.path.getsize(f) for f in glob.glob(with_bloom + "/*.parquet"))
+    b = sum(os.path.getsize(f) for f in glob.glob(without + "/*.parquet"))
+    # each file's filter is sized for the declared ndv (~131 KB at 100k):
+    # expect ~4 x that in extra bytes
+    assert a > b + 400_000  # filters actually materialized
+    # point lookup still correct through the bloom-filtered files
+    key = df.first()["doc_key"]
+    assert spark.read.parquet(with_bloom).filter(F.col("doc_key") == key).count() == 1
