@@ -525,3 +525,26 @@ def test_enrich_scd2_stream_point_in_time(spark, events_stream_dir):
     assert got == want and len(got) > 0
     # at least one fact predates its user's first version -> null attribute kept
     assert any(v is None for v in got.values())
+
+
+def test_available_now_trigger_drains_and_terminates(spark, events_stream_dir, tmp_path):
+    """Trigger.AvailableNow: process everything available in bounded
+    batches, then stop on its own — the batch-backfill mode of a streaming
+    pipeline (one code path for replay and live tailing)."""
+    from kafka_connect_morphlines_spark.pipeline import compile_pipeline
+    from kafka_connect_morphlines_spark.streaming import runner
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    src = spark.readStream.schema(schema).parquet(events_stream_dir)
+    pipe = compile_pipeline([{"setValues": {"seen": "y"}}])
+    counts = []
+    q = runner.run_stream(
+        src,
+        pipe,
+        sink=lambda df, e: counts.append(df.count()),
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    assert not q.isActive  # terminated by itself
+    assert sum(counts) == spark.read.parquet(events_stream_dir).count()
