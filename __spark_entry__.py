@@ -75,11 +75,28 @@ _ROTATION_TIER_2 = {
 }
 
 
+# Queries added in round 3 (never in any CORRECTNESS_r*): sort FIRST so the
+# driver's bounded prefix certifies the round's new work before re-covering
+# older never-fronted entries.
+_NEWEST_FIRST = {
+    "ddsketch_value_quantiles", "weighted_sample_docs", "pagerank_trade_graph",
+    "event_transition_probs", "zscore_hourly_anomalies", "bpe_merge_rules",
+    "value_histogram_by_type", "hll_audience_overlap",
+    "hll_rolling_distinct_users", "bpe_encode_sample", "kn_bigram_logprob",
+    "fuzzy_join_part_names", "frequent_part_pairs", "ab_test_event_values",
+    "score_pct_by_source", "snapshot_diff_docs", "normalize_tokenize_text",
+    "embedding_random_projection", "udtf_split_sentences",
+    "map_functions_props", "grouping_sets_revenue", "grouped_regression_hourly",
+    "psi_value_drift", "top_event_paths", "chi2_type_vs_daypart",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     ordered = sorted(
         QUERIES,
         key=lambda name: (
+            name not in _NEWEST_FIRST,
             name in _CERTIFIED_PRIOR_ROUNDS,
             name in _ROTATION_TIER_2,
         ),
