@@ -154,3 +154,37 @@ def bm25_idf_table(n_docs: int, dfreq: dict[str, int]) -> dict[str, float]:
     return {
         t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) for t, df in dfreq.items()
     }
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: (id, term, tf, tfidf, rank) — the
+    classic sparse document representation exported for downstream ML
+    (keyword extraction, weak labels, cluster naming).
+
+    tf = in-doc count, idf = ln((N+1)/(df+1)) + 1 (smoothed, never
+    negative).  Two aggregates over the posting frame (per-doc tf, per-term
+    df) joined back — the df table is vocabulary-sized, AQE broadcasts it;
+    the top-k window partitions by document, so no global sort.  Ties break
+    on term for determinism.
+    """
+    from pyspark.sql import Window
+
+    tf = term_postings(df, text_col, id_col)  # already (term, id, tf)
+    if not tf.isStreaming:
+        tf = tf.localCheckpoint()  # feeds df-counts AND the score join
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.select(id_col).distinct().count()
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1)) + F.lit(1.0)
+    scored = tf.join(dfreq, "term").select(
+        id_col, "term", "tf", F.round(F.col("tf") * idf, 6).alias("tfidf")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -4390,3 +4390,35 @@ def chi2_type_vs_daypart(spark, sf_dir):
             (F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)
         ).cast("long").alias("dof"),
     )
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(trim(text),' '), x->x!='')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * (ln((nd.n + 1.0) / (dfq.dfreq + 1)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, tfidf, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY doc_id, rank
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (retrieval.tfidf_top_terms): the
+    sparse keyword representation exported for downstream ML.  Vocabulary-
+    sized df table (AQE broadcast), doc-partitioned top-k window."""
+    from kafka_connect_morphlines_spark.functions import ensure_parallelism, retrieval
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return retrieval.tfidf_top_terms(docs, k=5).orderBy("doc_id", "rank")
