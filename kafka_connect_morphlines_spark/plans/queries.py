@@ -4422,3 +4422,31 @@ def tfidf_top_terms(spark, sf_dir):
 
     docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     return retrieval.tfidf_top_terms(docs, k=5).orderBy("doc_id", "rank")
+
+
+@query(
+    "latest_state_per_user",
+    """
+    SELECT user_id,
+           arg_max(event_type, epoch(ts) * 1000000000 + event_id) AS last_type,
+           round(arg_max(value, epoch(ts) * 1000000000 + event_id), 4) AS last_value,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           count(*) AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def latest_state_per_user(spark, sf_dir):
+    """Event-log compaction to a latest-state snapshot (the CDC 'current
+    table' pattern): max_by over (ts, id) — ONE map-side-combinable
+    aggregate, no window sort over the log.  Tie-break on the unique event
+    id makes the winner deterministic under any partitioning."""
+    ev = t(spark, sf_dir, "events")
+    # scalar order key (same expression in the oracle): second-granularity
+    # epoch * 1e9 + unique event id — deterministic total order
+    ord_ = F.unix_timestamp("ts") * F.lit(1_000_000_000) + F.col("event_id")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", ord_).alias("last_type"),
+        F.round(F.max_by("value", ord_), 4).alias("last_value"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).orderBy("user_id")
