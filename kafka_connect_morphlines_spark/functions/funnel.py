@@ -29,10 +29,16 @@ def funnel_steps(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap: str | None = None,
 ) -> DataFrame:
     """Ordered funnel: for each user, the earliest time they completed each
     step AFTER completing the previous one (inclusive ordering, so a step
     sharing the prior step's timestamp counts).
+
+    ``max_gap`` (an INTERVAL string like ``"72 hours"``) adds a conversion
+    deadline: each step must land within max_gap of the PREVIOUS step's
+    time, the standard attribution-window semantics (a purchase a month
+    after the click doesn't convert the funnel).
 
     Returns one row per user who completed step 1, with a nullable
     ``t_<step>`` timestamp per step — nulls from the first uncompleted step
@@ -51,7 +57,14 @@ def funnel_steps(
         nxt = (
             events.filter(F.col(type_col) == step)
             .join(out.select(user_col, prev), user_col)
-            .filter(F.col(ts_col) >= F.col(prev))
+            .filter(
+                (F.col(ts_col) >= F.col(prev))
+                if max_gap is None
+                else (
+                    (F.col(ts_col) >= F.col(prev))
+                    & (F.col(ts_col) <= F.col(prev) + F.expr(f"INTERVAL {max_gap}"))
+                )
+            )
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(f"t_{step}"))
         )

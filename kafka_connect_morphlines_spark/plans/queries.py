@@ -4450,3 +4450,34 @@ def latest_state_per_user(spark, sf_dir):
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         F.count(F.lit(1)).alias("n_events"),
     ).orderBy("user_id")
+
+
+@query(
+    "funnel_conversion_deadline",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type='signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id=s1.user_id
+           WHERE e.event_type='click' AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL 72 HOURS
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id=s2.user_id
+           WHERE e.event_type='purchase' AND e.ts >= s2.t2 AND e.ts <= s2.t2 + INTERVAL 72 HOURS
+           GROUP BY e.user_id)
+    SELECT s1.user_id, CAST(epoch_ms(s1.t1) AS BIGINT) AS t_signup,
+           CAST(epoch_ms(s2.t2) AS BIGINT) AS t_click,
+           CAST(epoch_ms(s3.t3) AS BIGINT) AS t_purchase
+    FROM s1 LEFT JOIN s2 ON s1.user_id=s2.user_id LEFT JOIN s3 ON s1.user_id=s3.user_id
+    """,
+)
+def funnel_conversion_deadline(spark, sf_dir):
+    """Deadline funnel (funnel.funnel_steps max_gap): each step must land
+    within 72 h of the previous one — attribution-window semantics.  Same
+    N-1 shrinking user-keyed joins as the unbounded funnel."""
+    from kafka_connect_morphlines_spark.functions import funnel
+
+    ev = t(spark, sf_dir, "events")
+    steps = ["signup", "click", "purchase"]
+    out = funnel.funnel_steps(ev, steps, max_gap="72 hours")
+    return out.select(
+        "user_id",
+        *[F.unix_millis(F.col(f"t_{s}")).alias(f"t_{s}") for s in steps],
+    )
