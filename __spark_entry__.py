@@ -88,7 +88,7 @@ _NEWEST_FIRST = {
     "embedding_random_projection", "udtf_split_sentences",
     "map_functions_props", "grouping_sets_revenue", "grouped_regression_hourly",
     "psi_value_drift", "top_event_paths", "chi2_type_vs_daypart",
-    "tfidf_top_terms", "latest_state_per_user", "funnel_conversion_deadline",
+    "tfidf_top_terms", "latest_state_per_user", "funnel_conversion_deadline", "audience_overlap_matrix",
 }
 
 

@@ -4481,3 +4481,31 @@ def funnel_conversion_deadline(spark, sf_dir):
         "user_id",
         *[F.unix_millis(F.col(f"t_{s}")).alias(f"t_{s}") for s in steps],
     )
+
+
+@query(
+    "audience_overlap_matrix",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS users_both
+    FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def audience_overlap_matrix(spark, sf_dir):
+    """Exact pairwise audience overlap across event types: the full
+    |types|^2 intersection matrix from ONE distinct (user, type) frame
+    self-joined on the user key — users shuffle once, pairs are bounded by
+    per-user type count squared (<= 25 here).  The exact counterpart of
+    hll_audience_overlap for when types are few and exactness matters."""
+    ev = t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("users_both"))
+        .orderBy("type_a", "type_b")
+    )
