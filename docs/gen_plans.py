@@ -59,6 +59,10 @@ NAMES = [
     "kn_bigram_logprob",
     "fuzzy_join_part_names",
     "frequent_part_pairs",
+    "tfidf_top_terms",
+    "latest_state_per_user",
+    "audience_overlap_matrix",
+    "psi_value_drift",
 ]
 
 
