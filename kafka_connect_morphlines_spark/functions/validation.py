@@ -252,8 +252,10 @@ def psi_drift(
     Bin edges come from the OLD snapshot's min/max (the reference
     distribution), so a shifted new snapshot lands in the clamp bins rather
     than silently re-normalizing; empty bins are floored at ``eps`` before
-    the log.  Cost: two histogram aggregates + a bins-sized join — the
-    event volume is never joined or re-scanned.
+    the log.  Cost: one bounds pass over the old snapshot plus one
+    histogram aggregate per side (3 column-pruned scans total) + a
+    bins-sized join — re-scanning a pruned column beats materializing an
+    event-volume frame, and no event-volume join ever happens.
     """
     kcols = [key.alias("k")] if key is not None else []
     gb = ["k"] if key is not None else []
