@@ -4509,3 +4509,66 @@ def audience_overlap_matrix(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("users_both"))
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "session_duration_stats",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    ),
+    per AS (
+      SELECT user_id, sid, count(*) AS n_events,
+             CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS dur_s,
+             CAST(round(sum(CAST(value AS DECIMAL(23,6))), 2) AS DOUBLE) AS session_value
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT count(*) AS n_sessions,
+           round(avg(n_events), 4) AS avg_events,
+           round(quantile_cont(dur_s, 0.5), 2) AS p50_dur_s,
+           round(quantile_cont(dur_s, 0.95), 2) AS p95_dur_s,
+           CAST(round(sum(CAST(session_value AS DECIMAL(23,6))), 2) AS DOUBLE) AS total_value
+    FROM per
+    """,
+)
+def session_duration_stats(spark, sf_dir):
+    """Session-level rollup on top of gap sessionization: session counts,
+    events/session, exact p50/p95 duration, decimal-exact value totals.
+    The session assignment is one user-keyed window (same shuffle as
+    sessionize); everything after runs on the sessions frame."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    marked = ev.select(
+        "user_id", "ts", "value", "event_id",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)).alias("is_new"),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = marked.select(
+        "user_id", "ts", "value", F.sum("is_new").over(wsum).alias("sid")
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("dur_s"),
+        F.round(F.sum(F.col("value").cast("decimal(23,6)")), 2).cast("double").alias("session_value"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.round(F.percentile("dur_s", F.lit(0.5)), 2).alias("p50_dur_s"),
+        F.round(F.percentile("dur_s", F.lit(0.95)), 2).alias("p95_dur_s"),
+        F.round(F.sum(F.col("session_value").cast("decimal(23,6)")), 2).cast("double").alias("total_value"),
+    )
