@@ -4572,3 +4572,39 @@ def session_duration_stats(spark, sf_dir):
         F.round(F.percentile("dur_s", F.lit(0.95)), 2).alias("p95_dur_s"),
         F.round(F.sum(F.col("session_value").cast("decimal(23,6)")), 2).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "score_decile_lift",
+    """
+    WITH s AS (
+      SELECT source, n_chars,
+             round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6) AS pct
+      FROM documents
+    )
+    SELECT source,
+           CAST(least(floor(pct * 10), 9) AS INTEGER) AS decile,
+           count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def score_decile_lift(spark, sf_dir):
+    """Decile lift table over calibrated scores (composes
+    traindata.normalize_scores): per-source score deciles with doc counts
+    and mean length — the standard quality-classifier evaluation readout.
+    Decile from percent_rank (per-source window), explicit floor()
+    bucketing (the engine-portable cast convention)."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = t(spark, sf_dir, "documents")
+    scored = traindata.normalize_scores(docs, "n_chars", out_col="pct")
+    dec = F.least(F.floor(F.col("pct") * 10), F.lit(9)).cast("int")
+    return (
+        scored.groupBy("source", dec.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("source", "decile")
+    )
