@@ -4608,3 +4608,116 @@ def score_decile_lift(spark, sf_dir):
         )
         .orderBy("source", "decile")
     )
+
+
+@query(
+    "dau_wau_stickiness",
+    """
+    WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    wau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS wau
+      FROM days d JOIN du u
+        ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+      GROUP BY d.day
+    )
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    ORDER BY day
+    """,
+)
+def dau_wau_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per day — EXACT leg (trailing-7-day distinct via
+    a days x day-users range join over the deduped (day, user) frame; the
+    frame is day-user-sized, not event-sized).  At 100 TB use the
+    sketch path (hll_rolling_distinct) — this exact form is the oracle-
+    certifiable counterpart and the correctness reference for it."""
+    ev = t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct().localCheckpoint()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    u = du.select(F.col("day").alias("uday"), "user_id")
+    wau = (
+        days.join(
+            u,
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") > F.date_sub(F.col("day"), 7)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "revenue_concentration",
+    """
+    WITH per AS (
+      SELECT o_custkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(23,6))), 2) AS DOUBLE) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i, count(*) OVER () AS n,
+             CAST(sum(CAST(rev AS DECIMAL(23,6))) OVER () AS DOUBLE) AS tot
+      FROM per
+    )
+    SELECT round(2.0 * CAST(sum(CAST(i * rev AS DECIMAL(30,6))) AS DOUBLE) / (max(n) * max(tot)) - (max(n) + 1.0) / max(n), 6) AS gini,
+           round(CAST(sum(CAST(CASE WHEN i > 0.99 * n THEN rev ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE) / max(tot), 6) AS top1pct_share
+    FROM ranked
+    """,
+)
+def revenue_concentration(spark, sf_dir):
+    """Revenue concentration: Gini coefficient + top-1% share over
+    per-customer revenue.  The rank window runs on the customer-aggregated
+    frame (customer-count-sized, documented single-partition sort like
+    zipf_slope — the fact table never sorts); revenue sums are
+    decimal-exact."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(23,6)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = per.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum(F.col("rev").cast("decimal(23,6)"))
+        .over(Window.partitionBy())
+        .cast("double")
+        .alias("tot"),
+    )
+    return ranked.agg(
+        F.round(
+            F.lit(2.0)
+            * F.sum((F.col("i") * F.col("rev")).cast("decimal(30,6)")).cast("double")
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(
+                F.when(F.col("i") > 0.99 * F.col("n"), F.col("rev"))
+                .otherwise(0.0)
+                .cast("decimal(30,6)")
+            ).cast("double")
+            / F.max("tot"),
+            6,
+        ).alias("top1pct_share"),
+    )
