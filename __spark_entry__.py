@@ -90,7 +90,7 @@ _NEWEST_FIRST = {
     "psi_value_drift", "top_event_paths", "chi2_type_vs_daypart",
     "tfidf_top_terms", "latest_state_per_user", "funnel_conversion_deadline", "audience_overlap_matrix",
     "session_duration_stats", "score_decile_lift", "dau_wau_stickiness",
-    "revenue_concentration",
+    "revenue_concentration", "repeat_purchase_intervals",
 }
 
 

@@ -4721,3 +4721,45 @@ def revenue_concentration(spark, sf_dir):
             6,
         ).alias("top1pct_share"),
     )
+
+
+@query(
+    "repeat_purchase_intervals",
+    """
+    WITH p AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT CAST(date_diff('second', prev, ts) AS BIGINT) AS gap_s
+      FROM p WHERE prev IS NOT NULL
+    )
+    SELECT count(*) AS n_gaps,
+           round(quantile_cont(gap_s, 0.5), 2) AS p50_gap_s,
+           round(quantile_cont(gap_s, 0.9), 2) AS p90_gap_s,
+           round(avg(gap_s), 2) AS avg_gap_s
+    FROM gaps
+    """,
+)
+def repeat_purchase_intervals(spark, sf_dir):
+    """Repeat-purchase cadence: per-user gaps between consecutive purchases
+    (one user-keyed lag window over the purchase subset — the filter
+    pushes to the scan), then exact interpolated percentiles over the
+    gaps frame (gap-count-sized, not event-sized)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s")
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 2).alias("p50_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 2).alias("p90_gap_s"),
+        F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+    )
