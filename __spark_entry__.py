@@ -23,86 +23,58 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["join_revenue_by_nation"].build(spark, "/root/testdata/sf0.001")
 
 
-# Queries already hash-certified by the driver in CORRECTNESS_r01/r02.  The
-# driver samples a bounded prefix of queries() per round, so list the
-# not-yet-certified entries first — across rounds the union of certification
-# files then covers the whole corpus.  Nothing is ever dropped: certified
-# queries stay registered after the rotation point.
-_CERTIFIED_PRIOR_ROUNDS = {
-    "agg_pricing_summary", "anti_join_customers", "bpe_token_count",
-    "contains_filter", "convert_timestamp_millis", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_simhash", "distinct_count_by_nation",
-    "embedding_ann_lsh", "embedding_cosine_topk", "embedding_knn_join",
-    "enrich_json_conform", "event_time_tumbling_window", "except_low_priority",
-    "extract_json_paths", "extract_uri", "find_replace",
-    "from_connect_data_json", "generate_uuid_deterministic", "grok_extract",
-    "head_sorted", "html_strip", "if_then_else", "join_revenue_by_nation",
-    "lang_id_pred", "math_functions", "ngram_jaccard_pairs",
-    "not_equals_filter", "orders_by_month", "pii_redact", "pivot_event_counts",
-    "read_csv_lines", "read_json_typed", "read_line_explode",
-    "read_multi_line", "rollup_counts", "sample_seeded", "semi_join_intersect",
-    "sessionize", "set_values_template", "sort_topn_lineitems", "split_field",
-    "split_key_value", "string_functions", "text_quality",
-    "to_connect_data_projection", "token_frequencies", "translate_dict",
-    "try_rules", "window_running_sum", "window_topk_orders",
-}
-
-# Second rotation tier: queries that were at the FRONT of the round-3
-# registration order (so a 50-entry round-3 prefix certifies most of them).
-# They rank between the never-fronted entries and the r01/r02-certified
-# set; newly added queries fall in neither set and therefore sort first —
-# each round's prefix starts with the queries most likely to still be
-# missing from the union of CORRECTNESS_r* files.
-_ROTATION_TIER_2 = {
-    "dup_ngram_stats", "word_entropy", "unigram_logprob", "doc_fingerprint",
-    "multimodal_binary_meta", "multimodal_features", "asof_join_events",
-    "range_join_bucketed", "stats_by_returnflag", "percentiles_by_status",
-    "levenshtein_pairs", "exists_orders_by_priority", "embedding_near_dupes",
-    "embedding_ivf_topk", "approx_sketches", "filter_agg_revenue",
-    "shipping_priority_topk", "extract_avro_tree_flatten", "add_values_array",
-    "remove_fields_projection", "string_codec_roundtrip", "returned_items_topk",
+# Round-4 certification prefix.  The driver samples a bounded (50-entry)
+# prefix of queries() per round; across rounds the union of CORRECTNESS_r*
+# files must cover the whole corpus.  These names were either NEVER sampled
+# in r01-r03 or were red in r03 and are re-fronted after their fix — they
+# sort first, in this exact order (SURVEY §2 operator legs, then the Avro
+# wire path, then joins/TPC-H analytics, then the LLM-pipeline tail).
+# Nothing is ever dropped: certified queries stay registered afterwards.
+_ROUND4_PREFIX = [
+    # r03 red rows, fixed this round — re-certify first.
+    "ab_test_event_values", "bpe_encode_sample", "embedding_random_projection",
+    # SURVEY §2 operator legs with no green row yet.
+    "remove_fields_projection", "string_codec_roundtrip",
+    "extract_avro_tree_flatten", "add_values_array",
+    "avro_container_roundtrip", "confluent_wire_roundtrip",
+    "enrich_json_wrap_unions",
+    # Custom join operators.
+    "asof_join_events", "range_join_bucketed", "pit_join_ship_state",
+    "levenshtein_pairs", "scd2_order_versions",
+    # Temporal / sessionization analytics.
+    "resample_ffill_hourly", "rolling_event_stats", "funnel_conversion",
+    "cohort_retention_weekly", "salted_agg_event_totals",
+    # Retrieval / LLM-pipeline operators.
+    "inverted_index_stats", "bm25_topk_search", "bigram_logprob",
+    "decontaminate_ngrams", "pack_sequences_bins", "chunk_documents_windows",
+    "hash_split_assign", "mixture_sample_deterministic", "dedup_cc_clusters",
+    "global_shuffle_order", "dup_ngram_stats", "word_entropy",
+    "unigram_logprob", "doc_fingerprint", "k_anonymity_audit",
+    "temperature_mixture_rates", "cross_dedup_benchmark",
+    "multimodal_binary_meta", "multimodal_features",
+    "pq_encode_codes", "pq_topk_adc", "embedding_near_dupes",
+    "embedding_ivf_topk", "approx_sketches", "hll_sketch_rollup",
+    "cms_heavy_hitters",
+    # TPC-H-style analytics never yet sampled.
+    "stats_by_returnflag", "percentiles_by_status",
+    "exists_orders_by_priority", "filter_agg_revenue",
+    "shipping_priority_topk", "returned_items_topk",
     "argmin_supplier_per_nation", "volume_shipping_pairs",
     "profit_by_nation_year", "local_supplier_volume", "nation_market_share",
     "top_revenue_supplier", "supplier_part_variety", "small_quantity_revenue",
     "priority_counts_by_linestatus", "customer_order_histogram",
-    "promo_revenue_share", "large_order_customers", "disjunctive_part_revenue",
-    "idle_rich_customers", "lag_daily_revenue_delta", "cube_order_counts",
-    "avro_container_roundtrip", "confluent_wire_roundtrip",
-    "salted_agg_event_totals", "enrich_json_wrap_unions",
-    "decontaminate_ngrams", "pack_sequences_bins", "chunk_documents_windows",
-    "hash_split_assign", "mixture_sample_deterministic", "dedup_cc_clusters",
-    "waiting_suppliers", "global_shuffle_order",
-}
-
-
-# Queries added in round 3 (never in any CORRECTNESS_r*): sort FIRST so the
-# driver's bounded prefix certifies the round's new work before re-covering
-# older never-fronted entries.
-_NEWEST_FIRST = {
-    "ddsketch_value_quantiles", "weighted_sample_docs", "pagerank_trade_graph",
-    "event_transition_probs", "zscore_hourly_anomalies", "bpe_merge_rules",
-    "value_histogram_by_type", "hll_audience_overlap",
-    "hll_rolling_distinct_users", "bpe_encode_sample", "kn_bigram_logprob",
-    "fuzzy_join_part_names", "frequent_part_pairs", "ab_test_event_values",
-    "score_pct_by_source", "snapshot_diff_docs", "normalize_tokenize_text",
-    "embedding_random_projection", "udtf_split_sentences",
-    "map_functions_props", "grouping_sets_revenue", "grouped_regression_hourly",
-    "psi_value_drift", "top_event_paths", "chi2_type_vs_daypart",
-    "tfidf_top_terms", "latest_state_per_user", "funnel_conversion_deadline", "audience_overlap_matrix",
-    "session_duration_stats", "score_decile_lift", "dau_wau_stickiness",
-    "revenue_concentration", "repeat_purchase_intervals",
-}
+    "promo_revenue_share", "large_order_customers",
+    "disjunctive_part_revenue", "idle_rich_customers",
+    "lag_daily_revenue_delta", "cube_order_counts", "waiting_suppliers",
+]
+_ROUND4_RANK = {name: i for i, name in enumerate(_ROUND4_PREFIX)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     ordered = sorted(
         QUERIES,
-        key=lambda name: (
-            name not in _NEWEST_FIRST,
-            name in _CERTIFIED_PRIOR_ROUNDS,
-            name in _ROTATION_TIER_2,
-        ),
+        key=lambda name: (_ROUND4_RANK.get(name, len(_ROUND4_PREFIX)), name),
     )
     return {name: QUERIES[name].build for name in ordered}
 

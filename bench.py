@@ -144,7 +144,30 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # The driver records only a bounded tail of stdout, so the one
+    # authoritative JSON line can get truncated mid-line and fail to parse.
+    # Defense in depth: (1) persist the full metric JSON to BENCH_DETAIL.json
+    # next to this script, (2) print the full line first, (3) end with a
+    # compact line (2dp warm timings, no cold map) that fits a 2000-char tail.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
     print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+        "cold_total_sec": out["cold_total_sec"],
+        "n_errors": len(errors),
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -280,11 +280,17 @@ def kafka_producer(config, ctx):
 def load_solr(config, ctx):
     """Solr-shaped bulk loader (reference usage config/cloudsolr.conf:74-78).
 
-    ``client`` names a registered callable in ``LOAD_CLIENTS`` receiving each
-    partition's documents as a list of dicts — mirroring how the reference
-    tests mock SolrClient (MorphlineSinkTaskTest.java:59-91).  ``url`` posts
-    JSON batches over HTTP (stdlib urllib; executor-side, partition-parallel).
-    Without either, documents buffer into MEMORY_SINKS['solr'].
+    ``client`` names a registered callable in ``LOAD_CLIENTS`` receiving
+    document batches as lists of dicts — mirroring how the reference tests
+    mock SolrClient (MorphlineSinkTaskTest.java:59-91).  The callable is
+    pickled into a ``foreachPartition`` closure and runs executor-side,
+    partition-parallel (the 100 TB shape: no driver collect).  It must
+    therefore (a) be picklable and (b) produce externally visible side
+    effects — a driver-side list mock will NOT see executor appends; set
+    ``clientMode: driver`` for such mocks (documents are then collected to
+    the driver, test-scale only).  ``url`` posts JSON batches over HTTP
+    (stdlib urllib; executor-side, partition-parallel).  Without either,
+    documents buffer into MEMORY_SINKS['solr'] (driver memory, test sink).
     """
     client_name = config.get("client")
     locator = config.get("solrLocator", {}) or {}
@@ -307,9 +313,23 @@ def load_solr(config, ctx):
             client = LOAD_CLIENTS.get(client_name)
             if client is None:
                 raise PipelineSpecError(f"no registered load client {client_name!r}")
-            docs = [r.asDict(recursive=True) for r in doc_df.collect()]
-            for i in range(0, len(docs), batch_size):
-                client(docs[i : i + batch_size])
+            if config.get("clientMode", "partition") == "driver":
+                # explicit test-scale escape hatch for driver-side mocks
+                docs = [r.asDict(recursive=True) for r in doc_df.collect()]
+                for i in range(0, len(docs), batch_size):
+                    client(docs[i : i + batch_size])
+            else:
+                def client_partition(rows, _client=client, _bs=batch_size):
+                    buf = []
+                    for row in rows:
+                        buf.append(row.asDict(recursive=True))
+                        if len(buf) >= _bs:
+                            _client(buf)
+                            buf = []
+                    if buf:
+                        _client(buf)
+
+                doc_df.foreachPartition(client_partition)
         elif url:
 
             def post_partition(rows):

@@ -222,8 +222,12 @@ def ab_test_zscores(
 
     Pairs with traindata.hash_split (deterministic assignment is a record
     property; analysis is one map-side-combinable aggregate).  All moments
-    are exact integer counts, so the statistic is engine-portable with no
-    decimal gymnastics; z = (pa - pb) / sqrt(p(1-p)(1/na + 1/nb)).
+    are exact integer counts; the emitted rates/z are integer-scaled
+    (ppm / x10k) via floor(x*scale + 0.5), which is bit-exact across
+    engines when mirrored term-for-term (IEEE division/sqrt are correctly
+    rounded, floor is exact on doubles) — unlike decimal round(), whose
+    half-up boundary handling is engine-specific.
+    z = (pa - pb) / sqrt(p(1-p)(1/na + 1/nb)).
     """
     agg = events.groupBy(F.col(assign_col).alias("arm")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -242,7 +246,7 @@ def ab_test_zscores(
     z = (pa - pb) / F.sqrt(pool * (1 - pool) * (1 / F.col("na") + 1 / F.col("nb")))
     return j.select(
         "na", "ca", "nb", "cb",
-        F.round(pa, 6).alias("rate_a"),
-        F.round(pb, 6).alias("rate_b"),
-        F.round(z, 4).alias("z"),
+        F.floor(pa * 1000000 + F.lit(0.5)).cast("long").alias("rate_a_ppm"),
+        F.floor(pb * 1000000 + F.lit(0.5)).cast("long").alias("rate_b_ppm"),
+        F.floor(z * 10000 + F.lit(0.5)).cast("long").alias("z_x10k"),
     )

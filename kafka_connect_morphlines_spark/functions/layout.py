@@ -107,13 +107,31 @@ def compact(
     stats — pair with :func:`cluster_by_zorder`'s Z-value for multi-dim).
     Without, a plain ``repartition`` balances bytes evenly.
 
-    Publication is write-to-staging + atomic directory swap (the
-    streaming upsert sink's pattern): readers see the old files or the new
-    files, never a mix.  Returns {files_before, files_after, bytes}.
+    Publication is write-to-staging + two directory renames.  Each rename
+    is atomic, but the pair is NOT: there is a brief window where ``path``
+    does not exist, and a crash between the renames strands the table at
+    ``<path>.compact-old`` (recovered automatically on the next call).
+    Readers never see a *mix* of old and new files, but they can observe a
+    transient missing directory — callers needing stronger isolation should
+    compact behind a table-format commit (Delta/Iceberg) instead.  Scope:
+    ``os.rename`` semantics require a local / POSIX filesystem; on object
+    stores use a manifest-swap layout instead.  Returns
+    {files_before, files_after, bytes}.
     """
     import glob as _glob
     import os as _os
     import shutil as _shutil
+
+    staging = path.rstrip("/") + ".compact-staging"
+    old = path.rstrip("/") + ".compact-old"
+    # Recover from a prior crashed run: a leftover staging dir is garbage
+    # (never published); a leftover old dir with no live table is the
+    # stranded pre-swap state — restore it before compacting.
+    if _os.path.isdir(old) and not _os.path.isdir(path):
+        _os.rename(old, path)
+    for stale in (staging, old):
+        if _os.path.isdir(stale):
+            _shutil.rmtree(stale)
 
     files = [f for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)]
     total_bytes = sum(_os.path.getsize(f) for f in files)
@@ -135,14 +153,14 @@ def compact(
         out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
     else:
         out = df.repartition(n_out)
-    staging = path.rstrip("/") + ".compact-staging"
     writer = out.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-    old = path.rstrip("/") + ".compact-old"
     _os.rename(path, old)
     _os.rename(staging, path)
+    # keep the .compact-old backup until the swap has fully completed, then
+    # drop it; a crash before this line is recovered by the next call
     _shutil.rmtree(old)
     after = len(_glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True))
     return {"files_before": len(files), "files_after": after, "bytes": total_bytes}

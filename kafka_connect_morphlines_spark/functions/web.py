@@ -123,8 +123,14 @@ def pagerank(
         .localCheckpoint()
     )
     ranks = nodes.select("id", F.lit(round(1.0 / n, 12)).alias("rank"))
+    # rank/sum frames carry (id, double) only — under ~2M nodes (~50 MB)
+    # broadcast them, turning each iteration's two node-keyed shuffles into
+    # map-side joins (the edge frame never reshuffles); above that, fall
+    # back to the shuffle joins, which partition by node id
+    bcast = n <= 2_000_000
     for _ in range(iters):
-        contrib = e.join(ranks.withColumnRenamed("id", "_s"), "_s").select(
+        r = ranks.withColumnRenamed("id", "_s")
+        contrib = e.join(F.broadcast(r) if bcast else r, "_s").select(
             F.col("_d").alias("id"),
             (F.col("rank") / F.col("outdeg")).alias("_c"),
         )
@@ -132,7 +138,7 @@ def pagerank(
             F.sum(F.col("_c").cast("decimal(38,18)")).alias("_sum")
         )
         ranks = (
-            nodes.join(sums, "id", "left")
+            nodes.join(F.broadcast(sums) if bcast else sums, "id", "left")
             .select(
                 "id",
                 F.round(

@@ -16,6 +16,7 @@ semantics (a superset of the reference SMT's first-record-only contract).
 from __future__ import annotations
 
 import functools
+import os as _os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
@@ -25,6 +26,14 @@ from pyspark.sql import Column, DataFrame
 from kafka_connect_morphlines_spark import hocon
 
 Transform = Callable[[DataFrame], DataFrame]
+
+# Search roots for ``resource:`` morphlineFile paths — the Python analog of
+# the reference's classpath lookup (MorphlineTransform.java:169
+# ConfigFactory.parseResources).  Deployments append their config dirs.
+RESOURCE_PATHS: list[str] = [
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "examples"),
+    _os.getcwd(),
+]
 
 
 class PipelineSpecError(ValueError):
@@ -90,8 +99,45 @@ class Pipeline:
 
     @staticmethod
     def from_file(path: str, morphline_id: str | None = None, overrides: dict[str, Any] | None = None) -> "Pipeline":
+        """Load a morphline config from a filesystem path, ``resource:``
+        name, ``file://``/``http(s)://`` URL, or inline ``include`` text —
+        the reference's morphlineFile resolution surface
+        (MorphlineTransform.java:166-181: parseResources / parseString /
+        parseURL with filesystem fallback)."""
         import os
+        import urllib.parse
+        import urllib.request
 
+        if path.startswith("resource:"):
+            name = path.split(":", 1)[1].lstrip("/")
+            for root in RESOURCE_PATHS:
+                cand = os.path.join(root, name)
+                if os.path.exists(cand):
+                    spec = hocon.load(cand)
+                    return compile_pipeline(
+                        spec, morphline_id=morphline_id, overrides=overrides,
+                        base_dir=os.path.dirname(os.path.abspath(cand)),
+                    )
+            raise PipelineSpecError(
+                f"resource {name!r} not found on RESOURCE_PATHS {RESOURCE_PATHS}"
+            )
+        if path.startswith("include "):
+            # inline indirection: the morphlineFile VALUE is itself HOCON text
+            spec = hocon.loads(path, base_dir=os.getcwd())
+            return compile_pipeline(spec, morphline_id=morphline_id, overrides=overrides, base_dir=os.getcwd())
+        parsed = urllib.parse.urlparse(path)
+        if parsed.scheme == "file":
+            local = urllib.request.url2pathname(parsed.path)
+            spec = hocon.load(local)
+            return compile_pipeline(
+                spec, morphline_id=morphline_id, overrides=overrides,
+                base_dir=os.path.dirname(os.path.abspath(local)),
+            )
+        if parsed.scheme in ("http", "https"):
+            with urllib.request.urlopen(path, timeout=30) as resp:  # noqa: S310
+                text = resp.read().decode("utf-8")
+            spec = hocon.loads(text, base_dir=os.getcwd())
+            return compile_pipeline(spec, morphline_id=morphline_id, overrides=overrides, base_dir=os.getcwd())
         spec = hocon.load(path)
         return compile_pipeline(spec, morphline_id=morphline_id, overrides=overrides, base_dir=os.path.dirname(os.path.abspath(path)))
 

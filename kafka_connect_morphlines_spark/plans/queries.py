@@ -3883,7 +3883,11 @@ def bpe_encode_sample(spark, sf_dir):
     rules = traindata.bpe_train(docs, n_merges=20)
     enc = traindata.bpe_encode(docs.filter(F.col("doc_id") < 50), rules)
     return enc.select(
-        "doc_id", "n_tokens", F.slice("tokens", 1, 8).alias("head_tokens")
+        "doc_id",
+        "n_tokens",
+        # serialize: the driver canonicalizer sorts pandas cells, and
+        # array-typed cells are unhashable (TypeError) — emit a string.
+        F.concat_ws("|", F.slice("tokens", 1, 8)).alias("head_tokens"),
     ).orderBy("doc_id")
 
 
@@ -3980,11 +3984,11 @@ def frequent_part_pairs(spark, sf_dir):
     agg AS (SELECT arm, count(*) AS n, sum(CASE WHEN success THEN 1 ELSE 0 END) AS conv
             FROM assigned GROUP BY arm)
     SELECT a.n AS na, a.conv AS ca, b.n AS nb, b.conv AS cb,
-           round(a.conv / a.n, 6) AS rate_a,
-           round(b.conv / b.n, 6) AS rate_b,
-           round((a.conv / a.n - b.conv / b.n)
+           CAST(floor(a.conv / a.n * 1000000 + 0.5) AS BIGINT) AS rate_a_ppm,
+           CAST(floor(b.conv / b.n * 1000000 + 0.5) AS BIGINT) AS rate_b_ppm,
+           CAST(floor((a.conv / a.n - b.conv / b.n)
                  / sqrt(((a.conv + b.conv) / (a.n + b.n)) * (1 - (a.conv + b.conv) / (a.n + b.n))
-                        * (1.0 / a.n + 1.0 / b.n)), 4) AS z
+                        * (1 / a.n + 1 / b.n)) * 10000 + 0.5) AS BIGINT) AS z_x10k
     FROM (SELECT * FROM agg WHERE arm = 'a') a
     CROSS JOIN (SELECT * FROM agg WHERE arm = 'b') b
     """,
@@ -4076,7 +4080,14 @@ def embedding_random_projection(spark, sf_dir):
     out = similarity.random_projection(emb, dim, out_dim=16)
     return (
         out.filter(F.col("vec_id") < 20)
-        .select("vec_id", "embedding_rp")
+        .select(
+            "vec_id",
+            # serialize: array cells crash the driver canonicalizer sort;
+            # fixed 9dp formatting keeps the golden stable across reruns.
+            F.concat_ws(
+                "|", F.transform("embedding_rp", lambda x: F.format_number(x, 9))
+            ).alias("embedding_rp"),
+        )
         .orderBy("vec_id")
     )
 
@@ -4515,7 +4526,7 @@ def audience_overlap_matrix(spark, sf_dir):
     "session_duration_stats",
     """
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_new
@@ -4524,7 +4535,7 @@ def audience_overlap_matrix(spark, sf_dir):
     ),
     sess AS (
       SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM marked
     ),

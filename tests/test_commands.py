@@ -3,6 +3,7 @@ not already pinned by the golden tests or the oracle corpus."""
 
 import base64
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -239,10 +240,36 @@ def test_load_solr_mock_client(spark):
     (MorphlineSinkTaskTest.java:59-91)."""
     received = []
     LOAD_CLIENTS["mock"] = received.extend
-    p = compile_pipeline([{"loadSolr": {"client": "mock", "batchSize": 2}}])
+    # a driver-side list mock needs clientMode=driver: the default partition
+    # transport pickles the client to executors where appends are invisible
+    p = compile_pipeline([{"loadSolr": {"client": "mock", "batchSize": 2, "clientMode": "driver"}}])
     df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, v string")
     p(df)
     assert sorted(d["id"] for d in received) == [1, 2, 3]
+
+
+def test_load_solr_partition_client(spark, tmp_path):
+    """Default client transport is executor-side foreachPartition (the
+    100 TB shape — no driver collect): a picklable file-writing client
+    proves batches are delivered from worker processes."""
+    out_dir = str(tmp_path / "client-batches")
+    os.makedirs(out_dir)
+
+    def file_client(batch, _dir=out_dir):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        with open(_os.path.join(_dir, f"{_uuid.uuid4().hex}.json"), "w") as fh:
+            _json.dump(batch, fh)
+
+    LOAD_CLIENTS["file_client"] = file_client
+    p = compile_pipeline([{"loadSolr": {"client": "file_client", "batchSize": 2}}])
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(5)], "id int, v string").coalesce(2)
+    p(df)
+    batches = [json.load(open(os.path.join(out_dir, f))) for f in os.listdir(out_dir)]
+    assert sorted(d["id"] for b in batches for d in b) == [0, 1, 2, 3, 4]
+    assert all(len(b) <= 2 for b in batches)  # batchSize respected executor-side
 
 
 def test_generate_solr_sequence_key(spark):

@@ -84,3 +84,36 @@ def test_triple_quoted_string():
 def test_duplicate_object_keys_merge():
     out = hocon.loads("a { x : 1 }\na { y : 2 }")
     assert out["a"] == {"x": 1, "y": 2}
+
+
+def test_pipeline_from_file_url_and_resource(spark, tmp_path):
+    """morphlineFile resolution parity (MorphlineTransform.java:166-181):
+    file:// URLs, resource: names, and inline `include` text all load."""
+    from kafka_connect_morphlines_spark import pipeline as pipeline_mod
+    from kafka_connect_morphlines_spark.pipeline import Pipeline
+
+    conf = tmp_path / "m.conf"
+    conf.write_text(
+        'morphlines : [ { id : m1, commands : [ { setValues { a : "1" } } ] } ]'
+    )
+    p = Pipeline.from_file(f"file://{conf}", morphline_id="m1")
+    assert [c.name for c in p.commands] == ["setValues"]
+
+    pipeline_mod.RESOURCE_PATHS.append(str(tmp_path))
+    try:
+        p = Pipeline.from_file("resource:m.conf", morphline_id="m1")
+        assert [c.name for c in p.commands] == ["setValues"]
+    finally:
+        pipeline_mod.RESOURCE_PATHS.remove(str(tmp_path))
+
+    p = Pipeline.from_file(f'include "{conf}"', morphline_id="m1")
+    assert [c.name for c in p.commands] == ["setValues"]
+
+
+def test_pipeline_from_file_resource_missing(spark):
+    import pytest
+
+    from kafka_connect_morphlines_spark.pipeline import Pipeline, PipelineSpecError
+
+    with pytest.raises(PipelineSpecError, match="resource"):
+        Pipeline.from_file("resource:definitely-not-there.conf")

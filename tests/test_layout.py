@@ -138,3 +138,29 @@ def test_write_with_bloom_materializes_filters(spark, tmp_path):
     # point lookup still correct through the bloom-filtered files
     key = df.first()["doc_key"]
     assert spark.read.parquet(with_bloom).filter(F.col("doc_key") == key).count() == 1
+
+
+def test_compact_recovers_stale_dirs(spark, tmp_path):
+    """A crashed prior compaction (leftover .compact-staging, or a table
+    stranded at .compact-old with no live dir) is recovered on the next
+    call instead of failing the rename/overwrite."""
+    import os
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import layout
+
+    path = str(tmp_path / "tbl")
+    spark.range(1000).select("id").repartition(8).write.parquet(path)
+
+    # leftover staging garbage from a failed previous run
+    os.makedirs(path + ".compact-staging/junk")
+    stats = layout.compact(spark, path)
+    assert stats["files_before"] == 8
+    assert not os.path.exists(path + ".compact-staging")
+    assert not os.path.exists(path + ".compact-old")
+    assert spark.read.parquet(path).count() == 1000
+
+    # crash-between-renames state: table stranded at .compact-old
+    os.rename(path, path + ".compact-old")
+    stats = layout.compact(spark, path)
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + ".compact-old")

@@ -59,9 +59,10 @@ def canonical_rows(df) -> list[list]:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = [n for n in sys.argv[2:] if n in GOLDEN_QUERIES]
     spark = get_spark(app_name="goldens", master="local[8]", shuffle_partitions=8)
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    for name in GOLDEN_QUERIES:
+    for name in only or GOLDEN_QUERIES:
         df = QUERIES[name].build(spark, sf_dir)
         payload = {"query": name, "sf_dir": sf_dir, "columns": sorted(df.columns), "rows": canonical_rows(df)}
         path = os.path.join(GOLDEN_DIR, f"{name}.json")
