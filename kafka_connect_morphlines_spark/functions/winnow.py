@@ -1,0 +1,194 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+"Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003 —
+the MOSS scheme) and C4-style normalized exact dedup.
+
+Winnowing guarantees: any shared substring of length >= w + k - 1 between
+two documents produces at least one shared fingerprint, while selecting
+only ~2/(w+1) of all k-gram hashes — the standard plagiarism / overlap
+detector for large corpora, and a cheaper alternative to full shingle sets
+for containment screening.
+
+Everything here is pure Column algebra (sequence/explode + window min +
+codegen string ops), fully deterministic, so each operator is
+hash-certifiable against a SQL oracle — unlike minhash, whose sampled
+signatures are engine-specific.
+
+100 TB shape: per-document explode to ~n_chars rows, two document-keyed
+window passes (one shuffle — consecutive windows share the doc_id
+partitioning), then a fingerprint-keyed groupBy for the inverted index.
+No all-pairs stage anywhere: overlap candidates come from the fingerprint
+index join, exactly like the n-gram inverted-index join in
+functions/dedup.ngram_jaccard_pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def kgram_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Explode each document into (id, pos, khash): the md5 of every
+    k-character gram.  md5-on-substring is bit-identical across engines,
+    which keeps downstream selection oracle-certifiable.
+
+    One projection + explode, no shuffle; output is ~n_chars rows per doc.
+    """
+    n = F.length(F.col(text_col)) - F.lit(k - 1)
+    # guard short docs: sequence(1, 0) in Spark is DESCENDING [1, 0], not
+    # empty — emit an explicit empty array when the text has no k-gram
+    positions = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(positions).alias("pos"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.md5(F.col(text_col).substr(F.col("pos"), F.lit(k))).alias("khash"),
+        )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Select winnowed fingerprints: per window of ``w`` consecutive k-gram
+    hashes keep the minimum (rightmost occurrence on ties — the paper's
+    robust-winnowing tie-break), then dedup selected positions.
+
+    Returns (id, pos, fingerprint), ~2/(w+1) of the k-gram rows.
+
+    The window min + rightmost-tie selection compiles to two ROWS-frame
+    window functions over the same (id ORDER BY pos) sort — Spark runs
+    both in a single WindowExec after one doc-keyed shuffle.
+    """
+    grams = kgram_hashes(df, text_col, id_col, k)
+    # Each row is a window START p; collect the w hashes p..p+w-1 in pos
+    # order (ordered ROWS frame -> deterministic array), then pick the
+    # rightmost index of the array min:
+    # rev_idx = array_position(reverse(arr), array_min(arr)) is 1-based
+    # from the END, so sel_pos = p + w - rev_idx.  One doc-keyed window
+    # shuffle; the array carries only w hashes per row.
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        grams.withColumn("warr", F.collect_list("khash").over(win))
+        # trailing partial windows (fewer than w grams) are not window
+        # starts in the paper's scheme; dropping them also keeps the
+        # ~2/(w+1) fingerprint density
+        .filter(F.size("warr") == w)
+        .select(
+            F.col(id_col),
+            (
+                F.col("pos")
+                + F.lit(w)
+                - F.array_position(F.reverse("warr"), F.array_min("warr"))
+            ).cast("int").alias("pos"),
+        )
+        .distinct()
+    )
+    return sel.join(grams, [id_col, "pos"]).select(
+        id_col, "pos", F.col("khash").alias("fingerprint")
+    )
+
+
+def fingerprint_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Inverted fingerprint index: (fingerprint, n_docs, n_occurrences).
+
+    The corpus-overlap screening table: fingerprints with n_docs > 1 mark
+    shared substrings of length >= w + k - 1.  One fingerprint-keyed
+    groupBy (map-side combinable counts).
+    """
+    fp = winnow_fingerprints(df, text_col, id_col, k, w)
+    return fp.groupBy("fingerprint").agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+
+
+def overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_postings: int = 200,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints:
+    (id_a, id_b, shared_fingerprints).
+
+    Candidate generation is an inverted-index self-join on fingerprint —
+    the same no-all-pairs shape as dedup.ngram_jaccard_pairs: the join
+    fans out only within a fingerprint's posting list, and ubiquitous
+    fingerprints (boilerplate) are capped at ``max_postings`` docs to
+    bound the quadratic term, mirroring the LSH mega-bucket cap.
+    """
+    fp = winnow_fingerprints(df, text_col, id_col, k, w).select(
+        "fingerprint", id_col
+    ).distinct()
+    sizes = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_n"))
+    bounded = fp.join(
+        sizes.filter(F.col("_n") <= max_postings).select("fingerprint"), "fingerprint"
+    )
+    a = bounded.select(F.col("fingerprint"), F.col(id_col).alias("id_a"))
+    b = bounded.select(F.col("fingerprint"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
+def normalize_for_dedup(text: Column) -> Column:
+    """C4/RefinedWeb-style canonical text for "fuzzy-exact" dedup:
+    lowercase, strip punctuation, collapse whitespace, trim.  All codegen
+    string ops (no UDF)."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^\w\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def normalized_exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup on normalized text (the C4 trick: case/punct/space
+    variants are the most common near-dup class and collapse to byte
+    equality after canonicalization): one row per normalized-text digest
+    with keep_id = min id and n_copies.
+
+    Same digest-groupBy shape as dedup.exact_dedup_keys — shuffle carries
+    (digest, id), map-side combined.
+    """
+    return (
+        df.select(
+            F.md5(normalize_for_dedup(F.col(text_col))).alias("norm_digest"),
+            F.col(id_col),
+        )
+        .groupBy("norm_digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )

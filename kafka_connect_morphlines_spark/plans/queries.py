@@ -4774,3 +4774,108 @@ def repeat_purchase_intervals(spark, sf_dir):
         F.round(F.percentile("gap_s", F.lit(0.9)), 2).alias("p90_gap_s"),
         F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
     )
+
+
+def _winnow_grams_sql(k: int, w: int) -> str:
+    """Shared winnowing CTE prefix for the DuckDB oracles (mirrors
+    functions/winnow.py term-for-term: md5 k-gram hashes, ordered-list
+    window, rightmost-min selection)."""
+    return f"""
+    WITH g0 AS (
+      SELECT doc_id, text, unnest(generate_series(1, len(text) - {k - 1})) AS pos
+      FROM documents WHERE len(text) >= {k}
+    ),
+    grams AS (
+      SELECT doc_id, CAST(pos AS INT) AS pos,
+             md5(substr(text, CAST(pos AS INT), {k})) AS khash FROM g0
+    ),
+    warr AS (
+      SELECT doc_id, pos,
+             list(khash) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS arr
+      FROM grams
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             CAST(pos + {w} - list_position(list_reverse(arr), list_aggregate(arr, 'min')) AS INT) AS pos
+      FROM warr WHERE len(arr) = {w}
+    ),
+    fp AS (
+      SELECT s.doc_id, s.pos, g.khash AS fingerprint
+      FROM sel s JOIN grams g ON g.doc_id = s.doc_id AND g.pos = s.pos
+    )
+    """
+
+
+@query(
+    "winnow_fingerprint_index",
+    _winnow_grams_sql(12, 8)
+    + """
+    SELECT fingerprint, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+    FROM fp GROUP BY fingerprint HAVING count(DISTINCT doc_id) >= 5
+    ORDER BY fingerprint
+    """,
+)
+def winnow_fingerprint_index(spark, sf_dir):
+    """Winnowed fingerprint inverted index (winnow.fingerprint_index,
+    Schleimer et al. SIGMOD'03 / MOSS): md5 k-gram hashes, rightmost-min
+    per w-window, fingerprint-keyed counts.  Unlike minhash the selection
+    is fully deterministic, so an iterative-free corpus fingerprint table
+    is hash-certifiable.  One explode + one doc-keyed window shuffle + one
+    fingerprint-keyed groupBy; certification projects the shared
+    (n_docs >= 5) fingerprints."""
+    from kafka_connect_morphlines_spark.functions import winnow
+
+    docs = t(spark, sf_dir, "documents")
+    idx = winnow.fingerprint_index(docs, k=12, w=8)
+    return idx.filter(F.col("n_docs") >= 5).orderBy("fingerprint")
+
+
+@query(
+    "winnow_overlap_pairs",
+    _winnow_grams_sql(16, 8)
+    + """
+    , fpd AS (SELECT DISTINCT fingerprint, doc_id FROM fp),
+    sizes AS (SELECT fingerprint, count(*) AS n FROM fpd GROUP BY fingerprint),
+    bounded AS (SELECT fpd.fingerprint, fpd.doc_id
+                FROM fpd JOIN sizes USING (fingerprint) WHERE sizes.n <= 50)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fingerprints
+    FROM bounded a JOIN bounded b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def winnow_overlap_pairs(spark, sf_dir):
+    """Document-overlap screening via shared winnowed fingerprints
+    (winnow.overlap_pairs): candidate pairs come from an inverted-index
+    self-join — no all-pairs stage — with boilerplate fingerprints capped
+    at 50 postings (the LSH mega-bucket lesson).  Guarantee: any shared
+    substring >= w + k - 1 = 23 chars yields a shared fingerprint."""
+    from kafka_connect_morphlines_spark.functions import winnow
+
+    docs = t(spark, sf_dir, "documents")
+    out = winnow.overlap_pairs(docs, k=16, w=8, min_shared=3, max_postings=50)
+    return out.orderBy("id_a", "id_b")
+
+
+@query(
+    "normalized_dedup_keys",
+    r"""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'),
+                                   '\s+', ' ', 'g'))) AS norm_digest,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY norm_digest
+    """,
+)
+def normalized_dedup_keys(spark, sf_dir):
+    """C4-style fuzzy-exact dedup (winnow.normalized_exact_dedup):
+    case/punctuation/whitespace variants collapse to byte equality after
+    canonicalization; one digest groupBy with map-side combine — the
+    cheapest near-dup pass, run before minhash in a layered dedup stack."""
+    from kafka_connect_morphlines_spark.functions import winnow
+
+    docs = t(spark, sf_dir, "documents")
+    return winnow.normalized_exact_dedup(docs).orderBy("norm_digest")

@@ -31,7 +31,8 @@ def test_bench_emits_valid_contract_line():
     )
     assert proc.returncode == 0, f"bench rc={proc.returncode}\n{proc.stderr[-2000:]}"
     json_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
-    assert len(json_lines) == 1, f"expected exactly one JSON line, got {len(json_lines)}"
+    # full metric line first, compact tail-truncation-safe line last
+    assert len(json_lines) == 2, f"expected two JSON lines, got {len(json_lines)}"
     out = json.loads(json_lines[0])
     assert out["metric"] == "headline_queries_total_sec"
     assert out["unit"] == "sec" and out["value"] > 0
@@ -41,3 +42,14 @@ def test_bench_emits_valid_contract_line():
     assert set(out["queries"]) == set(HEADLINE), "a headline query has no timing"
     assert "errors" not in out, f"headline queries errored: {out.get('errors')}"
     assert set(out["queries_cold"]) == set(HEADLINE)
+    # the compact final line: same totals, per-query warm map, short enough
+    # to survive a 2000-char stdout tail, and parseable on its own
+    compact = json.loads(json_lines[-1])
+    assert compact["metric"] == out["metric"] and compact["value"] == out["value"]
+    assert set(compact["queries"]) == set(HEADLINE)
+    assert compact["n_errors"] == 0
+    assert len(json_lines[-1]) + 1 <= 2000, "compact line must fit the driver's tail"
+    # and the full metric JSON is persisted next to bench.py
+    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as fh:
+        detail = json.load(fh)
+    assert detail["queries"] == out["queries"]
