@@ -128,7 +128,7 @@ def pagerank(
     # map-side joins (the edge frame never reshuffles); above that, fall
     # back to the shuffle joins, which partition by node id
     bcast = n <= 2_000_000
-    for _ in range(iters):
+    for i in range(iters):
         r = ranks.withColumnRenamed("id", "_s")
         contrib = e.join(F.broadcast(r) if bcast else r, "_s").select(
             F.col("_d").alias("id"),
@@ -137,16 +137,19 @@ def pagerank(
         sums = contrib.groupBy("id").agg(
             F.sum(F.col("_c").cast("decimal(38,18)")).alias("_sum")
         )
-        ranks = (
-            nodes.join(F.broadcast(sums) if bcast else sums, "id", "left")
-            .select(
-                "id",
-                F.round(
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("_sum").cast("double"), F.lit(0.0)),
-                    12,
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(F.broadcast(sums) if bcast else sums, "id", "left").select(
+            "id",
+            F.round(
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("_sum").cast("double"), F.lit(0.0)),
+                12,
+            ).alias("rank"),
         )
+        # lineage cut every SECOND round: under broadcast the intermediate
+        # rank frame is collected into the next round's broadcast anyway
+        # (broadcast-exchange reuse executes each subplan once), so a
+        # checkpoint per round only adds a materialization job; without
+        # broadcast (big graphs) cut every round to keep plans bounded
+        if not bcast or i % 2 == 1:
+            ranks = ranks.localCheckpoint()
     return ranks
