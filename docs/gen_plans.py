@@ -63,6 +63,9 @@ NAMES = [
     "latest_state_per_user",
     "audience_overlap_matrix",
     "psi_value_drift",
+    "winnow_fingerprint_index",
+    "winnow_overlap_pairs",
+    "normalized_dedup_keys",
 ]
 
 

@@ -143,9 +143,15 @@ def overlap_pairs(
     fingerprints (boilerplate) are capped at ``max_postings`` docs to
     bound the quadratic term, mirroring the LSH mega-bucket cap.
     """
-    fp = winnow_fingerprints(df, text_col, id_col, k, w).select(
-        "fingerprint", id_col
-    ).distinct()
+    # the fingerprint derivation (explode + window + join) feeds three
+    # consumers (posting sizes + both self-join sides) — materialize it
+    # once or the whole winnowing pipeline recomputes per consumer
+    fp = (
+        winnow_fingerprints(df, text_col, id_col, k, w)
+        .select("fingerprint", id_col)
+        .distinct()
+        .localCheckpoint()
+    )
     sizes = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_n"))
     bounded = fp.join(
         sizes.filter(F.col("_n") <= max_postings).select("fingerprint"), "fingerprint"
