@@ -63,6 +63,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "normalized_dedup_keys",
+    "winnow_fingerprint_index",
+    "winnow_overlap_pairs",
     "embedding_cosine_topk",
     "embedding_knn_join",
     "text_quality",

@@ -33,9 +33,11 @@ def kgram_hashes(
     id_col: str = "doc_id",
     k: int = 8,
 ) -> DataFrame:
-    """Explode each document into (id, pos, khash): the md5 of every
-    k-character gram.  md5-on-substring is bit-identical across engines,
-    which keeps downstream selection oracle-certifiable.
+    """Explode each document into (id, pos, khash): the first 60 bits of
+    the md5 of every k-character gram, as a BIGINT.  md5-on-substring is
+    bit-identical across engines (oracle: ``CAST('0x' || substr(md5(..),
+    1, 15) AS BIGINT)``), and an 8-byte long makes the downstream window
+    arrays and fingerprint joins ~4x narrower than 32-char hex strings.
 
     One projection + explode, no shuffle; output is ~n_chars rows per doc.
     """
@@ -45,6 +47,7 @@ def kgram_hashes(
     positions = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>")
     )
+    digest = F.md5(F.col(text_col).substr(F.col("pos"), F.lit(k)))
     return (
         df.select(
             F.col(id_col),
@@ -54,7 +57,7 @@ def kgram_hashes(
         .select(
             id_col,
             "pos",
-            F.md5(F.col(text_col).substr(F.col("pos"), F.lit(k))).alias("khash"),
+            F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias("khash"),
         )
     )
 
@@ -81,10 +84,12 @@ def winnow_fingerprints(
     # order (ordered ROWS frame -> deterministic array), then pick the
     # rightmost index of the array min:
     # rev_idx = array_position(reverse(arr), array_min(arr)) is 1-based
-    # from the END, so sel_pos = p + w - rev_idx.  One doc-keyed window
-    # shuffle; the array carries only w hashes per row.
+    # from the END, so sel_pos = p + w - rev_idx.  The selected position's
+    # hash IS the window min, so the fingerprint comes straight from the
+    # array — no join back to the gram frame, one doc-keyed window
+    # shuffle total, and the array carries only w longs per row.
     win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    sel = (
+    return (
         grams.withColumn("warr", F.collect_list("khash").over(win))
         # trailing partial windows (fewer than w grams) are not window
         # starts in the paper's scheme; dropping them also keeps the
@@ -97,11 +102,9 @@ def winnow_fingerprints(
                 + F.lit(w)
                 - F.array_position(F.reverse("warr"), F.array_min("warr"))
             ).cast("int").alias("pos"),
+            F.array_min("warr").alias("fingerprint"),
         )
         .distinct()
-    )
-    return sel.join(grams, [id_col, "pos"]).select(
-        id_col, "pos", F.col("khash").alias("fingerprint")
     )
 
 

@@ -4787,7 +4787,8 @@ def _winnow_grams_sql(k: int, w: int) -> str:
     ),
     grams AS (
       SELECT doc_id, CAST(pos AS INT) AS pos,
-             md5(substr(text, CAST(pos AS INT), {k})) AS khash FROM g0
+             CAST('0x' || substr(md5(substr(text, CAST(pos AS INT), {k})), 1, 15) AS BIGINT) AS khash
+      FROM g0
     ),
     warr AS (
       SELECT doc_id, pos,
@@ -4795,14 +4796,11 @@ def _winnow_grams_sql(k: int, w: int) -> str:
                                ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS arr
       FROM grams
     ),
-    sel AS (
-      SELECT DISTINCT doc_id,
-             CAST(pos + {w} - list_position(list_reverse(arr), list_aggregate(arr, 'min')) AS INT) AS pos
-      FROM warr WHERE len(arr) = {w}
-    ),
     fp AS (
-      SELECT s.doc_id, s.pos, g.khash AS fingerprint
-      FROM sel s JOIN grams g ON g.doc_id = s.doc_id AND g.pos = s.pos
+      SELECT DISTINCT doc_id,
+             CAST(pos + {w} - list_position(list_reverse(arr), list_aggregate(arr, 'min')) AS INT) AS pos,
+             list_aggregate(arr, 'min') AS fingerprint
+      FROM warr WHERE len(arr) = {w}
     )
     """
 

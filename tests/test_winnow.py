@@ -9,12 +9,12 @@ from pyspark.sql import functions as F
 from kafka_connect_morphlines_spark.functions import winnow
 
 
-def _ref_winnow(text: str, k: int, w: int) -> set[tuple[int, str]]:
-    """Reference winnowing: md5 k-gram hashes, rightmost min per window of
-    w consecutive hashes, dedup selected positions.  1-based positions to
-    match the Spark side."""
+def _ref_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Reference winnowing: 60-bit md5 k-gram hashes, rightmost min per
+    window of w consecutive hashes, dedup selected positions.  1-based
+    positions to match the Spark side."""
     hashes = [
-        hashlib.md5(text[i : i + k].encode()).hexdigest()
+        int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:15], 16)
         for i in range(len(text) - k + 1)
     ]
     sel = set()
