@@ -146,15 +146,24 @@ def overlap_pairs(
     fingerprints (boilerplate) are capped at ``max_postings`` docs to
     bound the quadratic term, mirroring the LSH mega-bucket cap.
     """
-    # the fingerprint derivation (explode + window + join) feeds three
-    # consumers (posting sizes + both self-join sides) — materialize it
-    # once or the whole winnowing pipeline recomputes per consumer
-    fp = (
+    fp = _doc_fingerprints(df, text_col, id_col, k, w)
+    return _candidate_pairs(fp, id_col, min_shared, max_postings)
+
+
+def _doc_fingerprints(df, text_col, id_col, k, w) -> DataFrame:
+    """Distinct (fingerprint, id), materialized once: the derivation
+    (explode + window) feeds multiple consumers (posting sizes + both
+    self-join sides, plus per-doc counts for containment) and would
+    recompute per consumer without the lineage cut."""
+    return (
         winnow_fingerprints(df, text_col, id_col, k, w)
         .select("fingerprint", id_col)
         .distinct()
         .localCheckpoint()
     )
+
+
+def _candidate_pairs(fp: DataFrame, id_col: str, min_shared: int, max_postings: int) -> DataFrame:
     sizes = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_n"))
     bounded = fp.join(
         sizes.filter(F.col("_n") <= max_postings).select("fingerprint"), "fingerprint"
@@ -200,4 +209,47 @@ def normalized_exact_dedup(
         )
         .groupBy("norm_digest")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_postings: int = 200,
+) -> DataFrame:
+    """Overlap pairs with asymmetric containment scores:
+    (id_a, id_b, shared_fingerprints, n_a, n_b, containment_ppm) where
+    containment = shared / min(n_a, n_b) — the MOSS-style "how much of the
+    smaller document is covered" signal that separates substring inclusion
+    (quotes, boilerplate reuse) from whole-document duplication.
+
+    Extends :func:`overlap_pairs` with one broadcast-able per-doc
+    fingerprint-count join on each side; emitted as integer ppm via the
+    floor(x*1e6 + 0.5) idiom (engine-portable, unlike decimal round()).
+    """
+    fp = _doc_fingerprints(df, text_col, id_col, k, w)
+    counts = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    pairs = _candidate_pairs(fp, id_col, min_shared, max_postings)
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_b"))
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fingerprints",
+            "n_a",
+            "n_b",
+            F.floor(
+                F.col("shared_fingerprints")
+                / F.least("n_a", "n_b")
+                * 1000000
+                + F.lit(0.5)
+            ).cast("long").alias("containment_ppm"),
+        )
     )

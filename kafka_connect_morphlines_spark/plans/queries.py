@@ -4877,3 +4877,41 @@ def normalized_dedup_keys(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return winnow.normalized_exact_dedup(docs).orderBy("norm_digest")
+
+
+@query(
+    "winnow_containment_pairs",
+    _winnow_grams_sql(16, 8)
+    + """
+    , fpd AS (SELECT DISTINCT fingerprint, doc_id FROM fp),
+    counts AS (SELECT doc_id, count(*) AS n_fp FROM fpd GROUP BY doc_id),
+    sizes AS (SELECT fingerprint, count(*) AS n FROM fpd GROUP BY fingerprint),
+    bounded AS (SELECT fpd.fingerprint, fpd.doc_id
+                FROM fpd JOIN sizes USING (fingerprint) WHERE sizes.n <= 50),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fingerprints
+      FROM bounded a JOIN bounded b
+        ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT p.id_a, p.id_b, p.shared_fingerprints,
+           ca.n_fp AS n_a, cb.n_fp AS n_b,
+           CAST(floor(p.shared_fingerprints / least(ca.n_fp, cb.n_fp) * 1000000 + 0.5) AS BIGINT)
+             AS containment_ppm
+    FROM pairs p
+    JOIN counts ca ON ca.doc_id = p.id_a
+    JOIN counts cb ON cb.doc_id = p.id_b
+    ORDER BY id_a, id_b
+    """,
+)
+def winnow_containment_pairs(spark, sf_dir):
+    """MOSS-style containment scoring (winnow.containment_pairs): overlap
+    pairs enriched with per-doc fingerprint counts and
+    shared/min(n_a, n_b) as integer ppm (floor idiom, engine-portable).
+    Separates substring inclusion from whole-document duplication; the
+    count joins are broadcast-able (one row per document)."""
+    from kafka_connect_morphlines_spark.functions import winnow
+
+    docs = t(spark, sf_dir, "documents")
+    out = winnow.containment_pairs(docs, k=16, w=8, min_shared=3, max_postings=50)
+    return out.orderBy("id_a", "id_b")

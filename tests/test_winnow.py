@@ -113,3 +113,22 @@ def test_normalized_exact_dedup(spark):
     )
     keys = winnow.normalized_exact_dedup(df).orderBy("keep_id").collect()
     assert [(r["keep_id"], r["n_copies"]) for r in keys] == [(1, 3), (4, 1)]
+
+
+def test_containment_pairs_scores(spark):
+    """A document fully contained in another scores ~1.0 containment;
+    n_a/n_b are the per-doc fingerprint counts."""
+    inner = "the exact shared passage that is fully contained here"
+    texts = [
+        (1, inner),
+        (2, "long prefix before it. " + inner + " and much more trailing content after"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    rows = winnow.containment_pairs(df, k=5, w=4, min_shared=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["n_a"] < r["n_b"]
+    assert r["shared_fingerprints"] <= r["n_a"]
+    # the smaller doc is a strict substring: most of its fingerprints recur
+    assert r["containment_ppm"] >= 800000
