@@ -55,6 +55,9 @@ _ROUND4_PREFIX = [
     "pq_encode_codes", "pq_topk_adc", "embedding_near_dupes",
     "embedding_ivf_topk", "approx_sketches", "hll_sketch_rollup",
     "cms_heavy_hitters",
+    # Round-4 additions (winnowing family) — never sampled, oracle-backed.
+    "winnow_fingerprint_index", "winnow_overlap_pairs",
+    "winnow_containment_pairs", "normalized_dedup_keys",
     # TPC-H-style analytics never yet sampled.
     "stats_by_returnflag", "percentiles_by_status",
     "exists_orders_by_priority", "filter_agg_revenue",

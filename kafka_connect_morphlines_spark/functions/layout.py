@@ -115,8 +115,11 @@ def compact(
     transient missing directory — callers needing stronger isolation should
     compact behind a table-format commit (Delta/Iceberg) instead.  Scope:
     ``os.rename`` semantics require a local / POSIX filesystem; on object
-    stores use a manifest-swap layout instead.  Returns
-    {files_before, files_after, bytes}.
+    stores use a manifest-swap layout instead.  NOT concurrency-safe: the
+    startup recovery deletes ``<path>.compact-staging``/``.compact-old``,
+    so two simultaneous compactions of the same table corrupt each other —
+    serialize compaction per table externally (the normal maintenance-job
+    discipline).  Returns {files_before, files_after, bytes}.
     """
     import glob as _glob
     import os as _os

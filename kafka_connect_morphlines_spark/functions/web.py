@@ -98,10 +98,12 @@ def pagerank(
     across engines and reruns.
 
     100 TB shape: one groupBy(outdeg) + per-iteration [join ranks on src ->
-    groupBy dst] — both shuffles key on node id; ranks frames are
-    localCheckpoint-ed per round (multi-consumer + lineage cut, the
-    connected_components lesson).  Rounds are O(iters), each a single
-    shuffle of (node, contribution) longs+doubles, never adjacency payload.
+    groupBy dst] — both shuffles key on node id; under the sub-2M-node
+    broadcast path the rank/sum joins are map-side and lineage is cut
+    every second round plus at the end (the connected_components lesson,
+    amortized), while big graphs keep shuffle joins and a per-round cut.
+    Rounds are O(iters), each a single shuffle of (node, contribution)
+    longs+doubles, never adjacency payload.
     """
     # edges feed every iteration's join plus nodes and deg — materialize
     # the (possibly expensive) upstream edge derivation exactly once
@@ -149,7 +151,9 @@ def pagerank(
         # rank frame is collected into the next round's broadcast anyway
         # (broadcast-exchange reuse executes each subplan once), so a
         # checkpoint per round only adds a materialization job; without
-        # broadcast (big graphs) cut every round to keep plans bounded
-        if not bcast or i % 2 == 1:
+        # broadcast (big graphs) cut every round to keep plans bounded.
+        # The FINAL frame is always checkpointed so multi-action callers
+        # don't re-execute the last iteration per action.
+        if not bcast or i % 2 == 1 or i == iters - 1:
             ranks = ranks.localCheckpoint()
     return ranks

@@ -4083,9 +4083,13 @@ def embedding_random_projection(spark, sf_dir):
         .select(
             "vec_id",
             # serialize: array cells crash the driver canonicalizer sort;
-            # fixed 9dp formatting keeps the golden stable across reruns.
+            # locale-free fixed 9dp (format_number would insert grouping
+            # commas at |x| >= 1000) keeps the golden stable across reruns.
             F.concat_ws(
-                "|", F.transform("embedding_rp", lambda x: F.format_number(x, 9))
+                "|",
+                F.transform(
+                    "embedding_rp", lambda x: F.format_string("%.9f", x)
+                ),
             ).alias("embedding_rp"),
         )
         .orderBy("vec_id")

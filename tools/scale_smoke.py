@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window, functions as F  # noqa: E402
 
 from kafka_connect_morphlines_spark import compile_pipeline, get_spark  # noqa: E402
-from kafka_connect_morphlines_spark.functions import bloom, dedup, funnel, relational, retrieval, semantic, similarity, sketches, temporal, textstats, traindata, web  # noqa: E402
+from kafka_connect_morphlines_spark.functions import bloom, dedup, funnel, relational, retrieval, semantic, similarity, sketches, temporal, textstats, traindata, web, winnow  # noqa: E402
 
 
 def main() -> None:
@@ -205,6 +205,16 @@ def main() -> None:
         "weighted_sample_200k": run(
             "weighted_sample_200k",
             lambda: traindata.weighted_sample(docs, F.length("text"), k=1000),
+        ),
+        # winnowing fans out to ~n_chars gram rows (~50M at mult 1) before
+        # the doc-keyed window — the explode-heavy shape that must stay
+        # linear; index output shrinks to shared fingerprints only
+        "winnow_index_200k": run(
+            "winnow_index_200k",
+            lambda: winnow.fingerprint_index(docs, k=16, w=8).filter(F.col("n_docs") > 1),
+        ),
+        "normalized_dedup_200k": run(
+            "normalized_dedup_200k", lambda: winnow.normalized_exact_dedup(docs)
         ),
         # trade-graph analogue: 200k nodes, ~8 out-edges each, symmetric
         "pagerank_200k_nodes": run(
