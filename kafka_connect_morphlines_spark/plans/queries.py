@@ -4919,3 +4919,89 @@ def winnow_containment_pairs(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     out = winnow.containment_pairs(docs, k=16, w=8, min_shared=3, max_postings=50)
     return out.orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling (functions/dsir.py) — hashed-n-gram
+# log-likelihood-ratio data selection (Xie et al., NeurIPS 2023).  Part of
+# the beyond-reference training-data pipeline layer; no reference analogue.
+# --------------------------------------------------------------------------
+
+_DSIR_WEIGHTS_SQL = """
+    WITH d AS (
+      SELECT doc_id, lang = 'en' AS is_tgt,
+             list_filter(string_split(trim(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ), e AS (
+      SELECT doc_id, is_tgt,
+             CASE WHEN i <= len(toks) THEN toks[i]
+                  ELSE toks[i - len(toks)] || ' ' || toks[i - len(toks) + 1]
+             END AS gram
+      FROM (SELECT doc_id, is_tgt, toks, unnest(range(1, 2 * len(toks))) AS i
+            FROM d WHERE len(toks) >= 1)
+    ), b AS (
+      SELECT doc_id, is_tgt,
+             CAST(('0x' || substr(md5('feat/dsir/' || gram), 1, 6)) AS BIGINT) % 4096 AS bkt
+      FROM e
+    ), raw AS (
+      SELECT bkt, count(*) AS cr FROM b GROUP BY bkt
+    ), tgt AS (
+      SELECT bkt, count(*) AS ct FROM b WHERE is_tgt GROUP BY bkt
+    ), tot AS (
+      SELECT (SELECT sum(cr) FROM raw) AS nr,
+             (SELECT coalesce(sum(ct), 0) FROM tgt) AS nt
+    ), lam AS (
+      SELECT r.bkt,
+             CAST(floor(1000 * (ln(coalesce(t.ct, 0) + 1.0) - ln(nt + 4096.0)
+                                - ln(r.cr + 1.0) + ln(nr + 4096.0)) + 0.5) AS BIGINT)
+               AS lam_milli
+      FROM raw r LEFT JOIN tgt t USING (bkt) CROSS JOIN tot
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_feats, sum(lam_milli) AS logw_milli
+      FROM b JOIN lam USING (bkt) GROUP BY doc_id
+    )
+    SELECT dd.doc_id, coalesce(agg.n_feats, 0) AS n_feats,
+           coalesce(agg.logw_milli, 0) AS logw_milli
+    FROM documents dd LEFT JOIN agg ON dd.doc_id = agg.doc_id
+"""
+
+
+@query("dsir_importance_weights", _DSIR_WEIGHTS_SQL)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR importance weights (dsir.importance_weights): hashed
+    unigram+bigram bag models for target (lang='en') vs raw, per-document
+    BIGINT sum of milli-scaled per-bucket log-likelihood ratios.  One
+    codegen index-explode, dim-bounded count tables (broadcast), per-doc
+    shuffle carries (id, long) partial sums only."""
+    from kafka_connect_morphlines_spark.functions import dsir, ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return dsir.importance_weights(docs, F.col("lang") == "en")
+
+
+@query(
+    "dsir_gumbel_topk",
+    "WITH w AS ("
+    + _DSIR_WEIGHTS_SQL
+    + """
+    ), g AS (
+      SELECT doc_id,
+             logw_milli
+             + CAST(floor(-1000 * ln(-ln(
+                 ((CAST(('0x' || substr(md5('gumbel/dsir/' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                   % 1000000) + 0.5) / 1000000.0)) + 0.5) AS BIGINT) AS key_milli
+      FROM w
+    )
+    SELECT doc_id, key_milli FROM g ORDER BY key_milli DESC, doc_id LIMIT 100
+    """,
+)
+def dsir_gumbel_topk(spark, sf_dir):
+    """DSIR resampling leg (dsir.gumbel_topk): derandomized Gumbel-max
+    top-k over the importance weights — exactly sampling k documents
+    without replacement proportional to exp(logw).  TakeOrderedAndProject:
+    per-partition heaps, only k rows cross the wire."""
+    from kafka_connect_morphlines_spark.functions import dsir, ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    w = dsir.importance_weights(docs, F.col("lang") == "en")
+    return dsir.gumbel_topk(w, k=100)
