@@ -75,6 +75,7 @@ HEADLINE = [
     "bm25_topk_search",
     "quality_classifier_score",
     "span_dedup_clean",
+    "dsir_importance_weights",
     "url_canonical_dedup",
     "zorder_values",
     # corpus-preparation operators (traindata.py)

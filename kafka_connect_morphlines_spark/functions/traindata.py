@@ -706,6 +706,44 @@ def bpe_encode(
     return out.withColumnRenamed("_id", id_col)
 
 
+def rank_buckets(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "lang",
+    n_buckets: int = 3,
+    out_col: str = "bucket",
+    descending: bool = True,
+) -> DataFrame:
+    """Exact per-group rank buckets (CCNet head/middle/tail terciles,
+    Wenzek et al. LREC'20) without a per-row global window.
+
+    A naive ``ntile(k) OVER (ORDER BY score)`` funnels every row of a group
+    through one task; this computes the same partition from the group's
+    *value histogram* instead: bucket boundaries are the integer rank
+    thresholds ``ceil(i*n/k)`` and a value's bucket is ``1 + #{thresholds <=
+    docs strictly ahead of it}``.  Ties share a value row and therefore a
+    bucket, so the result is deterministic with no id tie-break, and every
+    per-row step is a map-side join against a histogram-sized LUT.
+
+    Shape at 100 TB: one groupBy(group, value) with map-side combine (the
+    histogram), a window over histogram rows (not doc rows), and a
+    broadcast-able LUT join back — document rows shuffle once, on the
+    (group, value) key they already aggregate on.  All threshold arithmetic
+    is integer (``(n*i + k-1) DIV k``), so buckets are engine-portable.
+    """
+    order = F.col(value_col).desc() if descending else F.col(value_col).asc()
+    hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(group_col).orderBy(order)
+    totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    b = hist.withColumn("_cb", F.sum("_c").over(w) - F.col("_c")).join(totals, group_col)
+    bucket = F.lit(1)
+    for i in range(1, n_buckets):
+        thr = F.expr(f"(_n * {i} + {n_buckets - 1}) DIV {n_buckets}")
+        bucket = bucket + (F.col("_cb") >= thr).cast("int")
+    lut = b.select(group_col, value_col, bucket.alias(out_col))
+    return df.join(lut, [group_col, value_col])
+
+
 def normalize_scores(
     df: DataFrame,
     score_col: str,

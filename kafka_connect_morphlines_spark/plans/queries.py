@@ -5005,3 +5005,61 @@ def dsir_gumbel_topk(spark, sf_dir):
     docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     w = dsir.importance_weights(docs, F.col("lang") == "en")
     return dsir.gumbel_topk(w, k=100)
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ), e AS (
+      SELECT doc_id, unnest(toks) AS tkn FROM tok
+    ), cnt AS (
+      SELECT tkn, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY tkn
+    ), tot AS (
+      SELECT sum(c) AS total, CAST(count(*) AS DOUBLE) AS vocab FROM cnt
+    ), lp AS (
+      SELECT e.doc_id, ln((cnt.c + 1.0) / (tot.total + 1.0 * tot.vocab)) AS lp
+      FROM e JOIN cnt USING (tkn) CROSS JOIN tot
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 6) AS logprob FROM lp GROUP BY doc_id
+    ), scored AS (
+      SELECT d.doc_id, d.lang, coalesce(agg.n_tokens, 0) AS n_tokens,
+             coalesce(agg.logprob, 0.0) AS logprob
+      FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    ), hist AS (
+      SELECT lang, logprob, count(*) AS c FROM scored GROUP BY lang, logprob
+    ), cum AS (
+      SELECT lang, logprob, c,
+             sum(c) OVER (PARTITION BY lang ORDER BY logprob DESC) - c AS cb
+      FROM hist
+    ), tot2 AS (
+      SELECT lang, count(*) AS n FROM scored GROUP BY lang
+    ), lut AS (
+      SELECT cum.lang, cum.logprob,
+             1 + CASE WHEN cb >= (n * 1 + 2) // 3 THEN 1 ELSE 0 END
+               + CASE WHEN cb >= (n * 2 + 2) // 3 THEN 1 ELSE 0 END AS ppl_bucket
+      FROM cum JOIN tot2 USING (lang)
+    )
+    SELECT s.doc_id, s.lang, s.n_tokens, s.logprob, lut.ppl_bucket
+    FROM scored s JOIN lut ON s.lang = lut.lang AND s.logprob = lut.logprob
+    """,
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity terciles per language (Wenzek et
+    al. LREC'20; traindata.rank_buckets): each document scored by the
+    corpus's own add-one unigram LM (the certified unigram_logprob leg),
+    then bucketed by exact per-language rank thresholds computed from the
+    score *histogram* — no per-row global window; doc rows shuffle once and
+    the threshold LUT joins back broadcast-size."""
+    from kafka_connect_morphlines_spark.functions import ensure_parallelism, textstats, traindata
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    scored = textstats.unigram_logprob_df(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    out = traindata.rank_buckets(
+        scored, value_col="logprob", group_col="lang", n_buckets=3, out_col="ppl_bucket"
+    )
+    return out.select("doc_id", "lang", "n_tokens", "logprob", "ppl_bucket")

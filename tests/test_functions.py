@@ -834,3 +834,26 @@ def test_psi_drift_detects_shift(spark):
     drifted = validation.psi_drift(base, shifted, F.col("v")).collect()[0]["psi"]
     assert stable < 0.01
     assert drifted > 0.25
+
+
+def test_rank_buckets_exact_terciles(spark):
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    # group g: 9 distinct scores -> buckets of exactly 3; group h: ties
+    # spanning a boundary share the value row and therefore the bucket
+    rows = [("g", float(v)) for v in range(9, 0, -1)] + [
+        ("h", 5.0), ("h", 5.0), ("h", 5.0), ("h", 1.0)
+    ]
+    df = spark.createDataFrame(rows, "lang string, score double")
+    out = traindata.rank_buckets(df, value_col="score", group_col="lang", n_buckets=3, out_col="b")
+    got = sorted((r["lang"], r["score"], r["b"]) for r in out.collect())
+    g = [b for lang, v, b in got if lang == "g"]
+    # descending: top 3 values bucket 1, middle 3 bucket 2, bottom 3 bucket 3
+    want_g = sorted([1, 1, 1, 2, 2, 2, 3, 3, 3])
+    assert sorted(g) == want_g
+    by_val = {(lang, v) for lang, v, b in got if lang == "g" and b == 1}
+    assert by_val == {("g", 9.0), ("g", 8.0), ("g", 7.0)}
+    # h: n=4, thresholds ceil(4/3)=2, ceil(8/3)=3; the three tied 5.0 rows
+    # have cb=0 -> bucket 1; the 1.0 row has cb=3 -> bucket 3
+    h = {(v, b) for lang, v, b in got if lang == "h"}
+    assert h == {(5.0, 1), (1.0, 3)}
