@@ -66,6 +66,11 @@ NAMES = [
     "winnow_fingerprint_index",
     "winnow_overlap_pairs",
     "normalized_dedup_keys",
+    "dsir_importance_weights",
+    "dsir_gumbel_topk",
+    "ccnet_perplexity_buckets",
+    "dedup_keep_best",
+    "dolma_attribute_tags",
 ]
 
 

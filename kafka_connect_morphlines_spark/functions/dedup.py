@@ -535,3 +535,34 @@ def minhash_cross_dupes(
         )
         .filter(F.col("jacc") >= threshold)
     )
+
+
+def keep_best_representative(
+    clusters: DataFrame,
+    scores: DataFrame,
+    cluster_col: str = "component",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """(id, cluster, score, keep): quality-aware cluster representative
+    selection — keep the *best* document of each near-dup cluster instead of
+    the lowest id.
+
+    Plain dedup keeps an arbitrary member; when a quality signal exists
+    (classifier score, length, recency) the kept copy should be the argmax.
+    ``keep`` marks ``row_number() == 1`` under ``(score DESC, id ASC)`` per
+    cluster — the id tie-break keeps the flag deterministic for equal
+    scores.
+
+    Shape at 100 TB: one id-keyed join of two (id, small) frames, then a
+    window partitioned by cluster — cluster sizes are bounded upstream by
+    the LSH bucket cap, so no partition is pathological.  Text never enters
+    this stage.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(F.col(score_col).desc(), F.col(id_col))
+    j = clusters.join(scores.select(id_col, score_col), id_col)
+    return j.select(
+        id_col, cluster_col, score_col, (F.row_number().over(w) == 1).alias("keep")
+    )

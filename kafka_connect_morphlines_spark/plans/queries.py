@@ -5063,3 +5063,205 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         scored, value_col="logprob", group_col="lang", n_buckets=3, out_col="ppl_bucket"
     )
     return out.select("doc_id", "lang", "n_tokens", "logprob", "ppl_bucket")
+
+
+@query(
+    "dedup_keep_best",
+    """
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, source, list_distinct(list_filter(string_split(trim(text), ' '), x -> x != '')) AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT a.doc_id AS s, b.doc_id AS d
+      FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+            (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+    ),
+    sym AS (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),
+    reach(id, n) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.id, sym.d FROM reach r JOIN sym ON sym.s = r.n
+    ),
+    cc AS (SELECT id AS doc_id, min(n) AS component FROM reach GROUP BY id),
+    te AS (
+      SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), x -> x != '')) AS tkn
+      FROM documents
+    ), tb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('feat/qclf/' || tkn), 1, 6)) AS BIGINT) % 4096 AS bkt
+      FROM te
+    ), tw AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('w/qclf/' || CAST(bkt AS VARCHAR)), 1, 6)) AS BIGINT) % 2001 - 1000 AS wm
+      FROM tb
+    ), ta AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(wm) AS sm FROM tw GROUP BY doc_id
+    ), score AS (
+      SELECT d.doc_id,
+             CASE WHEN coalesce(ta.n_tokens, 0) > 0
+                  THEN (CASE WHEN ta.sm < 0 THEN -1 ELSE 1 END
+                        * ((abs(ta.sm) * 2000 + ta.n_tokens) // (2 * ta.n_tokens)))
+                       / 1000000.0
+                  ELSE 0.0 END AS score
+      FROM documents d LEFT JOIN ta ON d.doc_id = ta.doc_id
+    )
+    SELECT cc.doc_id, cc.component, score.score,
+           row_number() OVER (PARTITION BY cc.component
+                              ORDER BY score.score DESC, cc.doc_id) = 1 AS keep
+    FROM cc JOIN score USING (doc_id)
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup collapse (dedup.keep_best_representative):
+    connected components over n-gram-Jaccard pairs pick the cluster, the
+    hashed linear classifier score picks WHICH copy survives — argmax score
+    with doc-id tie-break, deterministic on both engines because the score
+    is exact integer arithmetic.  Composition of three certified legs
+    (ngram_jaccard_pairs -> connected_components -> qclf score)."""
+    from kafka_connect_morphlines_spark.functions import textstats, traindata
+
+    docs = t(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, block_col="source", threshold=0.8)
+    clusters = traindata.connected_components(edges, docs)
+    scores = textstats.hashed_linear_score_df(docs).select("doc_id", "score")
+    return dedup.keep_best_representative(clusters, scores).orderBy("doc_id")
+
+
+@query(
+    "dolma_attribute_tags",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, x -> list_contains(
+                       ['the','and','of','to','a','in','is','it','that','for','on','with','as','at','by','an','be','this','are','was'],
+                       lower(x)))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS stopword_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS unique_token_ratio
+      FROM tok
+    ),
+    g AS (
+      SELECT doc_id,
+             1.0 - CAST(len(list_distinct([toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))])) AS DOUBLE)
+                   / (len(toks) - 1) AS dup_gram_frac
+      FROM tok WHERE len(toks) >= 2
+    ),
+    gop AS (
+      SELECT doc_id, n_tokens, reasons = '' AS gopher_passed, reasons AS gopher_reasons
+      FROM (
+        SELECT q.doc_id, q.n_tokens,
+               concat_ws(',',
+                 CASE WHEN q.n_tokens < 30 THEN 'too_short' END,
+                 CASE WHEN q.n_tokens > 50000 THEN 'too_long' END,
+                 CASE WHEN q.stopword_ratio < 0.02 THEN 'low_stopword' END,
+                 CASE WHEN q.unique_token_ratio < 0.4 THEN 'low_diversity' END,
+                 CASE WHEN coalesce(g.dup_gram_frac, 0.0) > 0.05 THEN 'repetitive' END) AS reasons
+        FROM q LEFT JOIN g USING (doc_id)
+      )
+    ),
+    te AS (
+      SELECT doc_id, unnest(toks) AS tkn FROM tok
+    ), tb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('feat/qclf/' || tkn), 1, 6)) AS BIGINT) % 4096 AS bkt
+      FROM te
+    ), tw AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('w/qclf/' || CAST(bkt AS VARCHAR)), 1, 6)) AS BIGINT) % 2001 - 1000 AS wm
+      FROM tb
+    ), ta AS (
+      SELECT doc_id, count(*) AS qn, sum(wm) AS sm FROM tw GROUP BY doc_id
+    ), qscore AS (
+      SELECT d.doc_id,
+             CASE WHEN coalesce(ta.qn, 0) > 0
+                  THEN (CASE WHEN ta.sm < 0 THEN -1 ELSE 1 END
+                        * ((abs(ta.sm) * 2000 + ta.qn) // (2 * ta.qn)))
+                       / 1000000.0
+                  ELSE 0.0 END AS qclf_score,
+             coalesce(ta.sm, 0) > 0 AS qclf_label
+      FROM documents d LEFT JOIN ta ON d.doc_id = ta.doc_id
+    ),
+    cnt AS (
+      SELECT tkn, CAST(count(*) AS DOUBLE) AS c FROM te GROUP BY tkn
+    ), tot AS (
+      SELECT sum(c) AS total, CAST(count(*) AS DOUBLE) AS vocab FROM cnt
+    ), lp AS (
+      SELECT te.doc_id, ln((cnt.c + 1.0) / (tot.total + 1.0 * tot.vocab)) AS lp
+      FROM te JOIN cnt USING (tkn) CROSS JOIN tot
+    ), lagg AS (
+      SELECT doc_id, round(avg(lp), 6) AS logprob FROM lp GROUP BY doc_id
+    ), scored AS (
+      SELECT d.doc_id, d.lang, coalesce(lagg.logprob, 0.0) AS logprob
+      FROM documents d LEFT JOIN lagg ON d.doc_id = lagg.doc_id
+    ), hist AS (
+      SELECT lang, logprob, count(*) AS c FROM scored GROUP BY lang, logprob
+    ), cum AS (
+      SELECT lang, logprob, c,
+             sum(c) OVER (PARTITION BY lang ORDER BY logprob DESC) - c AS cb
+      FROM hist
+    ), tot2 AS (
+      SELECT lang, count(*) AS n FROM scored GROUP BY lang
+    ), lut AS (
+      SELECT cum.lang, cum.logprob,
+             1 + CASE WHEN cb >= (n * 1 + 2) // 3 THEN 1 ELSE 0 END
+               + CASE WHEN cb >= (n * 2 + 2) // 3 THEN 1 ELSE 0 END AS ppl_bucket
+      FROM cum JOIN tot2 USING (lang)
+    ), ppl AS (
+      SELECT s.doc_id, lut.ppl_bucket
+      FROM scored s JOIN lut ON s.lang = lut.lang AND s.logprob = lut.logprob
+    )
+    SELECT gop.doc_id, gop.n_tokens, gop.gopher_passed, gop.gopher_reasons,
+           qscore.qclf_score, qscore.qclf_label, ppl.ppl_bucket,
+           (gop.gopher_passed AND qscore.qclf_label AND ppl.ppl_bucket <= 2) AS keep
+    FROM gop JOIN qscore USING (doc_id) JOIN ppl USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dolma_attribute_tags(spark, sf_dir):
+    """Dolma-style attribute tagging (Soldaini et al. 2024): every quality
+    signal materialized side-by-side per document — Gopher rule verdict +
+    audit reasons, hashed-classifier score/label, CCNet perplexity tercile —
+    plus the final keep decision, so filtering is an auditable column
+    operation instead of an opaque pipeline.  Composition of three
+    certified legs sharing one tokenize scan; each leg's shuffle carries
+    (id, small) rows only."""
+    from kafka_connect_morphlines_spark.functions import textclean, textstats, traindata
+
+    docs = t(spark, sf_dir, "documents")
+    gop = textclean.gopher_filter_df(docs).withColumnRenamed("passed", "gopher_passed").withColumnRenamed(
+        "reasons", "gopher_reasons"
+    )
+    qc = textstats.hashed_linear_score_df(docs).select(
+        "doc_id", "n_tokens", F.col("score").alias("qclf_score"), F.col("label").alias("qclf_label")
+    )
+    ppl = traindata.rank_buckets(
+        textstats.unigram_logprob_df(docs).join(docs.select("doc_id", "lang"), "doc_id"),
+        value_col="logprob",
+        group_col="lang",
+        out_col="ppl_bucket",
+    ).select("doc_id", "ppl_bucket")
+    out = (
+        gop.select("doc_id", "gopher_passed", "gopher_reasons")
+        .join(qc, "doc_id")
+        .join(ppl, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "gopher_passed",
+            "gopher_reasons",
+            "qclf_score",
+            "qclf_label",
+            "ppl_bucket",
+            (F.col("gopher_passed") & F.col("qclf_label") & (F.col("ppl_bucket") <= 2)).alias("keep"),
+        )
+    )
+    return out.orderBy("doc_id")

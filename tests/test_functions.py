@@ -857,3 +857,20 @@ def test_rank_buckets_exact_terciles(spark):
     # have cb=0 -> bucket 1; the 1.0 row has cb=3 -> bucket 3
     h = {(v, b) for lang, v, b in got if lang == "h"}
     assert h == {(5.0, 1), (1.0, 3)}
+
+
+def test_keep_best_representative(spark):
+    from kafka_connect_morphlines_spark.functions import dedup
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id int, component int",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.5), (6, 0.5)],
+        "doc_id int, score double",
+    )
+    out = {r["doc_id"]: r["keep"] for r in dedup.keep_best_representative(clusters, scores).collect()}
+    # cluster 1: docs 2 and 3 tie at 0.9 -> lower id 2 wins; cluster 4 is a
+    # singleton; cluster 5: tie at 0.5 -> doc 5 wins
+    assert out == {1: False, 2: True, 3: False, 4: True, 5: True, 6: False}

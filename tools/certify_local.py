@@ -33,8 +33,16 @@ from tools.check_correctness import TABLES, normalize_rows  # noqa: E402
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+    # --only a,b,c  -> certify just those queries, MERGE into the existing
+    # out file (so a spot-run doesn't wipe the committed full run).
+    only: set[str] | None = None
+    argv = list(sys.argv[1:])
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    out_path = argv[1] if len(argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CORRECTNESS_local.json"
     )
 
@@ -48,7 +56,15 @@ def main() -> None:
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    if only is not None:
+        missing = only - set(qs)
+        if missing:
+            raise SystemExit(f"--only names not registered: {sorted(missing)}")
+        qs = {k: v for k, v in qs.items() if k in only}
     results: dict[str, dict] = {}
+    if only is not None and os.path.exists(out_path):
+        with open(out_path) as fh:
+            results.update(json.load(fh))
     t_start = time.time()
     for i, name in enumerate(qs):
         row = {

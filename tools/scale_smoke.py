@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window, functions as F  # noqa: E402
 
 from kafka_connect_morphlines_spark import compile_pipeline, get_spark  # noqa: E402
-from kafka_connect_morphlines_spark.functions import bloom, dedup, funnel, relational, retrieval, semantic, similarity, sketches, temporal, textstats, traindata, web, winnow  # noqa: E402
+from kafka_connect_morphlines_spark.functions import bloom, dedup, dsir, funnel, relational, retrieval, semantic, similarity, sketches, temporal, textstats, traindata, web, winnow  # noqa: E402
 
 
 def main() -> None:
@@ -215,6 +215,25 @@ def main() -> None:
         ),
         "normalized_dedup_200k": run(
             "normalized_dedup_200k", lambda: winnow.normalized_exact_dedup(docs)
+        ),
+        # DSIR: one index-explode to ~80 hashed grams/doc (~16M rows at mult
+        # 1), dim-bounded count tables, (id, long) partial-sum shuffle —
+        # must stay linear like the other explode shapes
+        "dsir_weights_200k": run(
+            "dsir_weights_200k",
+            lambda: dsir.importance_weights(docs, F.col("doc_id") % 4 == 0),
+        ),
+        # CCNet terciles: histogram-CDF bucketing; the per-row cost is the
+        # unigram-LM scoring join, the bucket LUT stays histogram-sized
+        "ccnet_buckets_200k": run(
+            "ccnet_buckets_200k",
+            lambda: traindata.rank_buckets(
+                textstats.unigram_logprob_df(docs).withColumn(
+                    "lang", (F.col("doc_id") % 5).cast("string")
+                ),
+                value_col="logprob",
+                group_col="lang",
+            ),
         ),
         # trade-graph analogue: 200k nodes, ~8 out-edges each, symmetric
         "pagerank_200k_nodes": run(
