@@ -71,6 +71,10 @@ NAMES = [
     "ccnet_perplexity_buckets",
     "dedup_keep_best",
     "dolma_attribute_tags",
+    "line_boilerplate_clean",
+    "domain_cap_sample",
+    "vocab_growth_curve",
+    "hard_negative_mining",
 ]
 
 

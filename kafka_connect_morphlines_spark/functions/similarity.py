@@ -273,3 +273,38 @@ def random_projection(
         return pd.Series(list(np.round(y, 6)))
 
     return df.withColumn(out_col, project(F.col(vec_col)))
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dup_threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for every
+    query vector, the ``k`` *most similar* corpus rows whose cosine stays
+    BELOW ``dup_threshold`` — near-duplicates are positives in disguise and
+    training on them as negatives collapses the embedding space, so the
+    band (closest-but-not-duplicate) is exactly what a contrastive batch
+    builder wants.
+
+    Output (query_id, neighbor_id, score, rank), rank 1 = hardest.
+    Deterministic: (score desc, neighbor_id asc) ordering.
+
+    Shape at 100 TB: the query side broadcasts (mini-batch sized); the
+    corpus never shuffles — scoring is a map-only scan and the per-query
+    top-k is a bounded window over candidate rows.  For corpus-scale query
+    sets, compose with the LSH/IVF bucketing in this module to prune the
+    candidate scan first (the same recall/bucketing trade documented on
+    ann_topk / ivf_topk).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("score")
+    )
+    banded = scored.filter((F.col("score") < dup_threshold) & (F.col("query_id") != F.col("neighbor_id")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return banded.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -131,3 +131,77 @@ def gopher_filter_df(
         (reasons == "").alias("passed"),
         reasons.alias("reasons"),
     )
+
+
+def line_frequency_dedup(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """RefinedWeb/CCNet-style boilerplate removal: delete every line that
+    occurs in at least ``min_docs`` *distinct* documents (nav bars, cookie
+    banners, license footers), then rebuild each document from its
+    surviving lines in order.
+
+    Differs from ``traindata.remove_duplicate_spans`` in both unit and
+    policy: spans are fixed-width token windows and the first occurrence is
+    kept; boilerplate lines are natural text units and ALL occurrences are
+    removed once the line crosses the document-frequency threshold — a
+    line shared by 10k pages is noise everywhere, including its "first"
+    page.
+
+    Output: (id, clean_text, n_lines, n_removed) — one row per input
+    document (docs with no surviving lines keep a row with clean_text '').
+
+    Shape at 100 TB:
+    - the line frame is codegen posexplode(split); frequency counting
+      groups a *distinct* (digest, doc) projection — 16-byte digests plus
+      a long, never line text, and the distinct pass keeps map-side
+      partial aggregation;
+    - the boilerplate set (digests with df >= min_docs) is a tiny fraction
+      of distinct lines; the removal join is digest-keyed left-anti, and
+      AQE broadcasts the boilerplate side when it fits;
+    - reassembly groups by doc id (array_sort over (pos, line) structs —
+      lines-per-doc bounded, per-row codegen), so full text crosses the
+      wire exactly once.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("_pos", "_line"),
+    ).filter(F.trim(F.col("_line")) != "")
+    keyed = lines.withColumn("_key", F.md5(F.trim(F.col("_line"))))
+    boiler = (
+        keyed.select("_key", "_id")
+        .distinct()
+        .groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_key")
+    )
+    kept = keyed.join(boiler, "_key", "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_line")))),
+                lambda s: s["_line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = keyed.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        df.select(F.col(id_col))
+        .join(totals.withColumnRenamed("_id", id_col), id_col, "left")
+        .join(rebuilt.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            (F.coalesce(F.col("n_lines"), F.lit(0)) - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

@@ -418,3 +418,60 @@ def kn_bigram_logprob_df(df, text_col: str = "text", id_col: str = "doc_id", dis
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         F.coalesce("logprob", F.lit(0.0)).alias("logprob"),
     )
+
+
+def vocab_growth(df, n_buckets: int = 10, text_col: str = "text", id_col: str = "doc_id"):
+    """Vocabulary growth curve (Heaps' law audit): corpus docs are split
+    into ``n_buckets`` equal slices by id order, and each slice reports the
+    running token count and running distinct-type count — the V(N) curve
+    whose log-log slope is the Heaps exponent.  A flattening curve is the
+    classic signal that a crawl has stopped contributing new content.
+
+    The curve needs "distinct types seen so far" at every checkpoint —
+    naively a cumulative COUNT(DISTINCT) rescan per slice.  One pass
+    suffices: a type is new at exactly one slice (the one containing
+    ``min(doc_id)`` over its occurrences), so per-slice new-type counts
+    followed by a running sum over ``n_buckets`` rows IS the curve.
+
+    Shape at 100 TB: slice boundaries come from the doc-id histogram CDF
+    (rank_buckets — no per-row global window); tokens shuffle twice with
+    map-side combine (token -> min(doc_id), then slice -> counts); the
+    cumulative window runs over ``n_buckets`` rows.  Output: (bucket,
+    n_docs, n_tokens, cum_tokens, new_types, cum_types).
+    """
+    from pyspark.sql import Window
+
+    from kafka_connect_morphlines_spark.functions.traindata import rank_buckets
+
+    docs = df.select(F.col(id_col), tokens_codegen(F.col(text_col)).alias("_w")).withColumn(
+        "_g", F.lit(1)
+    )
+    sliced = rank_buckets(
+        docs, value_col=id_col, group_col="_g", n_buckets=n_buckets, out_col="bucket",
+        descending=False,
+    )
+    lut = sliced.select(F.col(id_col).alias("_id"), "bucket")
+    per_doc = sliced.select(id_col, "bucket", F.size("_w").alias("_n"))
+    slice_tokens = per_doc.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("_n").alias("n_tokens")
+    )
+    first_seen = (
+        sliced.select(F.col(id_col), F.explode("_w").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.min(id_col).alias("_first"))
+        .join(lut, F.col("_first") == F.col("_id"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    curve = slice_tokens.join(first_seen, "bucket", "left").select(
+        "bucket", "n_docs", "n_tokens", F.coalesce("new_types", F.lit(0)).alias("new_types")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return curve.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        "new_types",
+        F.sum("new_types").over(w).alias("cum_types"),
+    )

@@ -790,3 +790,44 @@ def diff_snapshots(
         .otherwise("unchanged")
     )
     return j.select(F.col("k").alias(key_col), status.alias("status"))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    cap: int = 100,
+    score_col: str | None = None,
+    id_col: str = "doc_id",
+    rank_col: str = "grp_rank",
+    keep_col: str = "keep",
+    prefilter: bool = False,
+) -> DataFrame:
+    """Per-group document cap (RefinedWeb-style per-domain limit): keep at
+    most ``cap`` rows per ``group_col``, preferring the highest
+    ``score_col`` (doc-id ascending tie-break; id order alone when no score
+    is given).  Appends a deterministic within-group rank and a boolean
+    ``keep`` flag instead of filtering, so the decision is auditable and
+    the discarded rows remain addressable (the Dolma attribute posture).
+
+    Shape at 100 TB: one shuffle keyed on the group and a row_number
+    window.  A pathological group (one domain with 10^9 pages) makes one
+    hot window partition; ``prefilter=True`` switches to the two-phase
+    top-k shape — a first window over (input-partition, group) keeps only
+    each task\'s local top-``cap``, bounding the global window\'s input to
+    cap x num_partitions rows per group.  The global top-``cap`` is a
+    subset of the union of local top-``cap``s, so ``keep`` is exact;
+    the trade-off is that rows eliminated locally are absent from the
+    output (keep-only semantics), which is why it is opt-in.
+    """
+    order = [F.col(score_col).desc(), F.col(id_col).asc()] if score_col else [F.col(id_col).asc()]
+    src_df = df
+    if prefilter:
+        wl = Window.partitionBy(F.spark_partition_id(), group_col).orderBy(*order)
+        src_df = (
+            df.withColumn("_lr", F.row_number().over(wl))
+            .filter(F.col("_lr") <= cap)
+            .drop("_lr")
+        )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    out = src_df.withColumn(rank_col, F.row_number().over(w))
+    return out.withColumn(keep_col, F.col(rank_col) <= cap)

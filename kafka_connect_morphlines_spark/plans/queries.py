@@ -5265,3 +5265,197 @@ def dolma_attribute_tags(spark, sf_dir):
         )
     )
     return out.orderBy("doc_id")
+
+
+@query(
+    "line_boilerplate_clean",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[(i*4)+1 : least((i+1)*4, len(toks))], ' ') AS line
+      FROM tok, unnest(range(0, CAST(ceil(len(toks) / 4.0) AS BIGINT))) AS u(i)
+      WHERE len(toks) > 0
+    ),
+    boiler AS (
+      SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line)
+      WHERE df >= 2
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM lines WHERE line NOT IN (SELECT line FROM boiler)
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(t.n_lines, 0) AS n_lines,
+           coalesce(t.n_lines, 0) - coalesce(r.n_kept, 0) AS n_removed,
+           md5(coalesce(r.clean_text, '')) AS clean_digest
+    FROM documents d
+    LEFT JOIN totals t ON d.doc_id = t.doc_id
+    LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def line_boilerplate_clean(spark, sf_dir):
+    """RefinedWeb-style boilerplate line removal
+    (textclean.line_frequency_dedup): every 4-token pseudo-line occurring
+    in >= 2 distinct documents is removed from ALL of them, and each doc is
+    rebuilt from its surviving lines.  The digest of the rebuilt text is
+    certified, so the whole reassembly (order, delimiter, empty-doc
+    handling) is pinned, while only 32-byte digests cross to the driver."""
+    from kafka_connect_morphlines_spark.functions import textclean
+    from kafka_connect_morphlines_spark.functions.textstats import tokens_codegen
+
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens_codegen(F.col("text"))
+    nlines = F.ceil(F.size(toks) / F.lit(4)).cast("int")
+    pseudo = docs.select(
+        "doc_id",
+        F.when(F.size(toks) > 0,
+               F.concat_ws(
+                   "\n",
+                   F.transform(
+                       F.sequence(F.lit(0), nlines - 1),
+                       lambda i: F.concat_ws(" ", F.slice(toks, i * 4 + 1, 4)),
+                   ),
+               )).otherwise(F.lit("")).alias("text"),
+    )
+    out = textclean.line_frequency_dedup(pseudo, min_docs=2)
+    return out.select(
+        "doc_id", "n_lines", "n_removed", F.md5("clean_text").alias("clean_digest")
+    ).orderBy("doc_id")
+
+
+@query(
+    "domain_cap_sample",
+    """
+    WITH te AS (
+      SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), x -> x != '')) AS tkn
+      FROM documents
+    ), tb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('feat/qclf/' || tkn), 1, 6)) AS BIGINT) % 4096 AS bkt
+      FROM te
+    ), tw AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('w/qclf/' || CAST(bkt AS VARCHAR)), 1, 6)) AS BIGINT) % 2001 - 1000 AS wm
+      FROM tb
+    ), ta AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(wm) AS sm FROM tw GROUP BY doc_id
+    ), score AS (
+      SELECT d.doc_id, d.source,
+             CASE WHEN coalesce(ta.n_tokens, 0) > 0
+                  THEN (CASE WHEN ta.sm < 0 THEN -1 ELSE 1 END
+                        * ((abs(ta.sm) * 2000 + ta.n_tokens) // (2 * ta.n_tokens)))
+                       / 1000000.0
+                  ELSE 0.0 END AS score
+      FROM documents d LEFT JOIN ta ON d.doc_id = ta.doc_id
+    )
+    SELECT doc_id, source, score,
+           row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS grp_rank,
+           row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) <= 15 AS keep
+    FROM score
+    ORDER BY doc_id
+    """,
+)
+def domain_cap_sample(spark, sf_dir):
+    """RefinedWeb-style per-domain cap (traindata.cap_per_group): keep the
+    15 best documents per source by classifier score (doc-id tie-break),
+    flagging instead of filtering so the cut is auditable."""
+    from kafka_connect_morphlines_spark.functions import textstats, traindata
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source").join(
+        textstats.hashed_linear_score_df(docs).select("doc_id", "score"), "doc_id"
+    )
+    out = traindata.cap_per_group(scored, group_col="source", cap=15, score_col="score")
+    return out.select("doc_id", "source", "score", "grp_rank", "keep").orderBy("doc_id")
+
+
+@query(
+    "vocab_growth_curve",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS nd FROM documents),
+    sliced AS (
+      SELECT doc_id, toks,
+             1 + CASE WHEN rn0 >= (nd * 1 + 9) // 10 THEN 1 ELSE 0 END
+               + CASE WHEN rn0 >= (nd * 2 + 9) // 10 THEN 1 ELSE 0 END
+               + CASE WHEN rn0 >= (nd * 3 + 9) // 10 THEN 1 ELSE 0 END
+               + CASE WHEN rn0 >= (nd * 4 + 9) // 10 THEN 1 ELSE 0 END
+               + CASE WHEN rn0 >= (nd * 5 + 9) // 10 THEN 1 ELSE 0 END
+               + CASE WHEN rn0 >= (nd * 6 + 9) // 10 THEN 1 ELSE 0 END
+               + CASE WHEN rn0 >= (nd * 7 + 9) // 10 THEN 1 ELSE 0 END
+               + CASE WHEN rn0 >= (nd * 8 + 9) // 10 THEN 1 ELSE 0 END
+               + CASE WHEN rn0 >= (nd * 9 + 9) // 10 THEN 1 ELSE 0 END AS bucket
+      FROM (SELECT doc_id, toks, row_number() OVER (ORDER BY doc_id) - 1 AS rn0 FROM tok), n
+    ),
+    slice_tokens AS (
+      SELECT bucket, count(*) AS n_docs, sum(len(toks)) AS n_tokens
+      FROM sliced GROUP BY bucket
+    ),
+    first_seen AS (
+      SELECT tkn, min(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(toks) AS tkn FROM sliced)
+      GROUP BY tkn
+    ),
+    new_types AS (
+      SELECT s.bucket, count(*) AS new_types
+      FROM first_seen f JOIN sliced s ON f.first_doc = s.doc_id
+      GROUP BY s.bucket
+    )
+    SELECT st.bucket, st.n_docs, st.n_tokens,
+           sum(st.n_tokens) OVER (ORDER BY st.bucket) AS cum_tokens,
+           coalesce(nt.new_types, 0) AS new_types,
+           sum(coalesce(nt.new_types, 0)) OVER (ORDER BY st.bucket) AS cum_types
+    FROM slice_tokens st LEFT JOIN new_types nt ON st.bucket = nt.bucket
+    ORDER BY st.bucket
+    """,
+)
+def vocab_growth_curve(spark, sf_dir):
+    """Heaps'-law vocabulary growth audit (textstats.vocab_growth): running
+    token and distinct-type counts over 10 id-ordered corpus slices, via
+    per-slice new-type counts (a type is new exactly where its min doc id
+    lands) — no cumulative COUNT(DISTINCT) rescans."""
+    from kafka_connect_morphlines_spark.functions import textstats
+
+    out = textstats.vocab_growth(t(spark, sf_dir, "documents"), n_buckets=10)
+    return out.orderBy("bucket")
+
+
+@query(
+    "hard_negative_mining",
+    """
+    SELECT query_id, neighbor_id, round(score, 4) AS score, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS score,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                                         c.vec_id ASC) AS rank
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 5 AND c.vec_id >= 5
+        AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) < 0.3
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negatives): per query, the 5
+    most-similar corpus vectors BELOW the near-duplicate band (cosine <
+    0.3 at this sf) — the contrastive-training batch builder."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = similarity.hard_negatives(
+        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5),
+        k=5, dup_threshold=0.3,
+    )
+    return out.select("query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank")

@@ -874,3 +874,81 @@ def test_keep_best_representative(spark):
     # cluster 1: docs 2 and 3 tie at 0.9 -> lower id 2 wins; cluster 4 is a
     # singleton; cluster 5: tie at 0.5 -> doc 5 wins
     assert out == {1: False, 2: True, 3: False, 4: True, 5: True, 6: False}
+
+
+def test_line_frequency_dedup(spark):
+    from kafka_connect_morphlines_spark.functions import textclean
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nreal content one\nfooter"),
+            (2, "cookie banner\nreal content two\nfooter"),
+            (3, "unique document\n  \nreal content three"),
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in textclean.line_frequency_dedup(docs, min_docs=2).collect()
+    }
+    # 'cookie banner' and 'footer' appear in 2 docs -> removed everywhere;
+    # blank lines don't count; empty doc keeps a row
+    assert out[1] == ("real content one", 3, 2)
+    assert out[2] == ("real content two", 3, 2)
+    assert out[3] == ("unique document\nreal content three", 2, 0)
+    assert out[4] == ("", 0, 0)
+
+
+def test_cap_per_group(spark):
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.5), (2, "a", 0.9), (3, "a", 0.9), (4, "b", 0.1)],
+        "doc_id int, source string, score double",
+    )
+    out = {
+        r["doc_id"]: (r["grp_rank"], r["keep"])
+        for r in traindata.cap_per_group(df, group_col="source", cap=2, score_col="score").collect()
+    }
+    # source a: 2 and 3 tie at 0.9 -> id order ranks 2 first; 1 is rank 3, cut
+    assert out == {2: (1, True), 3: (2, True), 1: (3, False), 4: (1, True)}
+    # prefilter keeps exactly the kept set (keep-only semantics)
+    pf = traindata.cap_per_group(
+        df.repartition(4), group_col="source", cap=2, score_col="score", prefilter=True
+    )
+    kept = {r["doc_id"] for r in pf.filter("keep").collect()}
+    assert kept == {2, 3, 4}
+
+
+def test_vocab_growth(spark):
+    from kafka_connect_morphlines_spark.functions import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "c d"), (4, "d e f")],
+        "doc_id int, text string",
+    )
+    rows = {r["bucket"]: r.asDict() for r in textstats.vocab_growth(docs, n_buckets=2).collect()}
+    # bucket 1 = docs {1,2}: 5 tokens, new types {a,b,c}; bucket 2 = docs
+    # {3,4}: 5 tokens, new types {d,e,f}
+    assert rows[1]["n_docs"] == 2 and rows[1]["n_tokens"] == 5
+    assert rows[1]["new_types"] == 3 and rows[1]["cum_types"] == 3
+    assert rows[2]["new_types"] == 3 and rows[2]["cum_types"] == 6
+    assert rows[2]["cum_tokens"] == 10
+
+
+def test_hard_negatives(spark):
+    from kafka_connect_morphlines_spark.functions import similarity
+
+    qs = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id int, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.001]),   # near-duplicate, cosine ~1 -> excluded
+            (11, [1.0, 1.0]),     # cosine ~0.707 -> hardest negative
+            (12, [0.0, 1.0]),     # cosine 0
+            (13, [-1.0, 0.0]),    # cosine -1
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    out = similarity.hard_negatives(qs, corpus, k=2, dup_threshold=0.9).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(11, 1), (12, 2)]

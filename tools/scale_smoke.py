@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window, functions as F  # noqa: E402
 
 from kafka_connect_morphlines_spark import compile_pipeline, get_spark  # noqa: E402
-from kafka_connect_morphlines_spark.functions import bloom, dedup, dsir, funnel, relational, retrieval, semantic, similarity, sketches, temporal, textstats, traindata, web, winnow  # noqa: E402
+from kafka_connect_morphlines_spark.functions import bloom, dedup, dsir, funnel, relational, retrieval, semantic, similarity, sketches, temporal, textclean, textstats, traindata, web, winnow  # noqa: E402
 
 
 def main() -> None:
@@ -234,6 +234,27 @@ def main() -> None:
                 value_col="logprob",
                 group_col="lang",
             ),
+        ),
+        # boilerplate line removal: explode + distinct(digest,doc) count +
+        # anti-join + reassembly — must scale like the span-dedup shape
+        "line_dedup_200k": run(
+            "line_dedup_200k",
+            lambda: textclean.line_frequency_dedup(
+                docs.withColumn("text", F.regexp_replace("text", r"(\S+ \S+ \S+ \S+) ", "$1\n")),
+                min_docs=2,
+            ),
+        ),
+        # per-domain cap with the two-phase prefilter (the hot-domain path)
+        "domain_cap_200k": run(
+            "domain_cap_200k",
+            lambda: traindata.cap_per_group(
+                docs.select("doc_id", "source", F.length("text").alias("score")),
+                group_col="source", cap=1000, score_col="score", prefilter=True,
+            ).filter("keep"),
+        ),
+        # Heaps curve: two token shuffles with map-side combine + 10-row window
+        "vocab_growth_200k": run(
+            "vocab_growth_200k", lambda: textstats.vocab_growth(docs, n_buckets=10)
         ),
         # trade-graph analogue: 200k nodes, ~8 out-edges each, symmetric
         "pagerank_200k_nodes": run(
