@@ -80,7 +80,16 @@ NAMES = [
 
 def audit(spark, sf: str, name: str) -> dict:
     df = QUERIES[name].build(spark, sf)
+    # Execute first: under AQE the pre-execution plan is the un-finalized
+    # AdaptiveSparkPlan, which hides the *(N) whole-stage-codegen markers
+    # and the runtime join-strategy picks.  collect() runs the dataframe's
+    # own QueryExecution (a separate write action would get its own), and
+    # the audited counts then reflect what AQE actually ran.  The executed
+    # toString appends an "== Initial Plan ==" echo — strip it so nodes
+    # aren't double-counted.
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = re.split(r"== Initial Plan ==", plan)[0]
     codegen_ids = set(re.findall(r"\*\((\d+)\)", plan))
     return {
         "broadcast_joins": plan.count("BroadcastHashJoin"),
