@@ -78,6 +78,13 @@ HEADLINE = [
     "dsir_importance_weights",
     "url_canonical_dedup",
     "zorder_values",
+    # round-4 corpus-prep additions
+    "line_boilerplate_clean",
+    "domain_cap_sample",
+    "vocab_growth_curve",
+    "hard_negative_mining",
+    "ccnet_perplexity_buckets",
+    "dolma_attribute_tags",
     # corpus-preparation operators (traindata.py)
     "decontaminate_ngrams",
     "dedup_cc_clusters",

@@ -75,6 +75,8 @@ NAMES = [
     "domain_cap_sample",
     "vocab_growth_curve",
     "hard_negative_mining",
+    "embedding_int8_quantize",
+    "embedding_int8_topk",
 ]
 
 

@@ -308,3 +308,59 @@ def hard_negatives(
     banded = scored.filter((F.col("score") < dup_threshold) & (F.col("query_id") != F.col("neighbor_id")))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return banded.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max(|v|)/127``,
+    ``q_i = floor(v_i/scale + 0.5)`` — 4x smaller vectors for ANN shortlist
+    scans, the standard vector-store compression.  The floor(x+0.5) idiom
+    (not round()) keeps the integer codes engine-portable; an all-zero
+    vector gets scale 0 and all-zero codes.
+
+    Output (id, qvec array<int>, scale) — map-only, no shuffle.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (mx / F.lit(127.0)).alias("scale")
+    q = F.when(
+        mx > 0,
+        F.transform(v, lambda x: F.floor(x / (mx / F.lit(127.0)) + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return ensure_parallelism(df).select(F.col(id_col), q.alias("qvec"), scale)
+
+
+def int8_topk_adc(
+    quantized: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over int8-quantized vectors: the query is
+    quantized once with the same symmetric scheme, scores are
+    ``(int32 dot) * scale_corpus * scale_query`` — the integer dot is
+    exact and associative, so ranking is partition-order independent.
+
+    Map-only scan + TakeOrdered reduce, same shape as brute_force_topk but
+    over 4x less data — the shortlist pass before exact re-ranking.
+    """
+    import math
+
+    qmax = max(abs(x) for x in query_vec) if query_vec else 0.0
+    qscale = qmax / 127.0 if qmax > 0 else 0.0
+    qq = [int(math.floor(x / qscale + 0.5)) if qscale > 0 else 0 for x in query_vec]
+    qarr = F.array(*[F.lit(x) for x in qq])
+    idot = F.aggregate(
+        F.zip_with(F.col("qvec"), qarr, lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = (idot.cast("double") * F.col("scale") * F.lit(qscale)).alias("score")
+    return (
+        quantized.select(F.col(id_col), score)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

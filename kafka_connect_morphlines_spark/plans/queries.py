@@ -5459,3 +5459,84 @@ def hard_negative_mining(spark, sf_dir):
         k=5, dup_threshold=0.3,
     )
     return out.select("query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank")
+
+
+@query(
+    "embedding_int8_quantize",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           array_to_string(
+             CASE WHEN scale > 0
+                  THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END,
+             '|') AS qvec
+    FROM q ORDER BY vec_id
+    """,
+)
+def embedding_int8_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (similarity.quantize_int8):
+    integer codes are exact on both engines via the floor(x+0.5) idiom, so
+    the full code vector is hash-certified (serialized '|'-joined)."""
+    out = similarity.quantize_int8(t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.concat_ws("|", F.transform("qvec", lambda x: x.cast("long"))).alias("qvec"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "embedding_int8_topk",
+    """
+    WITH qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS qscale
+      FROM embeddings WHERE vec_id = 0
+    ),
+    qq AS (
+      SELECT list_transform(v, x -> CAST(floor(x / qscale + 0.5) AS BIGINT)) AS codes, qscale FROM qv
+    ),
+    c AS (
+      SELECT vec_id,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id != 0
+    ),
+    cq AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale > 0
+                  THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+      FROM c
+    )
+    SELECT cq.vec_id,
+           round(list_dot_product(
+               list_transform(cq.codes, x -> CAST(x AS DOUBLE)),
+               list_transform(qq.codes, x -> CAST(x AS DOUBLE))
+             ) * cq.scale * qq.qscale, 6) AS score
+    FROM cq, qq
+    ORDER BY list_dot_product(
+               list_transform(cq.codes, x -> CAST(x AS DOUBLE)),
+               list_transform(qq.codes, x -> CAST(x AS DOUBLE))
+             ) * cq.scale * qq.qscale DESC, cq.vec_id ASC
+    LIMIT 10
+    """,
+)
+def embedding_int8_topk(spark, sf_dir):
+    """ADC-style approximate top-k over int8 codes
+    (similarity.int8_topk_adc): exact integer dot x two scales — the
+    shortlist scan before exact re-ranking; certified against the same
+    quantization unrolled in SQL."""
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = [float(x) for x in qrow[0]["embedding"]] if qrow else []
+    quant = similarity.quantize_int8(emb.filter(F.col("vec_id") != 0))
+    out = similarity.int8_topk_adc(quant, qvec, k=10)
+    return out.select("vec_id", F.round("score", 6).alias("score"))

@@ -952,3 +952,31 @@ def test_hard_negatives(spark):
     )
     out = similarity.hard_negatives(qs, corpus, k=2, dup_threshold=0.9).collect()
     assert [(r["neighbor_id"], r["rank"]) for r in out] == [(11, 1), (12, 2)]
+
+
+def test_int8_quantization_roundtrip_and_adc(spark):
+    import math
+
+    from kafka_connect_morphlines_spark.functions import similarity
+
+    vecs = [
+        (0, [1.0, -0.5, 0.25, 0.0]),
+        (1, [0.1, 0.2, -0.3, 0.4]),
+        (2, [0.0, 0.0, 0.0, 0.0]),   # all-zero: scale 0, zero codes
+        (3, [1.0, 1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+    q = {r["vec_id"]: (r["qvec"], r["scale"]) for r in similarity.quantize_int8(df).collect()}
+    assert q[0][0] == [127, -63, 32, 0]  # floor(x/scale+0.5), scale=1/127
+    assert q[2] == ([0, 0, 0, 0], 0.0)
+    # dequantized values stay within scale/2 of the original
+    for vid, vec in vecs:
+        codes, scale = q[vid]
+        for orig, code in zip(vec, codes):
+            assert abs(orig - code * scale) <= scale / 2 + 1e-12
+
+    top = similarity.int8_topk_adc(similarity.quantize_int8(df), [1.0, -0.5, 0.25, 0.0], k=2).collect()
+    # vec 0 is the query itself -> top score; exact int dot * scales
+    assert [r["vec_id"] for r in top] == [0, 3]
+    d0 = sum(a * b for a, b in zip([127, -63, 32, 0], [127, -63, 32, 0]))
+    assert math.isclose(top[0]["score"], d0 * (1 / 127.0) ** 2, rel_tol=1e-9)

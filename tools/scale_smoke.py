@@ -248,7 +248,11 @@ def main() -> None:
         "domain_cap_200k": run(
             "domain_cap_200k",
             lambda: traindata.cap_per_group(
-                docs.select("doc_id", "source", F.length("text").alias("score")),
+                docs.select(
+                    "doc_id",
+                    (F.col("doc_id") % 50).cast("string").alias("source"),
+                    F.length("text").alias("score"),
+                ),
                 group_col="source", cap=1000, score_col="score", prefilter=True,
             ).filter("keep"),
         ),
