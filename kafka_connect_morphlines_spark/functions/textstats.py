@@ -433,23 +433,40 @@ def vocab_growth(df, n_buckets: int = 10, text_col: str = "text", id_col: str = 
     ``min(doc_id)`` over its occurrences), so per-slice new-type counts
     followed by a running sum over ``n_buckets`` rows IS the curve.
 
-    Shape at 100 TB: slice boundaries come from the doc-id histogram CDF
-    (rank_buckets — no per-row global window); tokens shuffle twice with
-    map-side combine (token -> min(doc_id), then slice -> counts); the
-    cumulative window runs over ``n_buckets`` rows.  Output: (bucket,
-    n_docs, n_tokens, cum_tokens, new_types, cum_types).
+    Shape at 100 TB: slice assignment needs each doc's exact global rank by
+    id, and ids are UNIQUE — the histogram-CDF trick (rank_buckets) would
+    degenerate to a doc-count-sized histogram through one window
+    partition.  Instead the rank is computed two-phase: range-bin the id
+    space (~4k bins from one min/max agg), take per-bin counts (map-side
+    combined) and a running offset over the bin table (4k rows), then a
+    row_number window *within* each bin — no partition ever sees more than
+    a bin's worth of rows.  Tokens then shuffle twice with map-side
+    combine (token -> min(doc_id), slice -> counts); the cumulative window
+    runs over ``n_buckets`` rows.  Output: (bucket, n_docs, n_tokens,
+    cum_tokens, new_types, cum_types).
     """
     from pyspark.sql import Window
 
-    from kafka_connect_morphlines_spark.functions.traindata import rank_buckets
-
-    docs = df.select(F.col(id_col), tokens_codegen(F.col(text_col)).alias("_w")).withColumn(
-        "_g", F.lit(1)
+    docs = df.select(F.col(id_col), tokens_codegen(F.col(text_col)).alias("_w"))
+    mn, mx, total = docs.agg(
+        F.min(id_col), F.max(id_col), F.count(F.lit(1))
+    ).first()
+    width = max(1, (int(mx) - int(mn) + 1) // 4096) if mx is not None else 1
+    binned = docs.withColumn("_bin", ((F.col(id_col) - F.lit(int(mn or 0))) / width).cast("long"))
+    bin_counts = binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("_bc"))
+    wbin = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = bin_counts.select(
+        "_bin", (F.sum("_bc").over(wbin) - F.col("_bc")).alias("_off")
     )
-    sliced = rank_buckets(
-        docs, value_col=id_col, group_col="_g", n_buckets=n_buckets, out_col="bucket",
-        descending=False,
+    win_in = Window.partitionBy("_bin").orderBy(id_col)
+    ranked = binned.join(F.broadcast(offsets), "_bin").withColumn(
+        "_rank0", F.col("_off") + F.row_number().over(win_in) - 1
     )
+    bucket = F.lit(1)
+    for i in range(1, n_buckets):
+        thr = (int(total) * i + n_buckets - 1) // n_buckets
+        bucket = bucket + (F.col("_rank0") >= F.lit(thr)).cast("int")
+    sliced = ranked.select(id_col, "_w", bucket.alias("bucket"))
     lut = sliced.select(F.col(id_col).alias("_id"), "bucket")
     per_doc = sliced.select(id_col, "bucket", F.size("_w").alias("_n"))
     slice_tokens = per_doc.groupBy("bucket").agg(
