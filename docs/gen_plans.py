@@ -77,6 +77,7 @@ NAMES = [
     "hard_negative_mining",
     "embedding_int8_quantize",
     "embedding_int8_topk",
+    "leakage_safe_split",
 ]
 
 

@@ -831,3 +831,36 @@ def cap_per_group(
     w = Window.partitionBy(group_col).orderBy(*order)
     out = src_df.withColumn(rank_col, F.row_number().over(w))
     return out.withColumn(keep_col, F.col(rank_col) <= cap)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment where near-duplicate CLUSTERS never
+    straddle a split boundary: a document's split is hashed from its
+    connected-component id, not its own id, so A in train and its near-dup
+    A' in test (silent eval leakage — the failure mode benchmark
+    decontamination can't catch inside one corpus) cannot happen.
+
+    Output: (id, component, split).
+
+    Shape at 100 TB: connected_components' label-propagation rounds (edge
+    list from any pair generator — minhash/simhash/jaccard — all
+    bucket-capped upstream), then one md5 per row; the split stays a pure
+    record property (stable under retries, growth, repartitioning) — it
+    just keys on the cluster instead of the document.
+    """
+    comps = connected_components(edges, docs, src=src, dst=dst, id_col=id_col)
+    assigned = hash_split(
+        comps.withColumnRenamed("component", "_comp"),
+        id_col="_comp",
+        weights=weights,
+        salt=salt,
+    )
+    return assigned.select(id_col, F.col("_comp").alias("component"), "split")

@@ -5540,3 +5540,50 @@ def embedding_int8_topk(spark, sf_dir):
     quant = similarity.quantize_int8(emb.filter(F.col("vec_id") != 0))
     out = similarity.int8_topk_adc(quant, qvec, k=10)
     return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@query(
+    "leakage_safe_split",
+    """
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, source, list_distinct(list_filter(string_split(trim(text), ' '), x -> x != '')) AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT a.doc_id AS s, b.doc_id AS d
+      FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+            (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+    ),
+    sym AS (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),
+    reach(id, n) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.id, sym.d FROM reach r JOIN sym ON sym.s = r.n
+    ),
+    cc AS (SELECT id AS doc_id, min(n) AS component FROM reach GROUP BY id),
+    b AS (
+      SELECT doc_id, component,
+             CAST(('0x' || substr(md5('split/' || CAST(component AS VARCHAR)), 1, 6)) AS BIGINT) % 10000 AS bkt
+      FROM cc
+    )
+    SELECT doc_id, component,
+           CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val' ELSE 'test' END AS split
+    FROM b ORDER BY doc_id
+    """,
+)
+def leakage_safe_split(spark, sf_dir):
+    """Cluster-aware train/val/test split (traindata.leakage_safe_split):
+    the split hashes the connected-component id, so near-dup pairs can
+    never land on opposite sides of the boundary — the in-corpus leakage
+    complement to benchmark decontamination.  Composition of two certified
+    legs (jaccard pairs -> connected components) plus the certified md5
+    split, keyed on the cluster."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = t(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, block_col="source", threshold=0.8)
+    out = traindata.leakage_safe_split(
+        docs, edges, weights={"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out.orderBy("doc_id")

@@ -980,3 +980,22 @@ def test_int8_quantization_roundtrip_and_adc(spark):
     assert [r["vec_id"] for r in top] == [0, 3]
     d0 = sum(a * b for a, b in zip([127, -63, 32, 0], [127, -63, 32, 0]))
     assert math.isclose(top[0]["score"], d0 * (1 / 127.0) ** 2, rel_tol=1e-9)
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id int")
+    # chain 0-1-2 is one cluster; 10-11 another; rest singletons
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a int, id_b int"
+    )
+    out = traindata.leakage_safe_split(docs, edges).collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    # every cluster gets exactly one split
+    assert all(len(s) == 1 for s in by_comp.values())
+    assert {r["doc_id"]: r["component"] for r in out}[2] == 0
+    # singletons still spread across splits deterministically
+    assert len({r["split"] for r in out}) >= 2
