@@ -78,6 +78,7 @@ NAMES = [
     "embedding_int8_quantize",
     "embedding_int8_topk",
     "leakage_safe_split",
+    "line_dedup_within_doc",
 ]
 
 

@@ -205,3 +205,53 @@ def line_frequency_dedup(
             ),
         )
     )
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """Within-document repeated-line cleanup (the RefinedWeb complement to
+    :func:`line_frequency_dedup`): inside each document, keep only the
+    FIRST occurrence of every line — scraped pages repeat nav blocks and
+    list fragments inside one page, which inflates the Gopher repetition
+    signals and wastes tokens.
+
+    Output: (id, clean_text, n_lines, n_removed), one row per input doc.
+
+    Shape at 100 TB: entirely doc-local — posexplode, a min-pos aggregate
+    per (doc, line-digest), and the same array_sort reassembly as the
+    corpus-level operator; ONE doc-keyed shuffle, no cross-document state
+    at all, so it composes before the corpus-level pass (cheapest filter
+    first).
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("_pos", "_line"),
+    ).filter(F.trim(F.col("_line")) != "")
+    firsts = lines.groupBy("_id", F.md5(F.trim(F.col("_line"))).alias("_key")).agg(
+        F.min(F.struct(F.col("_pos"), F.col("_line"))).alias("_first"),
+        F.count(F.lit(1)).alias("_occ"),
+    )
+    rebuilt = firsts.groupBy("_id").agg(
+        F.concat_ws(
+            delim,
+            F.transform(F.array_sort(F.collect_list("_first")), lambda s: s["_line"]),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.sum("_occ").alias("n_lines"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            (F.coalesce(F.col("n_lines"), F.lit(0)) - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

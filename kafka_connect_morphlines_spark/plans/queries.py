@@ -5587,3 +5587,63 @@ def leakage_safe_split(spark, sf_dir):
         docs, edges, weights={"train": 0.9, "val": 0.05, "test": 0.05}
     )
     return out.orderBy("doc_id")
+
+
+@query(
+    "line_dedup_within_doc",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[(i*4)+1 : least((i+1)*4, len(toks))], ' ') AS line
+      FROM tok, unnest(range(0, CAST(ceil(len(toks) / 4.0) AS BIGINT))) AS u(i)
+      WHERE len(toks) > 0
+    ),
+    firsts AS (
+      SELECT doc_id, min(pos) AS pos, arg_min(line, pos) AS line, count(*) AS occ
+      FROM lines GROUP BY doc_id, line
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept,
+             sum(occ) AS n_lines
+      FROM firsts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.n_lines, 0) AS n_lines,
+           coalesce(r.n_lines, 0) - coalesce(r.n_kept, 0) AS n_removed,
+           md5(coalesce(r.clean_text, '')) AS clean_digest
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def line_dedup_within_doc(spark, sf_dir):
+    """Within-document repeated-line cleanup
+    (textclean.dedup_lines_within_doc): first occurrence of every 4-token
+    pseudo-line survives, repeats inside the same doc are dropped; the
+    rebuilt text digest is certified so reassembly order is pinned."""
+    from kafka_connect_morphlines_spark.functions import textclean
+    from kafka_connect_morphlines_spark.functions.textstats import tokens_codegen
+
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens_codegen(F.col("text"))
+    nlines = F.ceil(F.size(toks) / F.lit(4)).cast("int")
+    pseudo = docs.select(
+        "doc_id",
+        F.when(F.size(toks) > 0,
+               F.concat_ws(
+                   "\n",
+                   F.transform(
+                       F.sequence(F.lit(0), nlines - 1),
+                       lambda i: F.concat_ws(" ", F.slice(toks, i * 4 + 1, 4)),
+                   ),
+               )).otherwise(F.lit("")).alias("text"),
+    )
+    out = textclean.dedup_lines_within_doc(pseudo)
+    return out.select(
+        "doc_id", "n_lines", "n_removed", F.md5("clean_text").alias("clean_digest")
+    ).orderBy("doc_id")

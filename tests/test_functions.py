@@ -999,3 +999,24 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     assert {r["doc_id"]: r["component"] for r in out}[2] == 0
     # singletons still spread across splits deterministically
     assert len({r["split"] for r in out}) >= 2
+
+
+def test_dedup_lines_within_doc(spark):
+    from kafka_connect_morphlines_spark.functions import textclean
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav\ncontent a\nnav\ncontent b\nnav"),
+            (2, "only once\nand again"),
+            (3, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in textclean.dedup_lines_within_doc(docs).collect()
+    }
+    # first 'nav' survives in place, repeats dropped; order preserved
+    assert out[1] == ("nav\ncontent a\ncontent b", 5, 2)
+    assert out[2] == ("only once\nand again", 2, 0)
+    assert out[3] == ("", 0, 0)
