@@ -325,12 +325,15 @@ def quantize_int8(
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = (mx / F.lit(127.0)).alias("scale")
+    # guard on the SCALE, not the max: a subnormal max (|v| < ~6e-322)
+    # makes mx/127 underflow to 0.0 and the division would produce Inf
+    # codes (hypothesis-found edge)
+    s = mx / F.lit(127.0)
     q = F.when(
-        mx > 0,
-        F.transform(v, lambda x: F.floor(x / (mx / F.lit(127.0)) + F.lit(0.5)).cast("int")),
+        s > 0,
+        F.transform(v, lambda x: F.floor(x / s + F.lit(0.5)).cast("int")),
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
-    return ensure_parallelism(df).select(F.col(id_col), q.alias("qvec"), scale)
+    return ensure_parallelism(df).select(F.col(id_col), q.alias("qvec"), s.alias("scale"))
 
 
 def int8_topk_adc(

@@ -65,3 +65,49 @@ def test_qgram_blocking_recall_for_edit1(s, pos, ch, op):
         return  # below the documented length precondition
     assert _lev(s, t) <= 1
     assert _grams(s, q) & _grams(t, q), (s, t)
+
+
+@settings(max_examples=300)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=32))
+def test_int8_quantization_error_bound(vec):
+    """similarity.quantize_int8's defining guarantee: dequantized values sit
+    within scale/2 of the original (pure mirror of floor(x/scale + 0.5))."""
+    mx = max(abs(x) for x in vec)
+    scale = mx / 127.0
+    if scale == 0:  # incl. subnormal mx underflowing the division
+        return
+    for x in vec:
+        q = math.floor(x / scale + 0.5)
+        assert abs(x - q * scale) <= scale / 2 + 1e-9 * mx
+        assert -128 <= q <= 127  # symmetric scheme never overflows int8
+
+
+@settings(max_examples=200)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=6),
+)
+def test_cap_per_group_prefilter_exactness(rows, cap, n_parts):
+    """traindata.cap_per_group(prefilter=True)'s correctness precondition:
+    the global per-group top-cap is a subset of the union of per-partition
+    top-caps, for ANY partitioning of the rows."""
+    rows = [(g, s, i) for i, (g, s, _) in enumerate(rows)]  # unique ids
+    def topcap(rs):
+        out = {}
+        for g, s, i in rs:
+            out.setdefault(g, []).append((-s, i))
+        kept = set()
+        for g, lst in out.items():
+            kept.update((g, i) for _, i in sorted(lst)[:cap])
+        return kept
+    global_kept = topcap(rows)
+    parts = [rows[k::n_parts] for k in range(n_parts)]
+    local_union = [r for p in parts for r in p if (r[0], r[2]) in topcap(p)]
+    assert global_kept <= topcap(local_union) | global_kept
+    # stronger: the global top-cap computed over the union equals the true one
+    assert topcap(local_union) == global_kept
