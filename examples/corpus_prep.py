@@ -103,11 +103,18 @@ def prepare_corpus(
     )
 
     # 4. near-dup clustering: MinHash-LSH candidate pairs -> exact-Jaccard
-    #    verify -> connected components -> keep min doc_id per cluster
+    #    verify -> connected components -> keep the BEST-scoring doc per
+    #    cluster (the classifier score from stage 2 rides along — plain
+    #    min-id would keep an arbitrary copy)
     pairs = dedup.minhash_dedup_pairs(distinct_docs, threshold=0.8, num_hashes=48, bands=12)
-    comps = traindata.connected_components(pairs, distinct_docs)
-    reps = comps.groupBy("component").agg(F.min("doc_id").alias("doc_id"))
-    deduped = distinct_docs.join(reps.select("doc_id"), "doc_id", "left_semi")
+    # (doc_id, component) feeds THREE consumers below (representative
+    # selection, the doc semi-join, the split assignment) and its lineage
+    # carries the whole upstream filter/dedup DAG — cut it once, it's two
+    # longs per doc
+    comps = traindata.connected_components(pairs, distinct_docs).localCheckpoint()
+    scores = clf.select("doc_id", "score").localCheckpoint()
+    best = dedup.keep_best_representative(comps, scores)
+    deduped = distinct_docs.join(best.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
 
     # 4b. semantic dedup (SemDeDup): cluster the embedding space, drop docs
     #     with a lower-id same-cluster neighbor above the cosine threshold
@@ -123,9 +130,28 @@ def prepare_corpus(
     clean_ids = contam.filter(F.col("contamination") < 0.2).select("doc_id")
     decontaminated = deduped.join(clean_ids, "doc_id", "left_semi")
 
-    # 6. mixture sampling + deterministic split assignment (pure map side)
+    # 5b. per-source cap (RefinedWeb-style domain limit): no source may
+    #     dominate the mix — keep its best-scoring docs up to the cap
+    capped = traindata.cap_per_group(
+        decontaminated.join(scores, "doc_id"),
+        group_col="source",
+        cap=50,
+        score_col="score",
+    )
+    decontaminated = decontaminated.join(
+        capped.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # 6. mixture sampling + LEAKAGE-SAFE split assignment: the split hashes
+    #    the near-dup component id (already computed in stage 4), so a doc
+    #    and its surviving near-dup can never straddle train/test
     mixed = traindata.mixture_sample(decontaminated, rates={"src0": 0.5}, default_rate=1.0)
-    split = traindata.hash_split(mixed, weights={"train": 0.9, "val": 0.05, "test": 0.05})
+    comp_split = traindata.hash_split(
+        comps.withColumnRenamed("component", "_comp"),
+        id_col="_comp",
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+    ).select("doc_id", "split")
+    split = mixed.join(comp_split, "doc_id")
 
     # 7. epoch shuffle order for the train split
     train = split.filter(F.col("split") == "train")
