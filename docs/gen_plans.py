@@ -79,6 +79,7 @@ NAMES = [
     "embedding_int8_topk",
     "leakage_safe_split",
     "line_dedup_within_doc",
+    "dataset_card_by_source",
 ]
 
 

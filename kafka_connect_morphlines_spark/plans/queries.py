@@ -5647,3 +5647,96 @@ def line_dedup_within_doc(spark, sf_dir):
     return out.select(
         "doc_id", "n_lines", "n_removed", F.md5("clean_text").alias("clean_digest")
     ).orderBy("doc_id")
+
+
+@query(
+    "dataset_card_by_source",
+    """
+    WITH tok AS (
+      SELECT doc_id, source, lang,
+             list_filter(string_split(trim(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source, lang, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_types
+      FROM tok
+    ),
+    te AS (
+      SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), x -> x != '')) AS tkn
+      FROM documents
+    ), tb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('feat/qclf/' || tkn), 1, 6)) AS BIGINT) % 4096 AS bkt
+      FROM te
+    ), tw AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('w/qclf/' || CAST(bkt AS VARCHAR)), 1, 6)) AS BIGINT) % 2001 - 1000 AS wm
+      FROM tb
+    ), ta AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(wm) AS sm FROM tw GROUP BY doc_id
+    ), score AS (
+      SELECT d.doc_id,
+             CASE WHEN coalesce(ta.n_tokens, 0) > 0
+                  THEN (CASE WHEN ta.sm < 0 THEN -1 ELSE 1 END
+                        * ((abs(ta.sm) * 2000 + ta.n_tokens) // (2 * ta.n_tokens)))
+                       / 1000000.0
+                  ELSE 0.0 END AS score
+      FROM documents d LEFT JOIN ta ON d.doc_id = ta.doc_id
+    ),
+    dig AS (
+      SELECT doc_id, source, md5(text) AS dg FROM documents
+    ),
+    dup AS (
+      SELECT source, count(*) AS n_docs, count(DISTINCT dg) AS n_distinct FROM dig GROUP BY source
+    )
+    SELECT q.source,
+           count(*) AS n_docs,
+           sum(q.n_tokens) AS total_tokens,
+           count(DISTINCT q.lang) AS n_langs,
+           CAST(round(sum(CAST(q.n_tokens AS DECIMAL(23,6))) / count(*), 2) AS DOUBLE) AS avg_tokens,
+           CAST(round(sum(CAST(s.score AS DECIMAL(23,6))) / count(*), 6) AS DOUBLE) AS avg_qclf,
+           max(dup.n_docs - dup.n_distinct) AS n_exact_dups
+    FROM q JOIN score s USING (doc_id) JOIN dup ON q.source = dup.source
+    GROUP BY q.source
+    ORDER BY q.source
+    """,
+)
+def dataset_card_by_source(spark, sf_dir):
+    """Dataset-card summary per source (the release-audit table a corpus
+    ships with): doc and token counts, language spread, mean classifier
+    quality (decimal-exact mean), and exact-duplicate counts — every
+    signal from certified legs, aggregated source-level so the output is
+    source-cardinality-sized regardless of corpus size."""
+    from kafka_connect_morphlines_spark.functions import textstats
+    from kafka_connect_morphlines_spark.functions.textstats import tokens_codegen
+
+    docs = t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id", "source", "lang", F.size(tokens_codegen(F.col("text"))).alias("n_tokens")
+    )
+    scores = textstats.hashed_linear_score_df(docs).select("doc_id", "score")
+    dup = (
+        docs.select("source", F.md5("text").alias("dg"))
+        .groupBy("source")
+        .agg((F.count(F.lit(1)) - F.countDistinct("dg")).alias("n_exact_dups"))
+    )
+    card = (
+        per_doc.join(scores, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(
+                F.sum(F.col("n_tokens").cast("decimal(23,6)")) / F.count(F.lit(1)), 2
+            ).cast("double").alias("avg_tokens"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(23,6)")) / F.count(F.lit(1)), 6
+            ).cast("double").alias("avg_qclf"),
+        )
+        .join(dup, "source")
+    )
+    return card.select(
+        "source", "n_docs", "total_tokens", "n_langs", "avg_tokens", "avg_qclf", "n_exact_dups"
+    ).orderBy("source")
