@@ -80,6 +80,7 @@ NAMES = [
     "leakage_safe_split",
     "line_dedup_within_doc",
     "dataset_card_by_source",
+    "pii_scan_summary",
 ]
 
 

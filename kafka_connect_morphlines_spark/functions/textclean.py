@@ -255,3 +255,29 @@ def dedup_lines_within_doc(
             ),
         )
     )
+
+
+def pii_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document PII audit: one count column per PII type from the same
+    pattern table redaction uses (they cannot drift).  The release-gate
+    complement to :func:`redact_pii` — "how much PII does this corpus
+    contain, and where" — without mutating the text.
+
+    Map-only codegen ``regexp_count`` chain, zero shuffle; the downstream
+    corpus rollup is a tiny aggregate.
+    """
+    type_names = {"<EMAIL>": "n_email", "<SSN>": "n_ssn", "<PHONE>": "n_phone", "<IP>": "n_ip"}
+    cols = [F.col(id_col)]
+    # count patterns in REDACTION ORDER on the progressively-redacted text:
+    # the patterns overlap (an SSN parses as a phone fragment), and the
+    # chain order is exactly what redact_pii removes, so counts match what
+    # redaction would replace
+    remaining = F.col(text_col)
+    for pattern, repl in PII_PATTERNS:
+        cols.append(F.regexp_count(remaining, F.lit(pattern)).alias(type_names[repl]))
+        remaining = F.regexp_replace(remaining, pattern, repl)
+    return df.select(*cols)

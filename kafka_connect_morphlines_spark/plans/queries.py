@@ -5740,3 +5740,50 @@ def dataset_card_by_source(spark, sf_dir):
     return card.select(
         "source", "n_docs", "total_tokens", "n_langs", "avg_tokens", "avg_qclf", "n_exact_dups"
     ).orderBy("source")
+
+
+def _pii_scan_oracle_sql() -> str:
+    """Per-type regexp_count chain generated from the SAME pattern table
+    (see _pii_oracle_sql) — counts on the progressively-redacted text so
+    overlapping patterns (SSN vs phone) attribute the way redaction does."""
+    from kafka_connect_morphlines_spark.functions.textclean import PII_PATTERNS
+
+    type_names = {"<EMAIL>": "n_email", "<SSN>": "n_ssn", "<PHONE>": "n_phone", "<IP>": "n_ip"}
+    remaining = "text"
+    counts = []
+    for pattern, repl in PII_PATTERNS:
+        p = pattern.replace("'", "''")
+        counts.append(f"len(regexp_extract_all({remaining}, '{p}')) AS {type_names[repl]}")
+        remaining = f"regexp_replace({remaining}, '{p}', '{repl}', 'g')"
+    inner = ", ".join(counts)
+    return f"""
+    WITH per_doc AS (SELECT doc_id, {inner} FROM documents)
+    SELECT count(*) AS n_docs,
+           sum(n_email) AS emails, sum(n_ssn) AS ssns,
+           sum(n_phone) AS phones, sum(n_ip) AS ips,
+           sum(CASE WHEN n_email + n_ssn + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS docs_with_pii
+    FROM per_doc
+    """
+
+
+@query("pii_scan_summary", None)  # oracle attached below (generated)
+def pii_scan_summary(spark, sf_dir):
+    """Corpus PII audit (textclean.pii_scan): per-type totals plus the
+    affected-document count — the release gate run BEFORE redaction, from
+    the same pattern table so scan and scrub cannot disagree."""
+    from kafka_connect_morphlines_spark.functions import textclean
+
+    per_doc = textclean.pii_scan(t(spark, sf_dir, "documents"))
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("emails"),
+        F.sum("n_ssn").alias("ssns"),
+        F.sum("n_phone").alias("phones"),
+        F.sum("n_ip").alias("ips"),
+        F.sum(
+            ((F.col("n_email") + F.col("n_ssn") + F.col("n_phone") + F.col("n_ip")) > 0).cast("int")
+        ).alias("docs_with_pii"),
+    )
+
+
+QUERIES["pii_scan_summary"] = QuerySpec(build=pii_scan_summary, oracle=_pii_scan_oracle_sql())

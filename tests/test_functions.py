@@ -1020,3 +1020,21 @@ def test_dedup_lines_within_doc(spark):
     assert out[1] == ("nav\ncontent a\ncontent b", 5, 2)
     assert out[2] == ("only once\nand again", 2, 0)
     assert out[3] == ("", 0, 0)
+
+
+def test_pii_scan_counts(spark):
+    from kafka_connect_morphlines_spark.functions import textclean
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at a.b@example.com or c@d.org, call 555-123-4567"),
+            (2, "ssn 123-45-6789 from host 10.0.0.1"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in textclean.pii_scan(docs).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_phone"] == 1
+    # the SSN is counted as SSN, not phone (redaction-order attribution)
+    assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 0 and out[2]["n_ip"] == 1
+    assert all(v == 0 for k, v in out[3].items() if k != "doc_id")
