@@ -81,6 +81,7 @@ NAMES = [
     "line_dedup_within_doc",
     "dataset_card_by_source",
     "pii_scan_summary",
+    "url_blocklist_filter",
 ]
 
 

@@ -157,3 +157,43 @@ def pagerank(
         if not bcast or i % 2 == 1 or i == iters - 1:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased registered host of a URL (port stripped), codegen
+    parse_url — the blocking/blocklist key for crawl filtering."""
+    return F.lower(F.regexp_replace(F.parse_url(url, F.lit("HOST")), r":\d+$", ""))
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """FineWeb/RefinedWeb-style URL blocklist filtering with subdomain
+    semantics: a row is blocked when its host equals a blocked domain OR
+    is a subdomain of one (``ads.example.com`` matches ``example.com``).
+
+    Appends (host, blocked) instead of filtering — the audit posture; the
+    caller keeps ``~blocked``.
+
+    Shape at 100 TB: blocklists are list-shaped (UT1/Blacklists ~4M rows,
+    a few MB of domains) — the match explodes each host into its domain
+    suffixes (bounded by label count, ~4-6) and semi-joins the broadcast
+    blocklist on equality; no regex-per-(row x pattern) scan anywhere.
+    """
+    host = host_of(F.col(url_col))
+    with_host = df.withColumn("host", host)
+    # suffixes: ['a.b.c', 'b.c', 'c'] — equality-joinable domain candidates
+    labels = F.split(F.col("host"), r"\.")
+    suffixes = F.transform(
+        labels, lambda _, i: F.array_join(F.slice(labels, i + 1, F.size(labels)), ".")
+    )
+    exploded = with_host.select(F.col(id_col), F.explode(suffixes).alias("_sfx"))
+    bl = F.broadcast(blocklist.select(F.lower(F.col(domain_col)).alias("_sfx")).distinct())
+    blocked_ids = exploded.join(bl, "_sfx").select(id_col).distinct()
+    return with_host.join(
+        blocked_ids.withColumn("blocked", F.lit(True)), id_col, "left"
+    ).withColumn("blocked", F.coalesce(F.col("blocked"), F.lit(False)))

@@ -5787,3 +5787,60 @@ def pii_scan_summary(spark, sf_dir):
 
 
 QUERIES["pii_scan_summary"] = QuerySpec(build=pii_scan_summary, oracle=_pii_scan_oracle_sql())
+
+
+@query(
+    "url_blocklist_filter",
+    """
+    WITH u AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'http://news.example.org/a/' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'http://ads.tracker.net/pix/' || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN 'https://tracker.net:443/c/' || CAST(doc_id AS VARCHAR)
+          ELSE 'https://cdn.safe-tracker.net/x/' || CAST(doc_id AS VARCHAR)
+        END AS url
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, url,
+             lower(regexp_replace(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1), ':[0-9]+$', '')) AS host
+      FROM u
+    )
+    SELECT doc_id, host,
+           EXISTS (
+             SELECT 1 FROM (VALUES ('tracker.net'), ('spam.example')) b(domain)
+             WHERE h.host = b.domain OR h.host LIKE '%.' || b.domain
+           ) AS blocked
+    FROM h ORDER BY doc_id
+    """,
+)
+def url_blocklist_filter(spark, sf_dir):
+    """URL blocklist filtering with subdomain semantics (web.blocklist_filter):
+    ads.tracker.net and tracker.net are blocked by the 'tracker.net' entry,
+    cdn.safe-tracker.net is NOT (suffix must align on a label boundary —
+    the classic blocklist false-positive).  Suffix-explode + broadcast
+    equality join; no regex-per-pattern scan."""
+    from kafka_connect_morphlines_spark.functions import web
+
+    docs = t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.element_at(
+                F.array(
+                    F.lit("http://news.example.org/a/"),
+                    F.lit("http://ads.tracker.net/pix/"),
+                    F.lit("https://tracker.net:443/c/"),
+                    F.lit("https://cdn.safe-tracker.net/x/"),
+                ),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    bl = docs.sparkSession.createDataFrame(
+        [("tracker.net",), ("spam.example",)], "domain string"
+    )
+    out = web.blocklist_filter(urls, bl)
+    return out.select("doc_id", "host", "blocked").orderBy("doc_id")

@@ -1038,3 +1038,20 @@ def test_pii_scan_counts(spark):
     # the SSN is counted as SSN, not phone (redaction-order attribution)
     assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 0 and out[2]["n_ip"] == 1
     assert all(v == 0 for k, v in out[3].items() if k != "doc_id")
+
+
+def test_blocklist_filter_subdomain_semantics(spark):
+    from kafka_connect_morphlines_spark.functions import web
+
+    urls = spark.createDataFrame(
+        [
+            (1, "http://tracker.net/a"),
+            (2, "http://ads.tracker.net:8080/b"),
+            (3, "http://safe-tracker.net/c"),   # suffix without label boundary
+            (4, "https://news.org/d"),
+        ],
+        "doc_id int, url string",
+    )
+    bl = spark.createDataFrame([("tracker.net",)], "domain string")
+    out = {r["doc_id"]: r["blocked"] for r in web.blocklist_filter(urls, bl).collect()}
+    assert out == {1: True, 2: True, 3: False, 4: False}
