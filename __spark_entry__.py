@@ -69,6 +69,15 @@ _ROUND4_PREFIX = [
     "promo_revenue_share", "large_order_customers",
     "disjunctive_part_revenue", "idle_rich_customers",
     "lag_daily_revenue_delta", "cube_order_counts", "waiting_suppliers",
+    # Round-4 session additions (all locally certified green in
+    # CORRECTNESS_local.json) — queued after the TPC-H tail for the r05+
+    # windows; keep this ordering when rotating next round.
+    "dsir_importance_weights", "dsir_gumbel_topk", "ccnet_perplexity_buckets",
+    "dedup_keep_best", "dolma_attribute_tags", "line_boilerplate_clean",
+    "line_dedup_within_doc", "domain_cap_sample", "vocab_growth_curve",
+    "hard_negative_mining", "embedding_int8_quantize", "embedding_int8_topk",
+    "leakage_safe_split", "dataset_card_by_source", "pii_scan_summary",
+    "url_blocklist_filter",
 ]
 _ROUND4_RANK = {name: i for i, name in enumerate(_ROUND4_PREFIX)}
 
