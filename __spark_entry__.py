@@ -78,6 +78,7 @@ _ROUND4_PREFIX = [
     "hard_negative_mining", "embedding_int8_quantize", "embedding_int8_topk",
     "leakage_safe_split", "dataset_card_by_source", "pii_scan_summary",
     "url_blocklist_filter",
+    "bloom_semi_join_orders", "ssl_prototype_prune", "jaro_winkler_linkage",
 ]
 _ROUND4_RANK = {name: i for i, name in enumerate(_ROUND4_PREFIX)}
 

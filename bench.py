@@ -93,6 +93,10 @@ HEADLINE = [
     "semantic_dedup",
     "kmeans_cluster_stats",
     "bloom_incremental_dedup",
+    # round-4 session additions (bloom join prefilter, D4 prune, JW linkage)
+    "bloom_semi_join_orders",
+    "ssl_prototype_prune",
+    "jaro_winkler_linkage",
 ]
 
 

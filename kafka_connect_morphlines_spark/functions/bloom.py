@@ -119,6 +119,43 @@ def probe_bloom(
     return tagged.join(verdict, "_rid", "inner").drop("_rid")
 
 
+def semi_join_prefilter(
+    big_df: DataFrame,
+    big_key: Column,
+    dim_df: DataFrame,
+    dim_key: Column,
+    fpp: float = 0.01,
+    n_dim_keys: int | None = None,
+    distinct_keys: bool = True,
+) -> DataFrame:
+    """Rows of ``big_df`` whose key appears in ``dim_df`` — exact
+    LEFT SEMI join semantics, bloom-pruned before any shuffle.
+
+    The 100 TB shape this exists for: a selective dimension predicate
+    (say 5% of customers) against a fact table too big to shuffle in
+    full.  A plain semi join shuffles *every* fact row on the join key;
+    here the fact side is first probed against a broadcast bloom of the
+    dim keys (map-only), so only matches + ``fpp`` false positives reach
+    the exact verify semi join — the shuffle input shrinks from |fact| to
+    ~|matches|.  False positives are removed by the verify join, so the
+    result is exactly the semi join (DuckDB-oracle-able); bloom filters
+    have no false negatives, so no match is ever lost.
+
+    This is the DPP/runtime-filter pattern (Spark's own
+    InSubqueryExec/bloom runtime filters do it for literal subqueries);
+    expressed as an operator it also composes with non-SQL dim sources.
+    """
+    keys = dim_df.select(dim_key.alias("_dk"))
+    if distinct_keys:
+        keys = keys.distinct()
+    n = n_dim_keys if n_dim_keys is not None else keys.count()
+    m_bits, k = bloom_parameters(n, fpp)
+    words = bloom_words(keys, F.col("_dk"), m_bits, k)
+    probed = probe_bloom(big_df, big_key, words, m_bits, k)
+    maybe = probed.filter(F.col("_maybe")).drop("_maybe")
+    return maybe.join(keys, big_key == F.col("_dk"), "left_semi")
+
+
 def incremental_dedup(
     new_df: DataFrame,
     corpus_df: DataFrame,

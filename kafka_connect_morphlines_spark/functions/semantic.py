@@ -122,6 +122,43 @@ def kmeans_inertia(
     )
 
 
+def prototype_prune(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    frac: float = 0.1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SSL-Prototypes pruning (D4, Tirumala et al. 2023, arXiv:2308.12284):
+    within each embedding cluster drop the ``frac`` most *prototypical*
+    examples — the ones closest to their centroid by cosine — keeping the
+    informative cluster periphery for training.
+
+    Shape: one broadcast-assign matmul (map-only), one window rank per
+    cluster, one filter — a single shuffle on the cluster id, so cost is a
+    groupBy at any scale.  The cutoff is ``ceil(frac·|cluster|)`` with a
+    deterministic (cos DESC, id ASC) tie-break.  Returns the kept rows with
+    their cluster id and rounded centroid cosine.
+    """
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(ensure_parallelism(df), centroids, vec_col)
+    cent = F.create_map(
+        *[x for cid, vec in centroids for x in (F.lit(cid), F.array(*[F.lit(float(v)) for v in vec]))]
+    )
+    # rank on the 6dp-rounded cosine with an id tie-break: boundary-stable
+    # across engines (a raw-double rank can flip on last-ulp differences)
+    scored = assigned.withColumn(
+        "_cos", F.round(cosine(F.col(vec_col), cent[F.col("centroid")]), 6)
+    )
+    w = Window.partitionBy("centroid")
+    ranked = scored.withColumn(
+        "_rk", F.row_number().over(w.orderBy(F.col("_cos").desc(), F.col(id_col).asc()))
+    ).withColumn("_n", F.count(F.lit(1)).over(w))
+    kept = ranked.filter(F.col("_rk") > F.ceil(F.lit(float(frac)) * F.col("_n")))
+    return kept.withColumnRenamed("_cos", "proto_cos").drop("_rk", "_n")
+
+
 def semantic_dup_pairs(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],

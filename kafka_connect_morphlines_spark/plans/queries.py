@@ -5844,3 +5844,126 @@ def url_blocklist_filter(spark, sf_dir):
     )
     out = web.blocklist_filter(urls, bl)
     return out.select("doc_id", "host", "blocked").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Round-4 session additions: bloom semi-join prefilter, SSL-prototype
+# pruning (D4), Jaro-Winkler record linkage.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "bloom_semi_join_orders",
+    """
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(23,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders o
+    WHERE o.o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    )
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+)
+def bloom_semi_join_orders(spark, sf_dir):
+    """Bloom-prefiltered semi join (bloom.semi_join_prefilter): orders of
+    AUTOMOBILE-segment customers.  The fact side is probed against a
+    broadcast bloom of the selected customer keys (map-only) before the
+    exact verify semi join, so at scale only ~matches + fpp of the fact
+    table reach the shuffle — exact LEFT SEMI semantics (the verify join
+    removes bloom false positives), hence fully oracle-able."""
+    from kafka_connect_morphlines_spark.functions import bloom
+
+    orders = t(spark, sf_dir, "orders")
+    autos = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    kept = bloom.semi_join_prefilter(
+        orders, F.col("o_custkey"), autos, F.col("c_custkey"), fpp=0.01
+    )
+    return (
+        kept.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "ssl_prototype_prune",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 32
+    ),
+    a AS (
+      SELECT vec_id, cid,
+             round(list_cosine_similarity(ev, cv), 6) AS cos
+      FROM (
+        SELECT e.vec_id, c.cid, CAST(e.embedding AS DOUBLE[]) AS ev, c.cv,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                          c.cid ASC) AS rn
+        FROM embeddings e, cent c
+      ) WHERE rn = 1
+    ),
+    r AS (
+      SELECT vec_id, cid, cos,
+             row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id ASC) AS rk,
+             count(*) OVER (PARTITION BY cid) AS n
+      FROM a
+    )
+    SELECT vec_id, cid AS centroid, cos AS proto_cos
+    FROM r WHERE rk > ceil(0.1 * n)
+    ORDER BY vec_id
+    """,
+)
+def ssl_prototype_prune(spark, sf_dir):
+    """SSL-Prototypes pruning (semantic.prototype_prune, the D4 recipe,
+    arXiv:2308.12284): per embedding cluster, drop the 10% of examples
+    closest to their centroid (the redundant prototypical core), keep the
+    informative periphery.  One broadcast-assign matmul + one window rank
+    per cluster — a single shuffle on the cluster id.  Rank uses the
+    6dp-rounded cosine with an id tie-break so the cutoff is
+    boundary-stable across engines."""
+    from kafka_connect_morphlines_spark.functions import semantic
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = similarity.deterministic_centroids(emb, 32)
+    kept = semantic.prototype_prune(emb, cents, frac=0.1)
+    return kept.select("vec_id", "centroid", "proto_cos").orderBy("vec_id")
+
+
+@query(
+    "jaro_winkler_linkage",
+    """
+    WITH n AS (SELECT DISTINCT lower(trim(p_name)) AS name FROM part)
+    SELECT a.name AS l_id, b.name AS r_id,
+           round(jaro_winkler_similarity(a.name, b.name), 6) AS jw_sim
+    FROM n a JOIN n b
+      ON a.name < b.name
+     AND jaro_winkler_similarity(a.name, b.name) >= 0.85
+    ORDER BY l_id, r_id
+    """,
+)
+def jaro_winkler_linkage(spark, sf_dir):
+    """Jaro-Winkler record linkage (relational.jaro_winkler_join): name
+    pairs with JW >= 0.85 via q-gram inverted-index blocking + vectorized
+    JW verify on candidates only, over DISTINCT names (dedup-first,
+    SCALE.md lesson 2).  The oracle is DuckDB's exact all-pairs
+    jaro_winkler_similarity join, so it certifies both the metric's
+    definition parity and the blocking's recall on this corpus."""
+    from kafka_connect_morphlines_spark.functions import relational
+
+    names = (
+        t(spark, sf_dir, "part")
+        .select(F.lower(F.trim(F.col("p_name"))).alias("name"))
+        .distinct()
+    )
+    out = relational.jaro_winkler_join(
+        names, names, "name", "name", "name", "name", threshold=0.85, q=2
+    )
+    return out.filter(F.col("l_id") < F.col("r_id")).orderBy("l_id", "r_id")

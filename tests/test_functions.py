@@ -1055,3 +1055,51 @@ def test_blocklist_filter_subdomain_semantics(spark):
     bl = spark.createDataFrame([("tracker.net",)], "domain string")
     out = {r["doc_id"]: r["blocked"] for r in web.blocklist_filter(urls, bl).collect()}
     assert out == {1: True, 2: True, 3: False, 4: False}
+
+
+def test_bloom_semi_join_matches_exact_semi_join(spark):
+    from kafka_connect_morphlines_spark.functions import bloom
+
+    big = spark.createDataFrame([(i, i % 7) for i in range(500)], "row_id long, k long")
+    dim = spark.createDataFrame([(0,), (3,), (5,)], "k long")
+    got = bloom.semi_join_prefilter(big, F.col("k"), dim, F.col("k"), fpp=0.05)
+    expect = big.join(dim.withColumnRenamed("k", "_dk"), big["k"] == F.col("_dk"), "left_semi")
+    assert sorted(r["row_id"] for r in got.collect()) == sorted(
+        r["row_id"] for r in expect.collect()
+    )
+
+
+def test_bloom_semi_join_empty_dim_keeps_nothing(spark):
+    from kafka_connect_morphlines_spark.functions import bloom
+
+    big = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    dim = spark.createDataFrame([], "k long")
+    assert bloom.semi_join_prefilter(big, F.col("k"), dim, F.col("k")).count() == 0
+
+
+def test_prototype_prune_drops_nearest_to_centroid(spark):
+    from kafka_connect_morphlines_spark.functions import semantic
+
+    # one cluster on the x axis: ids 0,1 are prototypical (cos 1.0/0.999),
+    # id 9 sits at 45 degrees (least prototypical)
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.999, 0.04]),
+        (5, [0.9, 0.3]),
+        (9, [0.7, 0.7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(0, [1.0, 0.0])]
+    kept = semantic.prototype_prune(df, cents, frac=0.25).collect()
+    ids = sorted(r["vec_id"] for r in kept)
+    # ceil(0.25*4) = 1 pruned: the single closest-to-centroid row (id 0)
+    assert ids == [1, 5, 9]
+    assert all(r["centroid"] == 0 for r in kept)
+
+
+def test_prototype_prune_frac_zero_keeps_all(spark):
+    from kafka_connect_morphlines_spark.functions import semantic
+
+    df = _toy_embeddings(spark)
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    assert semantic.prototype_prune(df, cents, frac=0.0).count() == df.count()

@@ -113,3 +113,30 @@ def test_fuzzy_join_finds_typos_across_tables(spark):
         ).collect()
     }
     assert got == {(1, 10): 0, (2, 11): 1, (3, 13): 1}
+
+
+def test_jaro_winkler_reference_values():
+    from kafka_connect_morphlines_spark.functions.relational import jaro_winkler
+
+    # canonical published examples + edge cases, values matching DuckDB's
+    # jaro_winkler_similarity (the certification oracle)
+    assert abs(jaro_winkler("martha", "marhta") - 0.9611111111111111) < 1e-12
+    assert abs(jaro_winkler("dixon", "dicksonx") - 0.8133333333333332) < 1e-12
+    # prefix boost only above the 0.7 jaro threshold
+    assert abs(jaro_winkler("abcdef", "abzzzz") - 0.5555555555555555) < 1e-12
+    assert jaro_winkler("ab", "ba") == 0.0  # window 0: no matches
+    assert jaro_winkler("", "") == 0.0
+    assert jaro_winkler("abc", "abc") == 1.0
+
+
+def test_jaro_winkler_join_blocks_and_verifies(spark):
+    from kafka_connect_morphlines_spark.functions import relational
+
+    names = spark.createDataFrame(
+        [("martha",), ("marhta",), ("jellyfish",), ("zzz",)], "name string"
+    )
+    out = relational.jaro_winkler_join(
+        names, names, "name", "name", "name", "name", threshold=0.9
+    )
+    pairs = {(r["l_id"], r["r_id"]) for r in out.filter(F.col("l_id") < F.col("r_id")).collect()}
+    assert pairs == {("marhta", "martha")}
