@@ -864,3 +864,286 @@ def leakage_safe_split(
         salt=salt,
     )
     return assigned.select(id_col, F.col("_comp").alias("component"), "split")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer: Viterbi-EM training + encode
+# ---------------------------------------------------------------------------
+
+
+def _viterbi_segment(
+    word: str, logprobs: dict[str, float], max_len: int
+) -> list[str] | None:
+    """Best segmentation of ``word`` into vocab pieces under a unigram LM —
+    max total logprob, DP over end positions.  Tie-break: at equal score
+    prefer the LONGER last piece (smaller split point), which is exact and
+    engine-independent because candidate scores are compared on identical
+    float arithmetic in both the distributed and reference paths.  Returns
+    None when the word cannot be covered (never happens in training: every
+    corpus character is seeded into the vocab)."""
+    n = len(word)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            lp = logprobs.get(word[j:i])
+            if lp is None or best[j] == float("-inf"):
+                continue
+            score = best[j] + lp
+            # strictly-greater OR equal-with-smaller-j: longer last piece wins
+            if score > best[i] or (score == best[i] and j < back[i]):
+                best[i], back[i] = score, j
+    if best[n] == float("-inf"):
+        return None
+    out, i = [], n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def unigram_lm_reference(
+    word_freqs: list[tuple[str, int]],
+    vocab_size: int = 64,
+    n_iter: int = 3,
+    max_piece_len: int = 4,
+    seed_mult: int = 4,
+) -> list[tuple[str, int, float]]:
+    """Pure-Python single-process reference for ``unigram_lm_train`` — the
+    exact algorithm on a (word, freq) list, used by pytest to pin the
+    distributed implementation.  Returns (piece, count, logprob)."""
+    import math
+    from collections import Counter
+
+    # seed: every substring up to max_piece_len, weighted by word freq
+    cand: Counter[str] = Counter()
+    chars: set[str] = set()
+    for w, f in word_freqs:
+        chars.update(w)
+        for i in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - i) + 1):
+                cand[w[i : i + l]] += f
+    multi = sorted(
+        ((p, c) for p, c in cand.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: seed_mult * vocab_size]
+    pieces = {p: cand[p] for p in chars}
+    pieces.update(dict(multi))
+
+    def em_round(vocab_counts: dict[str, int]) -> dict[str, int]:
+        total = sum(vocab_counts.values())
+        lps = {p: math.log(c / total) for p, c in vocab_counts.items() if c > 0}
+        counts: Counter[str] = Counter()
+        for w, f in word_freqs:
+            seg = _viterbi_segment(w, lps, max_piece_len)
+            for p in seg or []:
+                counts[p] += f
+        # chars never die (coverage guarantee, as in SentencePiece)
+        return {p: max(counts.get(p, 0), 1 if len(p) == 1 else 0) for p in vocab_counts}
+
+    for _ in range(n_iter):
+        pieces = em_round(pieces)
+        pieces = {p: c for p, c in pieces.items() if c > 0}
+    # prune to vocab_size: all chars + best multi-char by (count desc, piece)
+    multi_kept = sorted(
+        ((p, c) for p, c in pieces.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: max(0, vocab_size - len(chars))]
+    pruned = {p: c for p, c in pieces.items() if len(p) == 1}
+    pruned.update(dict(multi_kept))
+    final = em_round(pruned)
+    final = {p: c for p, c in final.items() if c > 0}
+    import math as _m
+
+    tot = sum(final.values())
+    return sorted(
+        ((p, c, _m.log(c / tot)) for p, c in final.items()),
+        key=lambda x: (-x[1], x[0]),
+    )
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    vocab_size: int = 64,
+    n_iter: int = 3,
+    max_piece_len: int = 4,
+    seed_mult: int = 4,
+    text_col: str = "text",
+    max_words: int | None = 50000,
+) -> DataFrame:
+    """Distributed unigram-LM tokenizer training (SentencePiece's model
+    [Kudo 2018, arXiv:1804.10959], Viterbi-EM variant): seed a candidate
+    vocabulary from frequent substrings, iterate (Viterbi-segment every
+    word under current piece probabilities -> re-estimate probabilities
+    from the freq-weighted piece counts), prune to ``vocab_size``.
+
+    Scale structure (same skeleton as bpe_train):
+    1. ONE corpus shuffle to the (distinct word, freq) table; EM never
+       touches raw text again.  Optional ``max_words`` cap, top-k via
+       TakeOrderedAndProject.
+    2. Candidate seeding is a bounded explode: ≤ ``max_piece_len · len(w)``
+       substrings per word, codegen groupBy-sum, top-k reduce.
+    3. Each EM round: piece logprobs (a few KB) ride into ONE Arrow-batched
+       mapInPandas over the word table; the E-step emits (piece, freq)
+       pairs and the M-step is a codegen groupBy SUM.  Viterbi (hard-EM)
+       counts are INTEGERS, so the aggregate is exact and
+       partitioning-independent — the determinism trick that also powers
+       pagerank's decimal sums.
+    4. Only the vocab-sized count table ever reaches the driver.
+
+    Returns (rank, piece, piece_len, count, logprob) — logprob rounded 6dp.
+    Pinned in pytest against ``unigram_lm_reference`` on the same corpus.
+    """
+    import math
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if max_words is not None:
+        words = words.orderBy(F.col("freq").desc(), F.col("w")).limit(max_words)
+    words = words.localCheckpoint()
+
+    # --- seed candidates: substring explode, codegen sum, bounded top-k ---
+    subs = words.select(
+        "freq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(F.lit(max_piece_len), F.length("w") - i + 1),
+                        ),
+                        lambda l: F.substring(F.col("w"), i, l),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).groupBy("p").agg(F.sum("freq").alias("cnt"))
+    chars = {
+        r["p"]: int(r["cnt"])
+        for r in subs.filter(F.length("p") == 1).collect()
+    }
+    multi_rows = (
+        subs.filter(F.length("p") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("p"))
+        .limit(seed_mult * vocab_size)
+        .collect()
+    )
+    pieces: dict[str, int] = dict(chars)
+    pieces.update({r["p"]: int(r["cnt"]) for r in multi_rows})
+
+    def em_round(vocab_counts: dict[str, int]) -> dict[str, int]:
+        total = sum(vocab_counts.values())
+        lps = {p: math.log(c / total) for p, c in vocab_counts.items() if c > 0}
+
+        def estep(batches, _lps=lps, _ml=max_piece_len):
+            for pdf in batches:
+                out_p: list[str] = []
+                out_c: list[int] = []
+                for w, f in zip(pdf["w"], pdf["freq"]):
+                    seg = _viterbi_segment(w, _lps, _ml)
+                    for p in seg or []:
+                        out_p.append(p)
+                        out_c.append(int(f))
+                yield pd.DataFrame({"p": out_p, "c": out_c})
+
+        counted = {
+            r["p"]: int(r["cnt"])
+            for r in words.mapInPandas(estep, schema="p string, c long")
+            .groupBy("p")
+            .agg(F.sum("c").alias("cnt"))
+            .collect()
+        }
+        return {
+            p: max(counted.get(p, 0), 1 if len(p) == 1 else 0)
+            for p in vocab_counts
+        }
+
+    for _ in range(n_iter):
+        pieces = {p: c for p, c in em_round(pieces).items() if c > 0}
+    multi_kept = sorted(
+        ((p, c) for p, c in pieces.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: max(0, vocab_size - len(chars))]
+    pruned = {p: c for p, c in pieces.items() if len(p) == 1}
+    pruned.update(dict(multi_kept))
+    final = {p: c for p, c in em_round(pruned).items() if c > 0}
+    tot = sum(final.values())
+    rows = sorted(
+        ((p, c, math.log(c / tot)) for p, c in final.items()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    return spark.createDataFrame(
+        [
+            (i, p, len(p), c, round(lp, 6))
+            for i, (p, c, lp) in enumerate(rows)
+        ],
+        "rank int, piece string, piece_len int, count long, logprob double",
+    )
+
+
+def unigram_lm_encode(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_token: str = "<unk>",
+) -> DataFrame:
+    """Encode text with a trained unigram-LM vocabulary: per word, the
+    Viterbi-best piece sequence under the piece logprobs; characters
+    outside the vocabulary become ``unk_token``.
+
+    Same deployment shape as bpe_encode: the vocab table is tiny, collected
+    once, closure-broadcast into ONE Arrow-batched mapInPandas — map-only,
+    no shuffle, per-distinct-word memoization inside each batch.
+
+    Output: (id, n_pieces, pieces array<string>).
+    """
+    import pandas as pd
+
+    lps = {r["piece"]: float(r["logprob"]) for r in vocab.collect()}
+    max_len = max((len(p) for p in lps), default=1)
+
+    def encode(batches, _lps=lps, _ml=max_len, _unk=unk_token):
+        for pdf in batches:
+            memo: dict[str, list[str]] = {}
+            ids, ns, toks = [], [], []
+            for rid, text in zip(pdf["_id"], pdf["_text"]):
+                out: list[str] = []
+                for w in str(text).split():
+                    seg = memo.get(w)
+                    if seg is None:
+                        seg = _viterbi_segment(w, _lps, _ml)
+                        if seg is None:
+                            # cover unknown chars: segment maximal known runs
+                            seg = []
+                            run = ""
+                            for ch in w:
+                                if ch in _lps:
+                                    run += ch
+                                else:
+                                    if run:
+                                        seg.extend(_viterbi_segment(run, _lps, _ml) or [_unk])
+                                        run = ""
+                                    seg.append(_unk)
+                            if run:
+                                seg.extend(_viterbi_segment(run, _lps, _ml) or [_unk])
+                        memo[w] = seg
+                    out.extend(seg)
+                ids.append(rid)
+                ns.append(len(out))
+                toks.append(out)
+            yield pd.DataFrame({"_id": ids, "n_pieces": ns, "pieces": toks})
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    out = src.mapInPandas(encode, schema="_id long, n_pieces int, pieces array<string>")
+    return out.withColumnRenamed("_id", id_col)

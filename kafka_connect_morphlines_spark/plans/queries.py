@@ -5967,3 +5967,34 @@ def jaro_winkler_linkage(spark, sf_dir):
         names, names, "name", "name", "name", "name", threshold=0.85, q=2
     )
     return out.filter(F.col("l_id") < F.col("r_id")).orderBy("l_id", "r_id")
+
+
+@query("unigram_lm_vocab", None)
+def unigram_lm_vocab(spark, sf_dir):
+    """Unigram-LM tokenizer training (traindata.unigram_lm_train — the
+    SentencePiece model, Viterbi-EM): learned vocabulary with integer
+    freq-weighted Viterbi counts and 6dp logprobs.  Iterative EM — no SQL
+    oracle by nature; rows-only + golden, and pytest pins exact parity
+    with the pure-Python reference implementation."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = t(spark, sf_dir, "documents")
+    return traindata.unigram_lm_train(docs, vocab_size=64, n_iter=2).orderBy("rank")
+
+
+@query("unigram_lm_encode_sample", None)
+def unigram_lm_encode_sample(spark, sf_dir):
+    """Unigram-LM encode with the self-trained vocabulary
+    (traindata.unigram_lm_encode after unigram_lm_train): piece counts +
+    first pieces for the 50 lowest-id docs, arrays serialized for the
+    driver canonicalizer (same convention as bpe_encode_sample)."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = traindata.unigram_lm_train(docs, vocab_size=64, n_iter=2)
+    enc = traindata.unigram_lm_encode(docs.filter(F.col("doc_id") < 50), vocab)
+    return enc.select(
+        "doc_id",
+        "n_pieces",
+        F.concat_ws("|", F.slice("pieces", 1, 8)).alias("head_pieces"),
+    ).orderBy("doc_id")

@@ -247,3 +247,51 @@ def test_diff_snapshots_statuses(spark):
     )
     got = {r["doc_id"]: r["status"] for r in traindata.diff_snapshots(old, new).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_unigram_lm_train_matches_reference(spark):
+    from collections import Counter
+
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the lazy dog sleeps all the long day",
+        "quick foxes and lazy dogs the the the",
+        "lower lowest newer newest wider widest",
+    ] * 3
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["piece"], r["count"], round(r["logprob"], 6))
+        for r in traindata.unigram_lm_train(df, vocab_size=48, n_iter=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    wf = Counter(w for t in texts for w in t.split())
+    want = [
+        (p, c, round(lp, 6))
+        for p, c, lp in traindata.unigram_lm_reference(
+            sorted(wf.items()), vocab_size=48, n_iter=2
+        )
+    ]
+    assert got == want
+    # multi-char pieces were actually learned ("the" is the dominant word)
+    assert any(len(p) > 1 for p, _, _ in got)
+
+
+def test_unigram_lm_encode_covers_and_segments(spark):
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    texts = ["low lower lowest low low", "new newer newest new new"] * 5
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    vocab = traindata.unigram_lm_train(df, vocab_size=32, n_iter=2)
+    enc = {r["doc_id"]: r for r in traindata.unigram_lm_encode(df, vocab).collect()}
+    for i, t in enumerate(texts):
+        rebuilt = "".join(enc[i]["pieces"])
+        assert rebuilt == t.replace(" ", "")
+        assert enc[i]["n_pieces"] == len(enc[i]["pieces"])
+    # unknown characters surface as <unk>, known runs still segment
+    odd = spark.createDataFrame([(0, "low low§low")], "doc_id long, text string")
+    pieces = traindata.unigram_lm_encode(odd, vocab).collect()[0]["pieces"]
+    assert "<unk>" in pieces
+    assert "".join(p for p in pieces if p != "<unk>") == "lowlowlow"

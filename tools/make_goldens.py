@@ -37,6 +37,8 @@ GOLDEN_QUERIES = [
     "bpe_merge_rules",
     "hll_audience_overlap",
     "bpe_encode_sample",
+    "unigram_lm_vocab",
+    "unigram_lm_encode_sample",
     "hll_rolling_distinct_users",
     "embedding_random_projection",
 ]
