@@ -79,7 +79,7 @@ _ROUND4_PREFIX = [
     "leakage_safe_split", "dataset_card_by_source", "pii_scan_summary",
     "url_blocklist_filter",
     "bloom_semi_join_orders", "ssl_prototype_prune", "jaro_winkler_linkage",
-    "unigram_lm_vocab", "unigram_lm_encode_sample",
+    "unigram_lm_vocab", "unigram_lm_encode_sample", "embedding_pca_whiten",
 ]
 _ROUND4_RANK = {name: i for i, name in enumerate(_ROUND4_PREFIX)}
 

@@ -367,3 +367,68 @@ def int8_topk_adc(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pca_whiten(
+    df: DataFrame,
+    out_dim: int = 16,
+    sample_n: int = 10000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "embedding_pca",
+    eps: float = 1e-9,
+    seed: int = 0,
+) -> DataFrame:
+    """PCA whitening: project embeddings onto the top ``out_dim`` principal
+    components, scaled to unit variance — the standard preconditioner
+    before IVF/PQ (OPQ's first half) and for embedding drift diagnostics.
+
+    Scale shape: the components are FIT on a deterministic ``sample_n``-row
+    sample — the md5-order trick of seeded_centroids: the rows with the
+    smallest md5(seed||id), a uniform pseudo-random sample any rerun and
+    any partitioning reproduces exactly.  Fitting on a bounded sample is
+    the standard practice at scale (faiss trains PCA/OPQ on ~100k-1M
+    vectors regardless of corpus size); the driver does one d×d eigh.  The
+    PROJECTION is the distributed part: mean/components ride into one
+    Arrow-batched matmul over the corpus — map-only, no shuffle,
+    dim → out_dim on every downstream byte.
+
+    Determinism: sample is md5-ordered (exact), eigh input is built from
+    the same collected floats in sorted-id order, eigenvector sign is
+    fixed (largest-|component| entry made positive), output rounded 6dp —
+    golden-stable across runs and partitionings.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pick = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.md5(F.concat(F.lit(f"pca:{seed}:"), F.col(id_col).cast("string"))))
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .limit(sample_n)
+        .collect()
+    )
+    # sorted-id order: the driver-side float accumulation is identical on
+    # every rerun regardless of which executors returned the rows
+    pick.sort(key=lambda r: r[id_col])
+    x = np.array([list(r[vec_col]) for r in pick], dtype=np.float64)
+    mean = x.mean(axis=0)
+    xc = x - mean
+    cov = (xc.T @ xc) / max(len(x) - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:out_dim]
+    vals, vecs = vals[order], vecs[:, order]  # (d,), (d, q)
+    # sign convention: per component, the largest-|entry| coordinate positive
+    for j in range(vecs.shape[1]):
+        i = int(np.argmax(np.abs(vecs[:, j])))
+        if vecs[i, j] < 0:
+            vecs[:, j] = -vecs[:, j]
+    whiten = vecs / np.sqrt(np.maximum(vals, 0.0) + eps)  # (d, q)
+
+    @F.pandas_udf("array<double>")
+    def project(s: pd.Series) -> pd.Series:
+        v = np.vstack(s.to_numpy()).astype(np.float64)
+        y = (v - mean) @ whiten
+        return pd.Series(list(np.round(y, 6)))
+
+    return df.withColumn(out_col, project(F.col(vec_col)))

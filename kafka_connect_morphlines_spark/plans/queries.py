@@ -5998,3 +5998,23 @@ def unigram_lm_encode_sample(spark, sf_dir):
         "n_pieces",
         F.concat_ws("|", F.slice("pieces", 1, 8)).alias("head_pieces"),
     ).orderBy("doc_id")
+
+
+@query("embedding_pca_whiten", None)
+def embedding_pca_whiten(spark, sf_dir):
+    """PCA whitening (similarity.pca_whiten): top-8 principal components at
+    unit variance, fit on a deterministic md5-ordered sample, projected
+    map-only over the corpus.  Eigendecomposition is not SQL-expressible —
+    rows-only + golden; pytest pins variance/orthogonality properties.
+    Array serialized for the driver canonicalizer (bpe_encode_sample
+    convention)."""
+    from kafka_connect_morphlines_spark.functions import similarity as sim
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = sim.pca_whiten(emb, out_dim=8, sample_n=2000)
+    return out.select(
+        "vec_id",
+        F.concat_ws(
+            "|", F.transform(F.col("embedding_pca"), lambda x: F.format_number(x, 6))
+        ).alias("pca_str"),
+    ).orderBy("vec_id")

@@ -1103,3 +1103,26 @@ def test_prototype_prune_frac_zero_keeps_all(spark):
     df = _toy_embeddings(spark)
     cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
     assert semantic.prototype_prune(df, cents, frac=0.0).count() == df.count()
+
+
+def test_pca_whiten_properties(spark):
+    import numpy as np
+
+    from kafka_connect_morphlines_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(7)
+    # anisotropic gaussian: one dominant direction
+    base = rng.normal(size=(400, 6)) * np.array([5.0, 2.0, 1.0, 0.5, 0.2, 0.1])
+    rows = [(i, [float(v) for v in base[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.pca_whiten(df, out_dim=3, sample_n=400)
+    y = np.array([r["embedding_pca"] for r in out.orderBy("vec_id").collect()])
+    assert y.shape == (400, 3)
+    # whitened: each kept component has ~unit variance, near-zero covariance
+    cov = np.cov(y.T)
+    assert np.allclose(np.diag(cov), 1.0, atol=0.15)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 0.1
+    # deterministic across reruns
+    y2 = np.array([r["embedding_pca"] for r in sim.pca_whiten(df, out_dim=3, sample_n=400).orderBy("vec_id").collect()])
+    assert np.array_equal(y, y2)

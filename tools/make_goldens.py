@@ -39,6 +39,7 @@ GOLDEN_QUERIES = [
     "bpe_encode_sample",
     "unigram_lm_vocab",
     "unigram_lm_encode_sample",
+    "embedding_pca_whiten",
     "hll_rolling_distinct_users",
     "embedding_random_projection",
 ]
