@@ -80,6 +80,8 @@ _ROUND4_PREFIX = [
     "url_blocklist_filter",
     "bloom_semi_join_orders", "ssl_prototype_prune", "jaro_winkler_linkage",
     "unigram_lm_vocab", "unigram_lm_encode_sample", "embedding_pca_whiten",
+    "roc_auc_purchase", "calibration_bins_purchase", "pr_threshold_metrics",
+    "cohens_kappa_langid", "nb_train_lang", "nb_predict_lang",
 ]
 _ROUND4_RANK = {name: i for i, name in enumerate(_ROUND4_PREFIX)}
 

@@ -97,6 +97,9 @@ HEADLINE = [
     "bloom_semi_join_orders",
     "ssl_prototype_prune",
     "jaro_winkler_linkage",
+    # evaluation metrics (evalmetrics.py)
+    "roc_auc_purchase",
+    "nb_predict_lang",
 ]
 
 

@@ -1,0 +1,304 @@
+"""Model-evaluation metrics over DataFrames: ROC-AUC, calibration bins,
+threshold PR curves, Cohen's kappa, and a multinomial Naive Bayes
+classifier (train + predict).
+
+These are the measurement half of a training-data pipeline: after quality
+scoring / language-ID / dedup produce *predictions*, these operators grade
+them against labels — distributed, one-or-two-shuffle shapes that survive
+100 TB, with every reported ratio computed from exact integer counts via
+DECIMAL division (the ``money_sum`` idiom) so results are bit-identical
+across engines and partitionings.
+
+Scale notes (100 TB):
+- ``binary_rank_auc`` aggregates to *distinct score values* first
+  (callers pass a quantized score, e.g. 6dp-rounded), so the ordered
+  cumulative pass runs over at most ~1e6 rows regardless of input size —
+  the classic two-pass Mann-Whitney AUC.  The rank arithmetic is kept in
+  scaled integers (2x avg-rank) so tie handling is exact.
+- ``calibration_table`` / ``threshold_metrics`` / ``cohens_kappa`` are
+  single codegen aggregations (plus a broadcast of the tiny threshold /
+  class-marginal tables) — map-side combine does the heavy lifting.
+- ``nb_train`` shuffles token counts once on (class, token) with the
+  vocabulary capped to ``vocab_size`` (selected by global document
+  frequency, deterministic tie-break); the emitted model is
+  ``n_classes x vocab_size`` rows — always broadcastable.
+- ``nb_predict`` joins exploded tokens against the broadcast model
+  (map-side), then one shuffle on doc_id for the per-class log-likelihood
+  sum.  Log-likelihood terms are 6dp-rounded then summed as DECIMAL, so
+  the per-document argmax is associative and partition-invariant.
+
+No reference-repo counterpart (the morphlines engine has no analytics
+surface) — this family is engine-native, per SURVEY.md Part C scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "binary_rank_auc",
+    "calibration_table",
+    "threshold_metrics",
+    "cohens_kappa",
+    "nb_train",
+    "nb_predict",
+]
+
+_DEC = "decimal(38,12)"
+
+
+def _ratio6(num: Column, den: Column) -> Column:
+    """Exact-integer ratio -> 6dp double, stable across engines.
+
+    Both operands are exact integers (counts), so the IEEE double division
+    is bit-identical on any engine — the corpus' proven ratio idiom
+    (nation_market_share, psi_value_drift).  DECIMAL/DECIMAL division is
+    deliberately avoided: Spark and DuckDB resolve the result scale
+    differently, which CAN flip a 6th decimal.  ``try_divide`` so an empty
+    class (0/0) yields NULL under ANSI mode, like SQL."""
+    return F.round(F.try_divide(num.cast("double"), den.cast("double")), 6)
+
+
+def binary_rank_auc(df: DataFrame, score: Column, label: Column) -> DataFrame:
+    """Mann-Whitney ROC-AUC with exact average-rank tie handling.
+
+    ``score`` should be pre-quantized (e.g. ``F.round(s, 6)``) so the
+    distinct-score aggregate is bounded.  Returns one row:
+    ``(n_pos, n_neg, auc)`` where
+    ``AUC = (sum of avg ranks of positives - np(np+1)/2) / (np*nn)``.
+
+    All rank arithmetic is done on 2x-scaled integers (avg rank over a tie
+    group is a multiple of 1/2), so the only division is the final exact
+    DECIMAL one — no floating-point accumulation anywhere.
+    """
+    per_score = df.groupBy(score.alias("s")).agg(
+        F.sum(F.when(label, 1).otherwise(0)).alias("np_s"),
+        F.sum(F.when(label, 0).otherwise(1)).alias("nn_s"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    # avg rank of the tie group at s = before + (n_s + 1)/2 ; keep 2x scale.
+    ranked = per_score.withColumn(
+        "before", F.coalesce(F.sum(F.col("np_s") + F.col("nn_s")).over(w), F.lit(0))
+    ).withColumn(
+        "rank2", 2 * F.col("before") + F.col("np_s") + F.col("nn_s") + 1
+    )
+    return ranked.agg(
+        F.sum("np_s").alias("n_pos"),
+        F.sum("nn_s").alias("n_neg"),
+        F.sum(F.col("np_s") * F.col("rank2")).alias("sum_rank2_pos"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        _ratio6(
+            F.col("sum_rank2_pos") - F.col("n_pos") * (F.col("n_pos") + 1),
+            2 * F.col("n_pos") * F.col("n_neg"),
+        ).alias("auc"),
+    )
+
+
+def calibration_table(
+    df: DataFrame, score: Column, label: Column, bins: int = 10
+) -> DataFrame:
+    """Reliability-diagram bins: equal-width buckets of a [0,1] score with
+    count, mean predicted score (DECIMAL mean, 6dp) and exact positive
+    rate per bin.  A single codegen aggregation."""
+    b = F.least(F.floor(score * bins), F.lit(bins - 1)).cast("int")
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(score.cast(_DEC)).alias("_ssum"),
+            F.sum(F.when(label, 1).otherwise(0)).alias("_pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("_ssum").cast("double") / F.col("n").cast("double"), 6).alias(
+                "mean_score"
+            ),
+            _ratio6(F.col("_pos"), F.col("n")).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+def threshold_metrics(
+    df: DataFrame, score: Column, label: Column, thresholds: list[float]
+) -> DataFrame:
+    """Precision / recall / F1 at each threshold, from exact confusion
+    counts.  The fact table is scanned once: the tiny threshold list is
+    cross-joined (broadcast), so each row lands in every threshold's
+    confusion tally within one map-side-combined aggregate.
+
+    ``F1 = 2*TP / (2*TP + FP + FN)`` — the integer form, no intermediate
+    precision/recall doubles.
+    """
+    spark = df.sparkSession
+    th = F.broadcast(
+        spark.createDataFrame([(float(x),) for x in thresholds], "threshold double")
+    )
+    pred = score >= F.col("threshold")
+    return (
+        df.crossJoin(th)
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(pred & label, 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(pred & ~label, 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(~pred & label, 1).otherwise(0)).alias("fn"),
+            F.sum(F.when(~pred & ~label, 1).otherwise(0)).alias("tn"),
+        )
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            _ratio6(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+            _ratio6(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall"),
+            _ratio6(2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")).alias(
+                "f1"
+            ),
+        )
+        .orderBy("threshold")
+    )
+
+
+def cohens_kappa(df: DataFrame, rater_a: Column, rater_b: Column) -> DataFrame:
+    """Cohen's kappa between two categorical raters.
+
+    ``kappa = (n*agree - sum_k nA_k*nB_k) / (n*n - sum_k nA_k*nB_k)`` —
+    the all-integer form of ``(po-pe)/(1-pe)``, so the single DECIMAL
+    division at the end is exact.  One aggregate over the pair table plus
+    two tiny class-marginal aggregates (joined on the class label —
+    both sides are |classes| rows, broadcast)."""
+    pairs = df.select(rater_a.alias("a"), rater_b.alias("b"))
+    totals = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias("agree"),
+    )
+    ma = pairs.groupBy(F.col("a").alias("cls")).agg(F.count(F.lit(1)).alias("na"))
+    mb = pairs.groupBy(F.col("b").alias("cls")).agg(F.count(F.lit(1)).alias("nb"))
+    chance = (
+        ma.join(F.broadcast(mb), "cls")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("sum_ab"))
+    )
+    return totals.crossJoin(F.broadcast(chance)).select(
+        "n",
+        "agree",
+        "sum_ab",
+        _ratio6(
+            F.col("n") * F.col("agree") - F.col("sum_ab"),
+            F.col("n") * F.col("n") - F.col("sum_ab"),
+        ).alias("kappa"),
+    )
+
+
+def _tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens — the corpus-wide convention
+    (textstats.tokens + lower), mirrored by DuckDB
+    ``list_transform(list_filter(string_split(trim(text),' '),..), lower)``."""
+    return F.transform(
+        F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != ""),
+        lambda t: F.lower(t),
+    )
+
+
+def nb_train(
+    docs: DataFrame,
+    text: Column,
+    cls: Column,
+    vocab_size: int = 256,
+    alpha: int = 1,
+) -> DataFrame:
+    """Multinomial Naive Bayes training: per-(class, token) Laplace
+    log-likelihoods over a document-frequency-capped vocabulary.
+
+    Returns the dense ``n_classes x vocab_size`` grid
+    ``(cls, token, cnt, loglik)`` with
+    ``loglik = round(ln((cnt + alpha) / (class_tokens + alpha*V)), 6)``.
+    The grid is dense (zero-count cells included) so prediction can join
+    on token alone and every class receives a term for every in-vocab
+    token — the standard NB smoothing contract.
+
+    Shuffle shape: one groupBy on (cls, token) for counts, one tiny
+    groupBy for the vocabulary (top-``vocab_size`` by corpus token count,
+    token-lexicographic tie-break), one for class totals; everything
+    after the counts is broadcast-sized.
+    """
+    tok = docs.select(cls.alias("cls"), F.explode(_tokens(text)).alias("token"))
+    counts = tok.groupBy("cls", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    corpus = counts.groupBy("token").agg(F.sum("cnt").alias("tf"))
+    wv = Window.orderBy(F.desc("tf"), F.asc("token"))
+    vocab = (
+        corpus.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= vocab_size)
+        .select("token")
+    )
+    in_vocab = counts.join(F.broadcast(vocab), "token")
+    class_totals = in_vocab.groupBy("cls").agg(F.sum("cnt").alias("class_tokens"))
+    v = F.lit(vocab_size)
+    grid = (
+        class_totals.crossJoin(F.broadcast(vocab))
+        .join(in_vocab, ["cls", "token"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+    return grid.select(
+        "cls",
+        "token",
+        "cnt",
+        F.round(
+            F.log(
+                (F.col("cnt") + alpha).cast("double")
+                / (F.col("class_tokens") + alpha * v).cast("double")
+            ),
+            6,
+        ).alias("loglik"),
+    )
+
+
+def nb_predict(docs: DataFrame, doc_id: Column, text: Column, model: DataFrame) -> DataFrame:
+    """Score documents with an ``nb_train`` model: argmax over classes of
+    ``prior_log + sum(loglik over in-vocab tokens)``.
+
+    OOV tokens are dropped (they contribute the same smoothed mass to
+    every class only if modeled; the standard multinomial-NB choice is to
+    ignore them, which keeps the join inner and the scan map-side).  Each
+    6dp loglik term is summed as DECIMAL, so the per-document score —
+    and therefore the argmax — is partition-invariant; ties break on the
+    class label.  Returns ``(doc_id, pred_cls, n_terms, score)``.
+
+    The model (classes x vocab rows) and the prior table are broadcast;
+    the only shuffle is the (doc_id, cls) aggregation.
+    """
+    # priors from the model's class-total counts: P(cls) ∝ class token mass.
+    class_mass = model.groupBy("cls").agg(F.sum("cnt").alias("mass"))
+    total = class_mass.agg(F.sum("mass").alias("tot"))
+    priors = class_mass.crossJoin(total).select(
+        "cls",
+        F.round(F.log(F.col("mass").cast("double") / F.col("tot").cast("double")), 6)
+        .cast(_DEC)
+        .alias("prior"),
+    )
+    tok = docs.select(doc_id.alias("doc_id"), F.explode(_tokens(text)).alias("token"))
+    scored = (
+        tok.join(F.broadcast(model.select("token", "cls", "loglik")), "token")
+        .groupBy("doc_id", "cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.col("loglik").cast(_DEC)).alias("ll_sum"),
+        )
+        .join(F.broadcast(priors), "cls")
+        .withColumn("score", F.col("prior") + F.col("ll_sum"))
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("cls").alias("pred_cls"),
+            "n_terms",
+            F.round(F.col("score"), 6).cast("double").alias("score"),
+        )
+    )

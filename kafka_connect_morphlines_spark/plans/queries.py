@@ -6018,3 +6018,258 @@ def embedding_pca_whiten(spark, sf_dir):
             "|", F.transform(F.col("embedding_pca"), lambda x: F.format_number(x, 6))
         ).alias("pca_str"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Evaluation-metrics family (functions/evalmetrics.py): the measurement half
+# of a training-data pipeline — grade quality/lang predictions against
+# labels with exact-integer arithmetic so every ratio is engine-portable.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "roc_auc_purchase",
+    """
+    WITH s AS (
+      SELECT CAST(floor(value) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    ps AS (
+      SELECT s, CAST(sum(y) AS BIGINT) AS np_s, CAST(sum(1 - y) AS BIGINT) AS nn_s
+      FROM s GROUP BY s
+    ),
+    r AS (
+      SELECT s, np_s, nn_s,
+             CAST(coalesce(sum(np_s + nn_s) OVER (
+               ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+      FROM ps
+    )
+    SELECT CAST(sum(np_s) AS BIGINT) AS n_pos, CAST(sum(nn_s) AS BIGINT) AS n_neg,
+           round(CAST(sum(np_s * (2 * before + np_s + nn_s + 1))
+                      - sum(np_s) * (sum(np_s) + 1) AS DOUBLE)
+                 / CAST(2 * sum(np_s) * sum(nn_s) AS DOUBLE), 6) AS auc
+    FROM r
+    """,
+)
+def roc_auc_purchase(spark, sf_dir):
+    """Distributed ROC-AUC (evalmetrics.binary_rank_auc): does event value
+    predict a purchase?  Mann-Whitney rank form with exact average-rank tie
+    handling on 2x-scaled integers.  The score is quantized (floor) so the
+    cumulative pass runs over distinct score values only — two codegen
+    aggregations + one bounded window, no all-pairs anything."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    ev = t(spark, sf_dir, "events")
+    return evalmetrics.binary_rank_auc(
+        ev, F.floor(F.col("value")).cast("long"), F.col("event_type") == "purchase"
+    )
+
+
+@query(
+    "calibration_bins_purchase",
+    """
+    WITH s AS (
+      SELECT CAST(floor(value) AS BIGINT) / 500.0 AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    b AS (
+      SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(score AS DECIMAL(38,12))) AS ssum,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM s GROUP BY 1
+    )
+    SELECT bin, n,
+           round(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_score,
+           round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate
+    FROM b ORDER BY bin
+    """,
+)
+def calibration_bins_purchase(spark, sf_dir):
+    """Reliability diagram (evalmetrics.calibration_table): equal-width
+    bins of a [0,1] score vs exact positive rate — one codegen aggregate
+    (map-side combined), DECIMAL score accumulation so the bin means are
+    partition-invariant."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    ev = t(spark, sf_dir, "events")
+    score = F.floor(F.col("value")).cast("long") / F.lit(500.0)
+    return evalmetrics.calibration_table(
+        ev, score, F.col("event_type") == "purchase", bins=10
+    )
+
+
+@query(
+    "pr_threshold_metrics",
+    """
+    WITH th AS (SELECT CAST(v AS DOUBLE) AS threshold
+                FROM (VALUES (50.0), (100.0), (200.0), (300.0), (400.0)) t(v)),
+    c AS (
+      SELECT threshold,
+             CAST(sum(CASE WHEN value >= threshold AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN value >= threshold AND event_type != 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN value < threshold AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN value < threshold AND event_type != 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM events CROSS JOIN th GROUP BY threshold
+    )
+    SELECT threshold, tp, fp, fn, tn,
+           round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+           round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
+           round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+    FROM c ORDER BY threshold
+    """,
+)
+def pr_threshold_metrics(spark, sf_dir):
+    """PR curve at fixed thresholds (evalmetrics.threshold_metrics): exact
+    confusion counts per threshold from ONE scan — the 5-row threshold
+    table is broadcast-cross-joined, F1 in its all-integer
+    2TP/(2TP+FP+FN) form."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    ev = t(spark, sf_dir, "events")
+    return evalmetrics.threshold_metrics(
+        ev,
+        F.col("value"),
+        F.col("event_type") == "purchase",
+        [50.0, 100.0, 200.0, 300.0, 400.0],
+    )
+
+
+def _kappa_oracle_sql() -> str:
+    """Cohen's kappa between ground-truth lang and the lang-id heuristic,
+    reusing the generated lang_id oracle as the second rater so the two
+    certification paths cannot drift."""
+    pred = lang_id_oracle_sql()
+    return f"""
+    WITH pred AS ({pred}),
+    pairs AS (
+      SELECT d.lang AS a, p.lang_pred AS b
+      FROM documents d JOIN pred p USING (doc_id)
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+      FROM pairs
+    ),
+    ma AS (SELECT a AS cls, CAST(count(*) AS BIGINT) AS na FROM pairs GROUP BY a),
+    mb AS (SELECT b AS cls, CAST(count(*) AS BIGINT) AS nb FROM pairs GROUP BY b),
+    ch AS (SELECT CAST(sum(na * nb) AS BIGINT) AS sum_ab FROM ma JOIN mb USING (cls))
+    SELECT n, agree, sum_ab,
+           round(CAST(n * agree - sum_ab AS DOUBLE)
+                 / CAST(n * n - sum_ab AS DOUBLE), 6) AS kappa
+    FROM tot CROSS JOIN ch
+    """
+
+
+@query("cohens_kappa_langid", None)  # oracle attached below (shares lang_id SQL)
+def cohens_kappa_langid(spark, sf_dir):
+    """Inter-rater agreement (evalmetrics.cohens_kappa): ground-truth lang
+    vs the marker-token lang-id heuristic, in the all-integer
+    (n*agree - sum_ab)/(n*n - sum_ab) form.  One aggregate over the pair
+    table + two |classes|-row marginals joined broadcast."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("lang").alias("a"), textstats.lang_id(F.col("text")).alias("b")
+    )
+    return evalmetrics.cohens_kappa(pairs, F.col("a"), F.col("b"))
+
+
+QUERIES["cohens_kappa_langid"] = QuerySpec(
+    build=cohens_kappa_langid, oracle=_kappa_oracle_sql()
+)
+
+_NB_TOKENS_DUCK = (
+    "unnest(list_transform(list_filter(string_split(trim(text), ' '), "
+    "x -> x != ''), x -> lower(x))) AS u(t)"
+)
+
+_NB_MODEL_CTE = f"""
+    tok AS (
+      SELECT lang AS cls, u.t AS token FROM documents, {_NB_TOKENS_DUCK}
+    ),
+    counts AS (SELECT cls, token, CAST(count(*) AS BIGINT) AS cnt
+               FROM tok GROUP BY cls, token),
+    corpus AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS tf FROM counts GROUP BY token),
+    vocab AS (SELECT token FROM corpus ORDER BY tf DESC, token ASC LIMIT 64),
+    iv AS (SELECT c.cls, c.token, c.cnt FROM counts c JOIN vocab v USING (token)),
+    ct AS (SELECT cls, CAST(sum(cnt) AS BIGINT) AS class_tokens FROM iv GROUP BY cls),
+    model AS (
+      SELECT ct.cls, v.token, CAST(coalesce(iv.cnt, 0) AS BIGINT) AS cnt,
+             round(ln(CAST(coalesce(iv.cnt, 0) + 1 AS DOUBLE)
+                      / CAST(ct.class_tokens + 64 AS DOUBLE)), 6) AS loglik
+      FROM ct CROSS JOIN vocab v
+      LEFT JOIN iv ON iv.cls = ct.cls AND iv.token = v.token
+    )
+"""
+
+
+@query(
+    "nb_train_lang",
+    f"""
+    WITH {_NB_MODEL_CTE}
+    SELECT cls, token, cnt, loglik FROM model ORDER BY cls, token
+    """,
+)
+def nb_train_lang(spark, sf_dir):
+    """Multinomial Naive Bayes training (evalmetrics.nb_train): language
+    model over a 64-token document-frequency-capped vocabulary, Laplace
+    6dp log-likelihoods.  One (cls, token) count shuffle; the emitted
+    n_classes x vocab grid is broadcast-sized at any corpus scale."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    docs = t(spark, sf_dir, "documents")
+    model = evalmetrics.nb_train(
+        docs, F.col("text"), F.col("lang"), vocab_size=64, alpha=1
+    )
+    return model.orderBy("cls", "token")
+
+
+@query(
+    "nb_predict_lang",
+    f"""
+    WITH {_NB_MODEL_CTE},
+    mass AS (SELECT cls, CAST(sum(cnt) AS BIGINT) AS m FROM model GROUP BY cls),
+    tot AS (SELECT CAST(sum(m) AS BIGINT) AS tot FROM mass),
+    priors AS (
+      SELECT cls, CAST(round(ln(CAST(m AS DOUBLE) / CAST(tot AS DOUBLE)), 6)
+                       AS DECIMAL(38,12)) AS prior
+      FROM mass CROSS JOIN tot
+    ),
+    dtok AS (
+      SELECT doc_id, u.t AS token FROM documents, {_NB_TOKENS_DUCK}
+    ),
+    sc AS (
+      SELECT d.doc_id, g.cls, CAST(count(*) AS BIGINT) AS n_terms,
+             sum(CAST(g.loglik AS DECIMAL(38,12))) AS ll_sum
+      FROM dtok d JOIN model g USING (token)
+      GROUP BY d.doc_id, g.cls
+    ),
+    scored AS (
+      SELECT sc.doc_id, sc.cls, sc.n_terms, p.prior + sc.ll_sum AS score,
+             row_number() OVER (PARTITION BY sc.doc_id
+                                ORDER BY (p.prior + sc.ll_sum) DESC, sc.cls ASC) AS rk
+      FROM sc JOIN priors p USING (cls)
+    )
+    SELECT doc_id, cls AS pred_cls, n_terms,
+           CAST(round(score, 6) AS DOUBLE) AS score
+    FROM scored WHERE rk = 1 ORDER BY doc_id
+    """,
+)
+def nb_predict_lang(spark, sf_dir):
+    """NB prediction (evalmetrics.nb_predict with the self-trained model):
+    per-document argmax of prior + in-vocab log-likelihood sum.  Each 6dp
+    term accumulates as DECIMAL, so the argmax is partition-invariant;
+    model + priors broadcast, one (doc, cls) shuffle."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    docs = t(spark, sf_dir, "documents")
+    model = evalmetrics.nb_train(
+        docs, F.col("text"), F.col("lang"), vocab_size=64, alpha=1
+    )
+    return evalmetrics.nb_predict(docs, F.col("doc_id"), F.col("text"), model).orderBy(
+        "doc_id"
+    )
