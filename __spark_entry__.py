@@ -82,6 +82,7 @@ _ROUND4_PREFIX = [
     "unigram_lm_vocab", "unigram_lm_encode_sample", "embedding_pca_whiten",
     "roc_auc_purchase", "calibration_bins_purchase", "pr_threshold_metrics",
     "cohens_kappa_langid", "nb_train_lang", "nb_predict_lang",
+    "pmi_type_value", "er_golden_record", "mmr_diverse_topk",
 ]
 _ROUND4_RANK = {name: i for i, name in enumerate(_ROUND4_PREFIX)}
 

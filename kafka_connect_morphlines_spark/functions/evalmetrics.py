@@ -43,6 +43,7 @@ __all__ = [
     "cohens_kappa",
     "nb_train",
     "nb_predict",
+    "pmi_table",
 ]
 
 _DEC = "decimal(38,12)"
@@ -301,4 +302,42 @@ def nb_predict(docs: DataFrame, doc_id: Column, text: Column, model: DataFrame) 
             "n_terms",
             F.round(F.col("score"), 6).cast("double").alias("score"),
         )
+    )
+
+
+def pmi_table(df: DataFrame, x: Column, y: Column) -> DataFrame:
+    """Pointwise mutual information between two categorical columns:
+    ``(x, y, n_xy, pmi, mi_nats)`` per observed cell, where
+    ``pmi = ln(N*n_xy / (n_x*n_y))`` and ``mi_nats`` is the cell's
+    contribution ``(n_xy/N) * pmi`` to total mutual information (6dp /
+    9dp).  Summing ``mi_nats`` gives I(X;Y); emitting per-cell terms keeps
+    the output free of order-dependent floating-point accumulation.
+
+    One cell aggregate + two marginal aggregates joined broadcast (both
+    are |domain|-sized) + the 1-row total cross-joined: every shuffle is
+    on the tiny cell table, the corpus is scanned once."""
+    cells = df.groupBy(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    tot = cells.agg(F.sum("n_xy").alias("n"))
+    mx = cells.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    pmi = F.log(
+        (F.col("n").cast("double") * F.col("n_xy").cast("double"))
+        / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+    )
+    return (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            F.round(pmi, 6).alias("pmi"),
+            F.round((F.col("n_xy").cast("double") / F.col("n").cast("double")) * pmi, 9).alias(
+                "mi_nats"
+            ),
+        )
+        .orderBy("x", "y")
     )

@@ -432,3 +432,72 @@ def pca_whiten(
         return pd.Series(list(np.round(y, 6)))
 
     return df.withColumn(out_col, project(F.col(vec_col)))
+
+
+def mmr_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    lam: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): greedily pick ``k`` results trading off relevance to the
+    query against redundancy with already-picked results —
+    ``argmax lam*cos(q,d) - (1-lam)*max_{s in S} cos(d,s)``.
+
+    Distributed shape: the *corpus-sized* work is one map-only cosine scan
+    + a TakeOrdered shortlist (``shortlist`` rows, a constant); the
+    inherently-sequential greedy loop then runs on the driver over that
+    bounded shortlist with numpy — the standard two-stage
+    retrieve-then-rerank split, so 100 TB only ever pays the scan.
+    Deterministic: 6dp-rounded scores with id tie-breaks at both stages.
+
+    Returns (rank, vec_id, relevance, mmr_score) for the k picks,
+    rank 1-based in pick order.
+    """
+    import numpy as np
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    short = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("relevance"),
+        )
+        .orderBy(F.col("relevance").desc(), F.col(id_col).asc())
+        .limit(shortlist)
+        .collect()
+    )
+    if not short:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "rank int, vec_id long, relevance double, mmr_score double"
+        )
+    ids = [r[id_col] for r in short]
+    rel = np.array([r["relevance"] for r in short])
+    vecs = np.array([list(r[vec_col]) for r in short], dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = vecs / norms[:, None]
+    sims = np.round(unit @ unit.T, 6)  # shortlist x shortlist, bounded
+    picked: list[int] = []
+    out = []
+    cand = set(range(len(ids)))
+    for rank in range(1, min(k, len(ids)) + 1):
+        best_i, best_score = None, None
+        for i in sorted(cand):
+            redundancy = max((sims[i][j] for j in picked), default=0.0)
+            score = round(lam * rel[i] - (1.0 - lam) * redundancy, 6)
+            if best_score is None or score > best_score:
+                best_i, best_score = i, score
+        picked.append(best_i)
+        cand.remove(best_i)
+        out.append((rank, ids[best_i], float(rel[best_i]), float(best_score)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "rank int, vec_id long, relevance double, mmr_score double"
+    )

@@ -6273,3 +6273,128 @@ def nb_predict_lang(spark, sf_dir):
     return evalmetrics.nb_predict(docs, F.col("doc_id"), F.col("text"), model).orderBy(
         "doc_id"
     )
+
+
+@query(
+    "pmi_type_value",
+    """
+    WITH cells AS (
+      SELECT event_type AS x, CAST(least(floor(value / 50), 9) AS INTEGER) AS y,
+             CAST(count(*) AS BIGINT) AS n_xy
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells),
+    mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY x),
+    my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY y)
+    SELECT c.x, c.y, c.n_xy,
+           round(ln((CAST(n AS DOUBLE) * CAST(n_xy AS DOUBLE))
+                    / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6) AS pmi,
+           round((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln((CAST(n AS DOUBLE) * CAST(n_xy AS DOUBLE))
+                      / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 9) AS mi_nats
+    FROM cells c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    ORDER BY x, y
+    """,
+)
+def pmi_type_value(spark, sf_dir):
+    """Pointwise mutual information (evalmetrics.pmi_table): which event
+    types concentrate in which value bands?  Per-cell PMI + MI
+    contribution — emitting per-cell terms instead of one scalar avoids
+    order-dependent float summation entirely.  One cell aggregate + two
+    broadcast marginals; the corpus is scanned once."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    ev = t(spark, sf_dir, "events")
+    return evalmetrics.pmi_table(
+        ev,
+        F.col("event_type"),
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int"),
+    )
+
+
+@query(
+    "er_golden_record",
+    """
+    WITH RECURSIVE n AS (SELECT DISTINCT lower(trim(p_name)) AS name FROM part),
+    ids AS (SELECT name, CAST('0x' || substr(md5(name), 1, 15) AS BIGINT) AS nid FROM n),
+    e AS (
+      SELECT a.nid AS s, b.nid AS d
+      FROM ids a JOIN ids b ON a.name < b.name
+      WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9
+    ),
+    sym AS (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),
+    reach(id, m) AS (
+      SELECT nid, nid FROM ids
+      UNION
+      SELECT r.id, sym.d FROM reach r JOIN sym ON sym.s = r.m
+    ),
+    cc AS (SELECT id AS nid, min(m) AS cid FROM reach GROUP BY id),
+    named AS (
+      SELECT i.name, ci.name AS canonical
+      FROM cc JOIN ids i ON i.nid = cc.nid JOIN ids ci ON ci.nid = cc.cid
+    ),
+    sz AS (SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM named GROUP BY canonical)
+    SELECT named.name, named.canonical, sz.cluster_size
+    FROM named JOIN sz USING (canonical)
+    ORDER BY name
+    """,
+)
+def er_golden_record(spark, sf_dir):
+    """Entity-resolution golden record: fuzzy linkage -> transitive
+    clustering -> survivorship, the full ER pipeline in three certified
+    stages.  Jaro-Winkler >= 0.9 pairs via q-gram blocking
+    (relational.jaro_winkler_join), connected components by min-label
+    propagation (traindata.connected_components — numeric node ids from
+    the corpus' 60-bit md5-prefix idiom, since min-label needs an
+    orderable/summable id; the canonical name is the name whose id is the
+    component label), cluster sizes from one groupBy.  The oracle is
+    exact all-pairs JW + a recursive reachability CTE, so it certifies
+    blocking recall AND the clustering fixpoint."""
+    from kafka_connect_morphlines_spark.functions import relational, traindata
+
+    names = (
+        t(spark, sf_dir, "part")
+        .select(F.lower(F.trim(F.col("p_name"))).alias("name"))
+        .distinct()
+    )
+    nodes = names.withColumn(
+        "nid", F.conv(F.substring(F.md5(F.col("name")), 1, 15), 16, 10).cast("long")
+    )
+    pairs = relational.jaro_winkler_join(
+        nodes, nodes, "name", "name", "nid", "nid", threshold=0.9, q=2
+    ).filter(F.col("l_id") < F.col("r_id"))
+    cc = traindata.connected_components(
+        pairs, nodes, src="l_id", dst="r_id", id_col="nid"
+    )
+    named = (
+        cc.join(F.broadcast(nodes), "nid")
+        .join(
+            F.broadcast(nodes.select(F.col("nid").alias("component"),
+                                     F.col("name").alias("canonical"))),
+            "component",
+        )
+        .select("name", "canonical")
+    )
+    sizes = named.groupBy("canonical").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        named.join(F.broadcast(sizes), "canonical")
+        .select("name", "canonical", "cluster_size")
+        .orderBy("name")
+    )
+
+
+@query("mmr_diverse_topk", None)
+def mmr_diverse_topk(spark, sf_dir):
+    """MMR diverse retrieval (similarity.mmr_topk): top-10 by relevance to
+    a fixed probe vector, re-ranked greedily for diversity (lambda=0.5)
+    over a 50-row shortlist.  The corpus pays one map-only cosine scan +
+    a TakeOrdered; the sequential greedy runs driver-side on the bounded
+    shortlist — retrieve-then-rerank.  Greedy selection is not
+    SQL-expressible; rows-only + golden, pytest pins parity with a pure-
+    Python reference."""
+    from kafka_connect_morphlines_spark.functions import similarity as sim
+
+    emb = t(spark, sf_dir, "embeddings")
+    probe = [1.0 if i % 8 == 0 else 0.0 for i in range(64)]
+    return sim.mmr_topk(emb, probe, k=10, shortlist=50, lam=0.5)

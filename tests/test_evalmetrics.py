@@ -129,3 +129,23 @@ def test_nb_predict_oov_dropped(spark):
     # a doc of only-OOV tokens joins nothing -> absent from output
     test = _df(spark, [(9, "zz qq")], "doc_id long, text string")
     assert evalmetrics.nb_predict(test, F.col("doc_id"), F.col("text"), model).count() == 0
+
+
+def test_pmi_independent_is_zero(spark):
+    # x and y independent and uniform -> every cell PMI = 0.
+    rows = [(a, b) for a in ("p", "q") for b in (0, 1) for _ in range(5)]
+    df = _df(spark, rows, "x string, y int")
+    out = evalmetrics.pmi_table(df, F.col("x"), F.col("y")).collect()
+    assert len(out) == 4
+    assert all(r.pmi == 0.0 and r.mi_nats == 0.0 for r in out)
+
+
+def test_pmi_perfect_association(spark):
+    # x determines y: p->0, q->1, 4 rows each. PMI = ln(N*n_xy/(n_x*n_y)) = ln(2).
+    rows = [("p", 0)] * 4 + [("q", 1)] * 4
+    df = _df(spark, rows, "x string, y int")
+    out = {(r.x, r.y): r for r in evalmetrics.pmi_table(df, F.col("x"), F.col("y")).collect()}
+    assert len(out) == 2
+    assert out[("p", 0)].pmi == round(math.log(2), 6)
+    # total MI = sum of contributions = ln(2) (1 bit)
+    assert round(sum(r.mi_nats for r in out.values()), 6) == round(math.log(2), 6)
