@@ -83,6 +83,7 @@ _ROUND4_PREFIX = [
     "roc_auc_purchase", "calibration_bins_purchase", "pr_threshold_metrics",
     "cohens_kappa_langid", "nb_train_lang", "nb_predict_lang",
     "pmi_type_value", "er_golden_record", "mmr_diverse_topk",
+    "robust_outliers_by_type", "touch_attribution_channels",
 ]
 _ROUND4_RANK = {name: i for i, name in enumerate(_ROUND4_PREFIX)}
 

@@ -250,3 +250,62 @@ def ab_test_zscores(
         F.floor(pb * 1000000 + F.lit(0.5)).cast("long").alias("rate_b_ppm"),
         F.floor(z * 10000 + F.lit(0.5)).cast("long").alias("z_x10k"),
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    lookback_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-touch / last-touch revenue attribution: each conversion's
+    value is credited to the user's earliest (first-touch) and latest
+    (last-touch) non-conversion event inside the lookback window.
+
+    Distributed shape: NO purchases-x-events self-join — one user-keyed
+    window pass computes, per row, the min/max (ts, id, type) struct over
+    the preceding-lookback range frame (microsecond epoch so the frame
+    boundary is exact), then two channel aggregates + a full outer join on
+    the |channels|-sized result.  The corpus shuffles once on user_id.
+    Struct min/max gives a total (ts, id) order, so ties are
+    deterministic.  Conversions with no prior touch are dropped (no
+    channel to credit), matching the oracle's inner join.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    touch = F.when(
+        F.col(type_col) != conversion_type,
+        F.struct(us.alias("us"), F.col(id_col).alias("id"), F.col(type_col).alias("ch")),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(us)
+        .rangeBetween(-lookback_days * 86_400_000_000, -1)
+    )
+    conv = (
+        events.withColumn("_first", F.min(touch).over(w))
+        .withColumn("_last", F.max(touch).over(w))
+        .filter(F.col(type_col) == conversion_type)
+    )
+    dec_rev = F.round(F.sum(F.col(value_col).cast("decimal(23,6)")), 2).cast("double")
+    ft = (
+        conv.filter(F.col("_first").isNotNull())
+        .groupBy(F.col("_first.ch").alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_first"), dec_rev.alias("first_touch_rev"))
+    )
+    lt = (
+        conv.filter(F.col("_last").isNotNull())
+        .groupBy(F.col("_last.ch").alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_last"), dec_rev.alias("last_touch_rev"))
+    )
+    return (
+        ft.join(lt, "channel", "full_outer")
+        .fillna(0, ["n_first", "n_last"])
+        .fillna(0.0, ["first_touch_rev", "last_touch_rev"])
+        .select("channel", "n_first", "first_touch_rev", "n_last", "last_touch_rev")
+    )

@@ -287,3 +287,63 @@ def psi_drift(
     pn = F.greatest(F.col("c_new") / F.col("_tn"), F.lit(eps))
     term = (pn - po) * F.log(pn / po)
     return j2.groupBy(*gb).agg(F.round(F.sum(term), 6).alias("psi"))
+
+
+def robust_outlier_stats(
+    df: DataFrame, group_col: str, value_col: str, z: float = 3.5
+) -> DataFrame:
+    """Per-group robust outlier summary via the modified z-score (Iglewicz
+    & Hoaglin): median, MAD (median absolute deviation), and how many rows
+    exceed ``0.6745*|x - med| > z * mad`` — the outlier test that, unlike
+    mean/stddev z-scores, is not itself dragged by the outliers.
+
+    Three group-keyed passes (median -> MAD -> flag count), every shuffle
+    on the same group key so AQE coalesces them; no driver collect.  The
+    MAD is computed against the *unrounded* median, then both med and mad
+    are 6dp-rounded before the flag comparison so the count is
+    engine-portable (interpolated percentiles agree to well past 6dp, and
+    the comparison then runs on identical inputs).  Groups with mad = 0
+    (over half the values identical) report 0 outliers rather than
+    dividing by zero — the standard MAD caveat.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    med = df.groupBy(g.alias("g")).agg(F.percentile(v, F.lit(0.5)).alias("_med"))
+    j = df.select(g.alias("g"), v.alias("v")).join(med, "g")
+    mad = j.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.first("_med"), 6).alias("median"),
+        F.round(F.percentile(F.abs(F.col("v") - F.col("_med")), F.lit(0.5)), 6).alias(
+            "mad"
+        ),
+    )
+    flagged = (
+        df.select(g.alias("g"), v.alias("v"))
+        .join(mad, "g")
+        .groupBy("g")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("median").alias("median"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (
+                        F.lit(0.6745) * F.abs(F.col("v") - F.col("median"))
+                        > F.lit(z) * F.col("mad")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+    return flagged.select(
+        F.col("g").alias(group_col),
+        "n",
+        "median",
+        "mad",
+        "n_outliers",
+        F.round(
+            F.try_divide(F.col("n_outliers").cast("double"), F.col("n").cast("double")),
+            6,
+        ).alias("outlier_rate"),
+    )

@@ -6398,3 +6398,88 @@ def mmr_diverse_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     probe = [1.0 if i % 8 == 0 else 0.0 for i in range(64)]
     return sim.mmr_topk(emb, probe, k=10, shortlist=50, lam=0.5)
+
+
+@query(
+    "robust_outliers_by_type",
+    """
+    WITH med AS (
+      SELECT event_type AS g, quantile_cont(value, 0.5) AS _med
+      FROM events GROUP BY 1
+    ),
+    j AS (SELECT e.event_type AS g, e.value AS v, m._med
+          FROM events e JOIN med m ON m.g = e.event_type),
+    mad AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n, round(any_value(_med), 6) AS median,
+             round(quantile_cont(abs(v - _med), 0.5), 6) AS mad
+      FROM j GROUP BY g
+    ),
+    f AS (
+      SELECT e.event_type AS g, mad.n, mad.median, mad.mad,
+             CAST(sum(CASE WHEN mad.mad > 0
+                            AND 0.6745 * abs(e.value - mad.median) > 3.5 * mad.mad
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM events e JOIN mad ON mad.g = e.event_type
+      GROUP BY e.event_type, mad.n, mad.median, mad.mad
+    )
+    SELECT g AS event_type, n, median, mad, n_outliers,
+           round(CAST(n_outliers AS DOUBLE) / CAST(n AS DOUBLE), 6) AS outlier_rate
+    FROM f ORDER BY event_type
+    """,
+)
+def robust_outliers_by_type(spark, sf_dir):
+    """Robust anomaly summary (validation.robust_outlier_stats): per-type
+    median, MAD, and modified z-score (Iglewicz-Hoaglin 0.6745|x-med|/MAD
+    > 3.5) outlier counts — the outlier test the outliers can't drag.
+    Three same-key grouped passes (median -> MAD -> flag), AQE-coalesced;
+    med/mad are 6dp-rounded before flagging so the count is
+    engine-portable."""
+    from kafka_connect_morphlines_spark.functions import validation
+
+    ev = t(spark, sf_dir, "events")
+    return validation.robust_outlier_stats(ev, "event_type", "value", z=3.5).orderBy(
+        "event_type"
+    )
+
+
+@query(
+    "touch_attribution_channels",
+    """
+    WITH p AS (SELECT event_id AS pid, user_id, ts AS pts, value
+               FROM events WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT p.pid, p.value, e.event_type AS ch,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY e.ts ASC, e.event_id ASC) AS rf,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rl
+      FROM p JOIN events e
+        ON e.user_id = p.user_id AND e.event_type != 'purchase'
+       AND e.ts < p.pts AND e.ts >= p.pts - INTERVAL 7 DAY
+    ),
+    ft AS (SELECT ch AS channel, CAST(count(*) AS BIGINT) AS n_first,
+                  CAST(round(sum(CAST(value AS DECIMAL(23,6))), 2) AS DOUBLE) AS first_touch_rev
+           FROM cand WHERE rf = 1 GROUP BY ch),
+    lt AS (SELECT ch AS channel, CAST(count(*) AS BIGINT) AS n_last,
+                  CAST(round(sum(CAST(value AS DECIMAL(23,6))), 2) AS DOUBLE) AS last_touch_rev
+           FROM cand WHERE rl = 1 GROUP BY ch)
+    SELECT coalesce(ft.channel, lt.channel) AS channel,
+           coalesce(n_first, 0) AS n_first,
+           coalesce(first_touch_rev, 0.0) AS first_touch_rev,
+           coalesce(n_last, 0) AS n_last,
+           coalesce(last_touch_rev, 0.0) AS last_touch_rev
+    FROM ft FULL OUTER JOIN lt ON ft.channel = lt.channel
+    ORDER BY channel
+    """,
+)
+def touch_attribution_channels(spark, sf_dir):
+    """Marketing attribution (funnel.touch_attribution): each purchase's
+    value credited to the user's first and last non-purchase event in the
+    7-day lookback.  NO purchases-x-events self-join: one user-keyed
+    window computes min/max (ts,id,channel) structs over a
+    microsecond-exact range frame, then two channel aggregates; the
+    oracle IS the self-join formulation, certifying the window rewrite."""
+    from kafka_connect_morphlines_spark.functions import funnel
+
+    ev = t(spark, sf_dir, "events")
+    return funnel.touch_attribution(ev, "purchase", lookback_days=7).orderBy("channel")

@@ -149,3 +149,17 @@ def test_pmi_perfect_association(spark):
     assert out[("p", 0)].pmi == round(math.log(2), 6)
     # total MI = sum of contributions = ln(2) (1 bit)
     assert round(sum(r.mi_nats for r in out.values()), 6) == round(math.log(2), 6)
+
+
+def test_robust_outlier_stats(spark):
+    from kafka_connect_morphlines_spark.functions import validation
+
+    # group a: median 10, MAD 1; 100 is a screaming outlier, 11 is not.
+    rows = [("a", 9.0), ("a", 10.0), ("a", 11.0), ("a", 100.0), ("a", 10.0)]
+    # group b: constant values -> MAD 0 -> no outliers by convention
+    rows += [("b", 5.0)] * 4 + [("b", 500.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in validation.robust_outlier_stats(df, "g", "v").collect()}
+    assert out["a"].median == 10.0 and out["a"].mad == 1.0
+    assert out["a"].n_outliers == 1 and out["a"].outlier_rate == 0.2
+    assert out["b"].mad == 0.0 and out["b"].n_outliers == 0

@@ -123,3 +123,45 @@ def test_ab_test_z_sign_and_magnitude(spark):
     assert (row["rate_a_ppm"], row["rate_b_ppm"]) == (600000, 400000)
     # z = 0.2 / sqrt(0.5*0.5*(2/100)) ~= 2.8284 -> 28284 at x10k
     assert row["z_x10k"] > 25000
+
+
+def test_touch_attribution_first_last(spark):
+    from kafka_connect_morphlines_spark.functions import funnel
+
+    rows = [
+        # user 1: view(t1) -> click(t2) -> purchase(t3, $10)
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0, None),
+        (2, "2024-01-01 11:00:00", 1, "click", 0.0, None),
+        (3, "2024-01-01 12:00:00", 1, "purchase", 10.0, None),
+        # user 2: click 8 days before purchase -> outside lookback, dropped
+        (4, "2024-01-01 00:00:00", 2, "click", 0.0, None),
+        (5, "2024-01-09 00:00:01", 2, "purchase", 5.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.channel: r for r in funnel.touch_attribution(df, "purchase", 7).collect()}
+    # only user 1's purchase attributes: first=view, last=click
+    assert set(out) == {"view", "click"}
+    assert out["view"].n_first == 1 and out["view"].first_touch_rev == 10.0
+    assert out["view"].n_last == 0 and out["view"].last_touch_rev == 0.0
+    assert out["click"].n_last == 1 and out["click"].last_touch_rev == 10.0
+
+
+def test_touch_attribution_boundary_exclusive(spark):
+    from kafka_connect_morphlines_spark.functions import funnel
+
+    rows = [
+        # touch exactly AT the purchase timestamp is NOT a prior touch
+        (1, "2024-01-01 12:00:00", 1, "view", 0.0, None),
+        (2, "2024-01-01 12:00:00", 1, "purchase", 3.0, None),
+        # touch exactly lookback days earlier IS included (>= boundary)
+        (3, "2024-01-03 12:00:00", 2, "click", 0.0, None),
+        (4, "2024-01-10 12:00:00", 2, "purchase", 4.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.channel: r for r in funnel.touch_attribution(df, "purchase", 7).collect()}
+    assert set(out) == {"click"}
+    assert out["click"].n_first == 1 and out["click"].first_touch_rev == 4.0
