@@ -309,3 +309,111 @@ def touch_attribution(
         .fillna(0.0, ["first_touch_rev", "last_touch_rev"])
         .select("channel", "n_first", "first_touch_rev", "n_last", "last_touch_rev")
     )
+
+
+def km_retention(
+    events: DataFrame,
+    horizon_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kaplan-Meier retention curve over user lifetimes.
+
+    Lifetime = whole days between a user's first and last event; a user
+    has *churned* (death observed) if their last event is at least
+    ``horizon_days`` before the corpus' observation end (global max ts) —
+    otherwise they are right-censored (still alive as far as we know),
+    which plain retention curves get wrong and KM is built for:
+    ``S(t) = prod_{t_i <= t} (1 - d_i / n_i)`` over death times only.
+
+    Shape: one user-keyed aggregate (first/last ts), then everything runs
+    on the lifetime-days histogram — at most ~observation-window rows, so
+    the at-risk reverse-cumulative and survival windows are bounded
+    single-partition passes, like zipf_slope.  Hazards are exact integer
+    ratios; survival accumulates 12dp-rounded ln(1-h) terms in DECIMAL
+    (associative, partition-invariant) and exponentiates once per row.
+    Returns (t_days, n_risk, d_churned, hazard, survival).
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    per_user = events.groupBy(user_col).agg(
+        F.min(us).alias("first_us"), F.max(us).alias("last_us")
+    )
+    end = events.agg(F.max(us).alias("end_us"))
+    day_us = 86_400_000_000
+    pu = per_user.crossJoin(F.broadcast(end)).select(
+        F.floor((F.col("last_us") - F.col("first_us")) / day_us).alias("t_days"),
+        (F.col("last_us") <= F.col("end_us") - horizon_days * day_us).alias("churned"),
+    )
+    per_t = pu.groupBy("t_days").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("d_churned"),
+    )
+    w_risk = Window.orderBy("t_days").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    risky = per_t.withColumn("n_risk", F.sum("n_at").over(w_risk)).filter(
+        F.col("d_churned") > 0
+    )
+    # greatest(.., 1e-12): if the last at-risk cohort churns entirely,
+    # 1 - d/n = 0 and ln(0) = -inf cannot enter the DECIMAL accumulator;
+    # the clamp floors survival at ~0 (rounds to 0.0) instead of crashing.
+    term = F.round(
+        F.log(
+            F.greatest(
+                F.lit(1.0)
+                - F.col("d_churned").cast("double") / F.col("n_risk").cast("double"),
+                F.lit(1e-12),
+            )
+        ),
+        12,
+    )
+    w_surv = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        risky.withColumn("_term", term.cast("decimal(38,12)"))
+        .withColumn("_cum", F.sum("_term").over(w_surv))
+        .select(
+            "t_days",
+            "n_risk",
+            "d_churned",
+            F.round(
+                F.col("d_churned").cast("double") / F.col("n_risk").cast("double"), 6
+            ).alias("hazard"),
+            F.round(F.exp(F.col("_cum").cast("double")), 6).alias("survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+def decayed_engagement(
+    events: DataFrame,
+    tau_days: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponentially time-decayed engagement score per user:
+    ``sum(value * exp(-age_days / tau))`` against the corpus' observation
+    end — recent activity counts fully, stale activity fades with a
+    ``tau_days`` half-life-ish constant.  The streaming-friendly recency
+    weighting used for user/feature freshness at scale.
+
+    Map-only scoring (each term from the row + one broadcast scalar) +
+    one user-keyed aggregate; each term is 9dp-rounded then accumulated
+    in DECIMAL so the per-user sum is partition-invariant.
+    Returns (user_id, n_events, decayed_value).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    end = events.agg(F.max(us).alias("end_us"))
+    day_us = 86_400_000_000
+    age_days = (F.col("end_us") - us).cast("double") / F.lit(float(day_us))
+    term = F.round(F.col(value_col) * F.exp(-age_days / F.lit(float(tau_days))), 9)
+    return (
+        events.crossJoin(F.broadcast(end))
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(term.cast("decimal(38,12)")), 4)
+            .cast("double")
+            .alias("decayed_value"),
+        )
+    )

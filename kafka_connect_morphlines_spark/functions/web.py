@@ -115,6 +115,10 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge set (e.g. every candidate filtered upstream): the
+        # rank frame is empty too, not a divide-by-zero.
+        return nodes.select("id", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / n
     # pre-join outdeg into the edge frame ONCE so each iteration is a
     # single (edges x ranks) join + groupBy instead of two joins
@@ -197,3 +201,55 @@ def blocklist_filter(
     return with_host.join(
         blocked_ids.withColumn("blocked", F.lit(True)), id_col, "left"
     ).withColumn("blocked", F.coalesce(F.col("blocked"), F.lit(False)))
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_len: int = 4,
+    iters: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph — adjacent content words (length >=
+    ``min_len`` after lowercasing) are linked symmetrically, and the
+    stationary importance ranks keywords.
+
+    Corpus-scale shape: tokenization is a map-only posexplode; adjacency
+    comes from ONE doc-keyed window ``lead`` (no token self-join — the
+    lead's position must be pos+1, so filtered-out gaps don't create fake
+    edges); the resulting distinct edge set is vocabulary-sized, and
+    web.pagerank's deterministic-arithmetic contract (decimal contribution
+    sums, 12 dp per-round rank rounding) makes even this iterative
+    operator hash-certifiable.  Returns the global top-k (token, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col("doc_id"),
+        F.posexplode(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("pos", "token"),
+    ).select("doc_id", "pos", F.lower(F.col("token")).alias("token"))
+    kept = toks.filter(F.length("token") >= min_len)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        kept.withColumn("next_pos", F.lead("pos").over(w))
+        .withColumn("next_token", F.lead("token").over(w))
+        .filter(
+            (F.col("next_pos") == F.col("pos") + 1)
+            & (F.col("next_token") != F.col("token"))
+        )
+        .select(F.col("token").alias("a"), F.col("next_token").alias("b"))
+    )
+    edges = (
+        adj.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(adj.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    pr = pagerank(edges, iters=iters)
+    return (
+        pr.orderBy(F.col("rank").desc(), F.col("id").asc())
+        .limit(k)
+        .select(F.col("id").alias("token"), "rank")
+    )

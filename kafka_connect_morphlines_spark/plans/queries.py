@@ -6483,3 +6483,141 @@ def touch_attribution_channels(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     return funnel.touch_attribution(ev, "purchase", lookback_days=7).orderBy("channel")
+
+
+def _textrank_oracle_sql(iters: int = 3, k: int = 20) -> str:
+    """Unrolled TextRank: the same per-iteration decimal/rounding contract
+    as _pagerank_oracle_sql, over the adjacency graph of length>=4
+    lowercased tokens (lead-within-doc, so filtered gaps create no fake
+    edges)."""
+    head = """
+    WITH toks0 AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(trim(text), ' '), x -> x != '')) AS token,
+             generate_subscripts(list_filter(string_split(trim(text), ' '), x -> x != ''), 1) AS pos
+      FROM documents
+    ),
+    kept AS (SELECT doc_id, lower(token) AS token, pos
+             FROM toks0 WHERE len(lower(token)) >= 4),
+    adj0 AS (
+      SELECT token, lead(token) OVER w AS next_token,
+             pos, lead(pos) OVER w AS next_pos
+      FROM kept WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    adj AS (SELECT token AS a, next_token AS b FROM adj0
+            WHERE next_pos = pos + 1 AND next_token != token),
+    edges AS (SELECT DISTINCT src, dst FROM (
+      SELECT a AS src, b AS dst FROM adj UNION ALL SELECT b AS src, a AS dst FROM adj)),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT id, round(1.0 / (SELECT n FROM nn), 12) AS rank FROM nodes)"""
+    step = """,
+    s{i} AS (
+      SELECT e.dst AS id,
+             CAST(sum(CAST(r.rank / d.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS csum
+      FROM edges e
+      JOIN r{p} r ON e.src = r.id
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.id,
+             round(0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.csum, 0.0), 12) AS rank
+      FROM nodes n LEFT JOIN s{i} s ON n.id = s.id
+    )"""
+    body = head + "".join(step.format(i=i, p=i - 1) for i in range(1, iters + 1))
+    return body + f"""
+    SELECT id AS token, rank FROM r{iters} ORDER BY rank DESC, token ASC LIMIT {k}
+    """
+
+
+@query("textrank_keywords", _textrank_oracle_sql())
+def textrank_keywords_docs(spark, sf_dir):
+    """TextRank keyword extraction (web.textrank_keywords): PageRank over
+    the adjacent-content-word graph — keyword importance from graph
+    centrality, not just frequency.  Tokenize map-only, adjacency from one
+    doc-keyed lead window (no self-join), then the deterministic-arithmetic
+    pagerank; hash-certified against a fully unrolled 3-iteration SQL
+    oracle."""
+    from kafka_connect_morphlines_spark.functions import web
+
+    docs = t(spark, sf_dir, "documents")
+    return web.textrank_keywords(docs, "text", min_len=4, iters=3, k=20)
+
+
+@query(
+    "km_retention_curve",
+    """
+    WITH pu AS (
+      SELECT user_id, min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+      FROM events GROUP BY user_id
+    ),
+    e AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+    lt AS (
+      SELECT CAST(floor((last_us - first_us) / 86400000000.0) AS BIGINT) AS t_days,
+             (last_us <= end_us - 7 * 86400000000) AS churned
+      FROM pu CROSS JOIN e
+    ),
+    pt AS (
+      SELECT t_days, CAST(count(*) AS BIGINT) AS n_at,
+             CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d_churned
+      FROM lt GROUP BY t_days
+    ),
+    rk AS (
+      SELECT t_days, d_churned,
+             CAST(sum(n_at) OVER (ORDER BY t_days
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+      FROM pt
+    ),
+    dd AS (SELECT t_days, n_risk, d_churned FROM rk WHERE d_churned > 0),
+    sv AS (
+      SELECT t_days, n_risk, d_churned,
+             round(CAST(d_churned AS DOUBLE) / CAST(n_risk AS DOUBLE), 6) AS hazard,
+             sum(CAST(round(ln(greatest(
+                   1 - CAST(d_churned AS DOUBLE) / CAST(n_risk AS DOUBLE), 1e-12)), 12)
+                 AS DECIMAL(38,12)))
+               OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM dd
+    )
+    SELECT t_days, n_risk, d_churned, hazard,
+           round(exp(CAST(cum AS DOUBLE)), 6) AS survival
+    FROM sv ORDER BY t_days
+    """,
+)
+def km_retention_curve(spark, sf_dir):
+    """Kaplan-Meier retention (funnel.km_retention): survival over user
+    lifetimes with right-censoring (users still active at observation end
+    are NOT counted as churned — the bias plain retention curves carry).
+    One user aggregate, then bounded lifetime-histogram windows; hazards
+    are exact integer ratios, survival accumulates 12dp ln-terms in
+    DECIMAL."""
+    from kafka_connect_morphlines_spark.functions import funnel
+
+    ev = t(spark, sf_dir, "events")
+    return funnel.km_retention(ev, horizon_days=7)
+
+
+@query(
+    "decayed_engagement_users",
+    """
+    WITH e AS (SELECT max(epoch_us(ts)) AS end_us FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(round(value * exp(
+                 -(CAST(end_us - epoch_us(ts) AS DOUBLE) / 86400000000.0) / 30.0), 9)
+               AS DECIMAL(38,12))), 4) AS DOUBLE) AS decayed_value
+    FROM events CROSS JOIN e
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def decayed_engagement_users(spark, sf_dir):
+    """Time-decayed engagement (funnel.decayed_engagement): per-user
+    sum(value * exp(-age_days/30)) against observation end — recency
+    weighting for freshness-aware features.  Map-only term + one
+    user-keyed aggregate; 9dp-rounded terms accumulate in DECIMAL so the
+    sum is partition-invariant."""
+    from kafka_connect_morphlines_spark.functions import funnel
+
+    ev = t(spark, sf_dir, "events")
+    return funnel.decayed_engagement(ev, tau_days=30.0).orderBy("user_id")

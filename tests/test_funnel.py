@@ -165,3 +165,50 @@ def test_touch_attribution_boundary_exclusive(spark):
     out = {r.channel: r for r in funnel.touch_attribution(df, "purchase", 7).collect()}
     assert set(out) == {"click"}
     assert out["click"].n_first == 1 and out["click"].first_touch_rev == 4.0
+
+
+def test_km_retention_censoring(spark):
+    from kafka_connect_morphlines_spark.functions import funnel
+
+    rows = []
+    eid = 0
+    # observation end = 2024-02-01 (user 99's last event).
+    # users 1..4: lifetime 0,1,1,2 days, all ending well before end -> churned.
+    for uid, days in [(1, 0), (2, 1), (3, 1), (4, 2)]:
+        eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", uid, "view", 0.0, None))
+        eid += 1
+        rows.append((eid, f"2024-01-0{1 + days} 00:00:00", uid, "click", 0.0, None))
+    # user 99 active at the end -> censored (never a death)
+    rows.append((98, "2024-01-01 00:00:00", 99, "view", 0.0, None))
+    rows.append((99, "2024-02-01 00:00:00", 99, "view", 0.0, None))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.t_days: r for r in funnel.km_retention(df, horizon_days=7).collect()}
+    # deaths at t=0 (1), t=1 (2), t=2 (1); user 99 (t=31, censored) is at
+    # risk throughout but never a death row.
+    assert set(out) == {0, 1, 2}
+    assert out[0].n_risk == 5 and out[0].d_churned == 1
+    assert out[1].n_risk == 4 and out[1].d_churned == 2
+    assert out[2].n_risk == 2 and out[2].d_churned == 1
+    # S(0)=4/5, S(1)=4/5*2/4, S(2)=0.4*1/2
+    assert out[0].survival == 0.8
+    assert out[1].survival == 0.4
+    assert out[2].survival == 0.2
+
+
+def test_decayed_engagement_weights(spark):
+    from kafka_connect_morphlines_spark.functions import funnel
+    import math
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 100.0, None),  # 30 days old
+        (2, "2024-01-31 00:00:00", 1, "view", 100.0, None),  # at the end
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = funnel.decayed_engagement(df, tau_days=30.0).collect()[0]
+    expect = round(round(100.0 * math.exp(-1.0), 9) + 100.0, 4)
+    assert out.n_events == 2 and out.decayed_value == expect

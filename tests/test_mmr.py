@@ -62,3 +62,28 @@ def test_mmr_demotes_duplicates(spark):
     # score -0.4) loses to the novel vector (redundancy 0.6, score -0.24).
     got = [r.vec_id for r in similarity.mmr_topk(df, [1.0, 0.0], k=2, lam=0.3).orderBy("rank").collect()]
     assert got == [1, 3]
+
+
+def test_textrank_prefers_hub_words(spark):
+    from kafka_connect_morphlines_spark.functions import web
+
+    # "alpha" neighbors every other content word -> highest centrality.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo alpha charlie alpha delta"),
+            (2, "bravo alpha echo alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    out = web.textrank_keywords(docs, "text", min_len=4, iters=3, k=3).collect()
+    assert out[0].token == "alpha"
+    assert all(out[0].rank >= r.rank for r in out)
+
+
+def test_textrank_no_edges_across_filtered_gap(spark):
+    from kafka_connect_morphlines_spark.functions import web
+
+    # "aaaa bb cccc": bb is filtered (len<4); aaaa-cccc are NOT adjacent,
+    # so no edges exist at all -> empty keyword list.
+    docs = spark.createDataFrame([(1, "aaaa bb cccc")], "doc_id long, text string")
+    assert web.textrank_keywords(docs, "text", min_len=4).count() == 0
