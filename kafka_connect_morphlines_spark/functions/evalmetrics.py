@@ -19,9 +19,10 @@ Scale notes (100 TB):
   single codegen aggregations (plus a broadcast of the tiny threshold /
   class-marginal tables) — map-side combine does the heavy lifting.
 - ``nb_train`` shuffles token counts once on (class, token) with the
-  vocabulary capped to ``vocab_size`` (selected by global document
-  frequency, deterministic tie-break); the emitted model is
-  ``n_classes x vocab_size`` rows — always broadcastable.
+  vocabulary capped to ``vocab_size`` (selected by corpus term
+  frequency, deterministic tie-break, via TakeOrdered — no global
+  window); the emitted model is ``n_classes x vocab_size`` rows —
+  always broadcastable.
 - ``nb_predict`` joins exploded tokens against the broadcast model
   (map-side), then one shuffle on doc_id for the per-class log-likelihood
   sum.  Log-likelihood terms are 6dp-rounded then summed as DECIMAL, so
@@ -84,16 +85,23 @@ def binary_rank_auc(df: DataFrame, score: Column, label: Column) -> DataFrame:
     ).withColumn(
         "rank2", 2 * F.col("before") + F.col("np_s") + F.col("nn_s") + 1
     )
+    # np_s * rank2 is O(n_pos_s * 2N); summed over scores it reaches
+    # O(n_pos * 2N), which wraps int64 silently (non-ANSI) around a few
+    # billion rows.  DECIMAL(38,0) keeps every term exact to ~1e38 —
+    # genuinely 100-TB-safe — and _ratio6's final double cast is unchanged.
+    dec0 = "decimal(38,0)"
     return ranked.agg(
         F.sum("np_s").alias("n_pos"),
         F.sum("nn_s").alias("n_neg"),
-        F.sum(F.col("np_s") * F.col("rank2")).alias("sum_rank2_pos"),
+        F.sum(F.col("np_s").cast(dec0) * F.col("rank2").cast(dec0)).alias(
+            "sum_rank2_pos"
+        ),
     ).select(
         "n_pos",
         "n_neg",
         _ratio6(
-            F.col("sum_rank2_pos") - F.col("n_pos") * (F.col("n_pos") + 1),
-            2 * F.col("n_pos") * F.col("n_neg"),
+            F.col("sum_rank2_pos") - F.col("n_pos").cast(dec0) * (F.col("n_pos") + 1),
+            2 * F.col("n_pos").cast(dec0) * F.col("n_neg"),
         ).alias("auc"),
     )
 
@@ -180,17 +188,22 @@ def cohens_kappa(df: DataFrame, rater_a: Column, rater_b: Column) -> DataFrame:
     )
     ma = pairs.groupBy(F.col("a").alias("cls")).agg(F.count(F.lit(1)).alias("na"))
     mb = pairs.groupBy(F.col("b").alias("cls")).agg(F.count(F.lit(1)).alias("nb"))
+    # All products (na*nb, n*agree, n*n) wrap int64 near n ~ 3e9 under
+    # Spark's non-ANSI silent overflow while DuckDB errors; DECIMAL(38,0)
+    # keeps the kappa arithmetic exact at any realistic scale.  The
+    # displayed sum_ab column stays BIGINT for schema stability.
+    dec0 = "decimal(38,0)"
     chance = (
         ma.join(F.broadcast(mb), "cls")
-        .agg(F.sum(F.col("na") * F.col("nb")).alias("sum_ab"))
+        .agg(F.sum(F.col("na").cast(dec0) * F.col("nb").cast(dec0)).alias("sum_ab_d"))
     )
     return totals.crossJoin(F.broadcast(chance)).select(
         "n",
         "agree",
-        "sum_ab",
+        F.col("sum_ab_d").cast("long").alias("sum_ab"),
         _ratio6(
-            F.col("n") * F.col("agree") - F.col("sum_ab"),
-            F.col("n") * F.col("n") - F.col("sum_ab"),
+            F.col("n").cast(dec0) * F.col("agree") - F.col("sum_ab_d"),
+            F.col("n").cast(dec0) * F.col("n") - F.col("sum_ab_d"),
         ).alias("kappa"),
     )
 
@@ -213,7 +226,7 @@ def nb_train(
     alpha: int = 1,
 ) -> DataFrame:
     """Multinomial Naive Bayes training: per-(class, token) Laplace
-    log-likelihoods over a document-frequency-capped vocabulary.
+    log-likelihoods over a term-frequency-capped vocabulary.
 
     Returns the dense ``n_classes x vocab_size`` grid
     ``(cls, token, cnt, loglik)`` with
@@ -230,12 +243,11 @@ def nb_train(
     tok = docs.select(cls.alias("cls"), F.explode(_tokens(text)).alias("token"))
     counts = tok.groupBy("cls", "token").agg(F.count(F.lit(1)).alias("cnt"))
     corpus = counts.groupBy("token").agg(F.sum("cnt").alias("tf"))
-    wv = Window.orderBy(F.desc("tf"), F.asc("token"))
-    vocab = (
-        corpus.withColumn("rk", F.row_number().over(wv))
-        .filter(F.col("rk") <= vocab_size)
-        .select("token")
-    )
+    # Two-phase rank (traindata.build_vocab shape): orderBy().limit() is
+    # TakeOrderedAndProject — each partition keeps only its local top
+    # vocab_size, so no single-partition global sort of the full distinct
+    # vocabulary (billions of tokens at web scale).
+    vocab = corpus.orderBy(F.desc("tf"), F.asc("token")).limit(vocab_size).select("token")
     in_vocab = counts.join(F.broadcast(vocab), "token")
     class_totals = in_vocab.groupBy("cls").agg(F.sum("cnt").alias("class_tokens"))
     v = F.lit(vocab_size)

@@ -222,12 +222,13 @@ def ab_test_zscores(
 
     Pairs with traindata.hash_split (deterministic assignment is a record
     property; analysis is one map-side-combinable aggregate).  All moments
-    are exact integer counts; the emitted rates/z are integer-scaled
-    (ppm / x10k) via floor(x*scale + 0.5), which is bit-exact across
-    engines when mirrored term-for-term (IEEE division/sqrt are correctly
-    rounded, floor is exact on doubles) — unlike decimal round(), whose
-    half-up boundary handling is engine-specific.
-    z = (pa - pb) / sqrt(p(1-p)(1/na + 1/nb)).
+    are exact integer counts; the emitted per-arm rates are computed in
+    PURE BIGINT arithmetic — ``rate_ppm = (conv*2_000_000 + n) DIV (2*n)``
+    is round-half-up of conv/n in parts-per-million with no floating point
+    anywhere, so it is bit-exact on every engine.  The pooled z statistic
+    (z = (pa - pb) / sqrt(p(1-p)(1/na + 1/nb))) necessarily involves a
+    float sqrt, so it is emitted as a plain double ``z`` for analysis /
+    pytest pinning rather than a pseudo-exact scaled integer.
     """
     agg = events.groupBy(F.col(assign_col).alias("arm")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -246,9 +247,9 @@ def ab_test_zscores(
     z = (pa - pb) / F.sqrt(pool * (1 - pool) * (1 / F.col("na") + 1 / F.col("nb")))
     return j.select(
         "na", "ca", "nb", "cb",
-        F.floor(pa * 1000000 + F.lit(0.5)).cast("long").alias("rate_a_ppm"),
-        F.floor(pb * 1000000 + F.lit(0.5)).cast("long").alias("rate_b_ppm"),
-        F.floor(z * 10000 + F.lit(0.5)).cast("long").alias("z_x10k"),
+        F.expr("(ca * 2000000 + na) div (2 * na)").alias("rate_a_ppm"),
+        F.expr("(cb * 2000000 + nb) div (2 * nb)").alias("rate_b_ppm"),
+        z.alias("z"),
     )
 
 

@@ -455,11 +455,26 @@ def mmr_topk(
     retrieve-then-rerank split, so 100 TB only ever pays the scan.
     Deterministic: 6dp-rounded scores with id tie-breaks at both stages.
 
-    Returns (rank, vec_id, relevance, mmr_score) for the k picks,
-    rank 1-based in pick order.
+    Returns (rank, <id_col>, relevance, mmr_score) for the k picks,
+    rank 1-based in pick order; the id column keeps ``id_col``'s name and
+    type from the input frame.
     """
     import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
 
+    out_schema = StructType(
+        [
+            StructField("rank", IntegerType(), False),
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("relevance", DoubleType(), True),
+            StructField("mmr_score", DoubleType(), True),
+        ]
+    )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     short = (
         ensure_parallelism(df)
@@ -474,9 +489,7 @@ def mmr_topk(
     )
     if not short:
         spark = df.sparkSession
-        return spark.createDataFrame(
-            [], "rank int, vec_id long, relevance double, mmr_score double"
-        )
+        return spark.createDataFrame([], out_schema)
     ids = [r[id_col] for r in short]
     rel = np.array([r["relevance"] for r in short])
     vecs = np.array([list(r[vec_col]) for r in short], dtype=np.float64)
@@ -498,6 +511,4 @@ def mmr_topk(
         cand.remove(best_i)
         out.append((rank, ids[best_i], float(rel[best_i]), float(best_score)))
     spark = df.sparkSession
-    return spark.createDataFrame(
-        out, "rank int, vec_id long, relevance double, mmr_score double"
-    )
+    return spark.createDataFrame(out, out_schema)

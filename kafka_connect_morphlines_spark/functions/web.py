@@ -99,9 +99,10 @@ def pagerank(
 
     100 TB shape: one groupBy(outdeg) + per-iteration [join ranks on src ->
     groupBy dst] — both shuffles key on node id; under the sub-2M-node
-    broadcast path the rank/sum joins are map-side and lineage is cut
-    every second round plus at the end (the connected_components lesson,
-    amortized), while big graphs keep shuffle joins and a per-round cut.
+    broadcast path the rank/sum joins are map-side, while big graphs keep
+    shuffle joins; lineage is cut every round in both modes (the
+    connected_components lesson — measured 2.2x faster than an every-
+    second-round cut at sf0.1).
     Rounds are O(iters), each a single shuffle of (node, contribution)
     longs+doubles, never adjacency payload.
     """
@@ -134,7 +135,7 @@ def pagerank(
     # map-side joins (the edge frame never reshuffles); above that, fall
     # back to the shuffle joins, which partition by node id
     bcast = n <= 2_000_000
-    for i in range(iters):
+    for _ in range(iters):
         r = ranks.withColumnRenamed("id", "_s")
         contrib = e.join(F.broadcast(r) if bcast else r, "_s").select(
             F.col("_d").alias("id"),
@@ -151,15 +152,14 @@ def pagerank(
                 12,
             ).alias("rank"),
         )
-        # lineage cut every SECOND round: under broadcast the intermediate
-        # rank frame is collected into the next round's broadcast anyway
-        # (broadcast-exchange reuse executes each subplan once), so a
-        # checkpoint per round only adds a materialization job; without
-        # broadcast (big graphs) cut every round to keep plans bounded.
-        # The FINAL frame is always checkpointed so multi-action callers
-        # don't re-execute the last iteration per action.
-        if not bcast or i % 2 == 1 or i == iters - 1:
-            ranks = ranks.localCheckpoint()
+        # lineage cut EVERY round.  Round 4 tried cutting every second
+        # round under broadcast on the theory that broadcast-exchange
+        # reuse executes each subplan once; measured at sf0.1 (3 runs,
+        # best-of) that was 2.2x SLOWER (8.75s vs 3.95s) — the uncut
+        # 2-round plan re-executes the previous iteration's join inside
+        # the next broadcast build.  Per-round checkpoint + broadcast is
+        # the measured winner (shuffle joins + per-round cut: 5.06s).
+        ranks = ranks.localCheckpoint()
     return ranks
 
 
@@ -209,6 +209,7 @@ def textrank_keywords(
     min_len: int = 4,
     iters: int = 3,
     k: int = 20,
+    doc_id_col: str = "doc_id",
 ) -> DataFrame:
     """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
     the word co-occurrence graph — adjacent content words (length >=
@@ -226,13 +227,13 @@ def textrank_keywords(
     from pyspark.sql import Window
 
     toks = docs.select(
-        F.col("doc_id"),
+        F.col(doc_id_col).alias("_doc"),
         F.posexplode(
             F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
         ).alias("pos", "token"),
-    ).select("doc_id", "pos", F.lower(F.col("token")).alias("token"))
+    ).select("_doc", "pos", F.lower(F.col("token")).alias("token"))
     kept = toks.filter(F.length("token") >= min_len)
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    w = Window.partitionBy("_doc").orderBy("pos")
     adj = (
         kept.withColumn("next_pos", F.lead("pos").over(w))
         .withColumn("next_token", F.lead("token").over(w))

@@ -3984,11 +3984,8 @@ def frequent_part_pairs(spark, sf_dir):
     agg AS (SELECT arm, count(*) AS n, sum(CASE WHEN success THEN 1 ELSE 0 END) AS conv
             FROM assigned GROUP BY arm)
     SELECT a.n AS na, a.conv AS ca, b.n AS nb, b.conv AS cb,
-           CAST(floor(a.conv / a.n * 1000000 + 0.5) AS BIGINT) AS rate_a_ppm,
-           CAST(floor(b.conv / b.n * 1000000 + 0.5) AS BIGINT) AS rate_b_ppm,
-           CAST(floor((a.conv / a.n - b.conv / b.n)
-                 / sqrt(((a.conv + b.conv) / (a.n + b.n)) * (1 - (a.conv + b.conv) / (a.n + b.n))
-                        * (1 / a.n + 1 / b.n)) * 10000 + 0.5) AS BIGINT) AS z_x10k
+           CAST((a.conv * 2000000 + a.n) // (2 * a.n) AS BIGINT) AS rate_a_ppm,
+           CAST((b.conv * 2000000 + b.n) // (2 * b.n) AS BIGINT) AS rate_b_ppm
     FROM (SELECT * FROM agg WHERE arm = 'a') a
     CROSS JOIN (SELECT * FROM agg WHERE arm = 'b') b
     """,
@@ -3996,8 +3993,11 @@ def frequent_part_pairs(spark, sf_dir):
 def ab_test_event_values(spark, sf_dir):
     """Experiment analysis (funnel.ab_test_zscores over traindata-style md5
     assignment): deterministic 50/50 arm split on user_id, success = value
-    > 100, two-proportion pooled z.  Assignment is a map-side record
-    property; analysis is one aggregate."""
+    > 100, two-proportion conversion rates.  Assignment is a map-side record
+    property; analysis is one aggregate.  The certified projection is pure
+    BIGINT (counts + round-half-up ppm via integer div) — no float enters
+    it, so it is bit-exact on any engine; the float z statistic stays in
+    funnel.ab_test_zscores' output and is pinned in pytest instead."""
     from kafka_connect_morphlines_spark.functions import funnel
 
     ev = t(spark, sf_dir, "events")
@@ -4007,7 +4007,7 @@ def ab_test_event_values(spark, sf_dir):
         "a",
     ).otherwise("b")
     assigned = ev.select(arm.alias("arm"), (F.col("value") > 100).alias("success"))
-    return funnel.ab_test_zscores(assigned, "arm", F.col("success"))
+    return funnel.ab_test_zscores(assigned, "arm", F.col("success")).drop("z")
 
 
 @query(
@@ -6115,9 +6115,12 @@ def calibration_bins_purchase(spark, sf_dir):
       FROM events CROSS JOIN th GROUP BY threshold
     )
     SELECT threshold, tp, fp, fn, tn,
-           round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
-           round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
-           round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1
     FROM c ORDER BY threshold
     """,
 )

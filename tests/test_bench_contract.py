@@ -42,13 +42,15 @@ def test_bench_emits_valid_contract_line():
     assert set(out["queries"]) == set(HEADLINE), "a headline query has no timing"
     assert "errors" not in out, f"headline queries errored: {out.get('errors')}"
     assert set(out["queries_cold"]) == set(HEADLINE)
-    # the compact final line: same totals, per-query warm map, short enough
-    # to survive a 2000-char stdout tail, and parseable on its own
+    # the compact final line: same totals + the slowest-20 warm map, short
+    # enough to survive a 2000-char stdout tail, and parseable on its own
     compact = json.loads(json_lines[-1])
     assert compact["metric"] == out["metric"] and compact["value"] == out["value"]
-    assert set(compact["queries"]) == set(HEADLINE)
+    assert set(compact["queries"]) <= set(HEADLINE)
+    assert len(compact["queries"]) == min(20, len(HEADLINE))
+    assert compact["n_queries"] == len(HEADLINE)
     assert compact["n_errors"] == 0
-    assert len(json_lines[-1]) + 1 <= 2000, "compact line must fit the driver's tail"
+    assert len(json_lines[-1]) + 1 <= 1800, "compact line must fit the driver's tail"
     # and the full metric JSON is persisted next to bench.py
     with open(os.path.join(REPO, "BENCH_DETAIL.json")) as fh:
         detail = json.load(fh)

@@ -122,7 +122,7 @@ def test_ab_test_z_sign_and_magnitude(spark):
     assert (row["na"], row["ca"], row["nb"], row["cb"]) == (100, 60, 100, 40)
     assert (row["rate_a_ppm"], row["rate_b_ppm"]) == (600000, 400000)
     # z = 0.2 / sqrt(0.5*0.5*(2/100)) ~= 2.8284 -> 28284 at x10k
-    assert row["z_x10k"] > 25000
+    assert row["z"] > 2.5
 
 
 def test_touch_attribution_first_last(spark):
