@@ -66,6 +66,9 @@ _ROUND5_PREFIX = [
     "dsir_gumbel_topk", "embedding_int8_quantize", "embedding_int8_topk",
     "leakage_safe_split", "pii_scan_summary", "url_blocklist_filter",
     "vocab_growth_curve",
+    # Round-5 session additions (local-certified; see CORRECTNESS_local).
+    "rrf_hybrid_fusion", "ks_drift_value", "chi2_token_lang",
+    "rouge_l_pairs",
 ]
 _ROUND5_RANK = {name: i for i, name in enumerate(_ROUND5_PREFIX)}
 

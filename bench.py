@@ -100,6 +100,10 @@ HEADLINE = [
     # evaluation metrics (evalmetrics.py)
     "roc_auc_purchase",
     "nb_predict_lang",
+    # round-5 session additions (hybrid search, drift, feature selection)
+    "rrf_hybrid_fusion",
+    "ks_drift_value",
+    "chi2_token_lang",
 ]
 
 

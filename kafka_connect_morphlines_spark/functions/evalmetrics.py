@@ -45,6 +45,8 @@ __all__ = [
     "nb_train",
     "nb_predict",
     "pmi_table",
+    "chi2_tokens",
+    "rouge_l",
 ]
 
 _DEC = "decimal(38,12)"
@@ -353,3 +355,145 @@ def pmi_table(df: DataFrame, x: Column, y: Column) -> DataFrame:
         )
         .orderBy("x", "y")
     )
+
+
+def chi2_tokens(
+    docs: DataFrame,
+    text: Column,
+    cls: Column,
+    min_df: int = 5,
+    topk: int = 5,
+) -> DataFrame:
+    """Chi-square feature selection: the ``topk`` most class-discriminative
+    tokens per class, by the presence/absence 2x2 contingency chi-square
+    (the classic feature-selection statistic; Yang & Pedersen, ICML'97).
+
+    For token t and class c with a = docs of c containing t, n_c = docs of
+    c, df_t = docs containing t, N = all docs:
+    ``chi2 = N*(a*N - n_c*df_t)^2 / (n_c*(N-n_c)*df_t*(N-df_t))``
+    (the (ad-bc) form with b, c, d eliminated).  All contingency inputs
+    are exact integers from two groupBys; the chi2 itself is evaluated as
+    one fixed-shape double expression mirrored term-for-term in the SQL
+    oracle — correctly-rounded IEEE ops over identical integers give
+    identical doubles on any engine (the corpus' _ratio6 argument).
+
+    100 TB shape: one distinct (doc, token) explode -> groupBy (token,
+    class) for a; token df and class counts are two more aggregates
+    (vocabulary- and |classes|-sized); ``min_df`` prunes the tail before
+    the per-class top-k window, which partitions BY CLASS (never a global
+    sort).  Raise min_df with corpus size to keep the window input
+    vocabulary-bounded.  Degenerate tokens (df_t = N) are filtered: their
+    denominator is 0 and they carry no signal.
+
+    Returns (cls, token, a, df_t, n_c, chi2, rank) with rank 1..topk per
+    class, ties broken by token.
+    """
+    pres = docs.select(
+        cls.alias("cls"), F.explode(F.array_distinct(_tokens(text))).alias("token")
+    )
+    n_total = docs.count()
+    a = pres.groupBy("cls", "token").agg(F.count(F.lit(1)).alias("a"))
+    dft = a.groupBy("token").agg(F.sum("a").alias("df_t"))
+    ncls = docs.groupBy(cls.alias("cls")).agg(F.count(F.lit(1)).alias("n_c"))
+    j = (
+        a.join(F.broadcast(dft.filter(
+            (F.col("df_t") >= min_df) & (F.col("df_t") < n_total)
+        )), "token")
+        .join(F.broadcast(ncls), "cls")
+    )
+    nd = F.lit(float(n_total))
+    diff = F.col("a").cast("double") * nd - F.col("n_c").cast("double") * F.col("df_t").cast("double")
+    den = (
+        F.col("n_c").cast("double")
+        * (nd - F.col("n_c").cast("double"))
+        * F.col("df_t").cast("double")
+        * (nd - F.col("df_t").cast("double"))
+    )
+    scored = j.select(
+        "cls", "token", "a", "df_t", "n_c",
+        F.round(nd * diff * diff / den, 6).alias("chi2"),
+    )
+    w = Window.partitionBy("cls").orderBy(F.col("chi2").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .orderBy("cls", "rank")
+    )
+
+
+def rouge_l_py(tokens_a: list, tokens_b: list, decimals: int = 6) -> tuple:
+    """Pure-Python ROUGE-L core (one pair): (lcs_len, p, r, f).  Shared by
+    the distributed operator and its pytest reference so they cannot
+    drift."""
+    ta, tb = tokens_a[:512], tokens_b[:512]
+    m, n = len(ta), len(tb)
+    if m == 0 or n == 0:
+        return 0, None, None, None
+    prev = [0] * (n + 1)
+    for i in range(1, m + 1):
+        cur = [0] * (n + 1)
+        tai = ta[i - 1]
+        for j in range(1, n + 1):
+            if tai == tb[j - 1]:
+                cur[j] = prev[j - 1] + 1
+            else:
+                cur[j] = cur[j - 1] if cur[j - 1] >= prev[j] else prev[j]
+        prev = cur
+    lcs = prev[n]
+    p, r = lcs / m, lcs / n
+    f = (2 * p * r / (p + r)) if (p + r) > 0 else 0.0
+    return lcs, round(p, decimals), round(r, decimals), round(f, decimals)
+
+
+def rouge_l(
+    pairs: DataFrame,
+    text_a_col: str = "text_a",
+    text_b_col: str = "text_b",
+    decimals: int = 6,
+) -> DataFrame:
+    """ROUGE-L (Lin, 2004): LCS-based precision/recall/F1 between two text
+    columns of an ALREADY-PAIRED frame — the standard summary/reference
+    overlap metric, also used to grade near-duplicate rewrites.
+
+    The LCS dynamic program is inherently per-pair sequential, so it runs
+    in an Arrow-batched ``mapInPandas`` over whitespace tokens; the caller
+    owns keeping the pair frame bounded (candidate pairs from a blocked
+    join / LSH buckets — the same contract as jaro-winkler linkage, never
+    the all-pairs cross join).  Cost is O(|a|*|b|) per pair; token lists
+    are truncated at 512 tokens (ROUGE saturates long before).
+
+    Output adds (lcs_len, rouge_p, rouge_r, rouge_f) to the input columns;
+    ratios are computed from the exact integer lcs/token counts in Python
+    doubles, round-half-even at ``decimals``.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        list(pairs.schema.fields)
+        + [
+            StructField("lcs_len", IntegerType(), True),
+            StructField("rouge_p", DoubleType(), True),
+            StructField("rouge_r", DoubleType(), True),
+            StructField("rouge_f", DoubleType(), True),
+        ]
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            res = [
+                rouge_l_py((a or "").split(), (b or "").split(), decimals)
+                for a, b in zip(pdf[text_a_col], pdf[text_b_col])
+            ]
+            pdf = pdf.copy()
+            pdf["lcs_len"] = [x[0] for x in res]
+            pdf["rouge_p"] = [x[1] for x in res]
+            pdf["rouge_r"] = [x[2] for x in res]
+            pdf["rouge_f"] = [x[3] for x in res]
+            yield pdf
+
+    return pairs.mapInPandas(_score, out_schema)

@@ -188,3 +188,56 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    lists: "dict[str, DataFrame]",
+    id_col: str = "doc_id",
+    k_const: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+    combine several ranked retrieval lists into one by summing
+    ``1 / (k_const + rank)`` per list — the standard fusion for hybrid
+    lexical+vector search (BM25 list + embedding-cosine list).
+
+    Each input frame must be a BOUNDED ranked list (a top-N result:
+    ``(id_col, score)``, N ~ tens-to-hundreds of rows) — the corpus-sized
+    work happens upstream in whatever produced the lists (bm25_topk's
+    filtered postings, brute_force_topk's TakeOrdered).  Fusion itself
+    therefore runs on k-sized frames: the per-list rank window and the
+    full-outer id join are driver-trivial at any corpus scale, which is
+    exactly why RRF is the production hybrid-search default.
+
+    Determinism: rank = row_number over (score desc, id asc) — a total
+    order; the fused score is a fixed-length sum of exact double terms
+    ``1/(k_const+rank)`` evaluated in sorted-name list order, so it is
+    bit-identical on any engine.  Returns
+    ``(id_col, rank_<name>..., rrf_score)`` ordered by
+    (rrf_score desc, id asc), limited to ``k``.
+    """
+    from pyspark.sql import Window
+
+    fused = None
+    names = sorted(lists)
+    for name in names:
+        w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        r = lists[name].select(
+            F.col(id_col), F.row_number().over(w).alias(f"rank_{name}")
+        )
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+    score = None
+    for name in names:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k_const)) + F.col(f"rank_{name}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return (
+        fused.select(
+            id_col,
+            *[f"rank_{n}" for n in names],
+            F.round(score, 6).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -347,3 +347,81 @@ def robust_outlier_stats(
             6,
         ).alias("outlier_rate"),
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    value: Column,
+    group: Column,
+    group_a: str,
+    group_b: str,
+    decimals: int | None = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the ``value``
+    distributions of two groups: ``D = max_x |F_a(x) - F_b(x)|`` — the
+    nonparametric drift test that complements psi_drift (PSI needs a
+    binning choice; KS is binning-free over the observed support).
+
+    Exact integer arithmetic end-to-end: per distinct (quantized) value
+    the cumulative counts ``ca``, ``cb`` are integers, and the max is
+    taken over ``|ca*nb - cb*na|`` (cross-multiplied, DECIMAL(38,0) so
+    products are exact far past int64), with the single division to
+    ``ks_d`` deferred to the end — partition- and engine-invariant.
+
+    100 TB shape (the binary_rank_auc pattern): one groupBy collapses the
+    corpus to DISTINCT quantized values (``decimals``-rounded, so the
+    ordered frame is bounded, e.g. <= ~1e6 rows for 6dp scores in [0,1])
+    before the ordered cumulative window runs; the window therefore sorts
+    value-cardinality rows, never event-volume rows.
+
+    Returns one row: (n_a, n_b, d_num, d_den, ks_d).
+    """
+    from pyspark.sql import Window
+
+    dec0 = "decimal(38,0)"
+    v = value.cast("double")
+    if decimals is not None:
+        v = F.round(v, decimals)
+    per = (
+        df.select(v.alias("v"), group.alias("g"))
+        .filter(F.col("v").isNotNull() & F.col("g").isin([group_a, group_b]))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("a_s"),
+            F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("b_s"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.sum("a_s").over(w).alias("ca"),
+        F.sum("b_s").over(w).alias("cb"),
+    )
+    totals = per.agg(
+        F.sum("a_s").alias("n_a"), F.sum("b_s").alias("n_b")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.abs(
+                    F.col("ca").cast(dec0) * F.col("n_b")
+                    - F.col("cb").cast(dec0) * F.col("n_a")
+                )
+            ).alias("_dnum"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.col("_dnum").cast("long").alias("d_num"),
+            (F.col("n_a").cast(dec0) * F.col("n_b")).cast("long").alias("d_den"),
+            F.round(
+                F.try_divide(
+                    F.col("_dnum").cast("double"),
+                    (F.col("n_a").cast(dec0) * F.col("n_b")).cast("double"),
+                ),
+                6,
+            ).alias("ks_d"),
+        )
+    )

@@ -6624,3 +6624,167 @@ def decayed_engagement_users(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     return funnel.decayed_engagement(ev, tau_days=30.0).orderBy("user_id")
+
+
+@query(
+    "rrf_hybrid_fusion",
+    """
+    WITH d AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x->x!='') AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    hits AS (SELECT doc_id, term FROM tok WHERE term IN ('spark','vector','window')),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    per AS (
+      SELECT tf.doc_id,
+             CAST(round( ln(1.0 + (s.n_docs - dfreq.df + 0.5)/(dfreq.df + 0.5))
+                   * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)
+                  AS DECIMAL(18,6)) AS sc
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+    ),
+    bmtop AS (SELECT doc_id, CAST(round(sum(sc), 4) AS DOUBLE) AS score
+              FROM per GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+    bm AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_bm25 FROM bmtop),
+    costop AS (SELECT b.vec_id AS doc_id,
+                      list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS score
+               FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+               WHERE b.vec_id != 0
+               ORDER BY score DESC, b.vec_id LIMIT 20),
+    cos AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_cos FROM costop),
+    f AS (SELECT coalesce(bm.doc_id, cos.doc_id) AS doc_id, bm.rank_bm25, cos.rank_cos
+          FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id)
+    SELECT doc_id, rank_bm25, rank_cos,
+           round(coalesce(1.0/(60 + rank_bm25), 0) + coalesce(1.0/(60 + rank_cos), 0), 6) AS rrf_score
+    FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def rrf_hybrid_fusion(spark, sf_dir):
+    """Hybrid lexical+vector search via Reciprocal Rank Fusion
+    (retrieval.rrf_fuse, Cormack et al. SIGIR'09): BM25 top-20 for a
+    3-term query fused with embedding-cosine top-20 for a probe vector by
+    sum of 1/(60+rank).  The corpus pays the two retrieval legs (filtered
+    postings / TakeOrdered scan); the fusion itself joins two 20-row
+    frames — the production hybrid-search shape at any scale."""
+    from kafka_connect_morphlines_spark.functions import ensure_parallelism, retrieval
+    from kafka_connect_morphlines_spark.functions import similarity as sim
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    emb = t(spark, sf_dir, "embeddings")
+    bm = retrieval.bm25_topk(docs, ["spark", "vector", "window"], k=20).select(
+        "doc_id", "score"
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = list(qrow[0]["embedding"]) if qrow else []
+    cos = sim.brute_force_topk(emb.filter(F.col("vec_id") != 0), qvec, k=20).select(
+        F.col("vec_id").alias("doc_id"), "score"
+    )
+    out = retrieval.rrf_fuse({"bm25": bm, "cos": cos}, id_col="doc_id", k_const=60, k=10)
+    return out.select(
+        "doc_id",
+        F.col("rank_bm25").cast("long").alias("rank_bm25"),
+        F.col("rank_cos").cast("long").alias("rank_cos"),
+        "rrf_score",
+    )
+
+
+@query(
+    "ks_drift_value",
+    """
+    WITH per AS (
+      SELECT value AS v,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a_s,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b_s
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+      GROUP BY value
+    ),
+    cum AS (SELECT sum(a_s) OVER (ORDER BY v) AS ca, sum(b_s) OVER (ORDER BY v) AS cb FROM per),
+    tot AS (SELECT CAST(sum(a_s) AS BIGINT) AS n_a, CAST(sum(b_s) AS BIGINT) AS n_b FROM per)
+    SELECT n_a, n_b,
+           CAST(max(abs(ca * n_b - cb * n_a)) AS BIGINT) AS d_num,
+           CAST(n_a * n_b AS BIGINT) AS d_den,
+           round(CAST(max(abs(ca * n_b - cb * n_a)) AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) AS ks_d
+    FROM cum CROSS JOIN tot GROUP BY n_a, n_b
+    """,
+)
+def ks_drift_value(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift (validation.ks_drift): max ECDF
+    gap between click and purchase value distributions.  The corpus
+    collapses to distinct values before the ordered cumulative pass (the
+    rank-AUC shape), and D is maximized in cross-multiplied integer form —
+    the only float is the final division."""
+    from kafka_connect_morphlines_spark.functions import validation
+
+    ev = t(spark, sf_dir, "events")
+    return validation.ks_drift(
+        ev, F.col("value"), F.col("event_type"), "click", "purchase", decimals=None
+    )
+
+
+@query(
+    "chi2_token_lang",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(list_filter(string_split(trim(text), ' '), x -> x != ''))) AS token
+      FROM documents
+    ),
+    a AS (SELECT lang AS cls, token, CAST(count(*) AS BIGINT) AS a FROM tok GROUP BY lang, token),
+    dft AS (SELECT token, CAST(sum(a) AS BIGINT) AS df_t FROM a GROUP BY token),
+    ncls AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_c FROM documents GROUP BY lang),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+    j AS (SELECT a.cls, a.token, a.a, dft.df_t, ncls.n_c, n.n_total
+          FROM a JOIN dft USING (token) JOIN ncls USING (cls) CROSS JOIN n
+          WHERE dft.df_t >= 5 AND dft.df_t < n.n_total),
+    s AS (SELECT cls, token, a, df_t, n_c,
+            round(((CAST(n_total AS DOUBLE)
+                    * (CAST(a AS DOUBLE) * CAST(n_total AS DOUBLE) - CAST(n_c AS DOUBLE) * CAST(df_t AS DOUBLE)))
+                    * (CAST(a AS DOUBLE) * CAST(n_total AS DOUBLE) - CAST(n_c AS DOUBLE) * CAST(df_t AS DOUBLE)))
+                  / (((CAST(n_c AS DOUBLE) * (CAST(n_total AS DOUBLE) - CAST(n_c AS DOUBLE)))
+                      * CAST(df_t AS DOUBLE)) * (CAST(n_total AS DOUBLE) - CAST(df_t AS DOUBLE))), 6) AS chi2
+          FROM j),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY cls ORDER BY chi2 DESC, token) AS INT) AS rank FROM s)
+    SELECT cls, token, a, df_t, n_c, chi2, rank FROM r WHERE rank <= 3 ORDER BY cls, rank
+    """,
+)
+def chi2_token_lang(spark, sf_dir):
+    """Chi-square feature selection (evalmetrics.chi2_tokens): the 3 most
+    language-discriminative tokens per language over presence/absence
+    contingencies.  One distinct (doc, token) explode + two aggregates;
+    min_df prunes before the per-class top-k window (partitioned by class,
+    never global)."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    docs = t(spark, sf_dir, "documents")
+    return evalmetrics.chi2_tokens(
+        docs, F.col("text"), F.col("lang"), min_df=5, topk=3
+    )
+
+
+@query("rouge_l_pairs", None)
+def rouge_l_pairs(spark, sf_dir):
+    """ROUGE-L pair scoring (evalmetrics.rouge_l, Lin 2004): LCS-based
+    P/R/F over bounded candidate pairs (same source, doc_id < 40, a < b) —
+    the rewrite/summary overlap grader.  The LCS dynamic program is not
+    SQL-expressible (no oracle by nature); pytest pins exact parity with a
+    pure-Python reference.  The pair frame is blocked+bounded by
+    construction, the same contract as jaro_winkler_linkage."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select(
+        "doc_id", "source", "text"
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"), F.col("source"), F.col("text").alias("text_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), F.col("source"), F.col("text").alias("text_b")
+    )
+    pairs = a.join(b, "source").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "text_a", "text_b"
+    )
+    out = evalmetrics.rouge_l(pairs, "text_a", "text_b")
+    return out.select(
+        "id_a", "id_b", "lcs_len", "rouge_p", "rouge_r", "rouge_f"
+    ).orderBy("id_a", "id_b")

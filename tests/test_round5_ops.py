@@ -1,0 +1,98 @@
+"""Round-5 operators: RRF hybrid fusion, KS drift, chi-square feature
+selection, ROUGE-L pair scoring."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_morphlines_spark.functions import evalmetrics, retrieval, validation
+
+
+def test_rrf_fuse_ranks_and_scores(spark):
+    # list A ranks: x(1), y(2); list B ranks: y(1), z(2)
+    a = spark.createDataFrame([("x", 0.9), ("y", 0.5)], "doc_id string, score double")
+    b = spark.createDataFrame([("y", 0.8), ("z", 0.7)], "doc_id string, score double")
+    out = retrieval.rrf_fuse({"a": a, "b": b}, id_col="doc_id", k_const=60, k=10)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows["y"]["rank_a"] == 2 and rows["y"]["rank_b"] == 1
+    assert rows["y"]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    # x only in list a, z only in list b — missing rank contributes 0
+    assert rows["x"]["rank_b"] is None
+    assert rows["x"]["rrf_score"] == round(1 / 61, 6)
+    assert rows["z"]["rrf_score"] == round(1 / 62, 6)
+    # y leads: two contributions beat any single one here
+    assert out.collect()[0]["doc_id"] == "y"
+
+
+def test_rrf_fuse_tie_break_deterministic(spark):
+    a = spark.createDataFrame([(1, 0.5), (2, 0.5)], "doc_id int, score double")
+    out = retrieval.rrf_fuse({"only": a}, id_col="doc_id", k=2).collect()
+    # equal scores: rank by id ascending
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert [r["rank_only"] for r in out] == [1, 2]
+
+
+def test_ks_drift_exact_small(spark):
+    # a: {1,2,3,4}, b: {3,4,5,6} -> D = 2/4 = 0.5 at x=2
+    rows = [("a", float(v)) for v in [1, 2, 3, 4]] + [("b", float(v)) for v in [3, 4, 5, 6]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = validation.ks_drift(df, F.col("v"), F.col("g"), "a", "b").collect()[0]
+    assert (out["n_a"], out["n_b"]) == (4, 4)
+    assert out["d_num"] == 8  # |2*4 - 0*4| at v=2
+    assert out["d_den"] == 16
+    assert out["ks_d"] == 0.5
+
+
+def test_ks_drift_identical_distributions_zero(spark):
+    rows = [(g, float(v)) for g in ("a", "b") for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = validation.ks_drift(df, F.col("v"), F.col("g"), "a", "b").collect()[0]
+    assert out["d_num"] == 0 and out["ks_d"] == 0.0
+
+
+def test_chi2_tokens_perfectly_discriminative(spark):
+    # 'aa' appears only in class x docs, 'bb' only in y; 'cc' in all.
+    rows = [(f"aa cc w{i}", "x") for i in range(6)] + [
+        (f"bb cc w{i}", "y") for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "text string, lang string")
+    out = evalmetrics.chi2_tokens(df, F.col("text"), F.col("lang"), min_df=5, topk=2)
+    got = {(r["cls"], r["token"]): r for r in out.collect()}
+    # perfect association: chi2 = N = 12 for aa|x ; cc is filtered (df = N)
+    assert got[("x", "aa")]["chi2"] == 12.0
+    assert got[("y", "bb")]["chi2"] == 12.0
+    assert ("x", "cc") not in got and ("y", "cc") not in got
+    # contingency columns are exact
+    assert got[("x", "aa")]["a"] == 6 and got[("x", "aa")]["df_t"] == 6
+    assert got[("x", "aa")]["n_c"] == 6
+
+
+def test_rouge_l_matches_reference_and_handles_empty(spark):
+    pairs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "the cat lay on the mat"),
+            (2, "a b c", "x y z"),
+            (3, "", "a b"),
+        ],
+        "pid int, text_a string, text_b string",
+    )
+    out = {r["pid"]: r for r in evalmetrics.rouge_l(pairs).collect()}
+    # LCS("the cat sat on the mat", "the cat lay on the mat") = 5
+    lcs, p, r, f = evalmetrics.rouge_l_py(
+        "the cat sat on the mat".split(), "the cat lay on the mat".split()
+    )
+    assert lcs == 5 and out[1]["lcs_len"] == 5
+    assert out[1]["rouge_p"] == p and out[1]["rouge_r"] == r and out[1]["rouge_f"] == f
+    assert out[2]["lcs_len"] == 0 and out[2]["rouge_f"] == 0.0
+    assert out[3]["lcs_len"] == 0 and out[3]["rouge_f"] is None
+
+
+def test_rouge_l_symmetric_f(spark):
+    pairs = spark.createDataFrame(
+        [(1, "a b c d", "b c"), (2, "b c", "a b c d")],
+        "pid int, text_a string, text_b string",
+    )
+    rows = {r["pid"]: r for r in evalmetrics.rouge_l(pairs).collect()}
+    assert rows[1]["rouge_f"] == rows[2]["rouge_f"]  # F is symmetric
+    assert rows[1]["rouge_p"] == rows[2]["rouge_r"]  # P/R swap
