@@ -82,6 +82,12 @@ NAMES = [
     "dataset_card_by_source",
     "pii_scan_summary",
     "url_blocklist_filter",
+    "nb_train_lang",
+    "nb_predict_lang",
+    "roc_auc_purchase",
+    "rrf_hybrid_fusion",
+    "ks_drift_value",
+    "chi2_token_lang",
 ]
 
 

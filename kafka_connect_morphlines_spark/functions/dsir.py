@@ -81,6 +81,7 @@ def logratio_table(
     feats: DataFrame,
     is_target: Column,
     dim: int = 4096,
+    cnt_col: str | None = None,
 ) -> DataFrame:
     """(bkt, lam_milli): per-bucket milli-scaled log-likelihood ratio
     ``ln p_target[b] - ln p_raw[b]`` under add-one smoothing.
@@ -90,9 +91,14 @@ def logratio_table(
     double, so the rounded milli value is engine-portable.  Only buckets
     observed in the raw corpus appear (unobserved buckets contribute to no
     document by construction).
+
+    ``feats`` is either one row per feature occurrence (``cnt_col=None``)
+    or a pre-aggregated count frame (``cnt_col`` names the count column) —
+    the counts are identical, the pre-aggregated form just shuffles less.
     """
-    raw = feats.groupBy("bkt").agg(F.count(F.lit(1)).alias("_cr"))
-    tgt = feats.filter(is_target).groupBy("bkt").agg(F.count(F.lit(1)).alias("_ct"))
+    occ = F.lit(1) if cnt_col is None else F.col(cnt_col)
+    raw = feats.groupBy("bkt").agg(F.sum(occ).alias("_cr"))
+    tgt = feats.filter(is_target).groupBy("bkt").agg(F.sum(occ).alias("_ct"))
     totals = raw.agg(F.sum("_cr").alias("_nr")).crossJoin(
         tgt.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_nt"))
     )
@@ -133,8 +139,13 @@ def importance_weights(
     no features (empty text) keep weight 0 via the left join back to ids.
 
     The exploded feature frame feeds the raw counts, the target counts, and
-    the per-document aggregate — localCheckpoint so tokenize+explode runs
-    once, not three times (docs/SCALE.md lesson 7).
+    the per-document aggregate.  It is collapsed to per-(doc, bucket)
+    COUNTS through one map-side-combined shuffle before the lineage cut —
+    checkpointing the raw occurrence explode materialized ~2 rows per
+    token (measured 6.4s warm at sf0.1); the count frame is distinct-pair
+    sized and every downstream aggregate is count-weighted, so tokenize +
+    explode still run exactly once (docs/SCALE.md lesson 7) but the
+    materialized frame shrinks by the in-doc gram multiplicity.
     """
     feats = hashed_features_exploded(
         df.withColumn("_is_tgt", is_target),
@@ -144,15 +155,18 @@ def importance_weights(
         seed=seed,
         carry_cols=["_is_tgt"],
     )
-    if not feats.isStreaming:
-        feats = feats.localCheckpoint()
-    lam = logratio_table(feats, F.col("_is_tgt"), dim=dim)
+    pair = feats.groupBy(F.col(id_col), F.col("_is_tgt"), F.col("bkt")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    if not pair.isStreaming:
+        pair = pair.localCheckpoint()
+    lam = logratio_table(pair, F.col("_is_tgt"), dim=dim, cnt_col="_cnt")
     agg = (
-        feats.join(F.broadcast(lam), "bkt")
+        pair.join(F.broadcast(lam), "bkt")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("lam_milli").alias("logw_milli"),
+            F.sum("_cnt").alias("n_feats"),
+            F.sum(F.col("_cnt") * F.col("lam_milli")).alias("logw_milli"),
         )
     )
     return (
