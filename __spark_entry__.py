@@ -68,7 +68,7 @@ _ROUND5_PREFIX = [
     "vocab_growth_curve",
     # Round-5 session additions (local-certified; see CORRECTNESS_local).
     "rrf_hybrid_fusion", "ks_drift_value", "chi2_token_lang",
-    "rouge_l_pairs",
+    "rouge_l_pairs", "collocations_pmi", "trimmed_mean_by_type",
 ]
 _ROUND5_RANK = {name: i for i, name in enumerate(_ROUND5_PREFIX)}
 

@@ -104,6 +104,8 @@ HEADLINE = [
     "rrf_hybrid_fusion",
     "ks_drift_value",
     "chi2_token_lang",
+    "collocations_pmi",
+    "trimmed_mean_by_type",
 ]
 
 

@@ -492,3 +492,61 @@ def vocab_growth(df, n_buckets: int = 10, text_col: str = "text", id_col: str = 
         "new_types",
         F.sum("new_types").over(w).alias("cum_types"),
     )
+
+
+def collocations_pmi_df(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    topk: int = 20,
+):
+    """Collocation mining by pointwise mutual information (Church & Hanks,
+    1990): the ``topk`` adjacent-token bigrams whose co-occurrence most
+    exceeds the unigram-independence expectation,
+    ``PMI = ln(c12 * N / (c1 * c2))`` over bigram-margin counts.
+
+    All counts are exact integers from one bigram explode + three
+    aggregates (bigrams, left margins, right margins); N is the bigram
+    total.  PMI is one fixed-shape double expression over those integers
+    (the _ratio6 portability argument), and the global top-k is
+    orderBy().limit() — TakeOrderedAndProject, no single-partition window.
+    ``min_count`` prunes hapax pairs BEFORE the margin joins, which both
+    denoises PMI (its known low-count pathology) and keeps the joined
+    frame bounded at corpus scale.
+
+    Returns (w1, w2, c12, c1, c2, pmi) ordered by (pmi desc, w1, w2).
+    """
+    from pyspark.sql import Window  # noqa: F401  (kept for API symmetry)
+
+    toks = df.select(F.col(id_col), tokens_codegen(F.col(text_col)).alias("_t"))
+    n = F.size("_t")
+    pairs = toks.filter(n >= 2).select(
+        F.explode(F.sequence(F.lit(1), n - 1)).alias("_i"), F.col("_t")
+    ).select(
+        F.element_at("_t", F.col("_i")).alias("w1"),
+        F.element_at("_t", F.col("_i") + 1).alias("w2"),
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    if not big.isStreaming:
+        big = big.localCheckpoint()  # feeds margins + total + the scored join
+    left = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right = big.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    total = big.agg(F.sum("c12").alias("_n"))
+    scored = (
+        big.filter(F.col("c12") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "c12", "c1", "c2",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("_n").cast("double"))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2")).limit(topk)

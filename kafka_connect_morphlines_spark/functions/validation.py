@@ -425,3 +425,57 @@ def ks_drift(
             ).alias("ks_d"),
         )
     )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Per-group trimmed mean: the mean of values inside the exact
+    [lo_q, hi_q] quantile band — the robust central-tendency companion to
+    robust_outlier_stats (winsorization's keep-the-middle sibling; immune
+    to the tail corruption that drags a plain mean).
+
+    Exact linear-interpolation percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` — parity proven by percentiles_by_status);
+    the kept-value mean accumulates in DECIMAL(38,12) so it is
+    partition-invariant (the calibration_table mean_score idiom).  Two
+    passes over a pruned (group, value) projection: one percentile
+    aggregate (per-group, map-side partial), one filtered mean join —
+    at 100 TB both shuffles carry (group, numeric) rows only.
+
+    Returns (group, n_total, n_kept, lo, hi, trimmed_mean).
+    """
+    v = F.col(value_col).cast("double")
+    g = df.select(F.col(group_col).alias("g"), v.alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    bounds = g.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.expr(f"percentile(v, {lo_q})").alias("lo"),
+        F.expr(f"percentile(v, {hi_q})").alias("hi"),
+    )
+    kept = g.join(F.broadcast(bounds), "g").filter(
+        (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+    )
+    agg = kept.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("v").cast("decimal(38,12)")).alias("_vsum"),
+    )
+    return (
+        bounds.join(agg, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_total",
+            "n_kept",
+            F.round("lo", 6).alias("lo"),
+            F.round("hi", 6).alias("hi"),
+            F.round(
+                F.col("_vsum").cast("double") / F.col("n_kept").cast("double"), 6
+            ).alias("trimmed_mean"),
+        )
+        .orderBy(group_col)
+    )

@@ -6788,3 +6788,67 @@ def rouge_l_pairs(spark, sf_dir):
     return out.select(
         "id_a", "id_b", "lcs_len", "rouge_p", "rouge_r", "rouge_f"
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "collocations_pmi",
+    """
+    WITH tok AS (
+      SELECT list_filter(string_split(trim(text), ' '), x -> x != '') AS toks FROM documents
+    ),
+    pairs AS (
+      SELECT z[1] AS w1, z[2] AS w2
+      FROM (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+            FROM tok WHERE len(toks) >= 2)
+    ),
+    big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pairs GROUP BY w1, w2),
+    l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    r AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM big GROUP BY w2),
+    n AS (SELECT CAST(sum(c12) AS BIGINT) AS nn FROM big)
+    SELECT w1, w2, c12, c1, c2,
+           round(ln((CAST(c12 AS DOUBLE) * CAST(nn AS DOUBLE))
+                    / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+    FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+    WHERE c12 >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def collocations_pmi(spark, sf_dir):
+    """Collocation mining (textstats.collocations_pmi_df, Church & Hanks
+    1990): top-20 adjacent-token bigrams by PMI over exact bigram-margin
+    counts.  One bigram explode (checkpointed, feeds margins + total +
+    score join), min_count pruning before the joins, global top-k as
+    TakeOrdered."""
+    from kafka_connect_morphlines_spark.functions import ensure_parallelism, textstats
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return textstats.collocations_pmi_df(docs, min_count=5, topk=20)
+
+
+@query(
+    "trimmed_mean_by_type",
+    """
+    WITH g AS (SELECT event_type AS et, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+    b AS (SELECT et, CAST(count(*) AS BIGINT) AS n_total,
+                 quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+          FROM g GROUP BY et),
+    k AS (SELECT g.et, g.v FROM g JOIN b USING (et) WHERE g.v >= b.lo AND g.v <= b.hi),
+    a AS (SELECT et, CAST(count(*) AS BIGINT) AS n_kept,
+                 sum(CAST(v AS DECIMAL(38,12))) AS vsum
+          FROM k GROUP BY et)
+    SELECT b.et AS event_type, b.n_total, a.n_kept,
+           round(b.lo, 6) AS lo, round(b.hi, 6) AS hi,
+           round(CAST(a.vsum AS DOUBLE) / CAST(a.n_kept AS DOUBLE), 6) AS trimmed_mean
+    FROM b JOIN a USING (et) ORDER BY event_type
+    """,
+)
+def trimmed_mean_by_type(spark, sf_dir):
+    """Per-group trimmed mean (validation.trimmed_stats): mean of values
+    inside the exact [p05, p95] band — robust central tendency next to the
+    MAD outlier stats.  Exact interpolated percentiles (Spark percentile ==
+    DuckDB quantile_cont), DECIMAL mean accumulation; two shuffles of
+    (group, numeric) rows."""
+    from kafka_connect_morphlines_spark.functions import validation
+
+    ev = t(spark, sf_dir, "events")
+    return validation.trimmed_stats(ev, "event_type", "value")

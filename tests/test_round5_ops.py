@@ -96,3 +96,47 @@ def test_rouge_l_symmetric_f(spark):
     rows = {r["pid"]: r for r in evalmetrics.rouge_l(pairs).collect()}
     assert rows[1]["rouge_f"] == rows[2]["rouge_f"]  # F is symmetric
     assert rows[1]["rouge_p"] == rows[2]["rouge_r"]  # P/R swap
+
+
+def test_collocations_pmi_counts_and_order(spark):
+    from kafka_connect_morphlines_spark.functions import textstats
+    import math
+
+    # "a b" appears 6x; "a c" 6x; unigrams balanced
+    rows = [("a b x y",)] * 6 + [("a c x z",)] * 6
+    df = spark.createDataFrame(rows, "text string").withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    out = textstats.collocations_pmi_df(df, min_count=5, topk=10).collect()
+    got = {(r["w1"], r["w2"]): r for r in out}
+    ab = got[("a", "b")]
+    # margins: c1(a)=12, c2(b)=6, c12=6, N=36 -> PMI = ln(6*36/(12*6))
+    assert (ab["c12"], ab["c1"], ab["c2"]) == (6, 12, 6)
+    assert ab["pmi"] == round(math.log(6 * 36 / (12 * 6)), 6)
+    # hapax pairs pruned by min_count
+    assert all(r["c12"] >= 5 for r in out)
+    # deterministic order: pmi desc then lexicographic
+    keys = [(r["pmi"], r["w1"], r["w2"]) for r in out]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1], t[2]))
+
+
+def test_trimmed_stats_drops_tails(spark):
+    from kafka_connect_morphlines_spark.functions import validation
+
+    # one group: 0..100; p05=5, p95=95 -> keep 5..95 inclusive, mean 50
+    rows = [("g", float(v)) for v in range(101)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = validation.trimmed_stats(df, "event_type", "value").collect()[0]
+    assert out["n_total"] == 101
+    assert out["lo"] == 5.0 and out["hi"] == 95.0
+    assert out["n_kept"] == 91
+    assert out["trimmed_mean"] == 50.0
+
+
+def test_trimmed_stats_outlier_immune(spark):
+    from kafka_connect_morphlines_spark.functions import validation
+
+    base = [("g", 10.0)] * 98 + [("g", 1e9), ("g", -1e9)]
+    df = spark.createDataFrame(base, "event_type string, value double")
+    out = validation.trimmed_stats(df, "event_type", "value").collect()[0]
+    assert out["trimmed_mean"] == 10.0  # the plain mean would be ~0 +- 1e7
