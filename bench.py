@@ -106,6 +106,7 @@ HEADLINE = [
     "chi2_token_lang",
     "collocations_pmi",
     "trimmed_mean_by_type",
+    "icws_weighted_near_dupes",
 ]
 
 

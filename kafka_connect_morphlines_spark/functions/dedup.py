@@ -566,3 +566,127 @@ def keep_best_representative(
     return j.select(
         id_col, cluster_col, score_col, (F.row_number().over(w) == 1).alias("keep")
     )
+
+
+def icws_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    seed: str = "icws",
+) -> DataFrame:
+    """Improved Consistent Weighted Sampling signatures (Ioffe, ICDM 2010):
+    MinHash generalized to WEIGHTED sets, so signature agreement estimates
+    the weighted Jaccard ``J_w = sum_t min(wA_t, wB_t) / sum_t max(wA_t,
+    wB_t)`` — tf-weighted near-dup detection, where plain MinHash's
+    set-semantics ignores how often a term repeats.
+
+    Per (hash i, token t) the scheme derives r ~ Gamma(2,1), c ~ Gamma(2,1),
+    beta ~ U(0,1) CONSISTENTLY from md5(seed/i/t) (five 24-bit uniform
+    slices of one digest; r = -ln(u1*u2), c = -ln(u3*u4)), then
+    ``t_k = floor(ln w / r + beta)``, ``y = exp(r*(t_k - beta))``,
+    ``a = c / (y * e^r)`` and takes the argmin-a token: P[argmin collides]
+    = J_w exactly (the paper's Theorem 1).  Everything is derandomized, so
+    reruns and engines agree; ties break on the (a, slot) struct order.
+
+    Output: (id_col, sig: array<bigint>) with ``sig[i] = xxhash64(i, t*,
+    t_k*)`` — two signatures' matching positions / num_hashes estimates
+    J_w.  Shape at 100 TB: one token explode + groupBy(id, token) for tf
+    weights, then ONE groupBy(id) carrying K min-struct aggregates
+    (map-side combined) — the _raw_signatures shape; the shuffle carries
+    one K-slot row per doc per partition, never text.  K*|distinct tokens|
+    md5 calls is the map-side cost — linear, embarrassingly parallel.
+    """
+    from kafka_connect_morphlines_spark.functions.textstats import tokens_codegen
+
+    tf = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokens_codegen(F.col(text_col))).alias("_t"))
+        .groupBy("_id", "_t")
+        .agg(F.count(F.lit(1)).alias("_w"))
+    )
+    two24 = float(1 << 24)
+
+    def u_slice(hexcol: Column, k: int) -> Column:
+        # 24-bit uniform in (0,1): (bits + 0.5) / 2^24 — never 0 or 1.
+        return (
+            F.conv(F.substring(hexcol, 1 + 6 * k, 6), 16, 10).cast("long") + F.lit(0.5)
+        ) / F.lit(two24)
+
+    aggs = []
+    for i in range(num_hashes):
+        hx = F.md5(F.concat(F.lit(f"{seed}/{i}/"), F.col("_t")))
+        r = -(F.log(u_slice(hx, 0) * u_slice(hx, 1)))
+        c = -(F.log(u_slice(hx, 2) * u_slice(hx, 3)))
+        beta = u_slice(hx, 4)
+        lnw = F.log(F.col("_w").cast("double"))
+        t_k = F.floor(lnw / r + beta)
+        y = F.exp(r * (t_k.cast("double") - beta))
+        a = c / (y * F.exp(r))
+        slot = F.xxhash64(F.lit(i), F.col("_t"), t_k)
+        aggs.append(F.min(F.struct(a.alias("_a"), slot.alias("_slot"))).alias(f"_m{i}"))
+    grouped = tf.groupBy("_id").agg(*aggs)
+    return grouped.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"_m{i}._slot") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def weighted_jaccard_exact(tf_a: dict, tf_b: dict) -> float:
+    """Driver-side exact weighted Jaccard of two tf dicts (test oracle)."""
+    keys = set(tf_a) | set(tf_b)
+    num = sum(min(tf_a.get(k, 0), tf_b.get(k, 0)) for k in keys)
+    den = sum(max(tf_a.get(k, 0), tf_b.get(k, 0)) for k in keys)
+    return num / den if den else 1.0
+
+
+def icws_near_dupes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    min_agree: int = 12,
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """Weighted-Jaccard near-dup pairs: ICWS signatures, single-slot LSH
+    blocking (each signature position is a bucket key — two docs agreeing
+    anywhere share a bucket), then exact agreement count >= ``min_agree``.
+
+    Same scale discipline as the unweighted LSH path: buckets over
+    ``max_bucket_size`` are dropped (mega-bucket guard), the pair join
+    carries ids + signatures only, and agreement is one codegen
+    zip_with/filter over two K-arrays.  Returns (id_a, id_b, agree).
+    """
+    sig = icws_signatures(df, text_col, id_col, num_hashes)
+    if not sig.isStreaming:
+        sig = sig.localCheckpoint()
+    slots = sig.select(
+        F.col(id_col).alias("_id"),
+        F.col("sig"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.concat_ws("/", i.cast("string"), F.element_at("sig", i + 1).cast("string")),
+            )
+        ).alias("_bkt"),
+    )
+    sizes = slots.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    ok = slots.join(
+        F.broadcast(sizes.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)).select("_bkt")),
+        "_bkt",
+    )
+    a = ok.select(F.col("_bkt"), F.col("_id").alias("id_a"), F.col("sig").alias("_sa"))
+    b = ok.select(F.col("_bkt"), F.col("_id").alias("id_b"), F.col("sig").alias("_sb"))
+    pairs = (
+        a.join(b, "_bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda eq: eq)
+    )
+    return (
+        pairs.select("id_a", "id_b", agree.alias("agree"))
+        .filter(F.col("agree") >= min_agree)
+        .orderBy("id_a", "id_b")
+    )

@@ -6852,3 +6852,18 @@ def trimmed_mean_by_type(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     return validation.trimmed_stats(ev, "event_type", "value")
+
+
+@query("icws_weighted_near_dupes", None)
+def icws_weighted_near_dupes(spark, sf_dir):
+    """Weighted-Jaccard near-dup pairs (dedup.icws_near_dupes, Ioffe ICDM
+    2010 consistent weighted sampling): tf-weighted MinHash signatures,
+    single-slot LSH blocking with the mega-bucket guard, exact agreement
+    threshold.  Approximate by nature (no SQL oracle); pytest pins the
+    J_w-estimation property and rerun determinism — the signatures are
+    fully derandomized (md5-derived Gamma/Uniform draws), so the output
+    is stable across runs and engines."""
+    from kafka_connect_morphlines_spark.functions import dedup, ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return dedup.icws_near_dupes(docs, num_hashes=16, min_agree=12)

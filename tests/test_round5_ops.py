@@ -140,3 +140,45 @@ def test_trimmed_stats_outlier_immune(spark):
     df = spark.createDataFrame(base, "event_type string, value double")
     out = validation.trimmed_stats(df, "event_type", "value").collect()[0]
     assert out["trimmed_mean"] == 10.0  # the plain mean would be ~0 +- 1e7
+
+
+def test_icws_estimates_weighted_jaccard(spark):
+    from kafka_connect_morphlines_spark.functions import dedup
+
+    # doc 1 repeats 'x' heavily; doc 2 shares tokens but different weights
+    t1 = "x x x x x x y z"
+    t2 = "x x y y z w"
+    df = spark.createDataFrame([(1, t1), (2, t2)], "doc_id long, text string")
+    sig = {r["doc_id"]: r["sig"] for r in dedup.icws_signatures(df, num_hashes=64).collect()}
+    est = sum(1 for a, b in zip(sig[1], sig[2]) if a == b) / 64
+    tf1 = {"x": 6, "y": 1, "z": 1}
+    tf2 = {"x": 2, "y": 2, "z": 1, "w": 1}
+    true = dedup.weighted_jaccard_exact(tf1, tf2)  # 4/10 = 0.4
+    assert abs(est - true) < 0.2  # 64 hashes: binomial std ~0.06
+    # identical doc -> identical signature (J_w = 1)
+    df2 = spark.createDataFrame([(1, t1), (3, t1)], "doc_id long, text string")
+    sig2 = {r["doc_id"]: r["sig"] for r in dedup.icws_signatures(df2, num_hashes=16).collect()}
+    assert sig2[1] == sig2[3]
+
+
+def test_icws_deterministic_across_runs(spark):
+    from kafka_connect_morphlines_spark.functions import dedup
+
+    df = spark.createDataFrame([(1, "a a b c"), (2, "b c d")], "doc_id long, text string")
+    s1 = sorted(map(tuple, [(r["doc_id"], tuple(r["sig"])) for r in dedup.icws_signatures(df).collect()]))
+    s2 = sorted(map(tuple, [(r["doc_id"], tuple(r["sig"])) for r in dedup.icws_signatures(df).collect()]))
+    assert s1 == s2
+
+
+def test_icws_near_dupes_finds_weighted_pair(spark):
+    from kafka_connect_morphlines_spark.functions import dedup
+
+    rows = [
+        (1, "alpha alpha alpha beta gamma delta"),
+        (2, "alpha alpha alpha beta gamma delta"),  # exact dup of 1
+        (3, "zeta eta theta iota kappa"),            # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.icws_near_dupes(df, num_hashes=16, min_agree=12).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["agree"] == 16
