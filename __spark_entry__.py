@@ -69,7 +69,8 @@ _ROUND5_PREFIX = [
     # Round-5 session additions (local-certified; see CORRECTNESS_local).
     "rrf_hybrid_fusion", "ks_drift_value", "chi2_token_lang",
     "rouge_l_pairs", "collocations_pmi", "trimmed_mean_by_type",
-    "icws_weighted_near_dupes",
+    "icws_weighted_near_dupes", "control_char_stats",
+    "compression_ratio_quality",
 ]
 _ROUND5_RANK = {name: i for i, name in enumerate(_ROUND5_PREFIX)}
 

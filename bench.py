@@ -107,6 +107,8 @@ HEADLINE = [
     "collocations_pmi",
     "trimmed_mean_by_type",
     "icws_weighted_near_dupes",
+    "control_char_stats",
+    "compression_ratio_quality",
 ]
 
 

@@ -281,3 +281,64 @@ def pii_scan(
         cols.append(F.regexp_count(remaining, F.lit(pattern)).alias(type_names[repl]))
         remaining = F.regexp_replace(remaining, pattern, repl)
     return df.select(*cols)
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap redundancy
+    signal (used by Dolma/RedPajama-class pipelines: highly compressible
+    text is repetitive boilerplate; incompressible text is often binary
+    junk or gibberish).  Emits (id, n_bytes, n_compressed, ratio) with
+    ``ratio = round(n_compressed / n_bytes, 6)`` (NULL for empty text).
+
+    zlib with a pinned ``level`` is deterministic for a given input, so
+    the output is rerun-stable; there is no SQL analogue (no oracle by
+    nature — golden-pinned instead).  Runs as one Arrow-batched
+    mapInPandas projection: map-only, zero shuffle — at 100 TB the scan
+    is the entire cost, the same shape as the other quality signals.
+    """
+    import pandas as pd  # noqa: F401
+    import zlib
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    base = df.select(F.col(id_col), F.col(text_col))
+    out_schema = StructType(
+        [
+            base.schema[id_col],
+            StructField("n_bytes", LongType(), True),
+            StructField("n_compressed", LongType(), True),
+            StructField("ratio", DoubleType(), True),
+        ]
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            nb, nc, ratio = [], [], []
+            for s in pdf[text_col]:
+                raw = (s or "").encode("utf-8")
+                if not raw:
+                    nb.append(0)
+                    nc.append(0)
+                    ratio.append(None)
+                    continue
+                comp = zlib.compress(raw, level)
+                nb.append(len(raw))
+                nc.append(len(comp))
+                ratio.append(round(len(comp) / len(raw), 6))
+            out = pdf[[id_col]].copy()
+            out["n_bytes"] = nb
+            out["n_compressed"] = nc
+            out["ratio"] = ratio
+            yield out
+
+    return base.mapInPandas(_score, out_schema)

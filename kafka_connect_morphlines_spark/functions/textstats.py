@@ -550,3 +550,36 @@ def collocations_pmi_df(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2")).limit(topk)
+
+
+def control_char_stats_df(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document control/replacement-character audit — the mojibake and
+    binary-contamination signal of corpus cleaning: (id, n_chars,
+    n_control, n_replacement, control_ratio).
+
+    ``n_control`` counts C0/C1 control characters excluding \\t \\n \\r;
+    ``n_replacement`` counts U+FFFD (the decoder's substitution char, the
+    smoking gun of a wrong-charset decode).  Counting is
+    ``length(x) - length(regexp_replace(x, class, ''))`` — pure codegen
+    string ops, map-only, zero shuffle; the ratio is the fixed-shape
+    integer-input division (engine-portable).
+    """
+    x = F.col(text_col)
+    n_chars = F.length(x)
+    ctl = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x80-\x9F]"
+    n_control = n_chars - F.length(F.regexp_replace(x, ctl, ""))
+    n_repl = n_chars - F.length(F.regexp_replace(x, "�", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_control.alias("n_control"),
+        n_repl.alias("n_replacement"),
+        F.when(
+            n_chars > 0,
+            F.round(n_control.cast("double") / n_chars.cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("control_ratio"),
+    )

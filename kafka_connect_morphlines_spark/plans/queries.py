@@ -6867,3 +6867,41 @@ def icws_weighted_near_dupes(spark, sf_dir):
 
     docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     return dedup.icws_near_dupes(docs, num_hashes=16, min_agree=12)
+
+
+@query(
+    "control_char_stats",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]', '', 'g')) AS INT) AS n_control,
+           CAST(length(text) - length(regexp_replace(text, '\\ufffd', '', 'g')) AS INT) AS n_replacement,
+           CASE WHEN length(text) > 0
+                THEN round(CAST(length(text) - length(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]', '', 'g')) AS DOUBLE)
+                           / CAST(length(text) AS DOUBLE), 6)
+                ELSE 0.0 END AS control_ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def control_char_stats(spark, sf_dir):
+    """Mojibake / binary-contamination audit (textstats.control_char_stats_df):
+    C0/C1 control characters (minus tab/newline/CR) and U+FFFD replacement
+    chars per document — pure codegen regexp counting, map-only."""
+    from kafka_connect_morphlines_spark.functions import textstats
+
+    docs = t(spark, sf_dir, "documents")
+    return textstats.control_char_stats_df(docs).orderBy("doc_id")
+
+
+@query("compression_ratio_quality", None)
+def compression_ratio_quality(spark, sf_dir):
+    """zlib compression-ratio quality signal (textclean.compression_ratio):
+    highly compressible text is repetitive boilerplate, incompressible is
+    junk/gibberish — the cheap redundancy heuristic of Dolma/RedPajama-
+    class pipelines.  Arrow-batched map-only projection; zlib has no SQL
+    analogue (no oracle by nature), pytest pins exact values on known
+    strings and determinism."""
+    from kafka_connect_morphlines_spark.functions import textclean
+
+    docs = t(spark, sf_dir, "documents")
+    return textclean.compression_ratio(docs).orderBy("doc_id")

@@ -182,3 +182,41 @@ def test_icws_near_dupes_finds_weighted_pair(spark):
     pairs = dedup.icws_near_dupes(df, num_hashes=16, min_agree=12).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
     assert pairs[0]["agree"] == 16
+
+
+def test_control_char_stats(spark):
+    from kafka_connect_morphlines_spark.functions import textstats
+
+    rows = [
+        (1, "clean text"),
+        (2, "bad\x00\x01stuff"),          # 2 control chars
+        (3, "tab\tand\nnewline\rok"),     # whitelisted controls
+        (4, "repl�char"),            # U+FFFD only
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.control_char_stats_df(df).collect()}
+    assert got[1]["n_control"] == 0 and got[1]["control_ratio"] == 0.0
+    assert got[2]["n_control"] == 2
+    assert got[2]["control_ratio"] == round(2 / len("bad\x00\x01stuff"), 6)
+    assert got[3]["n_control"] == 0  # \t \n \r excluded
+    assert got[4]["n_replacement"] == 1 and got[4]["n_control"] == 0
+    assert got[5]["n_chars"] == 0 and got[5]["control_ratio"] == 0.0
+
+
+def test_compression_ratio_signal_direction(spark):
+    from kafka_connect_morphlines_spark.functions import textclean
+    import zlib
+
+    rep = "spam " * 200           # highly compressible
+    var = " ".join(f"w{i}x{i*7%97}" for i in range(200))  # high entropy
+    df = spark.createDataFrame(
+        [(1, rep), (2, var), (3, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in textclean.compression_ratio(df).collect()}
+    assert got[1]["ratio"] < got[2]["ratio"]  # repetitive compresses better
+    # exact value pinned against local zlib at the same level
+    raw = rep.encode("utf-8")
+    assert got[1]["n_bytes"] == len(raw)
+    assert got[1]["n_compressed"] == len(zlib.compress(raw, 6))
+    assert got[3]["ratio"] is None and got[3]["n_bytes"] == 0
