@@ -70,7 +70,8 @@ _ROUND5_PREFIX = [
     "rrf_hybrid_fusion", "ks_drift_value", "chi2_token_lang",
     "rouge_l_pairs", "collocations_pmi", "trimmed_mean_by_type",
     "icws_weighted_near_dupes", "control_char_stats",
-    "compression_ratio_quality",
+    "compression_ratio_quality", "lang_confusion_matrix",
+    "brier_score_purchase",
 ]
 _ROUND5_RANK = {name: i for i, name in enumerate(_ROUND5_PREFIX)}
 

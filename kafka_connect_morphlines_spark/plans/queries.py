@@ -6905,3 +6905,87 @@ def compression_ratio_quality(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return textclean.compression_ratio(docs).orderBy("doc_id")
+
+
+def _confusion_oracle_sql() -> str:
+    """Long-form confusion matrix over the shared lang-id CASE SQL."""
+    pred = lang_id_oracle_sql()
+    return f"""
+    WITH pred AS ({pred})
+    SELECT d.lang AS actual, p.lang_pred AS predicted,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(sum(count(*)) OVER (PARTITION BY d.lang) AS DOUBLE), 6) AS row_frac
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.lang_pred
+    ORDER BY actual, predicted
+    """
+
+
+@query("lang_confusion_matrix", None)  # oracle attached below (shares lang_id SQL)
+def lang_confusion_matrix(spark, sf_dir):
+    """Long-form confusion matrix: ground-truth lang vs the lang-id
+    heuristic with per-(actual, predicted) counts and the within-actual
+    row fraction — the per-class companion to cohens_kappa_langid.  One
+    groupBy over the pair table + a |classes|-partition window over the
+    |classes|^2-row aggregate (bounded by construction)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("lang").alias("actual"),
+        textstats.lang_id(F.col("text")).alias("predicted"),
+    )
+    from pyspark.sql import Window
+
+    counts = pairs.groupBy("actual", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("actual")
+    return counts.select(
+        "actual",
+        "predicted",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
+        ).alias("row_frac"),
+    ).orderBy("actual", "predicted")
+
+
+QUERIES["lang_confusion_matrix"] = QuerySpec(
+    build=lang_confusion_matrix, oracle=_confusion_oracle_sql()
+)
+
+
+@query(
+    "brier_score_purchase",
+    """
+    WITH s AS (
+      SELECT least(greatest(value / 500.0, 0.0), 1.0) AS p,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(round((p - y) * (p - y), 9) AS DECIMAL(38,12))), 6) AS DOUBLE) AS brier_sum,
+           round(CAST(round(sum(CAST(round((p - y) * (p - y), 9) AS DECIMAL(38,12))), 6) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS brier
+    FROM s
+    """,
+)
+def brier_score_purchase(spark, sf_dir):
+    """Brier score of a [0,1]-clamped value-based purchase predictor:
+    mean squared (p - y) — the strictly proper scoring rule next to the
+    calibration bins.  Per-row squared errors are 9dp-rounded then summed
+    as DECIMAL (partition-invariant, the decayed_engagement idiom); one
+    codegen aggregate."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    p = F.least(F.greatest(F.col("value") / F.lit(500.0), F.lit(0.0)), F.lit(1.0))
+    y = F.when(F.col("event_type") == "purchase", F.lit(1.0)).otherwise(F.lit(0.0))
+    term = F.round((p - y) * (p - y), 9).cast("decimal(38,12)")
+    return (
+        ev.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(term), 6).cast("double").alias("brier_sum"),
+        )
+        .select(
+            "n",
+            "brier_sum",
+            F.round(F.col("brier_sum") / F.col("n").cast("double"), 6).alias("brier"),
+        )
+    )
