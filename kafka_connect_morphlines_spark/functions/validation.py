@@ -445,7 +445,11 @@ def trimmed_stats(
     partition-invariant (the calibration_table mean_score idiom).  Two
     passes over a pruned (group, value) projection: one percentile
     aggregate (per-group, map-side partial), one filtered mean join —
-    at 100 TB both shuffles carry (group, numeric) rows only.
+    at 100 TB both shuffles carry (group, numeric) rows only.  Exact
+    ``percentile`` buffers per-group DISTINCT values (a counts map), so
+    it is bounded by value cardinality, not row count — quantize the
+    value (or switch to ``percentile_approx``) when the column is
+    continuous at corpus scale.
 
     Returns (group, n_total, n_kept, lo, hi, trimmed_mean).
     """

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window, functions as F  # noqa: E402
 
 from kafka_connect_morphlines_spark import compile_pipeline, get_spark  # noqa: E402
-from kafka_connect_morphlines_spark.functions import bloom, dedup, dsir, funnel, relational, retrieval, semantic, similarity, sketches, temporal, textclean, textstats, traindata, web, winnow  # noqa: E402
+from kafka_connect_morphlines_spark.functions import bloom, dedup, dsir, evalmetrics, funnel, relational, retrieval, semantic, similarity, sketches, temporal, textclean, textstats, traindata, validation, web, winnow  # noqa: E402
 
 
 def main() -> None:
@@ -259,6 +259,50 @@ def main() -> None:
         # Heaps curve: two token shuffles with map-side combine + 10-row window
         "vocab_growth_200k": run(
             "vocab_growth_200k", lambda: textstats.vocab_growth(docs, n_buckets=10)
+        ),
+        # round-5 shapes ------------------------------------------------
+        # ICWS: one tf groupBy then ONE groupBy(id) with K min-struct
+        # aggregates; blocking + mega-bucket cap bound the pair join
+        "icws_near_dupes_200k": run(
+            "icws_near_dupes_200k",
+            lambda: dedup.icws_near_dupes(docs, num_hashes=16, min_agree=12),
+        ),
+        # chi2: distinct (doc, token) explode + two aggregates; min_df
+        # prunes before the per-class window
+        "chi2_tokens_200k": run(
+            "chi2_tokens_200k",
+            lambda: evalmetrics.chi2_tokens(
+                docs.withColumn("lang", (F.col("doc_id") % 5).cast("string")),
+                F.col("text"),
+                F.col("lang"),
+                min_df=50,
+                topk=5,
+            ),
+        ),
+        # PMI: one bigram explode (checkpointed) + margin joins, TakeOrdered
+        "collocations_200k": run(
+            "collocations_200k",
+            lambda: textstats.collocations_pmi_df(docs, min_count=50, topk=20),
+        ),
+        # KS: event volume collapses to distinct values before the window
+        "ks_drift_20m": run(
+            "ks_drift_20m",
+            lambda: validation.ks_drift(
+                events, F.col("value"), F.col("event_type"), "click", "purchase", decimals=None
+            ),
+        ),
+        # trimmed mean: exact percentile buffers distinct values per group —
+        # value cardinality here is bounded (997); quantize first at 100 TB
+        "trimmed_mean_20m": run(
+            "trimmed_mean_20m",
+            lambda: validation.trimmed_stats(events, "event_type", "value"),
+        ),
+        # map-only quality signals (scan-bound by construction)
+        "control_chars_200k": run(
+            "control_chars_200k", lambda: textstats.control_char_stats_df(docs)
+        ),
+        "compression_200k": run(
+            "compression_200k", lambda: textclean.compression_ratio(docs)
         ),
         # trade-graph analogue: 200k nodes, ~8 out-edges each, symmetric
         "pagerank_200k_nodes": run(
