@@ -71,7 +71,7 @@ _ROUND5_PREFIX = [
     "rouge_l_pairs", "collocations_pmi", "trimmed_mean_by_type",
     "icws_weighted_near_dupes", "control_char_stats",
     "compression_ratio_quality", "lang_confusion_matrix",
-    "brier_score_purchase",
+    "brier_score_purchase", "phrase_contamination_scan",
 ]
 _ROUND5_RANK = {name: i for i, name in enumerate(_ROUND5_PREFIX)}
 

@@ -1147,3 +1147,50 @@ def unigram_lm_encode(
     src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     out = src.mapInPandas(encode, schema="_id long, n_pieces int, pieces array<string>")
     return out.withColumnRenamed("_id", id_col)
+
+
+def phrase_scan(
+    df: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring contamination scan: per benchmark phrase, how many
+    documents contain it and how many total occurrences — the
+    case-sensitive byte-level complement to token-n-gram
+    ``decontaminate`` (catches mid-word and punctuation-variant leaks
+    that whitespace tokenization normalizes away).
+
+    Occurrences are counted with pure codegen string arithmetic:
+    ``(length(text) - length(replace(text, p))) / length(p)`` — no regex
+    compilation, no UDF; each phrase adds one conditional-sum pair to a
+    SINGLE aggregate node, so a k-phrase scan over 100 TB is still one
+    map-side-combined scan.  ``phrases`` is a bounded literal list (a
+    benchmark suite's canaries, tens-to-hundreds); for 10^5+ patterns
+    switch to the n-gram hash join in ``decontaminate``.
+
+    Returns (phrase, n_docs, n_occurrences) in input-phrase order.
+    """
+    aggs = []
+    text = F.col(text_col)
+    for i, p in enumerate(phrases):
+        if not p:
+            raise ValueError("empty phrase")
+        occ = (
+            (F.length(text) - F.length(F.replace(text, F.lit(p), F.lit(""))))
+            / F.lit(len(p))
+        ).cast("long")
+        aggs.append(F.sum(F.when(occ > 0, 1).otherwise(0)).alias(f"_d{i}"))
+        aggs.append(F.sum(occ).alias(f"_o{i}"))
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("phrase"),
+                F.col(f"_d{i}").alias("n_docs"),
+                F.col(f"_o{i}").alias("n_occurrences"),
+            )
+            for i, p in enumerate(phrases)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.phrase", "r.n_docs", "r.n_occurrences")

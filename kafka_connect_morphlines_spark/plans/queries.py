@@ -6989,3 +6989,35 @@ def brier_score_purchase(spark, sf_dir):
             F.round(F.col("brier_sum") / F.col("n").cast("double"), 6).alias("brier"),
         )
     )
+
+
+@query(
+    "phrase_contamination_scan",
+    """
+    WITH p AS (
+      SELECT * FROM (VALUES (1, 'the data'), (2, 'spark'), (3, 'machine learning'),
+                            (4, 'window function'), (5, 'et al')) t(ord, phrase)
+    ),
+    occ AS (
+      SELECT p.ord, p.phrase,
+             CAST((length(d.text) - length(replace(d.text, p.phrase, ''))) / length(p.phrase) AS BIGINT) AS o
+      FROM documents d CROSS JOIN p
+    )
+    SELECT phrase,
+           CAST(sum(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           CAST(sum(o) AS BIGINT) AS n_occurrences
+    FROM occ GROUP BY ord, phrase ORDER BY ord
+    """,
+)
+def phrase_contamination_scan(spark, sf_dir):
+    """Exact-substring benchmark-canary scan (traindata.phrase_scan): per
+    phrase, containing-doc count and total occurrences via codegen string
+    arithmetic — ONE map-side-combined aggregate for the whole phrase
+    list, the byte-level complement to n-gram decontamination."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = t(spark, sf_dir, "documents")
+    return traindata.phrase_scan(
+        docs,
+        ["the data", "spark", "machine learning", "window function", "et al"],
+    )

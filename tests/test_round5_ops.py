@@ -220,3 +220,22 @@ def test_compression_ratio_signal_direction(spark):
     assert got[1]["n_bytes"] == len(raw)
     assert got[1]["n_compressed"] == len(zlib.compress(raw, 6))
     assert got[3]["ratio"] is None and got[3]["n_bytes"] == 0
+
+
+def test_phrase_scan_exact_substring_counts(spark):
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    rows = [
+        (1, "foo bar foo bar foo"),
+        (2, "nothing here"),
+        (3, "foobar"),  # substring match without token boundary
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["phrase"]: r for r in traindata.phrase_scan(df, ["foo", "bar foo"]).collect()}
+    assert out["foo"]["n_docs"] == 2          # docs 1 and 3
+    assert out["foo"]["n_occurrences"] == 4   # 3 in doc 1 + 1 in doc 3
+    assert out["bar foo"]["n_occurrences"] == 2
+    # empty phrase rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        traindata.phrase_scan(df, ["ok", ""])
