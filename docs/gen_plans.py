@@ -88,6 +88,11 @@ NAMES = [
     "rrf_hybrid_fusion",
     "ks_drift_value",
     "chi2_token_lang",
+    "collocations_pmi",
+    "trimmed_mean_by_type",
+    "icws_weighted_near_dupes",
+    "control_char_stats",
+    "phrase_contamination_scan",
 ]
 
 

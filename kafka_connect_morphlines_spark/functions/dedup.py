@@ -645,28 +645,36 @@ def icws_near_dupes(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     min_agree: int = 12,
+    rows_per_band: int = 4,
     max_bucket_size: int = 2000,
 ) -> DataFrame:
-    """Weighted-Jaccard near-dup pairs: ICWS signatures, single-slot LSH
-    blocking (each signature position is a bucket key — two docs agreeing
-    anywhere share a bucket), then exact agreement count >= ``min_agree``.
+    """Weighted-Jaccard near-dup pairs: ICWS signatures, BANDED LSH
+    blocking (bucket key = hash of ``rows_per_band`` consecutive slots, so
+    a collision needs a whole band to agree), then exact agreement count
+    >= ``min_agree`` over the full signatures.
 
-    Same scale discipline as the unweighted LSH path: buckets over
-    ``max_bucket_size`` are dropped (mega-bucket guard), the pair join
-    carries ids + signatures only, and agreement is one codegen
-    zip_with/filter over two K-arrays.  Returns (id_a, id_b, agree).
+    Banding is what keeps this linear: single-slot blocking was measured
+    quadratic on a dup-heavy corpus (a common high-weight token puts
+    thousands of docs in one slot bucket — 131M candidate pairs at 5k
+    docs); a 4-slot band collides with probability J_w^4 instead of J_w,
+    which at the min_agree=12/16 (J~0.75) operating point still fires on
+    >=1 of 4 bands ~79% of the time and >98% for true near-dups (J>0.9).
+    Candidate pairs are distinct'd as BARE IDS before the two signature
+    joins, so the K-long arrays never ride the quadratic leg; buckets over
+    ``max_bucket_size`` are dropped (mega-bucket guard).  Returns
+    (id_a, id_b, agree).
     """
+    bands = max(1, num_hashes // rows_per_band)
     sig = icws_signatures(df, text_col, id_col, num_hashes)
     if not sig.isStreaming:
         sig = sig.localCheckpoint()
+    band_key = lambda b: F.xxhash64(  # noqa: E731
+        F.lit(b), *[F.element_at("sig", b * rows_per_band + j + 1) for j in range(rows_per_band)]
+    ).cast("string")
     slots = sig.select(
         F.col(id_col).alias("_id"),
-        F.col("sig"),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.concat_ws("/", i.cast("string"), F.element_at("sig", i + 1).cast("string")),
-            )
+            F.array(*[F.concat_ws("/", F.lit(str(b)), band_key(b)) for b in range(bands)])
         ).alias("_bkt"),
     )
     sizes = slots.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
@@ -674,19 +682,22 @@ def icws_near_dupes(
         F.broadcast(sizes.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)).select("_bkt")),
         "_bkt",
     )
-    a = ok.select(F.col("_bkt"), F.col("_id").alias("id_a"), F.col("sig").alias("_sa"))
-    b = ok.select(F.col("_bkt"), F.col("_id").alias("id_b"), F.col("sig").alias("_sb"))
     pairs = (
-        a.join(b, "_bkt")
+        ok.select(F.col("_bkt"), F.col("_id").alias("id_a"))
+        .join(ok.select(F.col("_bkt"), F.col("_id").alias("id_b")), "_bkt")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sa", "_sb")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sa"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sb"))
     agree = F.size(
         F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda eq: eq)
     )
     return (
-        pairs.select("id_a", "id_b", agree.alias("agree"))
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", agree.alias("agree"))
         .filter(F.col("agree") >= min_agree)
         .orderBy("id_a", "id_b")
     )
