@@ -109,6 +109,8 @@ HEADLINE = [
     "icws_weighted_near_dupes",
     "control_char_stats",
     "compression_ratio_quality",
+    "ndcg_user_rankings",
+    "gini_value_by_type",
 ]
 
 

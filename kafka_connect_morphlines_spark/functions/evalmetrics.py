@@ -47,6 +47,7 @@ __all__ = [
     "pmi_table",
     "chi2_tokens",
     "rouge_l",
+    "ndcg_at_k",
 ]
 
 _DEC = "decimal(38,12)"
@@ -497,3 +498,63 @@ def rouge_l(
             yield pdf
 
     return pairs.mapInPandas(_score, out_schema)
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    query_col: str,
+    score: Column,
+    relevance: Column,
+    k: int = 10,
+    tiebreak: Column | None = None,
+) -> DataFrame:
+    """NDCG@k per query (Jarvelin & Kekalainen, TOIS 2002): ranking quality
+    with graded relevance — ``DCG = sum (2^rel - 1) / log2(rank + 1)`` over
+    the top-k by score, normalized by the ideal ordering's DCG.
+
+    Determinism: rank = row_number over (score desc, rel desc, tiebreak)
+    per query — pass a unique ``tiebreak`` column (an item/event id) so
+    the order is TOTAL even among equal (score, rel) rows; ideal rank
+    orders by (rel desc, score desc, tiebreak).  Per-rank gains are
+    6dp-rounded doubles summed as DECIMAL, so both DCG sums are
+    partition-invariant; log2 is spelled ln(x)/ln(2) so the SQL oracle
+    mirrors the exact expression tree; the final ndcg is the fixed-shape
+    double division.
+
+    100 TB shape: two windows PARTITIONED BY QUERY (never global) over a
+    (query, score, rel) projection, each followed by a rank <= k filter —
+    the shuffles carry three narrow columns; queries with no relevant
+    item get ndcg NULL (0/0) via try_divide.  Returns
+    (query_col, dcg, idcg, ndcg).
+    """
+    tb = [tiebreak.alias("tb")] if tiebreak is not None else []
+    base = df.select(
+        F.col(query_col).alias("q"), score.alias("s"),
+        relevance.cast("long").alias("rel"), *tb,
+    )
+    tb_order = [F.col("tb").asc()] if tiebreak is not None else []
+    w_rank = Window.partitionBy("q").orderBy(
+        F.col("s").desc(), F.col("rel").desc(), *tb_order
+    )
+    w_ideal = Window.partitionBy("q").orderBy(
+        F.col("rel").desc(), F.col("s").desc(), *tb_order
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel").cast("double")) - F.lit(1.0))
+    ranked = base.withColumn("rk", F.row_number().over(w_rank)).withColumn(
+        "irk", F.row_number().over(w_ideal)
+    )
+    term = lambda rk: F.round(  # noqa: E731
+        gain / (F.log(rk.cast("double") + F.lit(1.0)) / F.log(F.lit(2.0))), 6
+    ).cast(_DEC)
+    agg = ranked.groupBy("q").agg(
+        F.sum(F.when(F.col("rk") <= k, term(F.col("rk"))).otherwise(F.lit(0).cast(_DEC))).alias("_dcg"),
+        F.sum(F.when(F.col("irk") <= k, term(F.col("irk"))).otherwise(F.lit(0).cast(_DEC))).alias("_idcg"),
+    )
+    return agg.select(
+        F.col("q").alias(query_col),
+        F.round(F.col("_dcg").cast("double"), 6).alias("dcg"),
+        F.round(F.col("_idcg").cast("double"), 6).alias("idcg"),
+        F.round(
+            F.try_divide(F.col("_dcg").cast("double"), F.col("_idcg").cast("double")), 6
+        ).alias("ndcg"),
+    ).orderBy(query_col)

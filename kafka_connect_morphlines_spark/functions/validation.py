@@ -483,3 +483,53 @@ def trimmed_stats(
         )
         .orderBy(group_col)
     )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative value — the inequality
+    audit of dataset balance (how concentrated token counts / revenue /
+    sample mass are within a domain):
+    ``G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))`` over ascending-
+    sorted values with 1-based index i.
+
+    Tie-exact without sorting row-by-row: collapse to DISTINCT values with
+    counts first (the rank-AUC shape), then for a value v with count c and
+    p predecessors the index block contributes ``v * (c*p + c*(c+1)/2)``
+    — index arithmetic stays in exact integers, each v-term is 6dp-rounded
+    and summed as DECIMAL, and the single division happens at the end.
+    The cumulative window is partitioned by group over value-cardinality
+    rows, never event volume.  Returns (group, n, mean, gini);
+    groups with sum(x) = 0 get NULL gini via try_divide.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,12)"
+    per = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.withColumn("p", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    idx_sum = F.col("c") * F.col("p") + (F.col("c") * (F.col("c") + 1)) / F.lit(2)
+    agg = cum.groupBy("g").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.round(F.col("v") * F.col("c"), 6).cast(dec)).alias("_sx"),
+        F.sum(F.round(F.col("v") * idx_sum, 6).cast(dec)).alias("_sixi"),
+    )
+    sx = F.col("_sx").cast("double")
+    sixi = F.col("_sixi").cast("double")
+    n = F.col("n").cast("double")
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.round(sx / n, 6).alias("mean"),
+        F.round(
+            F.try_divide(F.lit(2.0) * sixi - (n + F.lit(1.0)) * sx, n * sx), 6
+        ).alias("gini"),
+    ).orderBy(group_col)

@@ -7021,3 +7021,92 @@ def phrase_contamination_scan(spark, sf_dir):
         docs,
         ["the data", "spark", "machine learning", "window function", "et al"],
     )
+
+
+@query(
+    "ndcg_user_rankings",
+    """
+    WITH b AS (
+      SELECT user_id AS q, value AS s,
+             CASE event_type WHEN 'purchase' THEN 2 WHEN 'click' THEN 1 ELSE 0 END AS rel,
+             event_id AS tb
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT q, rel,
+             row_number() OVER (PARTITION BY q ORDER BY s DESC, rel DESC, tb) AS rk,
+             row_number() OVER (PARTITION BY q ORDER BY rel DESC, s DESC, tb) AS irk
+      FROM b
+    ),
+    a AS (
+      SELECT q,
+             sum(CASE WHEN rk <= 10
+                      THEN CAST(round((pow(2.0, rel) - 1.0) / (ln(rk + 1.0) / ln(2.0)), 6) AS DECIMAL(38,12))
+                      ELSE CAST(0 AS DECIMAL(38,12)) END) AS dcgd,
+             sum(CASE WHEN irk <= 10
+                      THEN CAST(round((pow(2.0, rel) - 1.0) / (ln(irk + 1.0) / ln(2.0)), 6) AS DECIMAL(38,12))
+                      ELSE CAST(0 AS DECIMAL(38,12)) END) AS idcgd
+      FROM r GROUP BY q
+    )
+    SELECT q AS user_id,
+           round(CAST(dcgd AS DOUBLE), 6) AS dcg,
+           round(CAST(idcgd AS DOUBLE), 6) AS idcg,
+           CASE WHEN CAST(idcgd AS DOUBLE) = 0 THEN NULL
+                ELSE round(CAST(dcgd AS DOUBLE) / CAST(idcgd AS DOUBLE), 6) END AS ndcg
+    FROM a ORDER BY user_id
+    """,
+)
+def ndcg_user_rankings(spark, sf_dir):
+    """NDCG@10 per user (evalmetrics.ndcg_at_k): graded relevance
+    (purchase=2, click=1) over value-ranked events with an event-id
+    tie-break making both rankings total orders.  Two per-query windows
+    (never global) over a 4-column projection; 6dp terms sum as DECIMAL."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    rel = (
+        F.when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+    )
+    return evalmetrics.ndcg_at_k(
+        ev, "user_id", F.col("value"), rel, k=10, tiebreak=F.col("event_id")
+    )
+
+
+@query(
+    "gini_value_by_type",
+    """
+    WITH per AS (
+      SELECT event_type AS g, value AS v, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY event_type, value
+    ),
+    cum AS (
+      SELECT g, v, c,
+             coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+      FROM per
+    ),
+    agg AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS n,
+             sum(CAST(round(v * c, 6) AS DECIMAL(38,12))) AS sx,
+             sum(CAST(round(v * (c * p + (c * (c + 1)) / 2), 6) AS DECIMAL(38,12))) AS sixi
+      FROM cum GROUP BY g
+    )
+    SELECT g AS event_type, n,
+           round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
+                ELSE round((2.0 * CAST(sixi AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS gini
+    FROM agg ORDER BY event_type
+    """,
+)
+def gini_value_by_type(spark, sf_dir):
+    """Per-group Gini coefficient (validation.gini_by_group): value-mass
+    inequality per event type — the dataset-balance audit.  Collapses to
+    distinct values before the group-partitioned cumulative window
+    (rank-AUC shape); index arithmetic exact, 6dp DECIMAL term sums."""
+    from kafka_connect_morphlines_spark.functions import validation
+
+    ev = t(spark, sf_dir, "events")
+    return validation.gini_by_group(ev, "event_type", "value")

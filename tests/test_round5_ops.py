@@ -239,3 +239,45 @@ def test_phrase_scan_exact_substring_counts(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         traindata.phrase_scan(df, ["ok", ""])
+
+
+def test_ndcg_perfect_and_inverted_rankings(spark):
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+    import math
+
+    # q1: scores perfectly ordered by relevance -> ndcg 1.0
+    # q2: scores inverted -> ndcg < 1, computable by hand
+    rows = [
+        ("q1", 3.0, 2, 1), ("q1", 2.0, 1, 2), ("q1", 1.0, 0, 3),
+        ("q2", 1.0, 2, 4), ("q2", 2.0, 1, 5), ("q2", 3.0, 0, 6),
+    ]
+    df = spark.createDataFrame(rows, "q string, s double, rel int, eid int")
+    out = {r["q"]: r for r in evalmetrics.ndcg_at_k(
+        df, "q", F.col("s"), F.col("rel"), k=10, tiebreak=F.col("eid")
+    ).collect()}
+    assert out["q1"]["ndcg"] == 1.0
+    dcg = round(0 / 1.0, 6) + round(1 / (math.log(3) / math.log(2)), 6) + round(3 / (math.log(4) / math.log(2)), 6)
+    idcg = round(3 / 1.0, 6) + round(1 / (math.log(3) / math.log(2)), 6)
+    assert out["q2"]["ndcg"] == round(round(dcg, 6) / round(idcg, 6), 6)
+
+
+def test_ndcg_no_relevant_items_null(spark):
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    df = spark.createDataFrame(
+        [("q", 1.0, 0, 1), ("q", 2.0, 0, 2)], "q string, s double, rel int, eid int"
+    )
+    row = evalmetrics.ndcg_at_k(df, "q", F.col("s"), F.col("rel"), tiebreak=F.col("eid")).collect()[0]
+    assert row["dcg"] == 0.0 and row["ndcg"] is None
+
+
+def test_gini_extremes(spark):
+    from kafka_connect_morphlines_spark.functions import validation
+
+    # perfectly equal -> 0; one holder of all mass among n -> (n-1)/n
+    rows = [("eq", 5.0)] * 10 + [("uneq", 0.0)] * 9 + [("uneq", 100.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in validation.gini_by_group(df, "g", "v").collect()}
+    assert out["eq"]["gini"] == 0.0
+    assert out["uneq"]["gini"] == 0.9  # (n-1)/n with n=10
+    assert out["uneq"]["mean"] == 10.0
