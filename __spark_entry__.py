@@ -72,7 +72,7 @@ _ROUND5_PREFIX = [
     "icws_weighted_near_dupes", "control_char_stats",
     "compression_ratio_quality", "lang_confusion_matrix",
     "brier_score_purchase", "phrase_contamination_scan",
-    "ndcg_user_rankings", "gini_value_by_type",
+    "ndcg_user_rankings", "gini_value_by_type", "map_user_rankings",
 ]
 _ROUND5_RANK = {name: i for i, name in enumerate(_ROUND5_PREFIX)}
 

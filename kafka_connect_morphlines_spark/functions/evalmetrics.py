@@ -48,6 +48,7 @@ __all__ = [
     "chi2_tokens",
     "rouge_l",
     "ndcg_at_k",
+    "map_at_k",
 ]
 
 _DEC = "decimal(38,12)"
@@ -557,4 +558,60 @@ def ndcg_at_k(
         F.round(
             F.try_divide(F.col("_dcg").cast("double"), F.col("_idcg").cast("double")), 6
         ).alias("ndcg"),
+    ).orderBy(query_col)
+
+
+def map_at_k(
+    df: DataFrame,
+    query_col: str,
+    score: Column,
+    relevant: Column,
+    k: int = 10,
+    tiebreak: Column | None = None,
+) -> DataFrame:
+    """Average Precision @ k per query (binary relevance): the other
+    standard ranking metric next to NDCG —
+    ``AP = sum over relevant ranks r<=k of (rel_count_at_r / r)``,
+    normalized by ``min(k, total_relevant)``.
+
+    Same determinism recipe as ndcg_at_k: a caller-supplied ``tiebreak``
+    makes the rank a total order; precision-at-r terms are exact-integer
+    ratios rounded to 6dp and summed as DECIMAL; the final normalization
+    is the fixed-shape double division (NULL when the query has no
+    relevant item).  One rank window + one cumulative window, both
+    PARTITIONED BY QUERY, over a 4-column projection.  Returns
+    (query_col, n_relevant, ap).  Macro-MAP is the caller's one-line
+    ``avg(ap)``.
+    """
+    tb = [tiebreak.alias("tb")] if tiebreak is not None else []
+    base = df.select(
+        F.col(query_col).alias("q"), score.alias("s"),
+        relevant.cast("int").alias("rel"), *tb,
+    )
+    tb_order = [F.col("tb").asc()] if tiebreak is not None else []
+    w_rank = Window.partitionBy("q").orderBy(
+        F.col("s").desc(), F.col("rel").desc(), *tb_order
+    )
+    ranked = base.withColumn("rk", F.row_number().over(w_rank))
+    w_cum = (
+        Window.partitionBy("q").orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ranked.withColumn("cum_rel", F.sum("rel").over(w_cum))
+    term = F.when(
+        (F.col("rel") == 1) & (F.col("rk") <= k),
+        F.round(
+            F.col("cum_rel").cast("double") / F.col("rk").cast("double"), 6
+        ).cast(_DEC),
+    ).otherwise(F.lit(0).cast(_DEC))
+    agg = cum.groupBy("q").agg(
+        F.sum("rel").alias("n_relevant"),
+        F.sum(term).alias("_ap_sum"),
+    )
+    denom = F.least(F.lit(k), F.col("n_relevant")).cast("double")
+    return agg.select(
+        F.col("q").alias(query_col),
+        "n_relevant",
+        F.round(
+            F.try_divide(F.col("_ap_sum").cast("double"), denom), 6
+        ).alias("ap"),
     ).orderBy(query_col)

@@ -7110,3 +7110,48 @@ def gini_value_by_type(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     return validation.gini_by_group(ev, "event_type", "value")
+
+
+@query(
+    "map_user_rankings",
+    """
+    WITH b AS (
+      SELECT user_id AS q, value AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+             event_id AS tb
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT q, rel,
+             row_number() OVER (PARTITION BY q ORDER BY s DESC, rel DESC, tb) AS rk
+      FROM b
+    ),
+    c AS (SELECT q, rel, rk, sum(rel) OVER (PARTITION BY q ORDER BY rk) AS cum_rel FROM r),
+    a AS (
+      SELECT q, CAST(sum(rel) AS BIGINT) AS n_relevant,
+             sum(CASE WHEN rel = 1 AND rk <= 10
+                      THEN CAST(round(CAST(cum_rel AS DOUBLE) / CAST(rk AS DOUBLE), 6) AS DECIMAL(38,12))
+                      ELSE CAST(0 AS DECIMAL(38,12)) END) AS aps
+      FROM c GROUP BY q
+    )
+    SELECT q AS user_id, n_relevant,
+           CASE WHEN least(10, n_relevant) = 0 THEN NULL
+                ELSE round(CAST(aps AS DOUBLE) / CAST(least(10, n_relevant) AS DOUBLE), 6) END AS ap
+    FROM a ORDER BY user_id
+    """,
+)
+def map_user_rankings(spark, sf_dir):
+    """Average Precision @10 per user (evalmetrics.map_at_k): binary
+    relevance (purchase), value-ranked with an event-id tie-break; exact
+    integer precision-at-r terms, DECIMAL sum, per-query windows only."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return evalmetrics.map_at_k(
+        ev,
+        "user_id",
+        F.col("value"),
+        (F.col("event_type") == "purchase").cast("int"),
+        k=10,
+        tiebreak=F.col("event_id"),
+    )

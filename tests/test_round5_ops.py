@@ -281,3 +281,33 @@ def test_gini_extremes(spark):
     assert out["eq"]["gini"] == 0.0
     assert out["uneq"]["gini"] == 0.9  # (n-1)/n with n=10
     assert out["uneq"]["mean"] == 10.0
+
+
+def test_map_at_k_hand_computed(spark):
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    # ranking by score desc: rel pattern [1, 0, 1, 0] ->
+    # AP = (1/1 + 2/3) / 2
+    rows = [
+        ("q", 4.0, 1, 1), ("q", 3.0, 0, 2), ("q", 2.0, 1, 3), ("q", 1.0, 0, 4),
+        ("empty", 9.0, 0, 5),
+    ]
+    df = spark.createDataFrame(rows, "q string, s double, rel int, eid int")
+    out = {r["q"]: r for r in evalmetrics.map_at_k(
+        df, "q", F.col("s"), F.col("rel"), k=10, tiebreak=F.col("eid")
+    ).collect()}
+    assert out["q"]["n_relevant"] == 2
+    # (1/1 + 2/3)/2 = 0.8333335 -> 0.833334 under Spark's HALF_UP round
+    # (Python's round() banker's-rounds the same float to 0.833333; the
+    # oracle gate only needs Spark==DuckDB, which the certify run pins)
+    assert abs(out["q"]["ap"] - (1 + 2 / 3) / 2) < 1e-6
+    assert out["empty"]["ap"] is None
+
+
+def test_map_at_k_perfect_ranking_is_one(spark):
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    rows = [("q", 3.0, 1, 1), ("q", 2.0, 1, 2), ("q", 1.0, 0, 3)]
+    df = spark.createDataFrame(rows, "q string, s double, rel int, eid int")
+    row = evalmetrics.map_at_k(df, "q", F.col("s"), F.col("rel"), tiebreak=F.col("eid")).collect()[0]
+    assert row["ap"] == 1.0
