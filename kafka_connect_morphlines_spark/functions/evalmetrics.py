@@ -49,6 +49,7 @@ __all__ = [
     "rouge_l",
     "ndcg_at_k",
     "map_at_k",
+    "bootstrap_mean_ci",
 ]
 
 _DEC = "decimal(38,12)"
@@ -615,3 +616,102 @@ def map_at_k(
             F.try_divide(F.col("_ap_sum").cast("double"), denom), 6
         ).alias("ap"),
     ).orderBy(query_col)
+
+
+# Cumulative Poisson(1) thresholds for the inverse-CDF lookup, P(X <= k):
+# e^-1 * sum_{j<=k} 1/j!.  Capped at 6 (P(X>6|lam=1) ~ 8e-5).
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value: Column,
+    id_col: Column,
+    b: int = 100,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+    seed: str = "boot",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a mean — the distributed
+    'online bootstrap' (Oza & Russell, AISTATS 2001; Kleiner et al.'s
+    scalable-bootstrap family): each of ``b`` replicates reweights every
+    row by an independent Poisson(1) draw, so a replicate's weighted mean
+    is distributed like a with-replacement resample WITHOUT materializing
+    resamples or sharing driver state.
+
+    Fully DERANDOMIZED (hash-certifiable): the Poisson draw is the
+    inverse-CDF of a 24-bit md5 uniform per (replicate, id) — reruns and
+    engines agree bit-for-bit.  Shape at 100 TB: one explode by ``b``
+    (rows x b, map-side) into one groupBy(replicate) — b partial sums,
+    map-side combined; the replicate-mean frame is b rows, so the
+    percentile bounds are driver-trivial.  Weighted sums accumulate
+    6dp-rounded DECIMAL terms (partition-invariant).
+
+    Returns one row: (n, mean, boot_lo, boot_hi) with the interval at
+    [lo_q, hi_q] over replicate means (exact interpolated percentile).
+    """
+    base = df.select(value.cast("double").alias("x"), id_col.alias("_id")).filter(
+        F.col("x").isNotNull()
+    )
+    rep = base.select(
+        "x", "_id", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}/"),
+                        F.col("rep").cast("string"),
+                        F.lit("/"),
+                        F.col("_id").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 24))
+    w = F.lit(len(_POIS1_CDF))
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    dec = "decimal(38,12)"
+    means = (
+        rep.select("rep", w.alias("w"), "x")
+        .groupBy("rep")
+        .agg(
+            F.sum("w").alias("_wn"),
+            F.sum(F.round(F.col("w") * F.col("x"), 6).cast(dec)).alias("_wx"),
+        )
+        .select(
+            F.round(
+                F.try_divide(F.col("_wx").cast("double"), F.col("_wn").cast("double")),
+                6,
+            ).alias("m")
+        )
+    )
+    point = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("x"), 6).cast(dec)).alias("_sx"),
+    )
+    ci = means.agg(
+        F.round(F.expr(f"percentile(m, {lo_q})"), 6).alias("boot_lo"),
+        F.round(F.expr(f"percentile(m, {hi_q})"), 6).alias("boot_hi"),
+    )
+    return point.crossJoin(ci).select(
+        "n",
+        F.round(F.col("_sx").cast("double") / F.col("n").cast("double"), 6).alias("mean"),
+        "boot_lo",
+        "boot_hi",
+    )

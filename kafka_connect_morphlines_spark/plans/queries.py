@@ -7155,3 +7155,66 @@ def map_user_rankings(spark, sf_dir):
         k=10,
         tiebreak=F.col("event_id"),
     )
+
+
+def _boot_oracle_sql() -> str:
+    from kafka_connect_morphlines_spark.functions.evalmetrics import _POIS1_CDF
+
+    cases = " ".join(
+        f"WHEN uu < {c!r} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"""
+    WITH base AS (
+      SELECT value AS x, event_id AS id FROM events
+      WHERE value IS NOT NULL AND event_type = 'purchase'
+    ),
+    rep AS (SELECT x, id, r FROM base, unnest(range(0, 100)) t(r)),
+    uw AS (
+      SELECT x, r,
+             CASE {cases} ELSE {len(_POIS1_CDF)} END AS w
+      FROM (
+        SELECT x, r,
+               (CAST(('0x' || substr(md5('boot/' || CAST(r AS VARCHAR) || '/' || CAST(id AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5) / 16777216.0 AS uu
+        FROM rep
+      )
+    ),
+    means AS (
+      SELECT CASE WHEN sum(w) = 0 THEN NULL
+                  ELSE round(CAST(sum(CAST(round(w * x, 6) AS DECIMAL(38,12))) AS DOUBLE)
+                             / CAST(sum(w) AS DOUBLE), 6) END AS m
+      FROM uw GROUP BY r
+    ),
+    point AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(round(x, 6) AS DECIMAL(38,12))) AS sx
+      FROM base
+    ),
+    ci AS (
+      SELECT round(quantile_cont(m, 0.025), 6) AS boot_lo,
+             round(quantile_cont(m, 0.975), 6) AS boot_hi
+      FROM means
+    )
+    SELECT n, round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean, boot_lo, boot_hi
+    FROM point CROSS JOIN ci
+    """
+
+
+@query("bootstrap_purchase_mean_ci", None)  # oracle attached below
+def bootstrap_purchase_mean_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for the mean purchase value
+    (evalmetrics.bootstrap_mean_ci, the distributed online bootstrap):
+    100 derandomized Poisson(1)-reweighted replicates in ONE
+    explode+groupBy pass, exact interpolated percentile bounds over the
+    100 replicate means.  Fully hash-certifiable because every 'draw' is
+    an md5 inverse-CDF lookup."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return evalmetrics.bootstrap_mean_ci(
+        ev, F.col("value"), F.col("event_id"), b=100
+    )
+
+
+QUERIES["bootstrap_purchase_mean_ci"] = QuerySpec(
+    build=bootstrap_purchase_mean_ci, oracle=_boot_oracle_sql()
+)

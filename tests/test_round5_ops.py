@@ -311,3 +311,32 @@ def test_map_at_k_perfect_ranking_is_one(spark):
     df = spark.createDataFrame(rows, "q string, s double, rel int, eid int")
     row = evalmetrics.map_at_k(df, "q", F.col("s"), F.col("rel"), tiebreak=F.col("eid")).collect()[0]
     assert row["ap"] == 1.0
+
+
+def test_bootstrap_ci_brackets_mean_and_shrinks(spark):
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    small = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(100)], "event_id long, value double"
+    )
+    big = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(2000)], "event_id long, value double"
+    )
+    rs = evalmetrics.bootstrap_mean_ci(small, F.col("value"), F.col("event_id")).collect()[0]
+    rb = evalmetrics.bootstrap_mean_ci(big, F.col("value"), F.col("event_id")).collect()[0]
+    assert rs["mean"] == 4.5 and rb["mean"] == 4.5
+    assert rs["boot_lo"] < 4.5 < rs["boot_hi"]
+    assert rb["boot_lo"] < 4.5 < rb["boot_hi"]
+    # 20x the data -> materially tighter interval
+    assert (rb["boot_hi"] - rb["boot_lo"]) < (rs["boot_hi"] - rs["boot_lo"]) / 2
+
+
+def test_bootstrap_ci_deterministic(spark):
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "event_id long, value double"
+    )
+    a = evalmetrics.bootstrap_mean_ci(df, F.col("value"), F.col("event_id")).collect()[0]
+    b = evalmetrics.bootstrap_mean_ci(df, F.col("value"), F.col("event_id")).collect()[0]
+    assert (a["boot_lo"], a["boot_hi"]) == (b["boot_lo"], b["boot_hi"])
