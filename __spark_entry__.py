@@ -73,7 +73,7 @@ _ROUND5_PREFIX = [
     "compression_ratio_quality", "lang_confusion_matrix",
     "brier_score_purchase", "phrase_contamination_scan",
     "ndcg_user_rankings", "gini_value_by_type", "map_user_rankings",
-    "bootstrap_purchase_mean_ci",
+    "bootstrap_purchase_mean_ci", "permutation_test_values",
 ]
 _ROUND5_RANK = {name: i for i, name in enumerate(_ROUND5_PREFIX)}
 

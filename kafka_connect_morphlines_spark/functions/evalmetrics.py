@@ -50,6 +50,7 @@ __all__ = [
     "ndcg_at_k",
     "map_at_k",
     "bootstrap_mean_ci",
+    "permutation_test_diff",
 ]
 
 _DEC = "decimal(38,12)"
@@ -714,4 +715,120 @@ def bootstrap_mean_ci(
         F.round(F.col("_sx").cast("double") / F.col("n").cast("double"), 6).alias("mean"),
         "boot_lo",
         "boot_hi",
+    )
+
+
+def permutation_test_diff(
+    df: DataFrame,
+    value: Column,
+    group: Column,
+    group_a: str,
+    group_b: str,
+    id_col: Column = None,
+    b: int = 200,
+    seed: str = "perm",
+) -> DataFrame:
+    """Two-sample permutation test for a difference in means — the exact
+    nonparametric companion to the z-test: under H0 the group labels are
+    exchangeable, so each of ``b`` replicates reassigns every row to a
+    pseudo-arm by an md5 coin flip and recomputes the mean difference;
+    ``p = (1 + #{|diff_rep| >= |observed|}) / (b + 1)`` (the standard
+    add-one Monte-Carlo estimator, Phipson & Smyth 2010).
+
+    Fully DERANDOMIZED like bootstrap_mean_ci: the coin is bit 0 of a
+    24-bit md5 slice per (replicate, id), so engines and reruns agree
+    exactly.  Shape: one explode by ``b`` into one groupBy(replicate)
+    carrying four conditional sums (map-side combined); the observed
+    difference is one more aggregate; the comparison happens over b rows.
+    Value sums accumulate 6dp-rounded DECIMAL terms; each replicate diff
+    and the observed diff are 6dp-rounded doubles so the >= comparison is
+    engine-stable.  Returns (n_a, n_b, diff, p_value).
+    """
+    dec = "decimal(38,12)"
+    base = df.select(
+        value.cast("double").alias("x"),
+        group.alias("g"),
+        (id_col if id_col is not None else F.monotonically_increasing_id()).alias("_id"),
+    ).filter(F.col("x").isNotNull() & F.col("g").isin([group_a, group_b]))
+    obs = base.agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("g") == group_a, F.round(F.col("x"), 6).cast(dec)).otherwise(
+                F.lit(0).cast(dec)
+            )
+        ).alias("_sa"),
+        F.sum(
+            F.when(F.col("g") == group_b, F.round(F.col("x"), 6).cast(dec)).otherwise(
+                F.lit(0).cast(dec)
+            )
+        ).alias("_sb"),
+    ).select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("_sa").cast("double") / F.col("n_a").cast("double")
+            - F.col("_sb").cast("double") / F.col("n_b").cast("double"),
+            6,
+        ).alias("diff"),
+    )
+    rep = base.select(
+        "x", "_id", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep")
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}/"),
+                        F.col("rep").cast("string"),
+                        F.lit("/"),
+                        F.col("_id").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    diffs = (
+        rep.select("rep", coin.alias("c"), "x")
+        .groupBy("rep")
+        .agg(
+            F.sum(F.when(F.col("c") == 0, 1).otherwise(0)).alias("_na"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("_nb"),
+            F.sum(
+                F.when(F.col("c") == 0, F.round(F.col("x"), 6).cast(dec)).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            ).alias("_sa"),
+            F.sum(
+                F.when(F.col("c") == 1, F.round(F.col("x"), 6).cast(dec)).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            ).alias("_sb"),
+        )
+        .select(
+            F.round(
+                F.try_divide(F.col("_sa").cast("double"), F.col("_na").cast("double"))
+                - F.try_divide(F.col("_sb").cast("double"), F.col("_nb").cast("double")),
+                6,
+            ).alias("d")
+        )
+    )
+    exceed = diffs.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            F.when(F.abs(F.col("d")) >= F.abs(F.col("diff")), 1).otherwise(0)
+        ).alias("_ge")
+    )
+    return obs.crossJoin(F.broadcast(exceed)).select(
+        "n_a",
+        "n_b",
+        "diff",
+        F.round(
+            (F.col("_ge").cast("double") + F.lit(1.0)) / F.lit(float(b + 1)), 6
+        ).alias("p_value"),
     )

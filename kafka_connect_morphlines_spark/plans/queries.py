@@ -7218,3 +7218,58 @@ def bootstrap_purchase_mean_ci(spark, sf_dir):
 QUERIES["bootstrap_purchase_mean_ci"] = QuerySpec(
     build=bootstrap_purchase_mean_ci, oracle=_boot_oracle_sql()
 )
+
+
+@query(
+    "permutation_test_values",
+    """
+    WITH base AS (
+      SELECT value AS x, event_type AS g, event_id AS id
+      FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    ),
+    obs AS (
+      SELECT CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             round(CAST(sum(CASE WHEN g = 'click' THEN CAST(round(x, 6) AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
+                     / CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
+                   - CAST(sum(CASE WHEN g = 'purchase' THEN CAST(round(x, 6) AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
+                     / CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE), 6) AS diff
+      FROM base
+    ),
+    rep AS (SELECT x, id, r FROM base, unnest(range(0, 200)) t(r)),
+    coined AS (
+      SELECT x, r,
+             CAST(('0x' || substr(md5('perm/' || CAST(r AS VARCHAR) || '/' || CAST(id AS VARCHAR)), 1, 6)) AS BIGINT) % 2 AS c
+      FROM rep
+    ),
+    diffs AS (
+      SELECT CASE WHEN sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) = 0
+                    OR sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) = 0 THEN NULL
+                  ELSE round(CAST(sum(CASE WHEN c = 0 THEN CAST(round(x, 6) AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
+                               / CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                             - CAST(sum(CASE WHEN c = 1 THEN CAST(round(x, 6) AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
+                               / CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE), 6) END AS d
+      FROM coined GROUP BY r
+    ),
+    ex AS (
+      SELECT CAST(sum(CASE WHEN abs(d) >= abs(obs.diff) THEN 1 ELSE 0 END) AS BIGINT) AS ge
+      FROM diffs CROSS JOIN obs
+    )
+    SELECT obs.n_a, obs.n_b, obs.diff,
+           round((CAST(ex.ge AS DOUBLE) + 1.0) / 201.0, 6) AS p_value
+    FROM obs CROSS JOIN ex
+    """,
+)
+def permutation_test_values(spark, sf_dir):
+    """Permutation test (evalmetrics.permutation_test_diff): click vs
+    purchase mean-value difference, 200 derandomized md5 coin-flip
+    relabelings, add-one Monte-Carlo p.  One explode+groupBy pass for all
+    replicates; a resampling test made hash-certifiable by
+    derandomization."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    ev = t(spark, sf_dir, "events")
+    return evalmetrics.permutation_test_diff(
+        ev, F.col("value"), F.col("event_type"), "click", "purchase",
+        id_col=F.col("event_id"), b=200,
+    )

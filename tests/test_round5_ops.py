@@ -340,3 +340,29 @@ def test_bootstrap_ci_deterministic(spark):
     a = evalmetrics.bootstrap_mean_ci(df, F.col("value"), F.col("event_id")).collect()[0]
     b = evalmetrics.bootstrap_mean_ci(df, F.col("value"), F.col("event_id")).collect()[0]
     assert (a["boot_lo"], a["boot_hi"]) == (b["boot_lo"], b["boot_hi"])
+
+
+def test_permutation_test_detects_and_rejects(spark):
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    # strong signal: arms differ by 10 -> tiny p
+    strong = spark.createDataFrame(
+        [(i, "a", 10.0 + (i % 3)) for i in range(60)]
+        + [(i + 100, "b", 0.0 + (i % 3)) for i in range(60)],
+        "event_id long, g string, v double",
+    )
+    r = evalmetrics.permutation_test_diff(
+        strong, F.col("v"), F.col("g"), "a", "b", id_col=F.col("event_id"), b=200
+    ).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (60, 60)
+    assert r["diff"] == 10.0
+    assert r["p_value"] == round(1 / 201, 6)  # no relabeling reaches |10|
+    # null case: identical distributions -> p far from 0
+    null = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i % 7)) for i in range(200)],
+        "event_id long, g string, v double",
+    )
+    rn = evalmetrics.permutation_test_diff(
+        null, F.col("v"), F.col("g"), "a", "b", id_col=F.col("event_id"), b=200
+    ).collect()[0]
+    assert rn["p_value"] > 0.05
