@@ -111,6 +111,10 @@ HEADLINE = [
     "compression_ratio_quality",
     "ndcg_user_rankings",
     "gini_value_by_type",
+    "map_user_rankings",
+    "bootstrap_purchase_mean_ci",
+    "permutation_test_values",
+    "phrase_contamination_scan",
 ]
 
 

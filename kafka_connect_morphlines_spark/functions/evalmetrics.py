@@ -735,90 +735,93 @@ def permutation_test_diff(
     ``p = (1 + #{|diff_rep| >= |observed|}) / (b + 1)`` (the standard
     add-one Monte-Carlo estimator, Phipson & Smyth 2010).
 
-    Fully DERANDOMIZED like bootstrap_mean_ci: the coin is bit 0 of a
-    24-bit md5 slice per (replicate, id), so engines and reruns agree
-    exactly.  Shape: one explode by ``b`` into one groupBy(replicate)
+    Fully DERANDOMIZED like bootstrap_mean_ci: replicate r's coin is bit
+    (r mod 4) of hex digit (r mod 128) div 4 of md5(seed/(r div 128)/id)
+    — one digest yields 128 independent coins, so each row pays
+    ceil(b/128) md5 calls, not b — and engines/reruns agree exactly.  Shape: one explode by ``b`` into one groupBy(replicate)
     carrying four conditional sums (map-side combined); the observed
     difference is one more aggregate; the comparison happens over b rows.
-    Value sums accumulate 6dp-rounded DECIMAL terms; each replicate diff
-    and the observed diff are 6dp-rounded doubles so the >= comparison is
-    engine-stable.  Returns (n_a, n_b, diff, p_value).
+    Values accumulate as exact BIGINT micro-units (see inline note); each
+    replicate diff and the observed diff are 6dp-rounded doubles so the
+    >= comparison is engine-stable.  Returns (n_a, n_b, diff, p_value).
     """
-    dec = "decimal(38,12)"
+    # 6dp values ride as exact BIGINT micro-units: round(x*1e6) is the
+    # same integer as round(x,6)*1e6, long sums stay in whole-stage
+    # codegen (the DECIMAL-sum variant measured ~3x slower on the b-fold
+    # exploded frame), and |sum(x)| is bounded by 9.2e12 before overflow —
+    # ample for bounded metrics; pre-scale or shrink b beyond that.
     base = df.select(
-        value.cast("double").alias("x"),
+        F.round(value.cast("double") * F.lit(1000000.0)).cast("long").alias("xm"),
         group.alias("g"),
         (id_col if id_col is not None else F.monotonically_increasing_id()).alias("_id"),
-    ).filter(F.col("x").isNotNull() & F.col("g").isin([group_a, group_b]))
+    ).filter(F.col("xm").isNotNull() & F.col("g").isin([group_a, group_b]))
     obs = base.agg(
         F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("n_b"),
-        F.sum(
-            F.when(F.col("g") == group_a, F.round(F.col("x"), 6).cast(dec)).otherwise(
-                F.lit(0).cast(dec)
-            )
-        ).alias("_sa"),
-        F.sum(
-            F.when(F.col("g") == group_b, F.round(F.col("x"), 6).cast(dec)).otherwise(
-                F.lit(0).cast(dec)
-            )
-        ).alias("_sb"),
+        F.sum(F.when(F.col("g") == group_a, F.col("xm")).otherwise(0)).alias("_sa"),
+        F.sum(F.when(F.col("g") == group_b, F.col("xm")).otherwise(0)).alias("_sb"),
     ).select(
         "n_a",
         "n_b",
         F.round(
-            F.col("_sa").cast("double") / F.col("n_a").cast("double")
-            - F.col("_sb").cast("double") / F.col("n_b").cast("double"),
+            (F.col("_sa").cast("double") / F.lit(1000000.0)) / F.col("n_a").cast("double")
+            - (F.col("_sb").cast("double") / F.lit(1000000.0)) / F.col("n_b").cast("double"),
             6,
         ).alias("diff"),
     )
+    # obs (1 row) and diffs (b rows) each feed TWO downstream consumers
+    # (the exceed count and the final projection); without a lineage cut
+    # the b-fold explode + md5 pass re-executes per consumer — measured
+    # 10.4s -> ~4s warm at sf0.1 with the cuts.
+    if not obs.isStreaming:
+        obs = obs.localCheckpoint()
+    # One md5 digest yields 128 independent coin bits, so each base row
+    # pays ceil(b/128) md5 calls instead of b — the explode then only
+    # extracts a hex nibble and shifts (measured: the per-replicate-md5
+    # variant spent its whole 10s warm in 80M digest computations).
+    n_digests = (b + 127) // 128
+    digests = [
+        F.md5(
+            F.concat(F.lit(f"{seed}/{d}/"), F.col("_id").cast("string"))
+        ).alias(f"_dg{d}")
+        for d in range(n_digests)
+    ]
     rep = base.select(
-        "x", "_id", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep")
+        "xm", "_id", *digests,
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep"),
     )
-    coin = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"{seed}/"),
-                        F.col("rep").cast("string"),
-                        F.lit("/"),
-                        F.col("_id").cast("string"),
-                    )
-                ),
-                1,
-                6,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 2
-    )
+    digest = F.col("_dg0")
+    for d in range(1, n_digests):
+        digest = F.when(F.col("rep") >= d * 128, F.col(f"_dg{d}")).otherwise(digest)
+    bit = F.col("rep") % 128
+    nibble = F.conv(F.substring(digest, (bit / F.lit(4)).cast("int") + 1, 1), 16, 10).cast("int")
+    rep = rep.withColumn("_nib", nibble)
+    coin = F.expr("shiftright(_nib, cast(rep % 4 as int)) & 1")
     diffs = (
-        rep.select("rep", coin.alias("c"), "x")
+        rep.select("rep", coin.alias("c"), "xm")
         .groupBy("rep")
         .agg(
             F.sum(F.when(F.col("c") == 0, 1).otherwise(0)).alias("_na"),
             F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("_nb"),
-            F.sum(
-                F.when(F.col("c") == 0, F.round(F.col("x"), 6).cast(dec)).otherwise(
-                    F.lit(0).cast(dec)
-                )
-            ).alias("_sa"),
-            F.sum(
-                F.when(F.col("c") == 1, F.round(F.col("x"), 6).cast(dec)).otherwise(
-                    F.lit(0).cast(dec)
-                )
-            ).alias("_sb"),
+            F.sum(F.when(F.col("c") == 0, F.col("xm")).otherwise(0)).alias("_sa"),
+            F.sum(F.when(F.col("c") == 1, F.col("xm")).otherwise(0)).alias("_sb"),
         )
         .select(
             F.round(
-                F.try_divide(F.col("_sa").cast("double"), F.col("_na").cast("double"))
-                - F.try_divide(F.col("_sb").cast("double"), F.col("_nb").cast("double")),
+                F.try_divide(
+                    F.col("_sa").cast("double") / F.lit(1000000.0),
+                    F.col("_na").cast("double"),
+                )
+                - F.try_divide(
+                    F.col("_sb").cast("double") / F.lit(1000000.0),
+                    F.col("_nb").cast("double"),
+                ),
                 6,
             ).alias("d")
         )
     )
+    if not diffs.isStreaming:
+        diffs = diffs.localCheckpoint()
     exceed = diffs.crossJoin(F.broadcast(obs)).agg(
         F.sum(
             F.when(F.abs(F.col("d")) >= F.abs(F.col("diff")), 1).otherwise(0)

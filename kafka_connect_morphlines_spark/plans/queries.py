@@ -7224,30 +7224,33 @@ QUERIES["bootstrap_purchase_mean_ci"] = QuerySpec(
     "permutation_test_values",
     """
     WITH base AS (
-      SELECT value AS x, event_type AS g, event_id AS id
+      SELECT CAST(round(value * 1000000.0) AS BIGINT) AS xm, event_type AS g, event_id AS id
       FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
     ),
     obs AS (
       SELECT CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
              CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-             round(CAST(sum(CASE WHEN g = 'click' THEN CAST(round(x, 6) AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
+             round((CAST(sum(CASE WHEN g = 'click' THEN xm ELSE 0 END) AS DOUBLE) / 1000000.0)
                      / CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
-                   - CAST(sum(CASE WHEN g = 'purchase' THEN CAST(round(x, 6) AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
+                   - (CAST(sum(CASE WHEN g = 'purchase' THEN xm ELSE 0 END) AS DOUBLE) / 1000000.0)
                      / CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE), 6) AS diff
       FROM base
     ),
-    rep AS (SELECT x, id, r FROM base, unnest(range(0, 200)) t(r)),
+    rep AS (SELECT xm, id, r FROM base, unnest(range(0, 200)) t(r)),
     coined AS (
-      SELECT x, r,
-             CAST(('0x' || substr(md5('perm/' || CAST(r AS VARCHAR) || '/' || CAST(id AS VARCHAR)), 1, 6)) AS BIGINT) % 2 AS c
+      SELECT xm, r,
+             (CAST(('0x' || substr(
+                 CASE WHEN r >= 128 THEN md5('perm/1/' || CAST(id AS VARCHAR))
+                      ELSE md5('perm/0/' || CAST(id AS VARCHAR)) END,
+                 (r % 128) // 4 + 1, 1)) AS INT) >> (r % 4)) & 1 AS c
       FROM rep
     ),
     diffs AS (
       SELECT CASE WHEN sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) = 0
                     OR sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) = 0 THEN NULL
-                  ELSE round(CAST(sum(CASE WHEN c = 0 THEN CAST(round(x, 6) AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
+                  ELSE round((CAST(sum(CASE WHEN c = 0 THEN xm ELSE 0 END) AS DOUBLE) / 1000000.0)
                                / CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS DOUBLE)
-                             - CAST(sum(CASE WHEN c = 1 THEN CAST(round(x, 6) AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
+                             - (CAST(sum(CASE WHEN c = 1 THEN xm ELSE 0 END) AS DOUBLE) / 1000000.0)
                                / CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE), 6) END AS d
       FROM coined GROUP BY r
     ),
