@@ -185,7 +185,13 @@ def main() -> None:
     # compact line (totals + the 20 slowest warm timings only — r02-r04 all
     # failed to parse because a full 64-query map is >2000 chars) that fits
     # the 2000-char tail with ample headroom as the headline set grows.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # $SPARK_GRAFT_BENCH_DETAIL redirects the persisted detail file so a
+    # smoke run (e.g. the pytest contract gate at sf0.001) cannot clobber
+    # the committed sf0.1 artifact.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
     try:
         with open(detail_path, "w") as fh:
             json.dump(out, fh, indent=1)

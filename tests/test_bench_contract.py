@@ -21,6 +21,9 @@ def test_bench_emits_valid_contract_line():
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "8"
+    # keep the committed sf0.1 BENCH_DETAIL.json out of this smoke run's way
+    detail_path = os.path.join(REPO, "spark-warehouse", "_bench_detail_test.json")
+    env["SPARK_GRAFT_BENCH_DETAIL"] = detail_path
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
@@ -51,7 +54,7 @@ def test_bench_emits_valid_contract_line():
     assert compact["n_queries"] == len(HEADLINE)
     assert compact["n_errors"] == 0
     assert len(json_lines[-1]) + 1 <= 1800, "compact line must fit the driver's tail"
-    # and the full metric JSON is persisted next to bench.py
-    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as fh:
+    # and the full metric JSON is persisted at the redirected detail path
+    with open(detail_path) as fh:
         detail = json.load(fh)
     assert detail["queries"] == out["queries"]
