@@ -2065,8 +2065,8 @@ def small_quantity_revenue(spark, sf_dir):
     "priority_counts_by_linestatus",
     """
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -3981,7 +3981,8 @@ def frequent_part_pairs(spark, sf_dir):
              value > 100 AS success
       FROM events
     ),
-    agg AS (SELECT arm, count(*) AS n, sum(CASE WHEN success THEN 1 ELSE 0 END) AS conv
+    agg AS (SELECT arm, count(*) AS n,
+                   CAST(sum(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT) AS conv
             FROM assigned GROUP BY arm)
     SELECT a.n AS na, a.conv AS ca, b.n AS nb, b.conv AS cb,
            CAST((a.conv * 2000000 + a.n) // (2 * a.n) AS BIGINT) AS rate_a_ppm,
@@ -4957,7 +4958,7 @@ _DSIR_WEIGHTS_SQL = """
                AS lam_milli
       FROM raw r LEFT JOIN tgt t USING (bkt) CROSS JOIN tot
     ), agg AS (
-      SELECT doc_id, count(*) AS n_feats, sum(lam_milli) AS logw_milli
+      SELECT doc_id, count(*) AS n_feats, CAST(sum(lam_milli) AS BIGINT) AS logw_milli
       FROM b JOIN lam USING (bkt) GROUP BY doc_id
     )
     SELECT dd.doc_id, coalesce(agg.n_feats, 0) AS n_feats,
@@ -4986,10 +4987,10 @@ def dsir_importance_weights(spark, sf_dir):
     + """
     ), g AS (
       SELECT doc_id,
-             logw_milli
+             CAST(logw_milli
              + CAST(floor(-1000 * ln(-ln(
                  ((CAST(('0x' || substr(md5('gumbel/dsir/' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
-                   % 1000000) + 0.5) / 1000000.0)) + 0.5) AS BIGINT) AS key_milli
+                   % 1000000) + 0.5) / 1000000.0)) + 0.5) AS BIGINT) AS BIGINT) AS key_milli
       FROM w
     )
     SELECT doc_id, key_milli FROM g ORDER BY key_milli DESC, doc_id LIMIT 100
@@ -5402,7 +5403,7 @@ def domain_cap_sample(spark, sf_dir):
       FROM (SELECT doc_id, toks, row_number() OVER (ORDER BY doc_id) - 1 AS rn0 FROM tok), n
     ),
     slice_tokens AS (
-      SELECT bucket, count(*) AS n_docs, sum(len(toks)) AS n_tokens
+      SELECT bucket, count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
       FROM sliced GROUP BY bucket
     ),
     first_seen AS (
@@ -5416,9 +5417,9 @@ def domain_cap_sample(spark, sf_dir):
       GROUP BY s.bucket
     )
     SELECT st.bucket, st.n_docs, st.n_tokens,
-           sum(st.n_tokens) OVER (ORDER BY st.bucket) AS cum_tokens,
+           CAST(sum(st.n_tokens) OVER (ORDER BY st.bucket) AS BIGINT) AS cum_tokens,
            coalesce(nt.new_types, 0) AS new_types,
-           sum(coalesce(nt.new_types, 0)) OVER (ORDER BY st.bucket) AS cum_types
+           CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY st.bucket) AS BIGINT) AS cum_types
     FROM slice_tokens st LEFT JOIN new_types nt ON st.bucket = nt.bucket
     ORDER BY st.bucket
     """,
@@ -5610,7 +5611,7 @@ def leakage_safe_split(spark, sf_dir):
       SELECT doc_id,
              string_agg(line, chr(10) ORDER BY pos) AS clean_text,
              count(*) AS n_kept,
-             sum(occ) AS n_lines
+             CAST(sum(occ) AS BIGINT) AS n_lines
       FROM firsts GROUP BY doc_id
     )
     SELECT d.doc_id,
@@ -5692,7 +5693,7 @@ def line_dedup_within_doc(spark, sf_dir):
     )
     SELECT q.source,
            count(*) AS n_docs,
-           sum(q.n_tokens) AS total_tokens,
+           CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
            count(DISTINCT q.lang) AS n_langs,
            CAST(round(sum(CAST(q.n_tokens AS DECIMAL(23,6))) / count(*), 2) AS DOUBLE) AS avg_tokens,
            CAST(round(sum(CAST(s.score AS DECIMAL(23,6))) / count(*), 6) AS DOUBLE) AS avg_qclf,
@@ -5759,9 +5760,9 @@ def _pii_scan_oracle_sql() -> str:
     return f"""
     WITH per_doc AS (SELECT doc_id, {inner} FROM documents)
     SELECT count(*) AS n_docs,
-           sum(n_email) AS emails, sum(n_ssn) AS ssns,
-           sum(n_phone) AS phones, sum(n_ip) AS ips,
-           sum(CASE WHEN n_email + n_ssn + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS docs_with_pii
+           CAST(sum(n_email) AS BIGINT) AS emails, CAST(sum(n_ssn) AS BIGINT) AS ssns,
+           CAST(sum(n_phone) AS BIGINT) AS phones, CAST(sum(n_ip) AS BIGINT) AS ips,
+           CAST(sum(CASE WHEN n_email + n_ssn + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
     FROM per_doc
     """
 
