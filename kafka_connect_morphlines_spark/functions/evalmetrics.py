@@ -515,10 +515,12 @@ def ndcg_at_k(
     with graded relevance — ``DCG = sum (2^rel - 1) / log2(rank + 1)`` over
     the top-k by score, normalized by the ideal ordering's DCG.
 
-    Determinism: rank = row_number over (score desc, rel desc, tiebreak)
-    per query — pass a unique ``tiebreak`` column (an item/event id) so
-    the order is TOTAL even among equal (score, rel) rows; ideal rank
-    orders by (rel desc, score desc, tiebreak).  Per-rank gains are
+    Determinism: rank = row_number over (score desc, tiebreak) per query
+    — pass a unique ``tiebreak`` column (an item/event id) so the order
+    is TOTAL even among equal-score rows; ideal rank orders by (rel desc,
+    score desc, tiebreak).  Score ties deliberately do NOT prefer
+    relevant items (that would systematically inflate DCG); the tiebreak
+    alone arbitrates, matching the conventional arbitrary-tie treatment.  Per-rank gains are
     6dp-rounded doubles summed as DECIMAL, so both DCG sums are
     partition-invariant; log2 is spelled ln(x)/ln(2) so the SQL oracle
     mirrors the exact expression tree; the final ndcg is the fixed-shape
@@ -536,9 +538,7 @@ def ndcg_at_k(
         relevance.cast("long").alias("rel"), *tb,
     )
     tb_order = [F.col("tb").asc()] if tiebreak is not None else []
-    w_rank = Window.partitionBy("q").orderBy(
-        F.col("s").desc(), F.col("rel").desc(), *tb_order
-    )
+    w_rank = Window.partitionBy("q").orderBy(F.col("s").desc(), *tb_order)
     w_ideal = Window.partitionBy("q").orderBy(
         F.col("rel").desc(), F.col("s").desc(), *tb_order
     )
@@ -576,8 +576,9 @@ def map_at_k(
     ``AP = sum over relevant ranks r<=k of (rel_count_at_r / r)``,
     normalized by ``min(k, total_relevant)``.
 
-    Same determinism recipe as ndcg_at_k: a caller-supplied ``tiebreak``
-    makes the rank a total order; precision-at-r terms are exact-integer
+    Same determinism recipe as ndcg_at_k: rank = (score desc, tiebreak) —
+    a caller-supplied unique ``tiebreak`` makes the rank a total order and
+    score ties do not prefer relevant items; precision-at-r terms are exact-integer
     ratios rounded to 6dp and summed as DECIMAL; the final normalization
     is the fixed-shape double division (NULL when the query has no
     relevant item).  One rank window + one cumulative window, both
@@ -591,9 +592,7 @@ def map_at_k(
         relevant.cast("int").alias("rel"), *tb,
     )
     tb_order = [F.col("tb").asc()] if tiebreak is not None else []
-    w_rank = Window.partitionBy("q").orderBy(
-        F.col("s").desc(), F.col("rel").desc(), *tb_order
-    )
+    w_rank = Window.partitionBy("q").orderBy(F.col("s").desc(), *tb_order)
     ranked = base.withColumn("rk", F.row_number().over(w_rank))
     w_cum = (
         Window.partitionBy("q").orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
@@ -731,19 +730,32 @@ def permutation_test_diff(
     """Two-sample permutation test for a difference in means — the exact
     nonparametric companion to the z-test: under H0 the group labels are
     exchangeable, so each of ``b`` replicates reassigns every row to a
-    pseudo-arm by an md5 coin flip and recomputes the mean difference;
+    pseudo-arm and recomputes the mean difference;
     ``p = (1 + #{|diff_rep| >= |observed|}) / (b + 1)`` (the standard
     add-one Monte-Carlo estimator, Phipson & Smyth 2010).
 
-    Fully DERANDOMIZED like bootstrap_mean_ci: replicate r's coin is bit
-    (r mod 4) of hex digit (r mod 128) div 4 of md5(seed/(r div 128)/id)
-    — one digest yields 128 independent coins, so each row pays
-    ceil(b/128) md5 calls, not b — and engines/reruns agree exactly.  Shape: one explode by ``b`` into one groupBy(replicate)
-    carrying four conditional sums (map-side combined); the observed
-    difference is one more aggregate; the comparison happens over b rows.
-    Values accumulate as exact BIGINT micro-units (see inline note); each
-    replicate diff and the observed diff are 6dp-rounded doubles so the
-    >= comparison is engine-stable.  Returns (n_a, n_b, diff, p_value).
+    The relabeling coin is CONDITIONED ON THE OBSERVED SPLIT: row -> arm a
+    with probability n_a/(n_a+n_b), via a 16-bit md5 uniform compared in
+    exact integer arithmetic (u16*(n_a+n_b) < n_a*65536).  An
+    unconditioned 50/50 coin would give every null replicate two ~n/2
+    pseudo-arms whose diff variance is ~4*sigma^2/n instead of the
+    observed-split sigma^2*(1/n_a+1/n_b) — for unbalanced arms the
+    replicate diffs come out systematically too small and the p-value
+    collapses toward 1/(b+1) even under H0.  Binomial sizes around the
+    observed split are the standard scalable surrogate for exact
+    permutation (which would need a per-replicate global sort).
+
+    Fully DERANDOMIZED like bootstrap_mean_ci: replicate r's uniform is
+    hex chars [4*(r mod 8), 4*(r mod 8)+4) of md5(seed/(r div 8)/id) —
+    one digest yields eight 16-bit coins, so each row pays ceil(b/8) md5
+    calls, not b — and engines/reruns agree exactly.  Shape: one explode
+    by ``b`` into one groupBy(replicate) carrying four conditional sums
+    (map-side combined); the observed difference is one more aggregate
+    (broadcast onto the exploded frame for the threshold); the comparison
+    happens over b rows.  Values accumulate as exact BIGINT micro-units
+    (see inline note); each replicate diff and the observed diff are
+    6dp-rounded doubles so the >= comparison is engine-stable.  Returns
+    (n_a, n_b, diff, p_value).
     """
     # 6dp values ride as exact BIGINT micro-units: round(x*1e6) is the
     # same integer as round(x,6)*1e6, long sums stay in whole-stage
@@ -775,28 +787,31 @@ def permutation_test_diff(
     # 10.4s -> ~4s warm at sf0.1 with the cuts.
     if not obs.isStreaming:
         obs = obs.localCheckpoint()
-    # One md5 digest yields 128 independent coin bits, so each base row
-    # pays ceil(b/128) md5 calls instead of b — the explode then only
-    # extracts a hex nibble and shifts (measured: the per-replicate-md5
-    # variant spent its whole 10s warm in 80M digest computations).
-    n_digests = (b + 127) // 128
+    # One md5 digest yields eight 16-bit coins (4 hex chars each), so each
+    # base row pays ceil(b/8) md5 calls instead of b (measured: the
+    # per-replicate-md5 variant spent its whole 10s warm in 80M digest
+    # computations).  element_at picks the digest by replicate at runtime.
+    n_digests = (b + 7) // 8
     digests = [
         F.md5(
             F.concat(F.lit(f"{seed}/{d}/"), F.col("_id").cast("string"))
-        ).alias(f"_dg{d}")
+        )
         for d in range(n_digests)
     ]
-    rep = base.select(
-        "xm", "_id", *digests,
+    rep = base.crossJoin(F.broadcast(obs.select("n_a", "n_b"))).select(
+        "xm", "_id", "n_a", "n_b",
+        F.array(*digests).alias("_dgs"),
         F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep"),
     )
-    digest = F.col("_dg0")
-    for d in range(1, n_digests):
-        digest = F.when(F.col("rep") >= d * 128, F.col(f"_dg{d}")).otherwise(digest)
-    bit = F.col("rep") % 128
-    nibble = F.conv(F.substring(digest, (bit / F.lit(4)).cast("int") + 1, 1), 16, 10).cast("int")
-    rep = rep.withColumn("_nib", nibble)
-    coin = F.expr("shiftright(_nib, cast(rep % 4 as int)) & 1")
+    digest = F.element_at(F.col("_dgs"), (F.col("rep") / F.lit(8)).cast("int") + 1)
+    u16 = F.conv(
+        F.substring(digest, (F.col("rep") % 8).cast("int") * 4 + 1, 4), 16, 10
+    ).cast("long")
+    # Pseudo-arm a with probability n_a/(n_a+n_b) — exact integer compare,
+    # no float threshold, so any engine mirrors it bit-for-bit.
+    coin = F.when(
+        u16 * (F.col("n_a") + F.col("n_b")) < F.col("n_a") * F.lit(65536), 0
+    ).otherwise(1)
     diffs = (
         rep.select("rep", coin.alias("c"), "xm")
         .groupBy("rep")

@@ -7035,7 +7035,7 @@ def phrase_contamination_scan(spark, sf_dir):
     ),
     r AS (
       SELECT q, rel,
-             row_number() OVER (PARTITION BY q ORDER BY s DESC, rel DESC, tb) AS rk,
+             row_number() OVER (PARTITION BY q ORDER BY s DESC, tb) AS rk,
              row_number() OVER (PARTITION BY q ORDER BY rel DESC, s DESC, tb) AS irk
       FROM b
     ),
@@ -7124,7 +7124,7 @@ def gini_value_by_type(spark, sf_dir):
     ),
     r AS (
       SELECT q, rel,
-             row_number() OVER (PARTITION BY q ORDER BY s DESC, rel DESC, tb) AS rk
+             row_number() OVER (PARTITION BY q ORDER BY s DESC, tb) AS rk
       FROM b
     ),
     c AS (SELECT q, rel, rk, sum(rel) OVER (PARTITION BY q ORDER BY rk) AS cum_rel FROM r),
@@ -7240,11 +7240,12 @@ QUERIES["bootstrap_purchase_mean_ci"] = QuerySpec(
     rep AS (SELECT xm, id, r FROM base, unnest(range(0, 200)) t(r)),
     coined AS (
       SELECT xm, r,
-             (CAST(('0x' || substr(
-                 CASE WHEN r >= 128 THEN md5('perm/1/' || CAST(id AS VARCHAR))
-                      ELSE md5('perm/0/' || CAST(id AS VARCHAR)) END,
-                 (r % 128) // 4 + 1, 1)) AS INT) >> (r % 4)) & 1 AS c
-      FROM rep
+             CASE WHEN CAST(('0x' || substr(
+                      md5('perm/' || CAST(r // 8 AS VARCHAR) || '/' || CAST(id AS VARCHAR)),
+                      (r % 8) * 4 + 1, 4)) AS BIGINT)
+                    * (obs.n_a + obs.n_b) < obs.n_a * 65536
+                  THEN 0 ELSE 1 END AS c
+      FROM rep CROSS JOIN obs
     ),
     diffs AS (
       SELECT CASE WHEN sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) = 0
@@ -7266,10 +7267,12 @@ QUERIES["bootstrap_purchase_mean_ci"] = QuerySpec(
 )
 def permutation_test_values(spark, sf_dir):
     """Permutation test (evalmetrics.permutation_test_diff): click vs
-    purchase mean-value difference, 200 derandomized md5 coin-flip
-    relabelings, add-one Monte-Carlo p.  One explode+groupBy pass for all
-    replicates; a resampling test made hash-certifiable by
-    derandomization."""
+    purchase mean-value difference, 200 derandomized md5 relabelings
+    CONDITIONED on the observed arm split (16-bit uniform vs
+    n_a/(n_a+n_b), exact integer compare — a 50/50 coin would shrink null
+    replicate variance for these unbalanced arms), add-one Monte-Carlo p.
+    One explode+groupBy pass for all replicates; a resampling test made
+    hash-certifiable by derandomization."""
     from kafka_connect_morphlines_spark.functions import evalmetrics
 
     ev = t(spark, sf_dir, "events")

@@ -366,3 +366,38 @@ def test_permutation_test_detects_and_rejects(spark):
         null, F.col("v"), F.col("g"), "a", "b", id_col=F.col("event_id"), b=200
     ).collect()[0]
     assert rn["p_value"] > 0.05
+
+
+def test_permutation_test_unbalanced_null_calibration(spark):
+    """Null calibration with strongly unbalanced arms (30 vs 300): an
+    unconditioned 50/50 relabeling coin makes every replicate compare two
+    ~165-row pseudo-arms, whose diff variance (~4*sigma^2/330) is far
+    below the observed-split variance sigma^2*(1/30+1/300) — so under H0
+    the replicate diffs are systematically too small and p collapses
+    toward 1/(b+1).  The observed-split-conditioned coin must keep the
+    null p-value honest."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    rows = [(i, "a" if i % 11 == 0 else "b", float((i * 7) % 13)) for i in range(330)]
+    null = spark.createDataFrame(rows, "event_id long, g string, v double")
+    r = evalmetrics.permutation_test_diff(
+        null, F.col("v"), F.col("g"), "a", "b", id_col=F.col("event_id"), b=200
+    ).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (30, 300)
+    # H0 holds (same deterministic value distribution in both arms):
+    # a calibrated test must NOT report significance.
+    assert r["p_value"] > 0.05
+    # Replicate arm sizes must track the observed split, not 50/50: with
+    # p_a = 30/330 the pseudo-arm-a mean size is ~30; a 50/50 coin would
+    # put ~165 rows in arm a and shrink every replicate diff.  Recompute
+    # one replicate's coin assignments to pin the conditioning.
+    from pyspark.sql import functions as F2
+
+    base = null.select(
+        F2.col("event_id").alias("_id"), F2.lit(30).alias("n_a"), F2.lit(300).alias("n_b")
+    )
+    u16 = F2.conv(F2.substring(F2.md5(F2.concat(F2.lit("perm/0/"), F2.col("_id").cast("string"))), 1, 4), 16, 10).cast("long")
+    n_a_rep0 = base.select(
+        F2.sum(F2.when(u16 * 330 < 30 * 65536, 1).otherwise(0)).alias("na")
+    ).collect()[0]["na"]
+    assert 10 <= n_a_rep0 <= 60  # binomial(330, ~0.0909): mean 30, sd ~5.2
