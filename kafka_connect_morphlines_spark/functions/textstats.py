@@ -199,6 +199,7 @@ def hashed_linear_score_df(
     dim: int = 4096,
     seed: str = "qclf",
     weights=None,
+    carry_cols: tuple = (),
 ):
     """(id, n_tokens, score, label): fasttext-style linear quality classifier
     over hashed bag-of-words features.
@@ -223,12 +224,20 @@ def hashed_linear_score_df(
     double differently).  Shape at 100 TB: explode + per-doc groupBy with
     map-side combine; the shuffle carries (id, long) partial sums, never
     text.
+
+    ``carry_cols``: narrow per-document columns (e.g. ``source``) to keep
+    in the output.  They ride the explode and become extra groupBy keys
+    (id is unique, so cardinality is unchanged) — one scan and one
+    shuffle instead of scoring then re-joining the source frame on id.
     """
+    carry = [F.col(c) for c in carry_cols]
     ex = df.select(
         F.col(id_col),
+        *carry,
         F.explode_outer(tokens_codegen(F.col(text_col))).alias("_t"),
     ).select(
         F.col(id_col),
+        *carry,
         "_t",
         (
             F.conv(F.substring(F.md5(F.concat(F.lit(f"feat/{seed}/"), F.col("_t"))), 1, 6), 16, 10).cast("long")
@@ -246,7 +255,7 @@ def hashed_linear_score_df(
             % 2001
             - 1000,
         )
-    agg = ex.groupBy(id_col).agg(
+    agg = ex.groupBy(id_col, *carry_cols).agg(
         F.count("_t").alias("n_tokens"),
         F.coalesce(F.sum("_wm"), F.lit(0)).alias("_sum_milli"),
     )
@@ -259,6 +268,7 @@ def hashed_linear_score_df(
     )
     return agg.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         nt,
         F.when(nt > 0, micro.cast("double") / F.lit(1000000.0)).otherwise(F.lit(0.0)).alias("score"),
         (sm > 0).alias("label"),

@@ -5370,12 +5370,14 @@ def line_boilerplate_clean(spark, sf_dir):
 def domain_cap_sample(spark, sf_dir):
     """RefinedWeb-style per-domain cap (traindata.cap_per_group): keep the
     15 best documents per source by classifier score (doc-id tie-break),
-    flagging instead of filtering so the cut is auditable."""
+    flagging instead of filtering so the cut is auditable.  ``source``
+    rides the scorer's own aggregate (carry_cols) — one documents scan,
+    no score-vs-source re-join on doc_id."""
     from kafka_connect_morphlines_spark.functions import textstats, traindata
 
     docs = t(spark, sf_dir, "documents")
-    scored = docs.select("doc_id", "source").join(
-        textstats.hashed_linear_score_df(docs).select("doc_id", "score"), "doc_id"
+    scored = textstats.hashed_linear_score_df(docs, carry_cols=("source",)).select(
+        "doc_id", "source", "score"
     )
     out = traindata.cap_per_group(scored, group_col="source", cap=15, score_col="score")
     return out.select("doc_id", "source", "score", "grp_rank", "keep").orderBy("doc_id")
@@ -5710,20 +5712,18 @@ def dataset_card_by_source(spark, sf_dir):
     signal from certified legs, aggregated source-level so the output is
     source-cardinality-sized regardless of corpus size."""
     from kafka_connect_morphlines_spark.functions import textstats
-    from kafka_connect_morphlines_spark.functions.textstats import tokens_codegen
 
     docs = t(spark, sf_dir, "documents")
-    per_doc = docs.select(
-        "doc_id", "source", "lang", F.size(tokens_codegen(F.col("text"))).alias("n_tokens")
-    )
-    scores = textstats.hashed_linear_score_df(docs).select("doc_id", "score")
+    # One scorer scan yields n_tokens AND score with source/lang riding the
+    # aggregate (carry_cols) — no second tokenize scan, no doc_id re-join.
+    scored = textstats.hashed_linear_score_df(docs, carry_cols=("source", "lang"))
     dup = (
         docs.select("source", F.md5("text").alias("dg"))
         .groupBy("source")
         .agg((F.count(F.lit(1)) - F.countDistinct("dg")).alias("n_exact_dups"))
     )
     card = (
-        per_doc.join(scores, "doc_id")
+        scored
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
