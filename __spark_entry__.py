@@ -23,66 +23,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["join_revenue_by_nation"].build(spark, "/root/testdata/sf0.001")
 
 
-# Round-5 certification prefix.  The driver samples a bounded (50-entry)
+# Round-6 certification prefix.  The driver samples a bounded (50-entry)
 # prefix of queries() per round; across rounds the union of CORRECTNESS_r*
-# files must cover the whole corpus.  Slots 1-50: the one r04 red row
-# (ab_test_event_values, re-fixed this round with an all-BIGINT certified
-# projection) then 49 queries never sampled in r01-r04 (TPC-H analytics
-# first, then the round-4 session additions, including the three orphans —
-# decayed_engagement_users, km_retention_curve, textrank_keywords — that
-# were registered but absent from every earlier prefix).  Slots 51+: the
-# 10 remaining never-sampled names (queued first for r06) and then this
-# round's new queries.  Nothing is ever dropped: certified queries stay
-# registered afterwards.
-_ROUND5_PREFIX = [
-    # r04 red row, re-fixed this round (pure-integer projection) — slot 1.
-    "ab_test_event_values",
-    # TPC-H-style analytics never sampled in r01-r04.
-    "stats_by_returnflag", "percentiles_by_status",
-    "exists_orders_by_priority", "filter_agg_revenue",
-    "shipping_priority_topk", "returned_items_topk",
-    "argmin_supplier_per_nation", "volume_shipping_pairs",
-    "profit_by_nation_year", "local_supplier_volume", "nation_market_share",
-    "top_revenue_supplier", "supplier_part_variety", "small_quantity_revenue",
-    "priority_counts_by_linestatus", "customer_order_histogram",
-    "promo_revenue_share", "large_order_customers",
-    "disjunctive_part_revenue", "idle_rich_customers",
-    "lag_daily_revenue_delta", "cube_order_counts", "waiting_suppliers",
-    # Round-4 session additions never sampled (all local-green or
-    # local-no_oracle in CORRECTNESS_local.json).
-    "dsir_importance_weights", "ccnet_perplexity_buckets",
-    "dedup_keep_best", "dolma_attribute_tags", "line_boilerplate_clean",
-    "line_dedup_within_doc", "hard_negative_mining",
-    "ssl_prototype_prune", "jaro_winkler_linkage",
-    "unigram_lm_vocab", "unigram_lm_encode_sample", "embedding_pca_whiten",
-    "roc_auc_purchase", "calibration_bins_purchase", "pr_threshold_metrics",
-    "cohens_kappa_langid", "nb_train_lang", "nb_predict_lang",
-    "pmi_type_value", "er_golden_record", "mmr_diverse_topk",
-    "robust_outliers_by_type", "touch_attribution_channels",
-    # The three orphans missing from every earlier prefix.
-    "decayed_engagement_users", "km_retention_curve", "textrank_keywords",
-    # ---- slot 51+ : r06 queue (never sampled, local-green) ----
-    "bloom_semi_join_orders", "dataset_card_by_source", "domain_cap_sample",
-    "dsir_gumbel_topk", "embedding_int8_quantize", "embedding_int8_topk",
-    "leakage_safe_split", "pii_scan_summary", "url_blocklist_filter",
-    "vocab_growth_curve",
-    # Round-5 session additions (local-certified; see CORRECTNESS_local).
-    "rrf_hybrid_fusion", "ks_drift_value", "chi2_token_lang",
-    "rouge_l_pairs", "collocations_pmi", "trimmed_mean_by_type",
-    "icws_weighted_near_dupes", "control_char_stats",
-    "compression_ratio_quality", "lang_confusion_matrix",
-    "brier_score_purchase", "phrase_contamination_scan",
-    "ndcg_user_rankings", "gini_value_by_type", "map_user_rankings",
-    "bootstrap_purchase_mean_ci", "permutation_test_values",
+# files must cover the whole corpus.  Slots 1-4: the four r05 hash-FAILs,
+# all fixed this round (their DuckDB oracles left integer sum() columns as
+# HUGEINT while Spark emits BIGINT; every one is now CAST ... AS BIGINT and
+# a pytest gate, tests/test_oracle_types.py, forbids the bug class).
+# Slots 5-31: the 27 queries never sampled in r01-r05 — this completes
+# union(CORRECTNESS_r01..r06) over the whole 225-query corpus (the four
+# queued HUGEINT repeats among them are fixed by the same cast sweep;
+# permutation_test_values / ndcg / map additionally carry this round's
+# semantics fixes).  Slots 32+: round-6 session additions as they land.
+# Nothing is ever dropped: certified queries stay registered afterwards.
+_ROUND6_PREFIX = [
+    # r05 hash-FAILs, oracle types fixed this round — re-sample first.
+    "ab_test_event_values", "priority_counts_by_linestatus",
+    "dsir_importance_weights", "line_dedup_within_doc",
+    # Never sampled in r01-r05 (27 names; alphabetical).
+    "bloom_semi_join_orders", "bootstrap_purchase_mean_ci",
+    "brier_score_purchase", "chi2_token_lang", "collocations_pmi",
+    "compression_ratio_quality", "control_char_stats",
+    "dataset_card_by_source", "domain_cap_sample", "dsir_gumbel_topk",
+    "embedding_int8_quantize", "embedding_int8_topk", "gini_value_by_type",
+    "icws_weighted_near_dupes", "ks_drift_value", "lang_confusion_matrix",
+    "leakage_safe_split", "map_user_rankings", "ndcg_user_rankings",
+    "permutation_test_values", "phrase_contamination_scan",
+    "pii_scan_summary", "rouge_l_pairs", "rrf_hybrid_fusion",
+    "trimmed_mean_by_type", "url_blocklist_filter", "vocab_growth_curve",
+    # ---- slot 32+ : round-6 session additions (local-certified) ----
 ]
-_ROUND5_RANK = {name: i for i, name in enumerate(_ROUND5_PREFIX)}
+_ROUND6_RANK = {name: i for i, name in enumerate(_ROUND6_PREFIX)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     ordered = sorted(
         QUERIES,
-        key=lambda name: (_ROUND5_RANK.get(name, len(_ROUND5_PREFIX)), name),
+        key=lambda name: (_ROUND6_RANK.get(name, len(_ROUND6_PREFIX)), name),
     )
     return {name: QUERIES[name].build for name in ordered}
 
