@@ -193,11 +193,17 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
     )
     try:
+        parent = os.path.dirname(detail_path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         with open(detail_path, "w") as fh:
             json.dump(out, fh, indent=1)
             fh.write("\n")
-    except OSError:
-        pass
+    except OSError as exc:
+        # The detail file is best-effort (the stdout JSON line is the
+        # contract), but a silent pass hid a missing-directory failure —
+        # say what happened so a missing artifact is explainable.
+        print(f"bench: could not write detail file {detail_path}: {exc}", file=sys.stderr)
     print(json.dumps(out))
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     compact = {

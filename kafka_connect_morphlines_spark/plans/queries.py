@@ -6859,8 +6859,11 @@ def trimmed_mean_by_type(spark, sf_dir):
 def icws_weighted_near_dupes(spark, sf_dir):
     """Weighted-Jaccard near-dup pairs (dedup.icws_near_dupes, Ioffe ICDM
     2010 consistent weighted sampling): tf-weighted MinHash signatures,
-    single-slot LSH blocking with the mega-bucket guard, exact agreement
-    threshold.  Approximate by nature (no SQL oracle); pytest pins the
+    BANDED LSH blocking (4-slot band keys — per-band collision probability
+    J_w^4, not J_w; the single-slot variant was measured quadratic on a
+    skewed corpus and replaced, see SCALE.md #24) with the mega-bucket
+    guard, exact agreement threshold.  Approximate by nature (no SQL
+    oracle); pytest pins the
     J_w-estimation property and rerun determinism — the signatures are
     fully derandomized (md5-derived Gamma/Uniform draws), so the output
     is stable across runs and engines."""

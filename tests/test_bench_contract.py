@@ -17,12 +17,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_emits_valid_contract_line():
+def test_bench_emits_valid_contract_line(tmp_path):
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "8"
-    # keep the committed sf0.1 BENCH_DETAIL.json out of this smoke run's way
-    detail_path = os.path.join(REPO, "spark-warehouse", "_bench_detail_test.json")
+    # keep the committed sf0.1 BENCH_DETAIL.json out of this smoke run's way;
+    # tmp_path (not a repo-relative dir) so a fresh clone can't lack the parent
+    detail_path = str(tmp_path / "_bench_detail_test.json")
     env["SPARK_GRAFT_BENCH_DETAIL"] = detail_path
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
