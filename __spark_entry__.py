@@ -51,6 +51,7 @@ _ROUND6_PREFIX = [
     "pii_scan_summary", "rouge_l_pairs", "rrf_hybrid_fusion",
     "trimmed_mean_by_type", "url_blocklist_filter", "vocab_growth_curve",
     # ---- slot 32+ : round-6 session additions (local-certified) ----
+    "route_by_schema_docs",
 ]
 _ROUND6_RANK = {name: i for i, name in enumerate(_ROUND6_PREFIX)}
 

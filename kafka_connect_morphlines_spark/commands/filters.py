@@ -148,6 +148,58 @@ def try_rules(config, ctx):
     return transform
 
 
+@command("routeBySchema")
+def route_by_schema(config, ctx):
+    """Heterogeneous-topic dispatch (SURVEY §7.3.1): route a mixed-schema
+    stream into per-schema sub-pipelines and union the results by name —
+    the first-class command form of ``pipeline.branch_by_schema`` (the
+    frame-wide analog of the reference's per-record ``_valueSchema``
+    dispatch, MorphlineTransform.java:141-143, where schema travels as
+    data and one morphline sees the heterogeneous stream).
+
+    Config::
+
+        routeBySchema {
+          branches : [
+            { when : "get_json_object(_value, '$.type') = 'order'"
+              commands : [ { readJson {...} } ... ] }
+            { when : "..." commands : [...] }
+          ]
+          otherwise : [ {...} ]   # optional; unclaimed rows drop if absent
+        }
+
+    ``when`` is a SQL predicate over the envelope (a JSON discriminator
+    field, the record key, a schema-registry id prefix).  First matching
+    branch claims the row (tryRules semantics); each branch filter pushes
+    into the shared scan, so routing adds one pass and no shuffle.
+    """
+    branches = config.get("branches", [])
+    if not branches:
+        raise PipelineSpecError("routeBySchema needs a non-empty 'branches' list")
+    compiled = []
+    for br in branches:
+        when = br.get("when")
+        if not when:
+            raise PipelineSpecError("each routeBySchema branch needs a 'when' SQL predicate")
+        compiled.append((F.expr(when), ctx.compile_chain(br.get("commands", []))))
+    otherwise_chain = (
+        ctx.compile_chain(config["otherwise"]) if "otherwise" in config else None
+    )
+
+    def transform(df: DataFrame) -> DataFrame:
+        from kafka_connect_morphlines_spark.pipeline import branch_by_schema
+
+        pairs = [(pred, lambda d, c=chain: _apply_chain(d, c)) for pred, chain in compiled]
+        otherwise = (
+            (lambda d, c=otherwise_chain: _apply_chain(d, c))
+            if otherwise_chain is not None
+            else None
+        )
+        return branch_by_schema(df, pairs, otherwise=otherwise)
+
+    return transform
+
+
 @command("pipe")
 def pipe_cmd(config, ctx):
     """Named sub-pipeline grouping (kite ``pipe``: every ``morphlines`` block

@@ -86,16 +86,44 @@ class CompileContext:
 
 @dataclass
 class Pipeline:
-    """An ordered chain of compiled commands, applied with ``df.transform``."""
+    """An ordered chain of compiled commands, applied with ``df.transform``.
+
+    ``first_only`` is the reference SMT's 0-or-1-record compat contract
+    (MorphlineTransform.java:123 returns ``getRecords().get(0)``): when a
+    command fans one input record out to N, only the FIRST emitted record
+    survives.  Enabled by ``settings { firstOnly : true }`` in the spec (or
+    the same path via overrides).  The engine's native semantics stay 1->N
+    (a superset); this switch exists for migration parity, not the hot
+    path — it tags each input row, then one id-keyed window picks the
+    first emission (emission order = within-partition row order, which
+    narrow SMT chains — map/filter/explode — preserve)."""
 
     commands: list[CompiledCommand]
     morphline_id: str = ""
+    first_only: bool = False
 
     def __call__(self, df: DataFrame) -> DataFrame:
         return self.apply(df)
 
     def apply(self, df: DataFrame) -> DataFrame:
-        return functools.reduce(lambda acc, cmd: cmd(acc), self.commands, df)
+        if not self.first_only:
+            return functools.reduce(lambda acc, cmd: cmd(acc), self.commands, df)
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        tagged = df.withColumn("_smt_input_id", F.monotonically_increasing_id())
+        out = functools.reduce(lambda acc, cmd: cmd(acc), self.commands, tagged)
+        if "_smt_input_id" not in out.columns:
+            # a projection command dropped the tag (e.g. extract*Paths with
+            # flatten) — every surviving row already maps 1:1 to an input
+            return out
+        out = out.withColumn("_smt_emit_pos", F.monotonically_increasing_id())
+        w = Window.partitionBy("_smt_input_id").orderBy("_smt_emit_pos")
+        return (
+            out.withColumn("_smt_rn", F.row_number().over(w))
+            .filter(F.col("_smt_rn") == 1)
+            .drop("_smt_input_id", "_smt_emit_pos", "_smt_rn")
+        )
 
     @staticmethod
     def from_file(path: str, morphline_id: str | None = None, overrides: dict[str, Any] | None = None) -> "Pipeline":
@@ -227,4 +255,8 @@ def compile_pipeline(
         commands, mid = block.get("commands", []), block.get("id", "")
 
     ctx = CompileContext(base_dir=base_dir, settings=dict(spec.get("settings", {})))
-    return Pipeline(commands=ctx.compile_chain(commands), morphline_id=mid)
+    return Pipeline(
+        commands=ctx.compile_chain(commands),
+        morphline_id=mid,
+        first_only=bool(ctx.settings.get("firstOnly", False)),
+    )

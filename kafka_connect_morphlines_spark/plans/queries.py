@@ -298,6 +298,49 @@ def try_rules(spark, sf_dir):
     return p(t(spark, sf_dir, "events")).select("event_id", "kind")
 
 
+@query(
+    "route_by_schema_docs",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN lang = 'en' THEN 'en_doc'
+                WHEN lang = 'de' THEN 'de_doc'
+                ELSE 'other' END AS kind,
+           n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def route_by_schema_docs(spark, sf_dir):
+    """routeBySchema first-class command (SURVEY §7.3.1 heterogeneous-topic
+    dispatch): a mixed stream routed by a JSON discriminator in ``_value``
+    into per-schema sub-pipelines, outputs union by name — the frame-wide
+    re-expression of the reference's per-record _valueSchema binding
+    (MorphlineTransform.java:141-143).  Each branch predicate pushes into
+    the shared scan; routing adds no shuffle."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.to_json(F.struct("lang")).alias("_value")
+    )
+    p = compile_pipeline(
+        [
+            {
+                "routeBySchema": {
+                    "branches": [
+                        {
+                            "when": "get_json_object(_value, '$.lang') = 'en'",
+                            "commands": [{"setValues": {"kind": "en_doc"}}],
+                        },
+                        {
+                            "when": "get_json_object(_value, '$.lang') = 'de'",
+                            "commands": [{"setValues": {"kind": "de_doc"}}],
+                        },
+                    ],
+                    "otherwise": [{"setValues": {"kind": "other"}}],
+                }
+            }
+        ]
+    )
+    return p(docs).select("doc_id", "lang", "kind", "n_chars").orderBy("doc_id")
+
+
 @query("head_sorted", "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 100")
 def head_sorted(spark, sf_dir):
     """head (limit-N) over a deterministic order (B.2)."""

@@ -108,3 +108,38 @@ def test_enrichjson_timestamp_millis(spark):
     p = compile_pipeline([{"enrichJson": {"valueField": "payload", "outputField": "out", "schemaString": schema}}])
     rows = {r["out"]["name"]: r["out"]["ts"] for r in p(df).collect()}
     assert rows == {"a": 1484902502123, "b": 1484897702123}
+
+
+def test_first_only_smt_compat(spark):
+    """MorphlineTransform.java:123 — the reference SMT returns ONLY the
+    first collected record per input record (getRecords().get(0)), so a
+    1->N command like readLine yields exactly the first line.  With
+    ``settings { firstOnly : true }`` the engine pins that contract; the
+    native default keeps the full 1->N superset."""
+    from kafka_connect_morphlines_spark import compile_pipeline
+
+    spec = """
+    settings { firstOnly : true }
+    morphlines : [{
+      id : lines
+      commands : [
+        { readLine { inputField : body, outputField : message } }
+      ]
+    }]
+    """
+    df = spark.createDataFrame(
+        [("r1", "alpha\nbeta\ngamma"), ("r2", "only")], "key string, body string"
+    )
+    p = compile_pipeline(spec, morphline_id="lines")
+    assert p.first_only is True
+    rows = {r["key"]: r["message"] for r in p(df).collect()}
+    # exactly one record per input, and it is the FIRST emission
+    assert rows == {"r1": "alpha", "r2": "only"}
+    # the native default is the 1->N superset
+    native = compile_pipeline(
+        [{"readLine": {"inputField": "body", "outputField": "message"}}]
+    )
+    assert native.first_only is False
+    assert sorted(r["message"] for r in native(df).collect()) == [
+        "alpha", "beta", "gamma", "only",
+    ]
