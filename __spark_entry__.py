@@ -52,6 +52,11 @@ _ROUND6_PREFIX = [
     "trimmed_mean_by_type", "url_blocklist_filter", "vocab_growth_curve",
     # ---- slot 32+ : round-6 session additions (local-certified) ----
     "route_by_schema_docs",
+    # Promoted from rows-only to hash-certified this round (the md5
+    # hyperplane family + the integer-scored MMR greedy gained exact
+    # DuckDB oracles) — re-sample for hash certification.
+    "embedding_random_projection", "embedding_ann_lsh",
+    "embedding_near_dupes", "embedding_ivf_topk", "mmr_diverse_topk",
 ]
 _ROUND6_RANK = {name: i for i, name in enumerate(_ROUND6_PREFIX)}
 

@@ -453,7 +453,13 @@ def mmr_topk(
     inherently-sequential greedy loop then runs on the driver over that
     bounded shortlist with numpy — the standard two-stage
     retrieve-then-rerank split, so 100 TB only ever pays the scan.
-    Deterministic: 6dp-rounded scores with id tie-breaks at both stages.
+    Deterministic: 6dp-rounded scores with id tie-breaks at both stages;
+    the greedy score is EXACT INTEGER arithmetic in nano-units
+    (``lam`` on a 1/1000 grid, half-away-from-zero division back to 6dp)
+    because with lam=0.5 the score lands on exact 0.5e-6 half-boundaries
+    where float round() is tie-rule- and engine-dependent — integer
+    micro-units make the greedy SQL-mirrorable (the DuckDB oracle replays
+    it as a recursive CTE).
 
     Returns (rank, <id_col>, relevance, mmr_score) for the k picks,
     rank 1-based in pick order; the id column keeps ``id_col``'s name and
@@ -497,18 +503,25 @@ def mmr_topk(
     norms[norms == 0.0] = 1.0
     unit = vecs / norms[:, None]
     sims = np.round(unit @ unit.T, 6)  # shortlist x shortlist, bounded
+    # exact integer scoring: 6dp doubles -> micro ints, lam -> milli grid;
+    # score_nano = lam_milli*rel_micro - (1000-lam_milli)*red_micro, then
+    # half-away-from-zero division by 1000 back to micro (engine-portable)
+    lam_milli = int(round(lam * 1000))
+    rel_micro = [int(round(x * 1e6)) for x in rel]
+    sims_micro = np.round(sims * 1e6).astype(np.int64)
     picked: list[int] = []
     out = []
     cand = set(range(len(ids)))
     for rank in range(1, min(k, len(ids)) + 1):
         best_i, best_score = None, None
         for i in sorted(cand):
-            redundancy = max((sims[i][j] for j in picked), default=0.0)
-            score = round(lam * rel[i] - (1.0 - lam) * redundancy, 6)
+            redundancy = max((int(sims_micro[i][j]) for j in picked), default=0)
+            nano = lam_milli * rel_micro[i] - (1000 - lam_milli) * redundancy
+            score = (1 if nano >= 0 else -1) * ((abs(nano) * 2 + 1000) // 2000)
             if best_score is None or score > best_score:
                 best_i, best_score = i, score
         picked.append(best_i)
         cand.remove(best_i)
-        out.append((rank, ids[best_i], float(rel[best_i]), float(best_score)))
+        out.append((rank, ids[best_i], float(rel[best_i]), best_score / 1e6))
     spark = df.sparkSession
     return spark.createDataFrame(out, out_schema)

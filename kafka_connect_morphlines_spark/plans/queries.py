@@ -927,9 +927,75 @@ def embedding_cosine_topk(spark, sf_dir):
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
-@query("embedding_ann_lsh", None)
+# --------------------------------------------------------------------------
+# Oracle SQL for the md5-derandomized hyperplane family.  The engine's LSH
+# hyperplanes / JL matrix entries are closed-form md5 draws
+# (similarity._hyperplane: signed little-endian int64 of digest bytes [0:8]
+# divided by 2^63), so DuckDB can regenerate the EXACT matrices: the byte
+# decode below is bit-identical to struct.unpack('<q', md5[:8]) / 2**63 —
+# hi/lo 32-bit halves are each exactly representable, so the IEEE addition
+# correctly rounds the quotient (a direct HUGEINT->DOUBLE cast in DuckDB
+# truncates and was 1 ULP off on 2/1024 entries).
+# --------------------------------------------------------------------------
+
+_HP_LO = "(" + " + ".join(
+    f"CAST(('0x' || substr(h, {2 * b + 1}, 2)) AS BIGINT) * {256 ** b}" for b in range(4)
+) + ")"
+_HP_HI = "(" + " + ".join(
+    f"CAST(('0x' || substr(h, {2 * b + 1}, 2)) AS BIGINT) * {256 ** (b - 4)}" for b in range(4, 8)
+) + ")"
+_HP_ENTRY = (
+    f"(CAST(CASE WHEN {_HP_HI} >= 2147483648 THEN {_HP_HI} - 4294967296 ELSE {_HP_HI} END AS DOUBLE)"
+    f" / 2147483648.0 + CAST({_HP_LO} AS DOUBLE) / 9223372036854775808.0)"
+)
+
+
+def _hyperplane_cte_sql(prefix: str, n_planes: int, dim: int) -> str:
+    """(p, j, e): the exact hyperplane entries _hyperplane(dim, prefix+p)[j]."""
+    key = f"md5('hyperplane:{prefix}' || CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR))"
+    return (
+        f"SELECT p, j, {_HP_ENTRY} AS e FROM "
+        f"(SELECT p, j, {key} AS h FROM range(0, {n_planes}) t(p), range(0, {dim}) u(j))"
+    )
+
+
+def _hp_bucket_ctes(n_planes: int) -> str:
+    """dots + buck CTE bodies: raw-dot sign bits packed to a bucket id,
+    mirroring similarity.hyperplane_bucket's (v @ planes.T) > 0."""
+    return f"""
+    dots AS (
+      SELECT e.vec_id, hp.p, sum(CAST(e.embedding[hp.j + 1] AS DOUBLE) * hp.e) AS d
+      FROM embeddings e, hp GROUP BY e.vec_id, hp.p
+    ),
+    buck AS (
+      SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS b
+      FROM dots GROUP BY vec_id
+    )"""
+
+
+_ANN_LSH_SQL = f"""
+    WITH hp AS ({_hyperplane_cte_sql('', 8, 64)}),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    {_hp_bucket_ctes(8)},
+    qb AS (SELECT b AS qbucket FROM buck WHERE vec_id = 0),
+    scored AS (
+      SELECT b.vec_id, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+      FROM buck b JOIN embeddings e USING (vec_id), qb, q
+      WHERE b.vec_id != 0 AND bit_count(xor(b.b, qb.qbucket)) <= 1
+    )
+    SELECT vec_id, round(score, 4) AS score FROM (
+      SELECT vec_id, score, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM scored
+    ) WHERE rn <= 10
+"""
+
+
+@query("embedding_ann_lsh", _ANN_LSH_SQL)
 def embedding_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH bucketed approximate top-k (the 100 TB scan-pruning path)."""
+    """Hyperplane-LSH bucketed approximate top-k (the 100 TB scan-pruning
+    path).  Certified: the md5 hyperplanes are closed-form, so the oracle
+    regenerates the exact planes, buckets, multiprobe-1 candidate set and
+    top-10 (bit-identical matrix; dot signs agree because no dot sits
+    within float-noise of 0)."""
     emb = t(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
     qvec = list(qrow[0]["embedding"]) if qrow else []
@@ -1620,16 +1686,66 @@ def exists_orders_by_priority(spark, sf_dir):
     return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
 
 
-@query("embedding_near_dupes", None)  # hyperplane bucketing not SQL-expressible
+_NEAR_DUPES_SQL = f"""
+    WITH hp AS ({_hyperplane_cte_sql('', 6, 64)}),
+    {_hp_bucket_ctes(6)},
+    sc AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) AS cos
+      FROM buck a JOIN buck b ON a.b = b.b AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    )
+    SELECT id_a, id_b, round(cos, 4) AS cos FROM sc WHERE cos >= 0.3
+"""
+
+
+@query("embedding_near_dupes", _NEAR_DUPES_SQL)
 def embedding_near_dupes_q(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs via LSH bucket blocking."""
+    """Embedding-cosine near-duplicate pairs via LSH bucket blocking.
+    Certified: the oracle regenerates the exact md5 hyperplanes (see
+    _hyperplane_cte_sql), replays the bucket self-join, and applies the
+    same raw-cosine >= threshold verify."""
     out = similarity.embedding_near_dupes(t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=6)
     return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
-@query("embedding_ivf_topk", None)  # centroid assignment not SQL-expressible
+_IVF_TOPK_SQL = """
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id != 0 ORDER BY vec_id LIMIT 16
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM cents, q
+      ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 4
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC, c.cid) AS rn
+        FROM embeddings e, cents c WHERE e.vec_id != 0
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT a.vec_id, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+      FROM assigned a JOIN embeddings e USING (vec_id), q
+      WHERE a.cid IN (SELECT cid FROM probe)
+    )
+    SELECT vec_id, round(score, 4) AS score FROM (
+      SELECT vec_id, score, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM scored
+    ) WHERE rn <= 10
+"""
+
+
+@query("embedding_ivf_topk", _IVF_TOPK_SQL)
 def embedding_ivf_topk(spark, sf_dir):
     """IVF-bucketed approximate top-k (coarse quantizer + nprobe lists).
+    Certified: the coarse quantizer is deterministic_centroids (lowest 16
+    ids), so the oracle replays centroid selection, the argmax assignment
+    (cid tie-break = ivf_assign's argmax-first), the nprobe-4 probe list,
+    and the top-10 exactly.
 
     Note: on these *unclustered* synthetic embeddings recall vs exact top-k
     is ~50% at nprobe=4/16 — expected for IVF on structure-free data (the
@@ -4110,13 +4226,29 @@ def snapshot_diff_docs(spark, sf_dir):
     return traindata.diff_snapshots(old, new).orderBy("doc_id")
 
 
-@query("embedding_random_projection", None)
+_RANDOM_PROJECTION_SQL = f"""
+    WITH hp AS ({_hyperplane_cte_sql('jl:', 16, 64)}),
+    m AS (SELECT p AS r, j, e * sqrt(3.0 / 16.0) AS w FROM hp),
+    proj AS (
+      SELECT e.vec_id, m.r,
+             round(sum(CAST(e.embedding[m.j + 1] AS DOUBLE) * m.w), 6) AS y
+      FROM embeddings e, m WHERE e.vec_id < 20
+      GROUP BY e.vec_id, m.r
+    )
+    SELECT vec_id, string_agg(printf('%.9f', y), '|' ORDER BY r) AS embedding_rp
+    FROM proj GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+@query("embedding_random_projection", _RANDOM_PROJECTION_SQL)
 def embedding_random_projection(spark, sf_dir):
     """Johnson-Lindenstrauss projection (similarity.random_projection):
     64-dim embeddings -> 16 dims via a deterministic md5-seeded matrix,
     Arrow-batched matmul.  Downstream ANN/clustering shuffles shrink 4x.
-    Matrix generation is engine-specific -> golden; pytest pins distance
-    preservation and rerun determinism."""
+    Certified: the oracle regenerates the exact md5 matrix entries
+    (_hyperplane_cte_sql) and replays the scaled matmul; the 6dp round
+    absorbs BLAS-vs-SQL summation-order noise.  pytest additionally pins
+    distance preservation and rerun determinism."""
     from kafka_connect_morphlines_spark.functions import similarity
 
     emb = t(spark, sf_dir, "embeddings")
@@ -6431,15 +6563,59 @@ def er_golden_record(spark, sf_dir):
     )
 
 
-@query("mmr_diverse_topk", None)
+_MMR_TOPK_SQL = """
+    WITH RECURSIVE qv AS (
+      SELECT list_transform(range(0, 64), i -> CASE WHEN i % 8 = 0 THEN 1.0 ELSE 0.0 END) AS q
+    ),
+    short AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q), 6) AS rel,
+             CAST(round(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q), 6) * 1000000) AS BIGINT) AS relm
+      FROM embeddings, qv
+      ORDER BY rel DESC, vec_id LIMIT 50
+    ),
+    sims AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(round(round(list_cosine_similarity(a.v, b.v), 6) * 1000000) AS BIGINT) AS sm
+      FROM short a, short b
+    ),
+    sel(rank, vec_id, relevance, scorem, picked) AS (
+      (SELECT 1, vec_id, rel,
+              (CASE WHEN 500 * relm >= 0 THEN 1 ELSE -1 END)
+                * ((abs(500 * relm) * 2 + 1000) // 2000),
+              [vec_id]
+       FROM short
+       ORDER BY 4 DESC, rel DESC, vec_id LIMIT 1)
+      UNION ALL
+      (SELECT sel.rank + 1, c.vec_id, c.rel, c.scorem, list_append(sel.picked, c.vec_id)
+       FROM sel, LATERAL (
+         SELECT sh.vec_id, sh.rel,
+                (CASE WHEN 500 * sh.relm - 500 * red.r >= 0 THEN 1 ELSE -1 END)
+                  * ((abs(500 * sh.relm - 500 * red.r) * 2 + 1000) // 2000) AS scorem
+         FROM short sh, LATERAL (
+           SELECT max(si.sm) AS r FROM sims si
+           WHERE si.ia = sh.vec_id AND list_contains(sel.picked, si.ib)
+         ) red
+         WHERE NOT list_contains(sel.picked, sh.vec_id)
+         ORDER BY scorem DESC, rel DESC, vec_id LIMIT 1
+       ) c
+       WHERE sel.rank < 10)
+    )
+    SELECT rank, vec_id, relevance, CAST(scorem AS DOUBLE) / 1000000.0 AS mmr_score
+    FROM sel ORDER BY rank
+"""
+
+
+@query("mmr_diverse_topk", _MMR_TOPK_SQL)
 def mmr_diverse_topk(spark, sf_dir):
     """MMR diverse retrieval (similarity.mmr_topk): top-10 by relevance to
     a fixed probe vector, re-ranked greedily for diversity (lambda=0.5)
     over a 50-row shortlist.  The corpus pays one map-only cosine scan +
     a TakeOrdered; the sequential greedy runs driver-side on the bounded
-    shortlist — retrieve-then-rerank.  Greedy selection is not
-    SQL-expressible; rows-only + golden, pytest pins parity with a pure-
-    Python reference."""
+    shortlist — retrieve-then-rerank.  Certified: the greedy scores are
+    exact integer nano-units (see mmr_topk), so the oracle replays the
+    selection as a DuckDB recursive CTE carrying the picked set; pytest
+    additionally pins parity with a pure-Python reference."""
     from kafka_connect_morphlines_spark.functions import similarity as sim
 
     emb = t(spark, sf_dir, "embeddings")
