@@ -593,8 +593,26 @@ def bpe_train(
         ).alias("s"),
     ).localCheckpoint()
 
+    # Batched merge selection: each driver round-trip collects the top-T
+    # count-ranked pairs ONCE and accepts the longest ranked prefix that
+    # PROVABLY matches sequential argmax-BPE, then applies the whole batch
+    # in one Arrow pass — cutting scheduler round-trips ~batch× while
+    # staying bit-identical to the one-merge-at-a-time reference:
+    #   1. prefix, never skip: stop at the first candidate whose symbols
+    #      intersect an accepted pair's {l, r, l+r} (its count could have
+    #      changed, and a skipped higher-count pair could still win later
+    #      rounds);
+    #   2. new-pair guard: merging (a,b)->ab creates pairs (x,ab) with
+    #      count <= cnt(x,a) and (ab,y) with count <= cnt(b,y); accept the
+    #      next candidate only if its count STRICTLY exceeds every
+    #      accepted merge's bound max(max_z cnt(z,a), max_z cnt(b,z)) —
+    #      bounds are read off the collected top-T (anything outside it
+    #      counts <= the T-th count, a conservative floor), so no extra
+    #      Spark job is needed.  Strict > because an equal-count new pair
+    #      could win the (cnt desc, l, r) tie-break.
+    _TOP_T = 256
     rules = []
-    for rank in range(n_merges):
+    while len(rules) < n_merges:
         pairs = (
             syms.filter(F.size("s") >= 2)
             .select(
@@ -610,29 +628,53 @@ def bpe_train(
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("cnt"))
         )
-        top = pairs.orderBy(F.col("cnt").desc(), F.col("l"), F.col("r")).limit(1).collect()
+        top = pairs.orderBy(F.col("cnt").desc(), F.col("l"), F.col("r")).limit(_TOP_T).collect()
         if not top or top[0]["cnt"] < 2:
             break
-        left, right, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
-        rules.append((rank, left, right, int(cnt)))
-        merged = left + right
+        floor_cnt = top[-1]["cnt"] if len(top) == _TOP_T else 0
+        max_into = {}   # max cnt(*, s) over the collected prefix
+        max_outof = {}  # max cnt(s, *) over the collected prefix
+        for r0 in top:
+            max_into[r0["r"]] = max(max_into.get(r0["r"], floor_cnt), r0["cnt"])
+            max_outof[r0["l"]] = max(max_outof.get(r0["l"], floor_cnt), r0["cnt"])
+        batch: list = []
+        used: set = set()
+        new_bound = -1
+        for cand in top:
+            if cand["cnt"] < 2 or len(rules) + len(batch) >= n_merges:
+                break
+            if batch and (({cand["l"], cand["r"]} & used) or cand["cnt"] <= new_bound):
+                break
+            batch.append((cand["l"], cand["r"], int(cand["cnt"])))
+            used |= {cand["l"], cand["r"], cand["l"] + cand["r"]}
+            new_bound = max(
+                new_bound,
+                max_into.get(cand["l"], floor_cnt),
+                max_outof.get(cand["r"], floor_cnt),
+            )
+        for left, right, cnt in batch:
+            rules.append((len(rules), left, right, cnt))
+        merge_seq = [(left, right, left + right) for left, right, _ in batch]
 
-        def apply_merge(batches, _l=left, _r=right, _m=merged):
+        def apply_merges(batches, _ms=merge_seq):
             for pdf in batches:
                 out = []
                 for s in pdf["s"]:
-                    res, i, n = [], 0, len(s)
-                    while i < n:
-                        if i + 1 < n and s[i] == _l and s[i + 1] == _r:
-                            res.append(_m)
-                            i += 2
-                        else:
-                            res.append(s[i])
-                            i += 1
-                    out.append(res)
+                    s = list(s)
+                    for _l, _r, _m in _ms:
+                        res, i, n = [], 0, len(s)
+                        while i < n:
+                            if i + 1 < n and s[i] == _l and s[i + 1] == _r:
+                                res.append(_m)
+                                i += 2
+                            else:
+                                res.append(s[i])
+                                i += 1
+                        s = res
+                    out.append(s)
                 yield pd.DataFrame({"freq": pdf["freq"], "s": out})
 
-        syms = syms.mapInPandas(apply_merge, schema="freq long, s array<string>").localCheckpoint()
+        syms = syms.mapInPandas(apply_merges, schema="freq long, s array<string>").localCheckpoint()
 
     return spark.createDataFrame(rules, "rank int, left string, right string, pair_count long")
 
