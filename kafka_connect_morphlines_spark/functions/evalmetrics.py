@@ -648,8 +648,9 @@ def bootstrap_mean_ci(
     resamples or sharing driver state.
 
     Fully DERANDOMIZED (hash-certifiable): the Poisson draw is the
-    inverse-CDF of a 24-bit md5 uniform per (replicate, id) — reruns and
-    engines agree bit-for-bit.  Shape at 100 TB: one explode by ``b``
+    inverse-CDF of a 24-bit md5 uniform per (replicate, id), five uniforms
+    per digest so each row pays ceil(b/5) md5 calls — reruns and engines
+    agree bit-for-bit.  Shape at 100 TB: one explode by ``b``
     (rows x b, map-side) into one groupBy(replicate) — b partial sums,
     map-side combined; the replicate-mean frame is b rows, so the
     percentile bounds are driver-trivial.  Weighted sums accumulate
@@ -658,28 +659,34 @@ def bootstrap_mean_ci(
     Returns one row: (n, mean, boot_lo, boot_hi) with the interval at
     [lo_q, hi_q] over replicate means (exact interpolated percentile).
     """
-    base = df.select(value.cast("double").alias("x"), id_col.alias("_id")).filter(
-        F.col("x").isNotNull()
+    from kafka_connect_morphlines_spark.functions import ensure_parallelism
+
+    # the replicate explode amplifies every base row b x, so a coarse input
+    # layout (one small parquet file -> one partition) must not serialize
+    # the whole md5+aggregate pass onto a single core
+    base = ensure_parallelism(
+        df.select(value.cast("double").alias("x"), id_col.alias("_id")).filter(
+            F.col("x").isNotNull()
+        )
     )
+    # One md5 digest yields five 24-bit uniforms (6 hex chars each, 30 of
+    # 32 used), so each base row pays ceil(b/5) digests instead of b —
+    # the same digest-batching that cut the permutation test's warm time;
+    # digest d covers replicates [5d, 5d+5).
+    n_digests = (b + 4) // 5
+    digests = [
+        F.md5(F.concat(F.lit(f"{seed}/{d}/"), F.col("_id").cast("string")))
+        for d in range(n_digests)
+    ]
     rep = base.select(
-        "x", "_id", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep")
+        "x", "_id",
+        F.array(*digests).alias("_dgs"),
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep"),
     )
+    digest = F.element_at(F.col("_dgs"), (F.col("rep") / F.lit(5)).cast("int") + 1)
     u = (
         F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"{seed}/"),
-                        F.col("rep").cast("string"),
-                        F.lit("/"),
-                        F.col("_id").cast("string"),
-                    )
-                ),
-                1,
-                6,
-            ),
-            16,
-            10,
+            F.substring(digest, (F.col("rep") % 5).cast("int") * 6 + 1, 6), 16, 10
         ).cast("long")
         + F.lit(0.5)
     ) / F.lit(float(1 << 24))
@@ -762,11 +769,17 @@ def permutation_test_diff(
     # codegen (the DECIMAL-sum variant measured ~3x slower on the b-fold
     # exploded frame), and |sum(x)| is bounded by 9.2e12 before overflow —
     # ample for bounded metrics; pre-scale or shrink b beyond that.
-    base = df.select(
-        F.round(value.cast("double") * F.lit(1000000.0)).cast("long").alias("xm"),
-        group.alias("g"),
-        (id_col if id_col is not None else F.monotonically_increasing_id()).alias("_id"),
-    ).filter(F.col("xm").isNotNull() & F.col("g").isin([group_a, group_b]))
+    from kafka_connect_morphlines_spark.functions import ensure_parallelism
+
+    # same b x explode amplification as bootstrap_mean_ci: never let a
+    # single-file input serialize the replicate pass onto one core
+    base = ensure_parallelism(
+        df.select(
+            F.round(value.cast("double") * F.lit(1000000.0)).cast("long").alias("xm"),
+            group.alias("g"),
+            (id_col if id_col is not None else F.monotonically_increasing_id()).alias("_id"),
+        ).filter(F.col("xm").isNotNull() & F.col("g").isin([group_a, group_b]))
+    )
     obs = base.agg(
         F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("n_b"),

@@ -310,6 +310,81 @@ def hard_negatives(
     return banded.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def binary_signature(vec: Column, dim: int) -> Column:
+    """Sign-bit binary quantization: bit j set iff ``vec[j] > 0``, packed
+    little-endian into ``ceil(dim/64)`` longs (one long for dim <= 64) —
+    64x smaller than float32 vectors, the coarsest standard vector-store
+    compression tier.  Unlike dot-product LSH buckets, the bits are signs
+    of STORED values — no float accumulation anywhere, so signatures are
+    bit-identical on every engine.  One Arrow-batched numpy pass."""
+    n_words = (dim + 63) // 64
+
+    @F.pandas_udf("array<long>")
+    def sig_of(s: pd.Series) -> pd.Series:
+        if s.empty:
+            return pd.Series([], dtype=object)
+        v = np.stack(s.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = v > 0  # (n, dim)
+        out = np.zeros((len(v), n_words), dtype=np.uint64)
+        for j in range(dim):
+            out[:, j // 64] |= bits[:, j].astype(np.uint64) << np.uint64(j % 64)
+        return pd.Series(list(out.astype(np.int64)))
+
+    return sig_of(vec)
+
+
+def binary_hamming_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-tier ANN: Hamming distance on sign-bit signatures selects a
+    ``shortlist``, exact cosine reranks it to the top ``k`` — the standard
+    binary-quantization search pattern (signatures are 64x smaller than
+    float32, so the first tier scans bits, not vectors).
+
+    Output (vec_id, hamming, score), ordered (score desc, id asc).
+    Deterministic: shortlist by (hamming asc, id asc), rerank by exact
+    cosine with id tie-break.  Shape at 100 TB: the signature scan is
+    map-only over 8-byte-per-row data + a TakeOrdered (shortlist rows);
+    only the bounded shortlist ever touches full vectors again (a second
+    scan pruned by the shortlist ids — or, with signatures stored as a
+    column, a semi join).  Fully hash-certifiable: sign bits involve no
+    float accumulation, so engines agree bit-for-bit.
+    """
+    dim = len(query_vec)
+    n_words = (dim + 63) // 64
+    qsig = [0] * n_words
+    for j, x in enumerate(query_vec):
+        if x > 0:
+            qsig[j // 64] |= 1 << (j % 64)
+    # interpret as signed 64-bit like the column longs
+    qsig = [w - (1 << 64) if w >= (1 << 63) else w for w in qsig]
+    sigs = ensure_parallelism(df).select(
+        F.col(id_col), F.col(vec_col), binary_signature(F.col(vec_col), dim).alias("_sig")
+    )
+    ham = None
+    for w in range(n_words):
+        term = F.bit_count(
+            F.element_at(F.col("_sig"), w + 1).bitwiseXOR(F.lit(qsig[w]))
+        )
+        ham = term if ham is None else ham + term
+    short = (
+        sigs.select(F.col(id_col), F.col(vec_col), ham.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        short.select(id_col, "hamming", cosine(F.col(vec_col), q).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def quantize_int8(
     df: DataFrame,
     vec_col: str = "embedding",

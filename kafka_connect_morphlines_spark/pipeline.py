@@ -10,7 +10,9 @@ builder Catalyst can optimize end to end.
 
 Dataflow semantics (SURVEY.md §1.4): a command may emit 0, 1 or N rows per
 input row — drop = ``filter``, 1->N = ``explode``.  The engine keeps full 1->N
-semantics (a superset of the reference SMT's first-record-only contract).
+semantics (a superset of the reference SMT's first-record-only contract);
+``settings { firstOnly : true }`` opts into the reference's exact 0-or-1
+behavior for migration parity (see Pipeline.first_only).
 """
 
 from __future__ import annotations

@@ -1686,6 +1686,45 @@ def exists_orders_by_priority(spark, sf_dir):
     return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
 
 
+_BINARY_HAMMING_SQL = """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    ham AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN (CAST(e.embedding[j + 1] AS DOUBLE) > 0) != (q.qv[j + 1] > 0)
+                           THEN 1 ELSE 0 END) AS INT) AS hamming
+      FROM embeddings e, q, range(0, 64) t(j)
+      WHERE e.vec_id != 0
+      GROUP BY e.vec_id
+    ),
+    short AS (
+      SELECT h.vec_id, h.hamming,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+      FROM (SELECT vec_id, hamming, row_number() OVER (ORDER BY hamming, vec_id) AS rn FROM ham) h
+      JOIN embeddings e USING (vec_id), q
+      WHERE h.rn <= 50
+    )
+    SELECT vec_id, hamming, round(score, 4) AS score FROM (
+      SELECT vec_id, hamming, score, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM short
+    ) WHERE rn <= 10
+"""
+
+
+@query("embedding_binary_hamming_topk", _BINARY_HAMMING_SQL)
+def embedding_binary_hamming_topk(spark, sf_dir):
+    """Binary-quantized two-tier ANN (similarity.binary_hamming_topk):
+    sign-bit signatures (64x smaller than float32) select a Hamming-50
+    shortlist, exact cosine reranks to the top-10.  Certified bit-exact:
+    sign bits involve no float accumulation, so the oracle replays the
+    signature, shortlist, and rerank with no noise margin at all."""
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = list(qrow[0]["embedding"]) if qrow else []
+    out = similarity.binary_hamming_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=10, shortlist=50
+    )
+    return out.select("vec_id", "hamming", F.round("score", 4).alias("score"))
+
+
 _NEAR_DUPES_SQL = f"""
     WITH hp AS ({_hyperplane_cte_sql('', 6, 64)}),
     {_hp_bucket_ctes(6)},
@@ -7397,7 +7436,8 @@ def _boot_oracle_sql() -> str:
              CASE {cases} ELSE {len(_POIS1_CDF)} END AS w
       FROM (
         SELECT x, r,
-               (CAST(('0x' || substr(md5('boot/' || CAST(r AS VARCHAR) || '/' || CAST(id AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5) / 16777216.0 AS uu
+               (CAST(('0x' || substr(md5('boot/' || CAST(r // 5 AS VARCHAR) || '/' || CAST(id AS VARCHAR)),
+                                     (r % 5) * 6 + 1, 6)) AS BIGINT) + 0.5) / 16777216.0 AS uu
         FROM rep
       )
     ),

@@ -1,0 +1,84 @@
+"""Round-6 operator tests: binary sign-bit ANN + resampling parallelism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_morphlines_spark.functions import similarity as sim
+
+
+def test_binary_signature_packs_sign_bits(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.0, 3.0]), (2, [-1.0] * 4), (3, [0.5] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r["sig"]
+        for r in df.select(
+            "vec_id", sim.binary_signature(F.col("embedding"), 4).alias("sig")
+        ).collect()
+    }
+    # bit j set iff v[j] > 0 (strict: zeros clear), little-endian packing
+    assert rows[1] == [0b1001]
+    assert rows[2] == [0]
+    assert rows[3] == [0b1111]
+
+
+def test_binary_signature_wide_vector_words(spark):
+    # dim 70 -> two words; bit 69 lands in word 2 bit 5
+    vec = [0.0] * 70
+    vec[0] = 1.0
+    vec[63] = 1.0
+    vec[69] = 1.0
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
+    [r] = df.select(sim.binary_signature(F.col("embedding"), 70).alias("sig")).collect()
+    w0, w1 = r["sig"]
+    assert w0 == 1 | (1 << 63) - (1 << 64)  # signed long with bit 63 set
+    assert w1 == 1 << 5
+
+
+def test_binary_hamming_topk_finds_exact_match(spark):
+    import math
+
+    base = [math.sin(i * 0.7 + j) for i in range(1) for j in range(8)]
+    rows = [(0, base)]
+    for i in range(1, 30):
+        rows.append((i, [x + 0.2 * ((i * 7 + j) % 5 - 2) for j, x in enumerate(base)]))
+    # one exact duplicate of the query and one sign-flipped vector
+    rows.append((100, list(base)))
+    rows.append((101, [-x for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.binary_hamming_topk(
+        df.filter(F.col("vec_id") != 0), base, k=5, shortlist=31
+    ).collect()
+    assert out[0]["vec_id"] == 100  # the exact duplicate reranks to the top
+    assert out[0]["hamming"] == 0
+    assert abs(out[0]["score"] - 1.0) < 1e-9
+    ids = [r["vec_id"] for r in out]
+    assert 101 not in ids  # the sign-flip is maximally far in Hamming
+    # rerun determinism
+    again = sim.binary_hamming_topk(
+        df.filter(F.col("vec_id") != 0), base, k=5, shortlist=31
+    ).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_resampling_ops_parallelize_single_partition_input(spark):
+    """bootstrap/permutation amplify every row b x — a one-file scan must
+    not serialize the replicate pass onto one core (ensure_parallelism)."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    df = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(500)], "event_id long, value double"
+    ).coalesce(1)
+    r = evalmetrics.bootstrap_mean_ci(df, F.col("value"), F.col("event_id"), b=20)
+    assert r.collect()[0]["n"] == 500
+    # the replicate frame should run wider than the 1-partition input
+    df2 = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i % 7)) for i in range(200)],
+        "event_id long, g string, v double",
+    ).coalesce(1)
+    p = evalmetrics.permutation_test_diff(
+        df2, F.col("v"), F.col("g"), "a", "b", id_col=F.col("event_id"), b=40
+    ).collect()[0]
+    assert (p["n_a"], p["n_b"]) == (100, 100)
