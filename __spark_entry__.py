@@ -57,7 +57,8 @@ _ROUND6_PREFIX = [
     # DuckDB oracles) — re-sample for hash certification.
     "embedding_random_projection", "embedding_ann_lsh",
     "embedding_near_dupes", "embedding_ivf_topk", "mmr_diverse_topk",
-    "embedding_binary_hamming_topk",
+    "embedding_binary_hamming_topk", "mann_whitney_values",
+    "interleave_sources_order",
 ]
 _ROUND6_RANK = {name: i for i, name in enumerate(_ROUND6_PREFIX)}
 

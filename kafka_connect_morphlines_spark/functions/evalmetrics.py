@@ -112,6 +112,81 @@ def binary_rank_auc(df: DataFrame, score: Column, label: Column) -> DataFrame:
     )
 
 
+def mann_whitney_u(
+    df: DataFrame,
+    value: Column,
+    group: Column,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U test (Wilcoxon rank-sum): the nonparametric two-sample
+    location test — does group ``a`` tend to produce larger values than
+    ``b``?  The distribution-free companion to the permutation test for
+    the same question, with a closed-form normal approximation instead of
+    replicates.
+
+    Exact-arithmetic contract (same recipe as roc_auc): average ranks over
+    tie groups ride as 2x-scaled DECIMAL integers, so ``u2 = 2*U`` is an
+    exact integer; the tie-corrected variance term ``sum(t^3 - t)`` over
+    tie-group sizes is exact DECIMAL too.  Only the final z is float — a
+    fixed-shape expression over exact operands, 6dp-rounded, so the SQL
+    oracle mirrors it bit-for-bit.  ``z = (U - n_a*n_b/2) / sqrt(var)``
+    with ``var = n_a*n_b/12 * ((n+1) - sum(t^3-t)/(n*(n-1)))`` (normal
+    approximation with tie correction; no continuity correction, stated
+    so the oracle is unambiguous).
+
+    Returns one row (n_a, n_b, u2, z): ``u2`` is 2*U for group ``a``
+    (integer-exact), z > 0 means ``a`` ranks higher.  Shape at 100 TB:
+    one distinct-value aggregate (``value`` should be bounded-cardinality
+    or pre-quantized, the roc_auc contract), one ordered window over the
+    value-cardinality table, one final aggregate.
+    """
+    dec0 = "decimal(38,0)"
+    per_v = (
+        df.filter(group.isin([group_a, group_b]))
+        .groupBy(value.alias("v"))
+        .agg(
+            F.sum(F.when(group == group_a, 1).otherwise(0)).alias("na_v"),
+            F.sum(F.when(group == group_b, 1).otherwise(0)).alias("nb_v"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "before", F.coalesce(F.sum(F.col("na_v") + F.col("nb_v")).over(w), F.lit(0))
+    ).withColumn("rank2", 2 * F.col("before") + F.col("na_v") + F.col("nb_v") + 1)
+    t = (F.col("na_v") + F.col("nb_v")).cast(dec0)
+    agg = ranked.agg(
+        F.sum("na_v").alias("n_a"),
+        F.sum("nb_v").alias("n_b"),
+        F.sum(F.col("na_v").cast(dec0) * F.col("rank2").cast(dec0)).alias("_r2a"),
+        F.sum(t * t * t - t).alias("_ties"),
+    )
+    na = F.col("n_a").cast(dec0)
+    nb = F.col("n_b").cast(dec0)
+    n = na + nb
+    u2 = (F.col("_r2a") - na * (na + 1)).alias("u2")  # 2*U_a, exact integer
+    var = (
+        (na * nb).cast("double")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("_ties").cast("double") / (n * (n - 1)).cast("double")
+        )
+    )
+    z = F.when(
+        var > 0,
+        F.round(
+            (u2.cast("double") / 2.0 - (na * nb).cast("double") / 2.0) / F.sqrt(var), 6
+        ),
+    )  # all-tied data has zero variance -> z NULL, not a division blowup
+    return agg.select(
+        "n_a",
+        "n_b",
+        u2.cast("long").alias("u2"),
+        z.alias("z"),
+    )
+
+
 def calibration_table(
     df: DataFrame, score: Column, label: Column, bins: int = 10
 ) -> DataFrame:

@@ -748,6 +748,43 @@ def bpe_encode(
     return out.withColumnRenamed("_id", id_col)
 
 
+def interleave_sources(
+    df: DataFrame,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic round-robin interleave across sources: training order
+    that cycles source_0, source_1, ..., source_{m-1}, source_0, ... so an
+    epoch never sees a long single-source run (source clumping destabilizes
+    early training the same way an unshuffled epoch does, but preserving a
+    deterministic order keeps runs reproducible — the global_shuffle
+    alternative randomizes instead).
+
+    ``pos = rank_within_source * m + source_index``: positions are unique,
+    dense, and cycle the sources; a source that exhausts just leaves holes
+    in later cycles (the order of survivors is unchanged).  Output adds
+    (src_index, grp_rank, pos); sort by ``pos`` to materialize the order.
+
+    Shape at 100 TB: one window per source partition (rank within source),
+    one broadcast join of the m-row source-index table — no global window,
+    no single-partition funnel; the final global sort is the caller's
+    write-time ``orderBy``/``sortWithinPartitions`` decision.
+    """
+    from pyspark.sql import Window
+
+    m_rows = df.select(F.col(group_col).alias("_g")).distinct()
+    w_idx = Window.orderBy("_g")  # m rows only — tiny, driver-safe window
+    idx = m_rows.withColumn("src_index", F.row_number().over(w_idx) - 1)
+    m = idx.count()
+    w_grp = Window.partitionBy(group_col).orderBy(order_col)
+    ranked = df.withColumn("grp_rank", F.row_number().over(w_grp) - 1)
+    return (
+        ranked.join(F.broadcast(idx), ranked[group_col] == idx["_g"])
+        .drop("_g")
+        .withColumn("pos", F.col("grp_rank") * m + F.col("src_index"))
+    )
+
+
 def rank_buckets(
     df: DataFrame,
     value_col: str,

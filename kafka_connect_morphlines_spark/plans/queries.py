@@ -7462,6 +7462,95 @@ def _boot_oracle_sql() -> str:
     """
 
 
+@query(
+    "mann_whitney_values",
+    """
+    WITH per_v AS (
+      SELECT value AS v,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+      GROUP BY value
+    ),
+    ranked AS (
+      SELECT na_v, nb_v,
+             coalesce(sum(na_v + nb_v) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM per_v
+    ),
+    r2 AS (SELECT na_v, nb_v, 2 * before + na_v + nb_v + 1 AS rank2 FROM ranked),
+    agg AS (
+      SELECT CAST(sum(na_v) AS BIGINT) AS n_a, CAST(sum(nb_v) AS BIGINT) AS n_b,
+             sum(CAST(na_v AS DECIMAL(38,0)) * CAST(rank2 AS DECIMAL(38,0))) AS r2a,
+             sum(CAST(na_v + nb_v AS DECIMAL(38,0)) * CAST(na_v + nb_v AS DECIMAL(38,0))
+                   * CAST(na_v + nb_v AS DECIMAL(38,0))
+                 - CAST(na_v + nb_v AS DECIMAL(38,0))) AS ties
+      FROM r2
+    ),
+    u AS (
+      SELECT n_a, n_b,
+             CAST(r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT) AS u2,
+             CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+               * (CAST(n_a + n_b + 1 AS DOUBLE)
+                  - CAST(ties AS DOUBLE)
+                    / CAST(CAST(n_a + n_b AS DECIMAL(38,0)) * (n_a + n_b - 1) AS DOUBLE)) AS var
+      FROM agg
+    )
+    SELECT n_a, n_b, u2,
+           CASE WHEN var > 0
+                THEN round((CAST(u2 AS DOUBLE) / 2.0
+                            - CAST(CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE) / 2.0)
+                           / sqrt(var), 6) END AS z
+    FROM u
+    """,
+)
+def mann_whitney_values(spark, sf_dir):
+    """Mann-Whitney U / Wilcoxon rank-sum test
+    (evalmetrics.mann_whitney_u): do click events carry larger values than
+    purchases?  The closed-form nonparametric companion to the permutation
+    test — exact 2x-scaled DECIMAL rank sums and tie correction, one
+    fixed-shape 6dp float z at the end.  One distinct-value aggregate + a
+    value-cardinality window."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return evalmetrics.mann_whitney_u(
+        ev, F.col("value"), F.col("event_type"), "click", "purchase"
+    )
+
+
+@query(
+    "interleave_sources_order",
+    """
+    WITH idx AS (
+      SELECT g, CAST(row_number() OVER (ORDER BY g) - 1 AS INT) AS src_index
+      FROM (SELECT DISTINCT source AS g FROM documents)
+    ),
+    m AS (SELECT count(*) AS m FROM idx),
+    r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS grp_rank
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, i.src_index, r.grp_rank,
+           CAST(r.grp_rank * m.m + i.src_index AS INT) AS pos
+    FROM r JOIN idx i ON i.g = r.source CROSS JOIN m
+    ORDER BY pos
+    """,
+)
+def interleave_sources_order(spark, sf_dir):
+    """Round-robin source interleave (traindata.interleave_sources): a
+    deterministic training order that cycles every source each m records,
+    so an epoch never sees a long single-source run.  Per-source rank
+    windows + a broadcast m-row index join — no global window."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = t(spark, sf_dir, "documents")
+    out = traindata.interleave_sources(docs, group_col="source", order_col="doc_id")
+    return out.select("doc_id", "source", "src_index", "grp_rank", "pos").orderBy("pos")
+
+
 @query("bootstrap_purchase_mean_ci", None)  # oracle attached below
 def bootstrap_purchase_mean_ci(spark, sf_dir):
     """Poisson-bootstrap 95% CI for the mean purchase value

@@ -82,3 +82,49 @@ def test_resampling_ops_parallelize_single_partition_input(spark):
         df2, F.col("v"), F.col("g"), "a", "b", id_col=F.col("event_id"), b=40
     ).collect()[0]
     assert (p["n_a"], p["n_b"]) == (100, 100)
+
+
+def test_mann_whitney_u_known_values(spark):
+    """Hand-computed example with ties: a = [1,2,4,4], b = [3,4,5].
+    Ranks: 1->1, 2->2, 3->3, 4->(4+5+6)/3=5, 5->7.
+    R_a = 1+2+5+5 = 13, U_a = 13 - 4*5/2 = 3, u2 = 6.
+    ties: value 4 has t=3 -> t^3-t = 24.
+    var = (4*3/12) * ((7+1) - 24/(7*6)) = 1 * (8 - 0.571428...) = 7.428571...
+    z = (3 - 6) / sqrt(var) = -3/2.72554... = -1.100698..."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 4.0), ("a", 4.0),
+            ("b", 3.0), ("b", 4.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = evalmetrics.mann_whitney_u(df, F.col("v"), F.col("g"), "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["u2"]) == (4, 3, 6)
+    assert r["z"] == round(-3.0 / (7.0 + 3.0 / 7.0) ** 0.5, 6)
+
+
+def test_mann_whitney_u_all_tied_is_null_z(spark):
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 4 + [("b", 5.0)] * 4, "g string, v double"
+    )
+    r = evalmetrics.mann_whitney_u(df, F.col("v"), F.col("g"), "a", "b").collect()[0]
+    assert r["z"] is None  # zero variance, not a division blowup
+
+
+def test_interleave_sources_round_robin(spark):
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    rows = [(i, ["s1", "s2", "s3"][i % 3]) for i in range(9)] + [(100, "s1"), (101, "s1")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = traindata.interleave_sources(df, "source", "doc_id").orderBy("pos").collect()
+    pos = [r["pos"] for r in out]
+    assert pos == sorted(pos) and len(set(pos)) == len(pos)  # unique, materializable
+    # the first full cycle hits every source once, in src_index order
+    first_cycle = [r["source"] for r in out[:3]]
+    assert first_cycle == ["s1", "s2", "s3"]
+    # within a source the original order is preserved
+    s1 = [r["doc_id"] for r in out if r["source"] == "s1"]
+    assert s1 == sorted(s1)
+    # exhausted sources just leave holes: s1 has 5 docs, cycles 3 and 4
+    # contain only s1 rows at pos 3*m
+    assert [r["source"] for r in out[-2:]] == ["s1", "s1"]
