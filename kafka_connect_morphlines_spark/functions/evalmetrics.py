@@ -745,23 +745,38 @@ def bootstrap_mean_ci(
         )
     )
     # One md5 digest yields five 24-bit uniforms (6 hex chars each, 30 of
-    # 32 used), so each base row pays ceil(b/5) digests instead of b —
-    # the same digest-batching that cut the permutation test's warm time;
-    # digest d covers replicates [5d, 5d+5).
+    # 32 used), so each base row pays ceil(b/5) digests instead of b;
+    # digest d covers replicates [5d, 5d+5).  TWO-LEVEL explode: the outer
+    # generate emits one row per digest (md5 computed exactly once there),
+    # the inner fans out the 5 chunks — each amplified row carries ONE
+    # 32-char digest.  (A pre-explode digest ARRAY riding the b-fold
+    # explode copies n_digests strings per replicate row — measured 40s vs
+    # ~2s warm at sf0.1 for b=100.)
     n_digests = (b + 4) // 5
-    digests = [
-        F.md5(F.concat(F.lit(f"{seed}/{d}/"), F.col("_id").cast("string")))
-        for d in range(n_digests)
-    ]
-    rep = base.select(
-        "x", "_id",
-        F.array(*digests).alias("_dgs"),
-        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep"),
+    rep = (
+        base.select(
+            "x", "_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_digests - 1))).alias("_d"),
+        )
+        .withColumn(
+            "_dg",
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}/"), F.col("_d").cast("string"),
+                    F.lit("/"), F.col("_id").cast("string"),
+                )
+            ),
+        )
+        .select(
+            "x", "_dg", "_d",
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("_c"),
+        )
+        .withColumn("rep", F.col("_d") * 5 + F.col("_c"))
+        .filter(F.col("rep") < b)
     )
-    digest = F.element_at(F.col("_dgs"), (F.col("rep") / F.lit(5)).cast("int") + 1)
     u = (
         F.conv(
-            F.substring(digest, (F.col("rep") % 5).cast("int") * 6 + 1, 6), 16, 10
+            F.substring(F.col("_dg"), F.col("_c").cast("int") * 6 + 1, 6), 16, 10
         ).cast("long")
         + F.lit(0.5)
     ) / F.lit(float(1 << 24))
@@ -878,22 +893,34 @@ def permutation_test_diff(
     # One md5 digest yields eight 16-bit coins (4 hex chars each), so each
     # base row pays ceil(b/8) md5 calls instead of b (measured: the
     # per-replicate-md5 variant spent its whole 10s warm in 80M digest
-    # computations).  element_at picks the digest by replicate at runtime.
+    # computations).  Two-level explode, same as bootstrap_mean_ci: outer
+    # generate = one row per digest (md5 once), inner = the 8 chunks, so
+    # each amplified row carries one digest string, never an array of them.
     n_digests = (b + 7) // 8
-    digests = [
-        F.md5(
-            F.concat(F.lit(f"{seed}/{d}/"), F.col("_id").cast("string"))
+    rep = (
+        base.crossJoin(F.broadcast(obs.select("n_a", "n_b")))
+        .select(
+            "xm", "_id", "n_a", "n_b",
+            F.explode(F.sequence(F.lit(0), F.lit(n_digests - 1))).alias("_d"),
         )
-        for d in range(n_digests)
-    ]
-    rep = base.crossJoin(F.broadcast(obs.select("n_a", "n_b"))).select(
-        "xm", "_id", "n_a", "n_b",
-        F.array(*digests).alias("_dgs"),
-        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep"),
+        .withColumn(
+            "_dg",
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}/"), F.col("_d").cast("string"),
+                    F.lit("/"), F.col("_id").cast("string"),
+                )
+            ),
+        )
+        .select(
+            "xm", "n_a", "n_b", "_dg", "_d",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("_c"),
+        )
+        .withColumn("rep", F.col("_d") * 8 + F.col("_c"))
+        .filter(F.col("rep") < b)
     )
-    digest = F.element_at(F.col("_dgs"), (F.col("rep") / F.lit(8)).cast("int") + 1)
     u16 = F.conv(
-        F.substring(digest, (F.col("rep") % 8).cast("int") * 4 + 1, 4), 16, 10
+        F.substring(F.col("_dg"), F.col("_c").cast("int") * 4 + 1, 4), 16, 10
     ).cast("long")
     # Pseudo-arm a with probability n_a/(n_a+n_b) — exact integer compare,
     # no float threshold, so any engine mirrors it bit-for-bit.

@@ -304,6 +304,39 @@ def main() -> None:
         "compression_200k": run(
             "compression_200k", lambda: textclean.compression_ratio(docs)
         ),
+        # round-6 shapes ------------------------------------------------
+        # binary ANN: map-only 8-byte signature scan + TakeOrdered shortlist;
+        # only the bounded shortlist revisits full vectors
+        "binary_hamming_100k_vecs": run(
+            "binary_hamming_100k_vecs",
+            lambda: similarity.binary_hamming_topk(
+                vecs, [((7 * (j + 3)) % 1999) / 1999 - 0.5 for j in range(64)],
+                k=10, shortlist=100,
+            ),
+        ),
+        # Mann-Whitney: distinct-value aggregate (997 values) + bounded window
+        "mann_whitney_20m": run(
+            "mann_whitney_20m",
+            lambda: evalmetrics.mann_whitney_u(
+                events, F.col("value"), F.col("event_type"), "click", "purchase"
+            ),
+        ),
+        # bootstrap: b-fold explode with 5-per-digest draws, groupBy(rep)
+        "bootstrap_20m_b20": run(
+            "bootstrap_20m_b20",
+            lambda: evalmetrics.bootstrap_mean_ci(
+                events.filter(F.col("event_type") == "purchase"),
+                F.col("value"), F.col("event_id"), b=20,
+            ),
+        ),
+        # interleave: per-source rank windows + broadcast m-row index join
+        "interleave_200k": run(
+            "interleave_200k",
+            lambda: traindata.interleave_sources(
+                docs.withColumn("source", (F.col("doc_id") % 20).cast("string")),
+                group_col="source", order_col="doc_id",
+            ),
+        ),
         # trade-graph analogue: 200k nodes, ~8 out-edges each, symmetric
         "pagerank_200k_nodes": run(
             "pagerank_200k_nodes",
