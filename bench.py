@@ -115,6 +115,12 @@ HEADLINE = [
     "bootstrap_purchase_mean_ci",
     "permutation_test_values",
     "phrase_contamination_scan",
+    # round-6 session additions (routing command, binary ANN, rank test,
+    # deterministic interleave)
+    "route_by_schema_docs",
+    "embedding_binary_hamming_topk",
+    "mann_whitney_values",
+    "interleave_sources_order",
 ]
 
 
