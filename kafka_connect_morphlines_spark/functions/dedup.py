@@ -612,37 +612,19 @@ def icws_signatures(
             F.conv(F.substring(hexcol, 1 + 6 * k, 6), 16, 10).cast("long") + F.lit(0.5)
         ) / F.lit(two24)
 
-    # (r, c, beta) depend only on (hash i, token) — never on the document —
-    # so derive them ONCE on the distinct-token (vocabulary-sized) table and
-    # join back onto the (doc, token) pairs: K md5+log calls per VOCAB entry
-    # instead of per corpus pair (identical bits, the pair-side work drops
-    # to plain arithmetic).  The join keys on the token string; AQE
-    # broadcasts the param side when the vocabulary is small enough.
-    param_cols = []
-    for i in range(num_hashes):
-        hx = F.md5(F.concat(F.lit(f"{seed}/{i}/"), F.col("_t")))
-        param_cols.append(
-            F.struct(
-                (-(F.log(u_slice(hx, 0) * u_slice(hx, 1)))).alias("r"),
-                (-(F.log(u_slice(hx, 2) * u_slice(hx, 3)))).alias("c"),
-                u_slice(hx, 4).alias("beta"),
-            ).alias(f"_p{i}")
-        )
-    params = tf.select("_t").distinct().select("_t", *param_cols)
-    joined = tf.join(params, "_t")
-
     aggs = []
     for i in range(num_hashes):
-        r = F.col(f"_p{i}.r")
-        c = F.col(f"_p{i}.c")
-        beta = F.col(f"_p{i}.beta")
+        hx = F.md5(F.concat(F.lit(f"{seed}/{i}/"), F.col("_t")))
+        r = -(F.log(u_slice(hx, 0) * u_slice(hx, 1)))
+        c = -(F.log(u_slice(hx, 2) * u_slice(hx, 3)))
+        beta = u_slice(hx, 4)
         lnw = F.log(F.col("_w").cast("double"))
         t_k = F.floor(lnw / r + beta)
         y = F.exp(r * (t_k.cast("double") - beta))
         a = c / (y * F.exp(r))
         slot = F.xxhash64(F.lit(i), F.col("_t"), t_k)
         aggs.append(F.min(F.struct(a.alias("_a"), slot.alias("_slot"))).alias(f"_m{i}"))
-    grouped = joined.groupBy("_id").agg(*aggs)
+    grouped = tf.groupBy("_id").agg(*aggs)
     return grouped.select(
         F.col("_id").alias(id_col),
         F.array(*[F.col(f"_m{i}._slot") for i in range(num_hashes)]).alias("sig"),
