@@ -788,6 +788,43 @@ def event_time_tumbling_window(spark, sf_dir):
 
 
 @query(
+    "event_time_hopping_window",
+    """
+    WITH e AS (
+      SELECT event_type, value,
+             epoch_ms(date_trunc('minute', ts)) // 900000 * 900000
+               - i * 900000 AS start_ms
+      FROM events, range(0, 4) t(i)
+      -- 15-min slide, 1-h duration: every event lands in exactly 4 windows
+      -- (start = floor(ts/slide)*slide - i*slide, i in 0..3); truncating ts
+      -- to the minute first is a no-op for the floor at 15-min granularity
+    )
+    SELECT strftime(make_timestamp(start_ms * 1000), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(23,6))), 2) AS DOUBLE) AS total
+    FROM e GROUP BY 1, 2
+    """,
+)
+def event_time_hopping_window(spark, sf_dir):
+    """Event-time HOPPING (sliding) window aggregation — F.window with a
+    15-minute slide over a 1-hour duration, so each event contributes to 4
+    overlapping windows (the alerting/rate-monitoring window shape; the
+    streaming runner reuses the same plan over readStream).  Spark expands
+    the windows map-side before one groupBy — the shuffle carries
+    (window, type) partial aggregates, 4x the tumbling row count but still
+    aggregate-sized."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), money_sum(F.col("value")).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "total",
+        )
+    )
+
+
+@query(
     "string_functions",
     """
     SELECT p_partkey, upper(substr(p_name, 1, 10)) AS up, length(p_name) AS nlen,
