@@ -845,6 +845,65 @@ def normalize_scores(
     return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))
 
 
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    out_col: str = "qnorm",
+    grid: int = 1000,
+) -> DataFrame:
+    """Quantile normalization: map every group's value distribution onto
+    the POOLED distribution, so a value at the p-th percentile of its
+    source becomes the pooled p-th percentile value.  Percent-rank
+    calibration (normalize_scores) makes thresholds comparable; quantile
+    normalization goes further and makes the VALUES comparable — the
+    cross-source score-harmonization step when downstream consumers need
+    real units, not ranks (the microarray-normalization classic, Bolstad
+    et al. 2003, applied to corpus quality scores).
+
+    Determinism contract: the per-source rank orders by (value, id) — the
+    ``id_col`` tiebreak makes tied values rank identically on every
+    engine — the rank index is exact integer arithmetic
+    (``idx = round((rank-1) * grid / (n-1))`` as half-up integer
+    division), and the pooled quantile grid uses exact interpolated
+    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``), so
+    the mapping is engine-portable.  Singleton groups (n == 1) map to
+    the pooled median.
+
+    Shape at 100 TB: one window per GROUP partition (never global) for
+    the in-source rank, one aggregate for the (grid+1)-point pooled
+    quantile table, broadcast-joined back — the value column never
+    shuffles globally.  ``grid`` bounds the quantile table (1001 rows),
+    the standard resolution/size trade.
+    """
+    from pyspark.sql import Window
+
+    pct = [i / grid for i in range(grid + 1)]
+    gtab = df.agg(
+        F.expr(
+            f"percentile({value_col}, array({', '.join(str(p) for p in pct)}))"
+        ).alias("_grid")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(id_col))
+    ranked = df.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    )
+    # half-up integer division (operands positive): no float division, so
+    # the index is bit-exact and the SQL oracle mirrors it with `//`
+    idx = F.when(
+        F.col("_n") > 1,
+        F.expr(
+            f"CAST((CAST(_rk - 1 AS BIGINT) * {2 * grid} + (_n - 1)) DIV ((_n - 1) * 2) AS INT)"
+        ),
+    ).otherwise(F.lit(grid // 2))
+    return (
+        ranked.crossJoin(F.broadcast(gtab))
+        .withColumn(out_col, F.round(F.element_at("_grid", idx + 1), 6))
+        .drop("_rk", "_n", "_grid")
+    )
+
+
 def diff_snapshots(
     old: DataFrame,
     new: DataFrame,

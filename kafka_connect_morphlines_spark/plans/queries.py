@@ -7588,6 +7588,49 @@ def interleave_sources_order(spark, sf_dir):
     return out.select("doc_id", "source", "src_index", "grp_rank", "pos").orderBy("pos")
 
 
+def _quantile_normalize_oracle_sql(grid: int = 1000) -> str:
+    pct = ", ".join(str(i / grid) for i in range(grid + 1))
+    return f"""
+    WITH g AS (
+      SELECT quantile_cont(n_chars, [{pct}]) AS grid FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           round(g.grid[CASE WHEN n > 1
+                             THEN CAST((CAST(rk - 1 AS BIGINT) * {2 * grid} + (n - 1))
+                                       // ((n - 1) * 2) AS INT)
+                             ELSE {grid // 2} END + 1], 6) AS qnorm
+    FROM r, g ORDER BY doc_id
+    """
+
+
+@query("quantile_normalize_chars", None)  # oracle attached below (generated)
+def quantile_normalize_chars(spark, sf_dir):
+    """Cross-source quantile normalization (traindata.quantile_normalize,
+    Bolstad et al. 2003 applied to corpus scores): a document at the p-th
+    percentile of its source gets the POOLED p-th percentile value, making
+    values — not just ranks — comparable across sources.  Exact integer
+    rank->grid index (id tiebreak), 1001-point exact-percentile pooled
+    grid broadcast back; per-source windows only."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = t(spark, sf_dir, "documents")
+    out = traindata.quantile_normalize(
+        docs, "n_chars", group_col="source", id_col="doc_id", out_col="qnorm"
+    )
+    return out.select("doc_id", "source", "n_chars", "qnorm").orderBy("doc_id")
+
+
+QUERIES["quantile_normalize_chars"] = QuerySpec(
+    build=quantile_normalize_chars, oracle=_quantile_normalize_oracle_sql()
+)
+
+
 @query("bootstrap_purchase_mean_ci", None)  # oracle attached below
 def bootstrap_purchase_mean_ci(spark, sf_dir):
     """Poisson-bootstrap 95% CI for the mean purchase value

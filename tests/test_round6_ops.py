@@ -128,3 +128,34 @@ def test_interleave_sources_round_robin(spark):
     # exhausted sources just leave holes: s1 has 5 docs, cycles 3 and 4
     # contain only s1 rows at pos 3*m
     assert [r["source"] for r in out[-2:]] == ["s1", "s1"]
+
+
+def test_quantile_normalize_maps_to_pooled_distribution(spark):
+    """Two sources with shifted distributions: after quantile
+    normalization both sources' values follow the POOLED quantiles —
+    the per-source max maps to the pooled max, the min to the pooled min,
+    and equal in-source percentiles get equal normalized values."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    rows = [(i, "a", float(i)) for i in range(11)] + [
+        (100 + i, "b", 1000.0 + i) for i in range(11)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, v double")
+    out = traindata.quantile_normalize(df, "v", "source", "doc_id", out_col="q").collect()
+    byid = {r["doc_id"]: r["q"] for r in out}
+    # pooled min/max are 0 and 1010
+    assert byid[0] == 0.0 and byid[110] == 1010.0
+    assert byid[100] == 0.0 and byid[10] == 1010.0  # source b's min, a's max
+    # equal in-source percentile -> equal pooled value across sources
+    for i in range(11):
+        assert byid[i] == byid[100 + i]
+    # the mapped values are pooled quantiles: midpoint -> pooled median
+    assert byid[5] == byid[105]
+    # singleton group maps to the pooled median
+    df2 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0), (9, "solo", 99.0)],
+        "doc_id long, source string, v double",
+    )
+    out2 = {r["doc_id"]: r["q"] for r in traindata.quantile_normalize(
+        df2, "v", "source", "doc_id", out_col="q").collect()}
+    assert out2[9] == 2.5  # pooled median of [1,2,3,99]
