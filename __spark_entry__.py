@@ -59,7 +59,8 @@ _ROUND6_PREFIX = [
     "embedding_near_dupes", "embedding_ivf_topk", "mmr_diverse_topk",
     "embedding_binary_hamming_topk", "mann_whitney_values",
     "interleave_sources_order", "event_time_hopping_window",
-    "quantile_normalize_chars",
+    "quantile_normalize_chars", "mrr_user_rankings",
+    "gumbel_stratified_sample",
 ]
 _ROUND6_RANK = {name: i for i, name in enumerate(_ROUND6_PREFIX)}
 

@@ -214,3 +214,44 @@ def gumbel_topk(
         .orderBy(F.col("key_milli").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def gumbel_topk_by_group(
+    weights: DataFrame,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    weight_col: str = "logw_milli",
+    seed: str = "dsir",
+) -> DataFrame:
+    """Stratified Gumbel top-k: sample ``k`` rows WITHOUT replacement per
+    group, proportional to ``exp(logw)`` within the group — the quota
+    sampler for mixture building (e.g. k best-weighted documents per
+    source) with the same derandomized Gumbel-max keys as gumbel_topk, so
+    reruns and engines agree bit-for-bit.
+
+    One window per GROUP partition instead of the global TakeOrdered —
+    scale-safe for any group cardinality; ties at each group's k-boundary
+    break on id.  Returns (group_col, id_col, key_milli, grp_rank).
+    """
+    from pyspark.sql import Window
+
+    um = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"gumbel/{seed}/"), F.col(id_col).cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    u = (um + F.lit(0.5)) / F.lit(1000000.0)
+    g_milli = F.floor(F.lit(-1000.0) * F.log(-F.log(u)) + F.lit(0.5)).cast("long")
+    keyed = weights.select(
+        F.col(group_col),
+        F.col(id_col),
+        (F.col(weight_col) + g_milli).alias("key_milli"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("key_milli").desc(), F.col(id_col))
+    return keyed.withColumn("grp_rank", F.row_number().over(w)).filter(
+        F.col("grp_rank") <= k
+    )

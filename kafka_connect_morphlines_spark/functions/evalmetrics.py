@@ -112,6 +112,49 @@ def binary_rank_auc(df: DataFrame, score: Column, label: Column) -> DataFrame:
     )
 
 
+def mrr_at_k(
+    df: DataFrame,
+    query_col: str,
+    score: Column,
+    relevant: Column,
+    k: int = 10,
+    tiebreak: Column | None = None,
+) -> DataFrame:
+    """Mean Reciprocal Rank @ k inputs: per query, 1/rank of the FIRST
+    relevant item within the top-k by score (0 when none) — the standard
+    known-item / navigational ranking metric next to NDCG and MAP.
+
+    Same determinism recipe as ndcg_at_k / map_at_k: rank = (score desc,
+    tiebreak) per query, ties never prefer relevant items; the reciprocal
+    is one fixed-shape 6dp division over an exact integer rank.  One rank
+    window PARTITIONED BY QUERY + one aggregate.  Returns
+    (query_col, first_rel_rank, rr) — first_rel_rank NULL and rr 0.0 when
+    no relevant item lands in the top-k; macro-MRR is the caller's
+    ``avg(rr)``.
+    """
+    tb = [tiebreak.alias("tb")] if tiebreak is not None else []
+    base = df.select(
+        F.col(query_col).alias("q"), score.alias("s"),
+        relevant.cast("int").alias("rel"), *tb,
+    )
+    tb_order = [F.col("tb").asc()] if tiebreak is not None else []
+    w_rank = Window.partitionBy("q").orderBy(F.col("s").desc(), *tb_order)
+    ranked = base.withColumn("rk", F.row_number().over(w_rank))
+    agg = ranked.groupBy("q").agg(
+        F.min(
+            F.when((F.col("rel") == 1) & (F.col("rk") <= k), F.col("rk"))
+        ).alias("first_rel_rank")
+    )
+    return agg.select(
+        F.col("q").alias(query_col),
+        "first_rel_rank",
+        F.coalesce(
+            F.round(F.lit(1.0) / F.col("first_rel_rank").cast("double"), 6),
+            F.lit(0.0),
+        ).alias("rr"),
+    ).orderBy(query_col)
+
+
 def mann_whitney_u(
     df: DataFrame,
     value: Column,

@@ -7588,6 +7588,80 @@ def interleave_sources_order(spark, sf_dir):
     return out.select("doc_id", "source", "src_index", "grp_rank", "pos").orderBy("pos")
 
 
+@query(
+    "mrr_user_rankings",
+    """
+    WITH b AS (
+      SELECT user_id AS q, value AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+             event_id AS tb
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT q, rel,
+             row_number() OVER (PARTITION BY q ORDER BY s DESC, tb) AS rk
+      FROM b
+    )
+    SELECT q AS user_id,
+           CAST(min(CASE WHEN rel = 1 AND rk <= 10 THEN rk END) AS INT) AS first_rel_rank,
+           coalesce(round(1.0 / CAST(min(CASE WHEN rel = 1 AND rk <= 10 THEN rk END) AS DOUBLE), 6),
+                    0.0) AS rr
+    FROM r GROUP BY q ORDER BY user_id
+    """,
+)
+def mrr_user_rankings(spark, sf_dir):
+    """Reciprocal rank @10 per user (evalmetrics.mrr_at_k): 1/rank of the
+    first purchase among value-ranked events — the known-item ranking
+    metric completing the NDCG/MAP family.  Same tie-break-total rank
+    window; the reciprocal is one fixed 6dp division over an exact rank."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return evalmetrics.mrr_at_k(
+        ev, "user_id", F.col("value"),
+        (F.col("event_type") == "purchase").cast("int"),
+        k=10, tiebreak=F.col("event_id"),
+    )
+
+
+@query(
+    "gumbel_stratified_sample",
+    """
+    WITH keyed AS (
+      SELECT source, doc_id,
+             CAST(n_chars
+               + CAST(floor(-1000 * ln(-ln(
+                   ((CAST(('0x' || substr(md5('gumbel/mix/' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                     % 1000000) + 0.5) / 1000000.0)) + 0.5) AS BIGINT) AS BIGINT) AS key_milli
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, key_milli,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY key_milli DESC, doc_id) AS INT) AS grp_rank
+      FROM keyed
+    )
+    SELECT source, doc_id, key_milli, grp_rank
+    FROM r WHERE grp_rank <= 5 ORDER BY source, doc_id
+    """,
+)
+def gumbel_stratified_sample(spark, sf_dir):
+    """Stratified weighted sampling without replacement
+    (dsir.gumbel_topk_by_group): 5 documents per source, probability
+    proportional to exp(n_chars-as-milli-log-weight) within the source —
+    the quota sampler for mixture building, derandomized Gumbel-max keys
+    so the draw is hash-certifiable.  One per-source rank window, no
+    global TakeOrdered."""
+    from kafka_connect_morphlines_spark.functions import dsir
+
+    docs = t(spark, sf_dir, "documents")
+    out = dsir.gumbel_topk_by_group(
+        docs, k=5, group_col="source", id_col="doc_id",
+        weight_col="n_chars", seed="mix",
+    )
+    return out.select("source", "doc_id", "key_milli", "grp_rank").orderBy("source", "doc_id")
+
+
 def _quantile_normalize_oracle_sql(grid: int = 1000) -> str:
     pct = ", ".join(str(i / grid) for i in range(grid + 1))
     return f"""

@@ -159,3 +159,50 @@ def test_quantile_normalize_maps_to_pooled_distribution(spark):
     out2 = {r["doc_id"]: r["q"] for r in traindata.quantile_normalize(
         df2, "v", "source", "doc_id", out_col="q").collect()}
     assert out2[9] == 2.5  # pooled median of [1,2,3,99]
+
+
+def test_mrr_at_k_first_relevant_reciprocal(spark):
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    rows = [
+        # q1: relevant at rank 3 (scores 9,8,7 with rel on 7)
+        ("q1", 9.0, 0, 1), ("q1", 8.0, 0, 2), ("q1", 7.0, 1, 3), ("q1", 6.0, 1, 4),
+        # q2: relevant at rank 1
+        ("q2", 5.0, 1, 5), ("q2", 4.0, 0, 6),
+        # q3: no relevant in top-2 (k=2)
+        ("q3", 3.0, 0, 7), ("q3", 2.0, 0, 8), ("q3", 1.0, 1, 9),
+    ]
+    df = spark.createDataFrame(rows, "q string, s double, rel int, tb long")
+    out = {r["q"]: r for r in evalmetrics.mrr_at_k(
+        df, "q", F.col("s"), F.col("rel"), k=2, tiebreak=F.col("tb")).collect()}
+    assert out["q1"]["first_rel_rank"] is None and out["q1"]["rr"] == 0.0
+    assert out["q2"]["first_rel_rank"] == 1 and out["q2"]["rr"] == 1.0
+    assert out["q3"]["first_rel_rank"] is None and out["q3"]["rr"] == 0.0
+    out10 = {r["q"]: r for r in evalmetrics.mrr_at_k(
+        df, "q", F.col("s"), F.col("rel"), k=10, tiebreak=F.col("tb")).collect()}
+    assert out10["q1"]["first_rel_rank"] == 3 and out10["q1"]["rr"] == round(1 / 3, 6)
+    assert out10["q3"]["first_rel_rank"] == 3
+
+
+def test_gumbel_topk_by_group_quota_and_determinism(spark):
+    from kafka_connect_morphlines_spark.functions import dsir
+
+    rows = [(i, ["a", "b", "c"][i % 3], (i * 37) % 500) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = dsir.gumbel_topk_by_group(
+        df, k=4, group_col="source", id_col="doc_id", weight_col="n_chars", seed="t"
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r["doc_id"])
+    assert {len(v) for v in per.values()} == {4}  # exact quota per group
+    again = dsir.gumbel_topk_by_group(
+        df, k=4, group_col="source", id_col="doc_id", weight_col="n_chars", seed="t"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))  # derandomized
+    # higher weight should dominate: an overwhelming-weight row always wins
+    df2 = df.union(spark.createDataFrame([(1000, "a", 10_000_000)], df.schema))
+    top_a = dsir.gumbel_topk_by_group(
+        df2, k=1, group_col="source", id_col="doc_id", weight_col="n_chars", seed="t"
+    ).filter(F.col("source") == "a").collect()
+    assert top_a[0]["doc_id"] == 1000
