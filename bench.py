@@ -121,6 +121,10 @@ HEADLINE = [
     "embedding_binary_hamming_topk",
     "mann_whitney_values",
     "interleave_sources_order",
+    "event_time_hopping_window",
+    "quantile_normalize_chars",
+    "mrr_user_rankings",
+    "gumbel_stratified_sample",
 ]
 
 
