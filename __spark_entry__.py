@@ -60,7 +60,7 @@ _ROUND6_PREFIX = [
     "embedding_binary_hamming_topk", "mann_whitney_values",
     "interleave_sources_order", "event_time_hopping_window",
     "quantile_normalize_chars", "mrr_user_rankings",
-    "gumbel_stratified_sample",
+    "gumbel_stratified_sample", "lang_prf_report",
 ]
 _ROUND6_RANK = {name: i for i, name in enumerate(_ROUND6_PREFIX)}
 

@@ -112,6 +112,57 @@ def binary_rank_auc(df: DataFrame, score: Column, label: Column) -> DataFrame:
     )
 
 
+def multiclass_prf(
+    df: DataFrame,
+    actual: Column,
+    predicted: Column,
+) -> DataFrame:
+    """Per-class precision / recall / F1 for a multiclass prediction —
+    the standard per-class report card next to the confusion matrix and
+    Cohen's kappa; macro averages are the caller's one-line
+    ``avg(precision)/avg(recall)/avg(f1)`` over the class rows.
+
+    Exact-integer confusion counts per class (tp = diagonal, fp = column
+    sum - tp, fn = row sum - tp) from ONE groupBy over the (actual,
+    predicted) pair table, with class margins joined from the
+    |classes|^2-row aggregate (bounded by construction — classes, not
+    corpus, set every post-aggregate size).  Ratios are the corpus'
+    proven exact-integer-over-double idiom (_ratio6), F1 in the integer
+    form ``2*TP / (2*TP + FP + FN)``; an absent class yields NULL via
+    try_divide, never a division error.  Returns
+    (class, tp, fp, fn, precision, recall, f1) for every class appearing
+    as actual OR predicted.
+    """
+    pairs = df.select(actual.alias("_a"), predicted.alias("_p"))
+    counts = pairs.groupBy("_a", "_p").agg(F.count(F.lit(1)).alias("_n"))
+    if not counts.isStreaming:
+        counts = counts.localCheckpoint()  # |classes|^2 rows, feeds 3 legs
+    row_tot = counts.groupBy(F.col("_a").alias("cls")).agg(F.sum("_n").alias("_row"))
+    col_tot = counts.groupBy(F.col("_p").alias("cls")).agg(F.sum("_n").alias("_col"))
+    diag = counts.filter(F.col("_a") == F.col("_p")).select(
+        F.col("_a").alias("cls"), F.col("_n").alias("tp")
+    )
+    base = (
+        row_tot.join(col_tot, "cls", "full_outer")
+        .join(diag, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            (F.coalesce(F.col("_col"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0))).alias("fp"),
+            (F.coalesce(F.col("_row"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0))).alias("fn"),
+        )
+    )
+    return base.select(
+        F.col("cls").alias("class"),
+        "tp",
+        "fp",
+        "fn",
+        _ratio6(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+        _ratio6(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall"),
+        _ratio6(2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")).alias("f1"),
+    ).orderBy("class")
+
+
 def mrr_at_k(
     df: DataFrame,
     query_col: str,

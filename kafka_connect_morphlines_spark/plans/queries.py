@@ -7252,6 +7252,55 @@ QUERIES["lang_confusion_matrix"] = QuerySpec(
 )
 
 
+def _prf_oracle_sql() -> str:
+    """Per-class P/R/F1 over the shared lang-id CASE SQL."""
+    pred = lang_id_oracle_sql()
+    return f"""
+    WITH pred AS ({pred}),
+    pairs AS (SELECT d.lang AS a, p.lang_pred AS pr
+              FROM documents d JOIN pred p USING (doc_id)),
+    counts AS (SELECT a, pr, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY a, pr),
+    row_tot AS (SELECT a AS cls, CAST(sum(n) AS BIGINT) AS r FROM counts GROUP BY a),
+    col_tot AS (SELECT pr AS cls, CAST(sum(n) AS BIGINT) AS c FROM counts GROUP BY pr),
+    diag AS (SELECT a AS cls, n AS tp FROM counts WHERE a = pr),
+    base AS (
+      SELECT coalesce(rt.cls, ct.cls) AS cls,
+             CAST(coalesce(d.tp, 0) AS BIGINT) AS tp,
+             CAST(coalesce(ct.c, 0) - coalesce(d.tp, 0) AS BIGINT) AS fp,
+             CAST(coalesce(rt.r, 0) - coalesce(d.tp, 0) AS BIGINT) AS fn
+      FROM row_tot rt FULL OUTER JOIN col_tot ct ON rt.cls = ct.cls
+      LEFT JOIN diag d ON coalesce(rt.cls, ct.cls) = d.cls
+    )
+    SELECT cls AS class, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1
+    FROM base ORDER BY class
+    """
+
+
+@query("lang_prf_report", None)  # oracle attached below (shares lang_id SQL)
+def lang_prf_report(spark, sf_dir):
+    """Per-class precision/recall/F1 report (evalmetrics.multiclass_prf)
+    for the lang-id heuristic vs ground truth — the per-class report card
+    completing the confusion-matrix / Cohen's-kappa classification-eval
+    family.  One pair-table groupBy; every later frame is
+    |classes|-bounded; exact-integer ratios (F1 in the 2TP integer
+    form)."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    docs = t(spark, sf_dir, "documents")
+    return evalmetrics.multiclass_prf(
+        docs, F.col("lang"), textstats.lang_id(F.col("text"))
+    )
+
+
+QUERIES["lang_prf_report"] = QuerySpec(build=lang_prf_report, oracle=_prf_oracle_sql())
+
+
 @query(
     "brier_score_purchase",
     """

@@ -206,3 +206,28 @@ def test_gumbel_topk_by_group_quota_and_determinism(spark):
         df2, k=1, group_col="source", id_col="doc_id", weight_col="n_chars", seed="t"
     ).filter(F.col("source") == "a").collect()
     assert top_a[0]["doc_id"] == 1000
+
+
+def test_multiclass_prf_hand_computed(spark):
+    """actual/predicted pairs with a class that is never predicted (c) and
+    one never actual (d): per-class tp/fp/fn and the integer-form F1."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    rows = [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "a"),
+            ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(rows, "y string, p string")
+    out = {r["class"]: r for r in evalmetrics.multiclass_prf(
+        df, F.col("y"), F.col("p")).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    # a: tp=2, predicted-a=4 -> fp=2; actual-a=3 -> fn=1
+    assert (out["a"]["tp"], out["a"]["fp"], out["a"]["fn"]) == (2, 2, 1)
+    assert out["a"]["precision"] == 0.5 and out["a"]["recall"] == round(2 / 3, 6)
+    assert out["a"]["f1"] == round(4 / 7, 6)
+    # b: tp=1, predicted-b=2 -> fp=1; actual-b=2 -> fn=1
+    assert (out["b"]["tp"], out["b"]["fp"], out["b"]["fn"]) == (1, 1, 1)
+    # c: never predicted -> precision NULL (0/0), recall 0
+    assert (out["c"]["tp"], out["c"]["fp"], out["c"]["fn"]) == (0, 0, 2)
+    assert out["c"]["precision"] is None and out["c"]["recall"] == 0.0
+    # d: never actual -> recall NULL, precision 0
+    assert (out["d"]["tp"], out["d"]["fp"], out["d"]["fn"]) == (0, 1, 0)
+    assert out["d"]["recall"] is None and out["d"]["precision"] == 0.0
