@@ -125,6 +125,7 @@ HEADLINE = [
     "quantile_normalize_chars",
     "mrr_user_rankings",
     "gumbel_stratified_sample",
+    "lang_prf_report",
 ]
 
 
