@@ -197,7 +197,7 @@ def route_by_schema(config, ctx):
         )
         return branch_by_schema(df, pairs, otherwise=otherwise)
 
-    return transform
+    return CompiledCommand("routeBySchema", transform, wide=True)
 
 
 @command("pipe")
@@ -245,7 +245,7 @@ def head(config, ctx):
     def transform(df: DataFrame) -> DataFrame:
         return df.limit(n)
 
-    return transform
+    return CompiledCommand("head", transform, wide=True)
 
 
 @command("separateAttachments", "explode")

@@ -640,18 +640,35 @@ def bpe_train(
         batch: list = []
         used: set = set()
         new_bound = -1
+        # Same-string collision guard: the per-merge bounds above assume
+        # each accepted merge's created pairs land on FRESH pair strings,
+        # so taking the max across merges is sound.  When two merge paths
+        # yield the same symbol string — ('a','bc') and ('ab','c') both
+        # -> 'abc', or a collision with a token learned in an earlier
+        # round (every pre-existing multi-char corpus symbol is a learned
+        # token or the end marker) — created counts STACK on each other
+        # and on pre-existing same-string pairs, breaking the max-bound.
+        # End the batch at the first such merge: it is still the true
+        # argmax (its own acceptance only used sound earlier bounds), but
+        # nothing after it may rely on bounds it contributed to.
+        learned_strings = {left + right for _, left, right, _ in rules} | {end_token}
+        batch_strings: set = set()
         for cand in top:
             if cand["cnt"] < 2 or len(rules) + len(batch) >= n_merges:
                 break
             if batch and (({cand["l"], cand["r"]} & used) or cand["cnt"] <= new_bound):
                 break
+            merged = cand["l"] + cand["r"]
             batch.append((cand["l"], cand["r"], int(cand["cnt"])))
-            used |= {cand["l"], cand["r"], cand["l"] + cand["r"]}
+            used |= {cand["l"], cand["r"], merged}
             new_bound = max(
                 new_bound,
                 max_into.get(cand["l"], floor_cnt),
                 max_outof.get(cand["r"], floor_cnt),
             )
+            if merged in learned_strings or merged in batch_strings:
+                break
+            batch_strings.add(merged)
         for left, right, cnt in batch:
             rules.append((len(rules), left, right, cnt))
         merge_seq = [(left, right, left + right) for left, right, _ in batch]
@@ -774,14 +791,19 @@ def interleave_sources(
 
     m_rows = df.select(F.col(group_col).alias("_g")).distinct()
     w_idx = Window.orderBy("_g")  # m rows only — tiny, driver-safe window
-    idx = m_rows.withColumn("src_index", F.row_number().over(w_idx) - 1)
-    m = idx.count()
+    # m is computed IN-PLAN (a count window over the m-row frame) rather
+    # than via an eager idx.count() so pipeline compilation stays
+    # action-free — no Spark job runs until the caller acts.
+    idx = m_rows.withColumn("src_index", F.row_number().over(w_idx) - 1).withColumn(
+        "_m", F.count(F.lit(1)).over(Window.partitionBy())
+    )
     w_grp = Window.partitionBy(group_col).orderBy(order_col)
     ranked = df.withColumn("grp_rank", F.row_number().over(w_grp) - 1)
     return (
         ranked.join(F.broadcast(idx), ranked[group_col] == idx["_g"])
         .drop("_g")
-        .withColumn("pos", F.col("grp_rank") * m + F.col("src_index"))
+        .withColumn("pos", F.col("grp_rank") * F.col("_m") + F.col("src_index"))
+        .drop("_m")
     )
 
 

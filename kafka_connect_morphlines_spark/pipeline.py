@@ -54,6 +54,10 @@ class CompiledCommand:
     name: str
     transform: Transform
     predicate: Column | None = None
+    #: True for commands whose plan shuffles or unions (head/limit,
+    #: routeBySchema) — they scramble within-partition row order, which
+    #: first_only's "first emission" definition depends on.
+    wide: bool = False
 
     def __call__(self, df: DataFrame) -> DataFrame:
         return self.transform(df)
@@ -110,6 +114,27 @@ class Pipeline:
     def apply(self, df: DataFrame) -> DataFrame:
         if not self.first_only:
             return functools.reduce(lambda acc, cmd: cmd(acc), self.commands, df)
+        # firstOnly picks "the first emission per input row" via
+        # monotonically_increasing_id + an id-keyed window — both of which
+        # are only well-defined on a batch frame whose chain preserves
+        # within-partition order.  Fail loudly instead of silently picking
+        # an arbitrary row (or blowing up at runtime on a stream).
+        if df.isStreaming:
+            raise PipelineSpecError(
+                "settings { firstOnly : true } is a batch-only compat mode: "
+                "monotonically_increasing_id and an unwatermarked window are "
+                "undefined on a streaming DataFrame.  Run the SMT chain in "
+                "micro-batch (foreachBatch) or drop firstOnly."
+            )
+        wide = [c.name for c in self.commands if c.wide]
+        if wide:
+            raise PipelineSpecError(
+                f"settings {{ firstOnly : true }} requires a narrow command "
+                f"chain (map/filter/explode): {wide!r} shuffle or union, which "
+                f"scrambles the within-partition emission order that defines "
+                f"'first'.  Remove firstOnly or move these commands out of "
+                f"the chain."
+            )
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
@@ -203,7 +228,11 @@ def branch_by_schema(
     outs = []
     claimed = F.lit(False)
     for pred, pipe in branches:
-        p = _pred(pred)
+        # NULL-fold to false (mirrors tryRules' pred.isNull() handling):
+        # a predicate over a malformed/NULL discriminator must not claim
+        # the row NOR poison `claimed` to NULL — those rows belong to
+        # `otherwise` (the quarantine branch exists for exactly them).
+        p = F.coalesce(_pred(pred), F.lit(False))
         outs.append(pipe(df.filter(p & ~claimed)))
         claimed = claimed | p
     if otherwise is not None:

@@ -1,0 +1,166 @@
+"""Round-7 fixes: branch NULL routing, firstOnly guards, BPE collision
+guard, lazy interleave_sources plan construction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_morphlines_spark.pipeline import (
+    PipelineSpecError,
+    branch_by_schema,
+    compile_pipeline,
+)
+
+
+# ---------------------------------------------------------------- branch NULL
+def test_branch_null_predicate_rows_reach_otherwise(spark):
+    """A row whose discriminator is NULL/malformed must land in `otherwise`
+    (the quarantine branch exists for exactly those records), not vanish.
+
+    Mirrors tryRules' pred.isNull() handling (filters.py) — the reference's
+    per-record dispatch never loses a record either (a record that matches
+    no rule falls through, MorphlineTransform.java:113-123)."""
+    df = spark.createDataFrame(
+        [('{"type": "a", "v": 1}',), ('{"type": "b", "v": 2}',), ("not json at all",), (None,)],
+        "_value string",
+    )
+    t = F.get_json_object("_value", "$.type")
+    out = branch_by_schema(
+        df,
+        [(t == "a", lambda d: d.withColumn("route", F.lit("a"))),
+         (t == "b", lambda d: d.withColumn("route", F.lit("b")))],
+        otherwise=lambda d: d.withColumn("route", F.lit("dlq")),
+    )
+    routes = sorted(r["route"] for r in out.collect())
+    assert routes == ["a", "b", "dlq", "dlq"], "no row may be dropped by routing"
+
+
+def test_route_by_schema_command_quarantines_malformed(spark):
+    spec = {
+        "commands": [
+            {"routeBySchema": {
+                "branches": [
+                    {"when": "get_json_object(_value, '$.type') = 'a'",
+                     "commands": [{"setValues": {"route": "a"}}]},
+                ],
+                "otherwise": [{"setValues": {"route": "dlq"}}],
+            }},
+        ]
+    }
+    df = spark.createDataFrame([('{"type": "a"}',), ("garbage",)], "_value string")
+    out = compile_pipeline(spec)(df)
+    got = sorted(r["route"] for r in out.collect())
+    assert got == ["a", "dlq"]
+
+
+# ---------------------------------------------------------------- firstOnly
+def test_first_only_rejects_streaming_input(spark):
+    pipe = compile_pipeline(
+        {"settings": {"firstOnly": True},
+         "commands": [{"setValues": {"x": 1}}]}
+    )
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    with pytest.raises(PipelineSpecError, match="batch-only"):
+        pipe(stream)
+
+
+def test_first_only_rejects_wide_commands(spark):
+    pipe = compile_pipeline(
+        {"settings": {"firstOnly": True},
+         "commands": [{"head": {"limit": 5}}]}
+    )
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    with pytest.raises(PipelineSpecError, match="narrow"):
+        pipe(df)
+
+
+def test_wide_commands_fine_without_first_only(spark):
+    pipe = compile_pipeline({"commands": [{"head": {"limit": 1}}]})
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    assert pipe(df).count() == 1
+
+
+# ------------------------------------------------------------- BPE collision
+def _ref_bpe(texts, n_merges, end="</w>"):
+    from collections import Counter
+
+    freqs = Counter()
+    for t in texts:
+        for w in t.split():
+            freqs[w] += 1
+    words = {w: list(w) + [end] for w in freqs}
+    rules = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for w, syms in words.items():
+            f = freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        rules.append((rank, left, right, cnt))
+        m = left + right
+        for w, syms in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(m)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[w] = res
+    return rules
+
+
+def test_bpe_batched_matches_sequential_on_collision_prone_corpus(spark):
+    """Corpus engineered so two merge paths produce the same string
+    ('a'+'bc' and 'ab'+'c' -> 'abc') with closely-ranked counts: the
+    batched acceptance guard must end the batch at the collision instead
+    of letting stacked created-pair counts break the max-bound."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    texts = (
+        ["abc"] * 30            # both (a,b) and (b,c) pairs, then abc paths
+        + ["ab"] * 24           # boosts (a,b)
+        + ["bc"] * 23           # boosts (b,c) to nearly the same count
+        + ["abcabc"] * 9        # internal (c,a) adjacency -> chained pairs
+        + ["xabc yabc zabc"] * 5
+        + ["abcx abcy"] * 4
+    )
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in traindata.bpe_train(df, n_merges=16).orderBy("rank").collect()
+    ]
+    want = _ref_bpe(texts, 16)
+    assert got == want
+
+
+# ------------------------------------------------------------ lazy interleave
+def test_interleave_sources_builds_plan_without_running_a_job(spark):
+    """Pipeline compilation must be action-free: building the interleave
+    plan runs zero Spark jobs (the m-row count is folded into the plan as
+    a window, not collected eagerly)."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "doc_id long, source string"
+    )
+    df.count()  # materialize the input before arming the spy
+    sc = spark.sparkContext
+    group = "interleave-lazy-spy"
+    sc.setJobGroup(group, "plan-build spy", interruptOnCancel=False)
+    try:
+        out = traindata.interleave_sources(df)  # must not run a job
+        jobs_during_build = list(sc.statusTracker().getJobIdsForGroup(group))
+    finally:
+        sc.setJobGroup("", "")
+    assert jobs_during_build == [], f"plan build ran Spark jobs: {jobs_during_build}"
+
+    rows = out.orderBy("pos").collect()
+    # positions cycle the 3 sources round-robin
+    assert [r["source"] for r in rows[:6]] == ["s0", "s1", "s2", "s0", "s1", "s2"]
+    assert len({r["pos"] for r in rows}) == len(rows)
