@@ -240,6 +240,161 @@ def dd_quantiles(
     return cum.groupBy(*kc).agg(*aggs)
 
 
+# --------------------------------------------------------------------------
+# Portable HLL: an engine-reproducible HyperLogLog as a plain DataFrame.
+#
+# Spark's F.hll_sketch_agg (Apache DataSketches) is excellent but its binary
+# sketch format and hash (murmur3-128) are engine-specific, so estimates
+# cannot be re-derived outside Spark.  This variant is the classic Flajolet
+# HLL built from an md5-derived hash (the same idiom as the count-min
+# buckets above), with every floating step reduced to ONE inlined literal
+# and ONE int64->double division — so a DuckDB oracle rebuilds the sketch
+# AND the estimate bit-for-bit:
+# - register index = first 2 md5 hex chars (p=8, m=256 registers);
+# - rho = leading-zero count of the next 13 hex chars (52 bits) + 1,
+#   computed by STRING ops (regexp '^0*' + a per-hex-char CASE), never libm;
+# - harmonic sum as the INTEGER sum(2^(53-M_j)) (max 2^61, no overflow, no
+#   float accumulation order dependence);
+# - estimate = ALPHA_NUM / S with ALPHA_NUM precomputed in Python, plus the
+#   standard linear-counting small-range correction m*ln(m/V).
+#
+# The sketch itself is a (keys..., reg, rho) DataFrame: build is one
+# map-side-combinable groupBy-max; merge is groupBy-max again (union of
+# sketches == elementwise register max, exactly); estimate reads <=m rows
+# per key.  Standard HLL error: 1.04/sqrt(256) ~ 6.5% relative.
+# --------------------------------------------------------------------------
+
+HLL_M = 256            # 2^8 registers (first 2 hex chars)
+HLL_RHO_HEX = 13       # 52 tail bits scanned for the leading-zero run
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_HLL_ALPHA_NUM = _HLL_ALPHA * HLL_M * HLL_M * 2.0**53  # alpha*m^2 / 2^-53-scale
+
+
+def _hex_clz(c: Column) -> Column:
+    """Leading-zero bits of one lowercase hex char known to be nonzero."""
+    return (
+        F.when(c == "1", F.lit(3))
+        .when(c.isin("2", "3"), F.lit(2))
+        .when(c.between("4", "7"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def hll_cols(key: Column) -> tuple[Column, Column]:
+    """(reg, rho) for one key — the portable HLL hash decomposition."""
+    h = F.md5(key.cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    tail = F.substring(h, 3, HLL_RHO_HEX)
+    z = F.length(F.regexp_extract(tail, "^0*", 0))
+    rho = F.when(z == HLL_RHO_HEX, F.lit(4 * HLL_RHO_HEX + 1)).otherwise(
+        z * 4 + _hex_clz(F.substr(tail, z + 1, F.lit(1))) + 1
+    )
+    return reg, rho
+
+
+def hll_build(df: DataFrame, key: Column, group_cols: list[str] | None = None) -> DataFrame:
+    """Build per-group portable HLL sketches: (groups..., reg, rho).
+
+    One map-side-combinable groupBy-max — shuffled state is bounded by
+    groups x 256 rows, never by input size."""
+    gcols = group_cols or []
+    reg, rho = hll_cols(key)
+    return (
+        df.select(*gcols, reg.alias("reg"), rho.alias("_rho"))
+        .groupBy(*gcols, "reg")
+        .agg(F.max("_rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """union + register max: hll_build(A ∪ B) == hll_merge(...) exactly."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    group = [c for c in out.columns if c != "rho"]
+    return out.groupBy(*group).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, group_cols: list[str] | None = None, out_col: str = "estimate") -> DataFrame:
+    """Cardinality estimate per group from a (groups..., reg, rho) sketch.
+
+    All register arithmetic is integer (sum of 2^(53-rho) as long); the
+    only float ops are one literal/int64 division and — in the
+    small-range branch — m*ln(m/V), both bit-reproducible in SQL."""
+    gcols = group_cols or []
+    agg = sketch.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("_np"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - rho)")).alias("_sp"),
+    )
+    v = F.lit(HLL_M) - F.col("_np")  # empty registers
+    s = F.col("_sp") + v.cast("long") * F.lit(1 << 53)
+    e_raw = F.lit(_HLL_ALPHA_NUM) / s.cast("double")
+    est = F.when(
+        (e_raw <= 2.5 * HLL_M) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(*gcols, est.alias(out_col))
+
+
+def hll_overlap_portable(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """Inclusion-exclusion overlap from portable HLL sketches (see
+    ``hll_overlap`` for the DataSketches variant and the error envelope):
+    |A ∩ B| ≈ |A| + |B| - |A ∪ B|, union = register max — no join, no
+    rescan, and every number re-derivable by the DuckDB oracle."""
+    sa = hll_build(a, F.col(key))
+    sb = hll_build(b, F.col(key))
+    if not sa.isStreaming:
+        sa, sb = sa.localCheckpoint(), sb.localCheckpoint()  # each feeds 2 legs
+    ea = hll_estimate(sa, out_col="est_a")
+    eb = hll_estimate(sb, out_col="est_b")
+    eu = hll_estimate(hll_merge(sa, sb), out_col="est_union")
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                (F.col("est_a") + F.col("est_b") - F.col("est_union")), F.lit(0.0)
+            ).alias("est_intersection"),
+        )
+    )
+
+
+def hll_rolling_distinct_portable(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    window_buckets: int = 24,
+) -> DataFrame:
+    """Trailing-window distinct counts from portable HLL sketches.
+
+    Same plan shape as ``hll_rolling_distinct``: ONE event pass builds
+    per-bucket register sketches; the rolling union is a range join of the
+    bucket list against the sketch rows (both sketch-sized — buckets x
+    <=256 rows) followed by a register max, so event volume never touches
+    the rolling stage.  Output rows = buckets present in the data."""
+    sec = {"minute": 60, "hour": 3600, "day": 86400}[bucket]
+    per = hll_build(
+        df.select(F.date_trunc(bucket, F.col(ts_col)).alias("_b"), key), F.col(key), ["_b"]
+    )
+    if not per.isStreaming:
+        per = per.localCheckpoint()  # feeds the bucket list + the range join
+    buckets = per.select(F.col("_b").alias("bucket")).distinct()
+    lo = F.col("bucket").cast("long") - (window_buckets - 1) * sec
+    merged = (
+        buckets.join(
+            per,
+            (F.col("_b").cast("long") >= lo) & (F.col("_b") <= F.col("bucket")),
+        )
+        .groupBy("bucket", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return hll_estimate(merged, ["bucket"], out_col="rolling_distinct")
+
+
 def hll_overlap(
     a: DataFrame,
     b: DataFrame,

@@ -1010,6 +1010,41 @@ def _hp_bucket_ctes(n_planes: int) -> str:
     )"""
 
 
+# --------------------------------------------------------------------------
+# Oracle SQL for the portable HLL family (functions/sketches.py hll_build /
+# hll_estimate): register index = first 2 md5 hex chars, rho = leading-zero
+# run of the next 13 (string ops only), harmonic sum as the INTEGER
+# sum(2^(53-rho)) — so the oracle rebuilds sketch and estimate exactly.
+# --------------------------------------------------------------------------
+
+_HLL_REG = "CAST(('0x' || substr(h, 1, 2)) AS BIGINT)"
+_HLL_Z = "length(regexp_extract(substr(h, 3, 13), '^0*', 0))"
+_HLL_RHO = f"""(CASE WHEN {_HLL_Z} = 13 THEN 53
+    ELSE {_HLL_Z} * 4 + (CASE substr(substr(h, 3, 13), {_HLL_Z} + 1, 1)
+      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+      ELSE 0 END) + 1 END)"""
+
+
+def _hll_est_sql(np_expr: str = "np", sp_expr: str = "sp") -> str:
+    """Estimate expression from (count-of-registers, integer harmonic sum) —
+    mirrors sketches.hll_estimate: one literal/int64 division, linear
+    counting below 2.5m when empty registers exist."""
+    from kafka_connect_morphlines_spark.functions.sketches import _HLL_ALPHA_NUM, HLL_M
+
+    v = f"({HLL_M} - {np_expr})"
+    s = f"({sp_expr} + CAST({v} AS BIGINT) * (CAST(1 AS BIGINT) << 53))"
+    e_raw = f"({_HLL_ALPHA_NUM!r} / CAST({s} AS DOUBLE))"
+    return (
+        f"(CASE WHEN {e_raw} <= {2.5 * HLL_M!r} AND {v} > 0 "
+        f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST({v} AS DOUBLE)) "
+        f"ELSE {e_raw} END)"
+    )
+
+
+_HLL_SP = "sum(CAST(1 AS BIGINT) << (53 - rho))"
+
+
 _ANN_LSH_SQL = f"""
     WITH hp AS ({_hyperplane_cte_sql('', 8, 64)}),
     q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
@@ -1834,15 +1869,63 @@ def embedding_ivf_topk(spark, sf_dir):
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
-@query("approx_sketches", None)  # HLL/KLL sketches differ across engines -> rows-only
-def approx_sketches(spark, sf_dir):
-    """At-scale approximate aggregates: HyperLogLog distinct + quantile
-    sketch (the constant-memory versions of countDistinct/percentile)."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("nd_parts"),
-        F.round(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 2).alias("p50_approx"),
+def _approx_sketches_sql() -> str:
+    import math
+
+    from kafka_connect_morphlines_spark.functions.sketches import dd_gamma
+
+    gamma = dd_gamma(0.01)
+    lg = math.log(gamma)
+    return f"""
+    WITH parts AS (
+      SELECT l_returnflag, {_HLL_REG} AS reg, {_HLL_RHO} AS rho
+      FROM (SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem)
+    ),
+    regs AS (SELECT l_returnflag, reg, max(rho) AS rho FROM parts GROUP BY l_returnflag, reg),
+    hagg AS (SELECT l_returnflag, count(*) AS np, {_HLL_SP} AS sp FROM regs GROUP BY l_returnflag),
+    nd AS (SELECT l_returnflag, CAST(floor({_hll_est_sql()}) AS BIGINT) AS nd_parts FROM hagg),
+    dd AS (
+      SELECT l_returnflag,
+             CAST(ceil(ln(greatest(CAST(l_extendedprice AS DOUBLE), 1e-9)) / {lg!r}) AS BIGINT) AS bucket,
+             count(*) AS cnt
+      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, bucket,
+             sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+             sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+      FROM dd
+    ),
+    qb AS (
+      SELECT l_returnflag,
+             min(CASE WHEN cum >= greatest(CAST(ceil(0.5 * total) AS BIGINT), 1) THEN bucket END) AS b
+      FROM cum GROUP BY l_returnflag
     )
+    SELECT nd.l_returnflag, nd.nd_parts,
+           round(2.0 * exp(CAST(qb.b AS DOUBLE) * {lg!r}) / {gamma + 1.0!r}, 4) AS p50
+    FROM nd JOIN qb USING (l_returnflag)
+    ORDER BY l_returnflag
+"""
+
+
+@query("approx_sketches", _approx_sketches_sql())
+def approx_sketches(spark, sf_dir):
+    """At-scale approximate aggregates from the engine's OWN mergeable
+    sketches: portable HLL distinct parts + DDSketch p50 price per return
+    flag (the constant-memory versions of countDistinct/percentile, both
+    rollup-able by union).  Promoted from rows-only in r07: the former
+    Spark-internal approx_count_distinct/percentile_approx sketches were
+    engine-opaque; these are md5/log-bucket sketches the oracle rebuilds
+    exactly (gamma and log-gamma inlined once on both sides)."""
+    from kafka_connect_morphlines_spark.functions import sketches
+
+    li = t(spark, sf_dir, "lineitem")
+    nd = sketches.hll_estimate(
+        sketches.hll_build(li, F.col("l_partkey"), ["l_returnflag"]), ["l_returnflag"]
+    ).select("l_returnflag", F.floor("estimate").cast("long").alias("nd_parts"))
+    dd = sketches.dd_sketch(li, F.col("l_extendedprice"), [F.col("l_returnflag")], alpha=0.01)
+    p50 = sketches.dd_quantiles(dd, [0.5], alpha=0.01, key_cols=["l_returnflag"])
+    return nd.join(p50, "l_returnflag").orderBy("l_returnflag")
 
 
 @query(
@@ -3279,27 +3362,45 @@ def gopher_filter_verdicts(spark, sf_dir):
     return textclean.gopher_filter_df(docs).orderBy("doc_id")
 
 
-@query("hll_sketch_rollup", None)
+_HLL_ROLLUP_SQL = f"""
+    WITH parts AS (
+      SELECT scope, {_HLL_REG} AS reg, {_HLL_RHO} AS rho
+      FROM (SELECT o_orderpriority AS scope, md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders)
+    ),
+    regs AS (SELECT scope, reg, max(rho) AS rho FROM parts GROUP BY scope, reg),
+    allregs AS (
+      SELECT scope, reg, rho FROM regs
+      UNION ALL
+      SELECT 'merged' AS scope, reg, max(rho) AS rho FROM regs GROUP BY reg
+    ),
+    agg AS (SELECT scope, count(*) AS np, {_HLL_SP} AS sp FROM allregs GROUP BY scope)
+    SELECT scope, round({_hll_est_sql()}, 2) AS estimate FROM agg ORDER BY scope
+"""
+
+
+@query("hll_sketch_rollup", _HLL_ROLLUP_SQL)
 def hll_sketch_rollup(spark, sf_dir):
-    """Mergeable-sketch rollup (Apache DataSketches HLL via
-    F.hll_sketch_agg): distinct customers per order-priority as binary
-    sketches, merged with hll_union_agg to the corpus-wide estimate WITHOUT
-    rescanning — the 100 TB pattern for daily→monthly distinct-count
-    rollups.  Sketch internals are engine-specific → golden-pinned, plus a
-    pytest asserting the merged estimate tracks the exact count."""
+    """Mergeable-sketch rollup: distinct customers per order-priority as
+    portable HLL register sketches (sketches.hll_build — md5-derived, so
+    the DuckDB oracle rebuilds sketch AND estimate exactly), merged by
+    register max to the corpus-wide estimate WITHOUT rescanning — the
+    100 TB pattern for daily→monthly distinct-count rollups.  Promoted
+    from rows-only in r07: the engine-specific DataSketches binary sketch
+    (F.hll_sketch_agg, kept in sketches.hll_overlap for interop) is
+    replaced by the engine-portable register-table HLL."""
+    from kafka_connect_morphlines_spark.functions import sketches
+
     orders = t(spark, sf_dir, "orders")
-    per = orders.groupBy("o_orderpriority").agg(
-        F.hll_sketch_agg("o_custkey").alias("sk")
+    per = sketches.hll_build(orders, F.col("o_custkey"), ["o_orderpriority"])
+    per = per.localCheckpoint()  # feeds per-scope estimates + the merge
+    per_est = sketches.hll_estimate(per, ["o_orderpriority"]).select(
+        F.col("o_orderpriority").alias("scope"), F.round("estimate", 2).alias("estimate")
     )
-    per_rows = per.select(
-        F.col("o_orderpriority").alias("scope"),
-        F.hll_sketch_estimate("sk").alias("estimate"),
+    merged_regs = per.groupBy("reg").agg(F.max("rho").alias("rho"))
+    merged = sketches.hll_estimate(merged_regs).select(
+        F.lit("merged").alias("scope"), F.round("estimate", 2).alias("estimate")
     )
-    merged = per.agg(
-        F.lit("merged").alias("scope"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("estimate"),
-    )
-    return per_rows.unionByName(merged).orderBy("scope")
+    return per_est.unionByName(merged).orderBy("scope")
 
 
 # --------------------------------------------------------------------------
@@ -4053,18 +4154,42 @@ def value_histogram_by_type(spark, sf_dir):
     )
 
 
-@query("hll_audience_overlap", None)
+_HLL_OVERLAP_SQL = f"""
+    WITH parts AS (
+      SELECT side, {_HLL_REG} AS reg, {_HLL_RHO} AS rho
+      FROM (SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS side,
+                   md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events WHERE event_type IN ('click', 'purchase'))
+    ),
+    regs AS (SELECT side, reg, max(rho) AS rho FROM parts GROUP BY side, reg),
+    allregs AS (
+      SELECT side, reg, rho FROM regs
+      UNION ALL
+      SELECT 'u' AS side, reg, max(rho) AS rho FROM regs GROUP BY reg
+    ),
+    agg AS (SELECT side, count(*) AS np, {_HLL_SP} AS sp FROM allregs GROUP BY side),
+    est AS (SELECT side, {_hll_est_sql()} AS e FROM agg)
+    SELECT round(a.e, 1) AS est_a, round(b.e, 1) AS est_b, round(u.e, 1) AS est_union,
+           round(greatest(a.e + b.e - u.e, 0.0), 1) AS est_intersection
+    FROM (SELECT e FROM est WHERE side = 'a') a,
+         (SELECT e FROM est WHERE side = 'b') b,
+         (SELECT e FROM est WHERE side = 'u') u
+"""
+
+
+@query("hll_audience_overlap", _HLL_OVERLAP_SQL)
 def hll_audience_overlap(spark, sf_dir):
-    """HLL inclusion-exclusion overlap (sketches.hll_overlap): how many
-    users both click AND purchase, estimated from two mergeable sketches
-    without a join or rescan.  Sketch internals are engine-specific ->
-    golden-pinned; pytest pins the error envelope vs the exact overlap."""
+    """HLL inclusion-exclusion overlap (sketches.hll_overlap_portable): how
+    many users both click AND purchase, estimated from two mergeable
+    register sketches without a join or rescan.  Promoted from rows-only in
+    r07: portable md5-derived HLL — the oracle rebuilds both sketches, the
+    register-max union, and every estimate exactly."""
     from kafka_connect_morphlines_spark.functions import sketches
 
     ev = t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click")
     buys = ev.filter(F.col("event_type") == "purchase")
-    out = sketches.hll_overlap(clicks, buys, "user_id")
+    out = sketches.hll_overlap_portable(clicks, buys, "user_id")
     return out.select(*[F.round(F.col(c), 1).alias(c) for c in out.columns])
 
 
@@ -4126,20 +4251,39 @@ def bpe_encode_sample(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@query("hll_rolling_distinct_users", None)
+_HLL_ROLLING_SQL = f"""
+    WITH parts AS (
+      SELECT b, {_HLL_REG} AS reg, {_HLL_RHO} AS rho
+      FROM (SELECT date_trunc('hour', ts) AS b, md5(CAST(user_id AS VARCHAR)) AS h FROM events)
+    ),
+    regs AS (SELECT b, reg, max(rho) AS rho FROM parts GROUP BY b, reg),
+    bl AS (SELECT DISTINCT b AS bucket FROM regs),
+    m AS (
+      SELECT bl.bucket, regs.reg, max(regs.rho) AS rho
+      FROM bl JOIN regs ON regs.b <= bl.bucket AND regs.b >= bl.bucket - INTERVAL 23 HOUR
+      GROUP BY bl.bucket, regs.reg
+    ),
+    agg AS (SELECT bucket, count(*) AS np, {_HLL_SP} AS sp FROM m GROUP BY bucket)
+    SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(floor({_hll_est_sql()}) AS BIGINT) AS rolling_distinct
+    FROM agg ORDER BY bucket
+"""
+
+
+@query("hll_rolling_distinct_users", _HLL_ROLLING_SQL)
 def hll_rolling_distinct_users(spark, sf_dir):
-    """Trailing-24h unique users per hour from mergeable HLL sketches
-    (sketches.hll_rolling_distinct): one event scan builds hourly sketches;
-    the rolling union runs over the bucket table only.  Sketch estimates
-    are engine-specific -> golden; pytest pins the estimates against exact
-    sliding distinct within the HLL error envelope."""
+    """Trailing-24h unique users per hour from mergeable portable HLL
+    sketches (sketches.hll_rolling_distinct_portable): one event scan
+    builds hourly register sketches; the rolling union is a register-max
+    over the sketch-sized bucket table only.  Promoted from rows-only in
+    r07 (md5-derived registers -> the oracle re-derives every estimate)."""
     from kafka_connect_morphlines_spark.functions import sketches
 
     ev = t(spark, sf_dir, "events")
-    out = sketches.hll_rolling_distinct(ev, "user_id", window_buckets=24)
+    out = sketches.hll_rolling_distinct_portable(ev, "user_id", window_buckets=24)
     return out.select(
         F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
-        F.col("rolling_distinct").cast("long").alias("rolling_distinct"),
+        F.floor("rolling_distinct").cast("long").alias("rolling_distinct"),
     ).orderBy("bucket")
 
 

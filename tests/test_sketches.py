@@ -145,3 +145,59 @@ def test_dd_sketch_ignores_nulls(spark):
     )
     sk = sketches.dd_sketch(df, F.col("value"))
     assert sum(r["cnt"] for r in sk.collect()) == 2
+
+
+def test_portable_hll_error_envelope_and_pure_python_parity(spark):
+    """Portable HLL (md5 registers): estimate within the 256-register error
+    envelope AND bit-identical to a pure-Python reference of the same
+    construction (the no-Spark cross-check the DuckDB oracle also does)."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import sketches
+
+    n = 5000
+    df = spark.createDataFrame([(f"user-{i % 1200}",) for i in range(n)], "k string")
+    est = sketches.hll_estimate(sketches.hll_build(df, F.col("k"))).collect()[0]["estimate"]
+    assert abs(est - 1200) / 1200 < 0.15  # ~6.5% typical at m=256
+
+    regs = {}
+    for i in range(1200):
+        h = hashlib.md5(f"user-{i}".encode()).hexdigest()
+        reg = int(h[:2], 16)
+        tail = h[2:15]
+        stripped = tail.lstrip("0")
+        z = len(tail) - len(stripped)
+        if z == 13:
+            rho = 53
+        else:
+            c = stripped[0]
+            clz = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}.get(c, 0)
+            rho = 4 * z + clz + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    s = sum(1 << (53 - r) for r in regs.values()) + (256 - len(regs)) * (1 << 53)
+    e_raw = sketches._HLL_ALPHA_NUM / float(s)
+    v = 256 - len(regs)
+    want = 256.0 * math.log(256.0 / v) if (e_raw <= 640.0 and v > 0) else e_raw
+    assert est == want
+
+
+def test_portable_hll_merge_is_register_max(spark):
+    """hll_build(A ∪ B) == hll_merge(hll_build(A), hll_build(B)) exactly."""
+    from pyspark.sql import functions as F
+    from kafka_connect_morphlines_spark.functions import sketches
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(300)], "k string")
+    b = spark.createDataFrame([(f"x{i}",) for i in range(150, 450)], "k string")
+    merged = {
+        (r["reg"], r["rho"])
+        for r in sketches.hll_merge(
+            sketches.hll_build(a, F.col("k")), sketches.hll_build(b, F.col("k"))
+        ).collect()
+    }
+    direct = {
+        (r["reg"], r["rho"])
+        for r in sketches.hll_build(a.unionByName(b), F.col("k")).collect()
+    }
+    assert merged == direct
