@@ -227,9 +227,35 @@ def call_parent_pipe(config, ctx):
 
 @command("sample")
 def sample(config, ctx):
-    """Bernoulli sample (kite sample: probability, seed)."""
+    """Bernoulli sample (kite sample: probability, seed).
+
+    Two modes:
+    - default: Spark's ``df.sample`` (per-partition XORShift — fast, but
+      the kept set depends on partitioning and engine internals);
+    - ``deterministic: true`` + ``keyField``: keep a row iff the 60-bit
+      md5-uniform of ``seed:key`` falls below probability.  The kept set
+      is then a pure function of the data — stable across partitioning,
+      cluster size, engines (a DuckDB oracle reproduces it exactly), and
+      re-runs, which is what a reproducible training-data pipeline wants
+      from its sampling stage.
+    """
     p = float(config.get("probability", 1.0))
     seed = config.get("seed")
+    if config.get("deterministic"):
+        key = config.get("keyField")
+        if not key:
+            raise PipelineSpecError("sample with deterministic:true needs a keyField")
+        threshold = int(p * (1 << 60))
+        u = F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), colref(key).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+
+        def transform_det(df: DataFrame) -> DataFrame:
+            return df.filter(u < threshold)
+
+        return transform_det
 
     def transform(df: DataFrame) -> DataFrame:
         return df.sample(fraction=p, seed=seed)

@@ -464,10 +464,23 @@ def from_connect_data_json(spark, sf_dir):
     return p(t(spark, sf_dir, "events")).select("event_id", "payload")
 
 
-@query("sample_seeded", None)  # sampling algorithms differ across engines -> rows-only
+@query(
+    "sample_seeded",
+    f"""
+    SELECT event_id, event_type FROM events
+    WHERE CAST(('0x' || substr(md5('42:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          < {int(0.1 * (1 << 60))}
+    """,
+)
 def sample_seeded(spark, sf_dir):
-    """sample with fixed seed (B.2) — deterministic within Spark."""
-    p = compile_pipeline([{"sample": {"probability": 0.1, "seed": 42}}])
+    """sample command, deterministic mode (B.2): keep iff the 60-bit
+    md5-uniform of seed:event_id < p.  Promoted from rows-only in r07 —
+    the kept set is a pure function of the data (partitioning/engine
+    independent), so the oracle reproduces it exactly.  The default
+    Spark-RNG mode keeps its seeded pytest pin (test_commands)."""
+    p = compile_pipeline(
+        [{"sample": {"probability": 0.1, "seed": 42, "deterministic": True, "keyField": "event_id"}}]
+    )
     return p(t(spark, sf_dir, "events")).select("event_id", "event_type")
 
 
@@ -1605,9 +1618,25 @@ def multimodal_binary_meta(spark, sf_dir):
     return media_metadata(docs, "payload").select("doc_id", "mime", "byte_len", F.col("sha256").alias("sha_hex"))
 
 
-@query("multimodal_features", None)  # stubbed decode (deterministic fake) -> rows-only
+@query(
+    "multimodal_features",
+    """
+    WITH h AS (SELECT doc_id AS media_id,
+                      CAST(octet_length(encode(text)) AS INT) AS byte_len,
+                      sha256(text) AS sha
+               FROM documents)
+    SELECT media_id, byte_len, sha AS sha256,
+           round(CAST(CAST(CAST(('0x' || substr(sha, 1, 2)) AS BIGINT) / 255.0 AS REAL) AS DOUBLE), 6) AS f0
+    FROM h
+    """,
+)
 def multimodal_features(spark, sf_dir):
-    """Arrow-batched decode/featurize plumbing over mapInPandas (decode stubbed)."""
+    """Arrow-batched decode/featurize plumbing over mapInPandas.  The
+    decode stub is a deterministic sha256-derived fake (an honest sandbox
+    limit — no codec libs here), which makes the whole path certifiable:
+    the oracle recomputes byte_len, the digest, and feature[0] =
+    digest_byte_0/255 (through the same float32 narrowing the
+    array<float> schema applies).  Promoted from rows-only in r07."""
     from kafka_connect_morphlines_spark.functions.multimodal import extract_features
 
     docs = t(spark, sf_dir, "documents").select(
@@ -1616,7 +1645,12 @@ def multimodal_features(spark, sf_dir):
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
     out = extract_features(docs)
-    return out.select("media_id", "byte_len", "sha256", F.round(F.element_at("feature", 1), 6).alias("f0"))
+    return out.select(
+        "media_id",
+        "byte_len",
+        "sha256",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+    )
 
 
 # --------------------------------------------------------------------------
