@@ -94,11 +94,23 @@ def _signatures_from_exploded(ex: DataFrame, num_hashes: int) -> DataFrame:
     return raw.select("_id", F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias("_sig"))
 
 
-def _raw_signatures(ex: DataFrame, num_hashes: int) -> DataFrame:
+def _base_hash32(col: Column, base_hash: str) -> Column:
+    """32-bit shingle base hash: murmur3 (fast, default) or the md5-derived
+    portable form (first 8 md5 hex chars — CAST('0x'||substr(md5(s),1,8)
+    AS BIGINT) in DuckDB), both in [0, 2^32) so the affine permutations'
+    overflow bound holds either way."""
+    if base_hash == "murmur3":
+        return F.hash(col).cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    if base_hash == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    raise ValueError(f"unknown base_hash {base_hash!r}")
+
+
+def _raw_signatures(ex: DataFrame, num_hashes: int, base_hash: str = "murmur3") -> DataFrame:
     """(_id, _mh0.._mhK-1): the K minhash columns before array packing —
     the banded-LSH hot path consumes the columns directly (band hash =
     hash(_mh{4b}..), skipping the K-long array build and slice)."""
-    hashed = ex.select("_id", F.hash("_s").cast("long").bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h"))
+    hashed = ex.select("_id", _base_hash32(F.col("_s"), base_hash).alias("_h"))
     aggs = []
     for i in range(num_hashes):
         a, b = _affine_params(i)
@@ -115,7 +127,8 @@ def _signatures_from_shingles(sh: DataFrame, id_col: str, num_hashes: int) -> Da
 
 
 def _lsh_candidates_from_exploded(
-    ex: DataFrame, num_hashes: int, bands: int, max_bucket_size: int = 2000
+    ex: DataFrame, num_hashes: int, bands: int, max_bucket_size: int = 2000,
+    base_hash: str = "murmur3",
 ) -> DataFrame:
     """Banded LSH candidate pairs from an exploded (_id, _s) shingle frame.
 
@@ -135,7 +148,7 @@ def _lsh_candidates_from_exploded(
     At B rows per doc it's tiny relative to the corpus (16 longs vs the
     document text), the standard cached intermediate for LSH.
     """
-    sig = _raw_signatures(ex, num_hashes)
+    sig = _raw_signatures(ex, num_hashes, base_hash)
     banded = _banded_frame(sig, num_hashes, bands)
     if not banded.isStreaming:
         banded = banded.localCheckpoint()
@@ -230,6 +243,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    base_hash: str = "murmur3",
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates filtered by exact
     shingle-Jaccard >= threshold.  Output (id_a, id_b, jacc).
@@ -249,7 +263,7 @@ def minhash_dedup_pairs(
         raise ValueError("minhash_dedup_pairs requires threshold > 0")
     df = ensure_parallelism(df)
     ex = shingles_exploded(df, text_col, id_col, shingle_n).withColumnRenamed(id_col, "_id")
-    cands = _lsh_candidates_from_exploded(ex, num_hashes, bands)
+    cands = _lsh_candidates_from_exploded(ex, num_hashes, bands, base_hash=base_hash)
     if not cands.isStreaming:
         cands = cands.localCheckpoint()  # feeds the id list + the verify join
     # Verification only for docs that appear in a candidate pair, via the
@@ -385,8 +399,21 @@ def simhash(text: Column, bits: int = 32) -> Column:
     return out
 
 
+def _token_hash64(col: Column, token_hash: str) -> Column:
+    """64-bit-ish token hash: xxhash64 (fast, default) or the 60-bit
+    md5-derived portable form (bit-reproducible in DuckDB as
+    CAST('0x'||substr(md5(t),1,15) AS BIGINT) — the oracle idiom), for
+    when results must be re-derivable outside Spark."""
+    if token_hash == "xxhash64":
+        return F.xxhash64(col)
+    if token_hash == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown token_hash {token_hash!r}")
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """(_id, _sh): per-document SimHash as an explode + codegen aggregation.
 
@@ -411,7 +438,9 @@ def simhash_signatures(
         "_id",
         # xxhash64(null) returns the seed, not null — keep null tokens null so
         # empty docs pack to 0 like the fold (sum/count both skip nulls)
-        F.when(F.col("_t").isNull(), F.lit(None).cast("long")).otherwise(F.xxhash64("_t")).alias("_h"),
+        F.when(F.col("_t").isNull(), F.lit(None).cast("long"))
+        .otherwise(_token_hash64(F.col("_t"), token_hash))
+        .alias("_h"),
     )
     # votes_j = sum(+1 if bit set else -1) = 2*ones_j - n, so track ones_j
     # (one shiftright+and per aggregate — the smallest expression per bit;
@@ -440,7 +469,10 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_dupes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dupes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32,
+    max_hamming: int = 3, token_hash: str = "xxhash64",
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on hash bytes.
 
     Blocking: split the simhash into (max_hamming+1) chunks; by pigeonhole,
@@ -450,7 +482,7 @@ def simhash_near_dupes(df: DataFrame, text_col: str = "text", id_col: str = "doc
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
     df = ensure_parallelism(df)
-    s = simhash_signatures(df, text_col, id_col, bits)
+    s = simhash_signatures(df, text_col, id_col, bits, token_hash=token_hash)
     exploded = s.select(
         "_id",
         "_sh",

@@ -917,7 +917,55 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_keys(t(spark, sf_dir, "documents"))
 
 
-@query("dedup_minhash_lsh", None)  # xxhash64 seeds not available in DuckDB -> rows-only
+def _minhash_oracle_sql(num_hashes: int = 48, bands: int = 12, threshold: float = 0.8) -> str:
+    """Full MinHash+LSH oracle: regenerates the md5-derived 32-bit base
+    hashes, the 48 affine permutations ((a*h+b) mod 2^31-1 with the exact
+    Python-derived constants inlined), the 12 band tuples, the candidate
+    join, and the exact shingle-Jaccard verify — the whole pipeline in
+    SQL.  Bands are compared as minhash TUPLES (the Spark side buckets on
+    murmur3 of the tuple; a cross-tuple bucket collision would only ever
+    ADD a candidate, which the exact verify then scores identically)."""
+    from kafka_connect_morphlines_spark.functions.dedup import _MERSENNE_P, _affine_params
+
+    rpb = num_hashes // bands
+    mh_cols = ", ".join(
+        f"min((h * {a} + {b}) % {_MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in ((j, _affine_params(j)) for j in range(num_hashes))
+    )
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"a.mh{band * rpb + j} = b.mh{band * rpb + j}" for j in range(rpb)) + ")"
+        for band in range(bands)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x != '') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+                  ELSE [array_to_string(toks, ' ')] END AS shs
+      FROM d
+    ),
+    sd AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM sh),
+    hb AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h FROM sd),
+    sig AS (SELECT doc_id, {mh_cols} FROM hb GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_eq})
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sd GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cand c JOIN sd x ON x.doc_id = c.id_a
+                  JOIN sd y ON y.doc_id = c.id_b AND y.s = x.s
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jacc
+    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold}
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_oracle_sql())
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs, Jaccard-verified (shingle->minhash->band->bucket-join).
 
@@ -925,14 +973,52 @@ def dedup_minhash_lsh(spark, sf_dir):
     the 0.8 threshold is 1-(1-j^4)^12 = 0.998 vs 0.9998 for 16 bands, and the
     measured verified-pair output is identical at sf0.01 and sf0.1 — 25% less
     signature work for free (verification is exact, so precision is unchanged
-    by construction)."""
-    return dedup.minhash_dedup_pairs(t(spark, sf_dir, "documents"), threshold=0.8, num_hashes=48, bands=12)
+    by construction).  Promoted from rows-only in r07 via base_hash='md5':
+    the oracle regenerates signatures, bands, candidates and the exact
+    verify end to end (production default stays murmur3)."""
+    return dedup.minhash_dedup_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.8, num_hashes=48, bands=12, base_hash="md5"
+    )
 
 
-@query("dedup_simhash", None)  # bit-vote fold over murmur3/xxhash -> rows-only
+def _simhash_oracle_sql(bits: int = 48, max_hamming: int = 3) -> str:
+    """All-pairs SimHash oracle.  Valid because pigeonhole chunk blocking
+    is EXACT (any pair within max_hamming shares one of max_hamming+1
+    chunks), so the blocked Spark output equals the brute-force pair set."""
+    o_cols = ", ".join(f"sum((h >> {j}) & 1) AS o{j}" for j in range(bits))
+    pack = " + ".join(
+        f"CASE WHEN 2 * o{j} > n THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(string_split(trim(text), ' '), x -> x != ''))) AS t
+      FROM documents
+    ),
+    th AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+    votes AS (SELECT doc_id, count(*) AS n, {o_cols} FROM th GROUP BY doc_id),
+    sig AS (
+      SELECT d.doc_id, coalesce(({pack}), CAST(0 AS BIGINT)) AS sh
+      FROM documents d LEFT JOIN votes USING (doc_id)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash", _simhash_oracle_sql())
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs with pigeonhole chunk blocking."""
-    return dedup.simhash_near_dupes(t(spark, sf_dir, "documents"), bits=48, max_hamming=3)
+    """SimHash near-dup pairs with pigeonhole chunk blocking.  Promoted
+    from rows-only in r07 via token_hash='md5' (the portable 60-bit
+    md5-derived token hash): the oracle recomputes every signature and
+    brute-forces all pairs — which must equal the blocked output exactly,
+    because pigeonhole blocking has zero false negatives.  Production
+    default stays xxhash64 (dedup._token_hash64)."""
+    return dedup.simhash_near_dupes(
+        t(spark, sf_dir, "documents"), bits=48, max_hamming=3, token_hash="md5"
+    )
 
 
 @query(
