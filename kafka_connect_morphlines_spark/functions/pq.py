@@ -127,3 +127,115 @@ def pq_topk(
         F.col(id_col), adc(F.col(codes_col)).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Engine-portable PQ variant: sample-initialized codebooks + fixed-point
+# arithmetic.  Codebooks are the k seed vectors with smallest md5(id) (the
+# md5-order deterministic sample, standard PQ/OPQ practice of training on
+# a bounded sample taken to its k-means-free limit), and every vector is
+# quantized ``floor(x * scale + 0.5)`` so distances/scores are EXACT
+# integer sums — argmin and ranking are reproducible bit-for-bit by a SQL
+# oracle (and across cluster sizes / BLAS builds).  The float pq_fit
+# (Lloyd) path above stays the production default; this variant certifies
+# the encode/ADC machinery itself.
+# --------------------------------------------------------------------------
+
+
+def pq_fit_sample(
+    df: DataFrame,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    scale: int = 1024,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[int]]]:
+    """Integer codebooks from the ``k_codes`` md5-order seed vectors:
+    ``books[s][c]`` = quantized subvector s of seed c.  Only k rows reach
+    the driver."""
+    import math
+
+    seeds = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_r", F.md5(F.col("_id").cast("string")))
+        .orderBy("_r", "_id")
+        .limit(k_codes)
+        .collect()
+    )
+    d = len(seeds[0]["_v"])
+    if d % m_subspaces != 0:
+        raise ValueError(f"dim {d} not divisible by m_subspaces={m_subspaces}")
+    sub = d // m_subspaces
+    books = []
+    for s in range(m_subspaces):
+        books.append(
+            [
+                [int(math.floor(float(r["_v"][s * sub + j]) * scale + 0.5)) for j in range(sub)]
+                for r in seeds
+            ]
+        )
+    return books
+
+
+def pq_encode_int(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    scale: int = 1024,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-integer PQ encode: quantize, then per-subspace argmin of the
+    integer L2 distance (ties -> smallest code id).  Same Arrow-batched
+    map-only shape as pq_encode."""
+    books = np.asarray(codebooks, dtype=np.int64)  # (m, k, sub)
+    m, _, sub = books.shape
+
+    @F.pandas_udf("array<int>")
+    def encode(series: pd.Series) -> pd.Series:
+        if series.empty:
+            return pd.Series([], dtype="object")
+        v = np.stack(series.to_numpy()).astype(np.float64)
+        xq = np.floor(v * scale + 0.5).astype(np.int64)  # (n, d)
+        out = np.empty((len(v), m), dtype=np.int32)
+        for s in range(m):
+            x = xq[:, s * sub : (s + 1) * sub]  # (n, sub)
+            diff = x[:, None, :] - books[s][None, :, :]  # (n, k, sub)
+            d2 = (diff * diff).sum(axis=2)
+            out[:, s] = d2.argmin(axis=1)  # first min = smallest code id
+        return pd.Series(list(out))
+
+    return df.withColumn("codes", encode(F.col(vec_col)))
+
+
+def pq_topk_int(
+    codes_df: DataFrame,
+    codebooks: list[list[list[int]]],
+    query_vec: list[float],
+    k: int = 10,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """ADC top-k in the fixed-point domain: integer LUT gather + exact
+    integer sum, descaled once at the end (score = idot / scale² — a
+    power-of-two division, exact in doubles).  Ranking is therefore
+    partition-order independent AND oracle-reproducible."""
+    import math
+
+    books = np.asarray(codebooks, dtype=np.int64)  # (m, k, sub)
+    m, _, sub = books.shape
+    qq = np.array(
+        [int(math.floor(float(x) * scale + 0.5)) for x in query_vec], dtype=np.int64
+    ).reshape(m, sub)
+    lut = np.einsum("mks,ms->mk", books, qq)  # (m, k) integer dot products
+
+    @F.pandas_udf("long")
+    def adc(series: pd.Series) -> pd.Series:
+        if series.empty:
+            return pd.Series([], dtype="int64")
+        c = np.stack(series.to_numpy()).astype(np.int64)
+        return pd.Series(lut[np.arange(m)[None, :], c].sum(axis=1))
+
+    scored = ensure_parallelism(codes_df).select(
+        F.col(id_col), (adc(F.col(codes_col)).cast("double") / F.lit(float(scale * scale))).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -3603,34 +3603,97 @@ def rolling_event_stats(spark, sf_dir):
     ).orderBy("event_id")
 
 
-@query("pq_encode_codes", None)
+_PQ_CB_SQL = """
+    seeds AS (
+      SELECT embedding, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    cb AS (
+      SELECT c, CAST((j - 1) // 8 AS INT) AS s, CAST((j - 1) % 8 AS INT) AS jj,
+             CAST(floor(CAST(embedding[j] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS cv
+      FROM seeds, range(1, 65) t(j)
+    ),
+    xq AS (
+      SELECT vec_id, CAST((j - 1) // 8 AS INT) AS s, CAST((j - 1) % 8 AS INT) AS jj,
+             CAST(floor(CAST(embedding[j] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS xv
+      FROM embeddings, range(1, 65) t(j)
+    ),
+    d2 AS (
+      SELECT x.vec_id, x.s, cb.c, sum((x.xv - cb.cv) * (x.xv - cb.cv)) AS d
+      FROM xq x JOIN cb ON cb.s = x.s AND cb.jj = x.jj
+      GROUP BY x.vec_id, x.s, cb.c
+    ),
+    best AS (
+      SELECT vec_id, s, c FROM d2
+      QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) = 1
+    )"""
+
+
+@query(
+    "pq_encode_codes",
+    f"""
+    WITH {_PQ_CB_SQL}
+    SELECT vec_id, string_agg(CAST(c AS VARCHAR), '-' ORDER BY s) AS codes_str
+    FROM best GROUP BY vec_id ORDER BY vec_id
+    """,
+)
 def pq_encode_codes(spark, sf_dir):
-    """Product-quantization encode (functions/pq.py): 64-dim float vectors
-    -> 8 codebook ids (32x compression).  Codebooks are k-means-fit, so not
-    SQL-expressible; golden-pinned with deterministic seeds."""
+    """Product-quantization encode (functions/pq.py): 64-dim vectors -> 8
+    codebook ids (32x compression).  Promoted from rows-only in r07 via
+    the engine-portable variant: md5-order sample codebooks + fixed-point
+    (floor(x*1024+0.5)) arithmetic make every argmin an exact integer
+    comparison the oracle replays (the Lloyd-fit pq_fit stays the
+    production refinement path, pytest-pinned)."""
     from kafka_connect_morphlines_spark.functions import pq
 
     emb = t(spark, sf_dir, "embeddings")
-    books = pq.pq_fit(emb, m_subspaces=8, k_codes=16, n_iter=2, seed=0)
-    out = pq.pq_encode(emb, books)
+    books = pq.pq_fit_sample(emb, m_subspaces=8, k_codes=16)
+    out = pq.pq_encode_int(emb, books)
     return out.select(
         "vec_id", F.array_join(F.col("codes"), "-").alias("codes_str")
     ).orderBy("vec_id")
 
 
-@query("pq_topk_adc", None)
+@query(
+    "pq_topk_adc",
+    f"""
+    WITH {_PQ_CB_SQL},
+    qv AS (
+      SELECT CAST((j - 1) // 8 AS INT) AS s, CAST((j - 1) % 8 AS INT) AS jj,
+             CAST(floor(CAST(embedding[j] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS qv
+      FROM embeddings, range(1, 65) t(j) WHERE vec_id = 0
+    ),
+    lut AS (
+      SELECT cb.s, cb.c, sum(cb.cv * qv.qv) AS dot
+      FROM cb JOIN qv ON qv.s = cb.s AND qv.jj = cb.jj
+      GROUP BY cb.s, cb.c
+    ),
+    scored AS (
+      SELECT b.vec_id, CAST(sum(l.dot) AS DOUBLE) / 1048576.0 AS score
+      FROM best b JOIN lut l ON l.s = b.s AND l.c = b.c
+      WHERE b.vec_id != 0
+      GROUP BY b.vec_id
+    )
+    SELECT vec_id, round(score, 4) AS score FROM (
+      SELECT vec_id, score, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM scored
+    ) WHERE rn <= 10
+    """,
+)
 def pq_topk_adc(spark, sf_dir):
     """ADC top-k over PQ codes (functions/pq.py): the query builds an m x k
     lookup table; scoring is a map-only LUT-gather scan + TakeOrdered —
-    the original vectors are never read at query time."""
+    the original vectors are never read at query time.  Promoted from
+    rows-only in r07: fixed-point LUT entries make the gathered score an
+    exact integer sum (descaled by the power-of-two 1024², exact in
+    doubles), so the oracle reproduces scores AND ranking bit-for-bit."""
     from kafka_connect_morphlines_spark.functions import pq
 
     emb = t(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
     qvec = list(qrow[0]["embedding"]) if qrow else []
-    books = pq.pq_fit(emb, m_subspaces=8, k_codes=16, n_iter=2, seed=0)
-    codes = pq.pq_encode(emb.filter(F.col("vec_id") != 0), books)
-    out = pq.pq_topk(codes, books, qvec, k=10)
+    books = pq.pq_fit_sample(emb, m_subspaces=8, k_codes=16)
+    codes = pq.pq_encode_int(emb.filter(F.col("vec_id") != 0), books)
+    out = pq.pq_topk_int(codes, books, qvec, k=10)
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
