@@ -33,8 +33,23 @@ def set_values(config, ctx):
 
     Parity: kite ``setValues`` (used at reference config/cloudsolr.conf:52-56,
     src/test/resources/.../transform.conf:37-43).
+
+    ``multiValued : true`` opts a command instance into the reference's
+    ordered-multimap contract (Record is String -> List<Object>,
+    MorphlineTransform.java:137-148): every assigned field becomes an
+    ArrayType column holding the full value list (kite setValues replaces
+    the list).  The default stays scalar — the engine's documented
+    deviation (SURVEY.md §7.3) — because scalar columns are what the rest
+    of a columnar pipeline (joins, aggregates, parquet) wants.
     """
-    assignments = {out: template_to_column(v) for out, v in config.items()}
+    config = dict(config)
+    mv = bool(config.pop("multiValued", False))
+    assignments = {}
+    for out, v in config.items():
+        col = template_to_column(v)
+        if mv and not isinstance(v, list):
+            col = F.array(col)
+        assignments[out] = col
 
     def transform(df: DataFrame) -> DataFrame:
         return df.withColumns(assignments)
@@ -44,7 +59,11 @@ def set_values(config, ctx):
 
 @command("addValues")
 def add_values(config, ctx):
-    """Append values to a field; the field becomes an ArrayType column."""
+    """Append values to a field; the field becomes an ArrayType column
+    (already the multimap append contract — ``multiValued`` is accepted
+    for spec uniformity and changes nothing)."""
+    config = dict(config)
+    config.pop("multiValued", None)
 
     def transform(df: DataFrame) -> DataFrame:
         dtypes = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))
@@ -62,7 +81,10 @@ def add_values(config, ctx):
 
 @command("addValuesIfAbsent")
 def add_values_if_absent(config, ctx):
-    """Append values not already present (array set-union semantics)."""
+    """Append values not already present (array set-union semantics;
+    ``multiValued`` accepted for spec uniformity, changes nothing)."""
+    config = dict(config)
+    config.pop("multiValued", None)
 
     def transform(df: DataFrame) -> DataFrame:
         dtypes = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))
@@ -115,15 +137,38 @@ def remove_fields(config, ctx):
 
 @command("removeValues")
 def remove_values(config, ctx):
-    """Remove matching values from a field (array: filter out; scalar: null)."""
+    """Remove matching values from a field.
+
+    Array columns get the exact kite contract (remove every matching
+    element, PRESERVING order and duplicates of the survivors — a filter,
+    not a set difference); scalars null out on match.  ``multiValued :
+    true`` additionally lifts scalar fields to the list contract first
+    (a matched scalar becomes an empty list, like a one-element multimap
+    entry after removal — MorphlineTransform.java:137-148)."""
+    config = dict(config)
+    mv = bool(config.pop("multiValued", False))
 
     def transform(df: DataFrame) -> DataFrame:
         dtypes = {f.name: f.dataType for f in df.schema.fields}
         for fld, spec in config.items():
             values = spec if isinstance(spec, list) else [spec]
-            lits = F.array(*[F.lit(v) for v in values])
+
+            def _keep_fn(dropped):
+                # single-parameter lambda: a second param would make pyspark
+                # pass the element INDEX into it (higher-order arity dispatch)
+                def keep(x):
+                    cond = F.lit(True)
+                    for v in dropped:
+                        cond = cond & ~x.eqNullSafe(F.lit(v))
+                    return cond
+
+                return keep
+
+            keep = _keep_fn(list(values))
             if isinstance(dtypes.get(fld), T.ArrayType):
-                df = df.withColumn(fld, F.array_except(colref(fld), lits))
+                df = df.withColumn(fld, F.filter(colref(fld), keep))
+            elif mv:
+                df = df.withColumn(fld, F.filter(F.array(colref(fld)), keep))
             else:
                 df = df.withColumn(fld, F.when(colref(fld).isin(values), F.lit(None)).otherwise(colref(fld)))
         return df
@@ -134,7 +179,9 @@ def remove_values(config, ctx):
 @command("replaceValues")
 def replace_values(config, ctx):
     """Replace the entire value list of a field (kite replaceValues semantics,
-    cf. FromConnectDataBuilder.java:118)."""
+    cf. FromConnectDataBuilder.java:118).  Honors ``multiValued : true``
+    like setValues (the reference API replaces the LIST; the scalar
+    default is the documented deviation)."""
     return set_values(config, ctx)
 
 

@@ -164,3 +164,44 @@ def test_interleave_sources_builds_plan_without_running_a_job(spark):
     # positions cycle the 3 sources round-robin
     assert [r["source"] for r in rows[:6]] == ["s0", "s1", "s2", "s0", "s1", "s2"]
     assert len({r["pos"] for r in rows}) == len(rows)
+
+
+# ----------------------------------------------------------- multiValued mode
+def test_multivalued_pipeline_reference_multimap_semantics(spark):
+    """Golden for the ordered-multimap compat layer (multiValued: true):
+    mirrors a reference pipeline over a String->List record
+    (MorphlineTransform.java:137-148 — put appends, removeValues filters
+    ALL matching occurrences keeping order/duplicates, replaceValues
+    swaps the whole list)."""
+    from kafka_connect_morphlines_spark.pipeline import compile_pipeline
+
+    spec = {
+        "commands": [
+            {"setValues": {"multiValued": True, "tags": ["a", "b"]}},
+            {"addValues": {"tags": ["c", "a", "b"]}},          # append -> [a,b,c,a,b]
+            {"removeValues": {"multiValued": True, "tags": "a"}},  # -> [b,c,b]
+            {"replaceValues": {"multiValued": True, "final": "@{topic}"}},
+        ]
+    }
+    df = spark.createDataFrame([("t1",)], "topic string")
+    row = compile_pipeline(spec)(df).collect()[0]
+    assert row["tags"] == ["b", "c", "b"], "order AND duplicates must survive removal"
+    assert row["final"] == ["t1"], "replaceValues replaces the whole list (as a list)"
+
+
+def test_multivalued_scalar_lift_on_remove(spark):
+    from kafka_connect_morphlines_spark.pipeline import compile_pipeline
+
+    df = spark.createDataFrame([("x",), ("y",)], "v string")
+    out = compile_pipeline([{"removeValues": {"multiValued": True, "v": "x"}}])(df)
+    got = {tuple(r["v"]) for r in out.collect()}
+    assert got == {(), ("y",)}, "matched scalar -> empty list; survivor -> one-element list"
+
+
+def test_default_remains_scalar_without_multivalued(spark):
+    from kafka_connect_morphlines_spark.pipeline import compile_pipeline
+
+    df = spark.createDataFrame([("x",)], "v string")
+    out = compile_pipeline([{"setValues": {"w": "@{v}"}}])(df)
+    row = out.collect()[0]
+    assert row["w"] == "x"  # scalar, not a 1-element list
