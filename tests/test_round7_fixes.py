@@ -205,3 +205,52 @@ def test_default_remains_scalar_without_multivalued(spark):
     out = compile_pipeline([{"setValues": {"w": "@{v}"}}])(df)
     row = out.collect()[0]
     assert row["w"] == "x"  # scalar, not a 1-element list
+
+
+# ------------------------------------------------------- Pillow-gated decode
+@pytest.mark.pillow
+def test_real_image_decode_with_pillow(spark):
+    """Where Pillow exists, _decode_image really decodes: a generated 8x1
+    grayscale PNG must come back as its exact pixel values (p/255), not
+    the digest fake.  Auto-skips in codec-less sandboxes (the stub path
+    keeps its deterministic golden there)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+    from pyspark.sql import functions as F
+
+    from kafka_connect_morphlines_spark.functions.multimodal import extract_features
+
+    pixels = [0, 32, 64, 96, 128, 160, 192, 255]
+    img = Image.new("L", (8, 1))
+    img.putdata(pixels)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, "image/png", payload)], "media_id long, mime string, payload binary"
+    )
+    row = extract_features(df).collect()[0]
+    assert row["feature"] == pytest.approx([p / 255.0 for p in pixels], abs=1e-6)
+
+
+def test_stub_decode_is_digest_fake_without_pillow(spark):
+    """The inverse gate: without Pillow (this sandbox), non-decodable bytes
+    yield the sha256-derived deterministic fake the goldens pin."""
+    import hashlib
+
+    from kafka_connect_morphlines_spark.functions import multimodal
+
+    if multimodal._HAVE_PIL:
+        pytest.skip("Pillow present; the fake path is exercised via non-image bytes elsewhere")
+    payload = b"not an image"
+    row = (
+        multimodal.extract_features(
+            spark.createDataFrame([(1, "image/x", payload)], "media_id long, mime string, payload binary")
+        )
+        .collect()[0]
+    )
+    want = [b / 255.0 for b in hashlib.sha256(payload).digest()[:8]]
+    assert row["feature"] == pytest.approx(want, abs=1e-6)

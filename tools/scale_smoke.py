@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window, functions as F  # noqa: E402
 
 from kafka_connect_morphlines_spark import compile_pipeline, get_spark  # noqa: E402
-from kafka_connect_morphlines_spark.functions import bloom, dedup, dsir, evalmetrics, funnel, relational, retrieval, semantic, similarity, sketches, temporal, textclean, textstats, traindata, validation, web, winnow  # noqa: E402
+from kafka_connect_morphlines_spark.functions import bloom, dedup, dsir, evalmetrics, funnel, pq, relational, retrieval, semantic, similarity, sketches, temporal, textclean, textstats, traindata, validation, web, winnow  # noqa: E402
 
 
 def main() -> None:
@@ -74,7 +74,11 @@ def main() -> None:
         ]
     )
 
+    only = {s for s in os.environ.get("SPARK_GRAFT_SMOKE_ONLY", "").split(",") if s}
+
     def run(name, make_df):
+        if only and name not in only:
+            return None
         for attempt in range(2):
             t0 = time.time()
             df = make_df()
@@ -82,6 +86,13 @@ def main() -> None:
             elapsed = time.time() - t0
         print(f"# {name}: {elapsed:.1f}s (warm)", file=sys.stderr)
         return round(elapsed, 2)
+
+    _books_cache = {}
+
+    def _pq_books(v):
+        if "books" not in _books_cache:
+            _books_cache["books"] = pq.pq_fit_sample(v, m_subspaces=8, k_codes=16)
+        return _books_cache["books"]
 
     w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
     results = {
@@ -349,6 +360,94 @@ def main() -> None:
                 ).distinct(),
                 iters=3,
             ),
+        ),
+        # round-6 shapes, second batch (verdict r06 task #6) ---------------
+        # quantile normalization: two histogram-sized grids + broadcast LUT
+        "quantile_normalize_200k": run(
+            "quantile_normalize_200k",
+            lambda: traindata.quantile_normalize(
+                docs.select(
+                    "doc_id",
+                    (F.col("doc_id") % 20).cast("string").alias("source"),
+                    F.length("text").cast("double").alias("score"),
+                ),
+                value_col="score",
+            ),
+        ),
+        # per-class PRF: one groupBy over (actual, predicted) pairs; every
+        # post-aggregate frame is |classes|^2-bounded
+        "multiclass_prf_20m": run(
+            "multiclass_prf_20m",
+            lambda: evalmetrics.multiclass_prf(
+                events,
+                (F.col("user_id") % 7).cast("string"),
+                ((F.col("user_id") + F.col("event_id") % 3) % 7).cast("string"),
+            ),
+        ),
+        # MRR: one per-query rank window + one aggregate (1000 query groups)
+        "mrr_20m": run(
+            "mrr_20m",
+            lambda: evalmetrics.mrr_at_k(
+                events, "user_id", F.col("value"), F.col("event_id") % 11 == 0,
+                k=10, tiebreak=F.col("event_id"),
+            ),
+        ),
+        # stratified Gumbel: per-group rank windows over derandomized keys
+        "gumbel_by_group_200k": run(
+            "gumbel_by_group_200k",
+            lambda: dsir.gumbel_topk_by_group(
+                docs.select(
+                    "doc_id",
+                    (F.col("doc_id") % 20).cast("string").alias("source"),
+                    (F.col("doc_id") % 997).cast("long").alias("logw_milli"),
+                ),
+                k=100, group_col="source",
+            ),
+        ),
+        # routeBySchema: branch predicates push into ONE shared scan; the
+        # union adds no shuffle (certified r06; smoke pins linearity)
+        "route_by_schema_20m": run(
+            "route_by_schema_20m",
+            lambda: compile_pipeline(
+                [
+                    {"routeBySchema": {
+                        "branches": [
+                            {"when": "event_type = 'click'",
+                             "commands": [{"setValues": {"route": "click"}}]},
+                            {"when": "event_type = 'purchase'",
+                             "commands": [{"setValues": {"route": "buy"}}]},
+                        ],
+                        "otherwise": [{"setValues": {"route": "rest"}}],
+                    }}
+                ]
+            )(events).groupBy("route").count(),
+        ),
+        # round-7 shapes ------------------------------------------------
+        # portable HLL rolling: ONE event pass -> per-hour register sketch;
+        # rolling stage is sketch-sized (hours x 256) regardless of volume
+        "hll_portable_rolling_20m": run(
+            "hll_portable_rolling_20m",
+            lambda: sketches.hll_rolling_distinct_portable(events, "user_id"),
+        ),
+        # fixed-point PQ: k-row driver fit, one Arrow encode pass, LUT topk
+        "pq_int_encode_topk_100k": run(
+            "pq_int_encode_topk_100k",
+            lambda: pq.pq_topk_int(
+                pq.pq_encode_int(vecs, _pq_books(vecs)),
+                _pq_books(vecs),
+                [((3 * (j + 5)) % 997) / 997 - 0.5 for j in range(64)],
+                k=10,
+            ),
+        ),
+        # md5 portable-hash dedup modes (certified r07): same plan shapes
+        # as the murmur3/xxhash legs, md5 adds per-token/shingle cost only
+        "minhash_md5_200k": run(
+            "minhash_md5_200k",
+            lambda: dedup.minhash_dedup_pairs(docs, threshold=0.6, base_hash="md5"),
+        ),
+        "simhash_md5_200k": run(
+            "simhash_md5_200k",
+            lambda: dedup.simhash_near_dupes(docs, bits=48, max_hamming=3, token_hash="md5"),
         ),
     }
     print(json.dumps(results))
