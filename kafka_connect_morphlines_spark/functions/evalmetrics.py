@@ -615,7 +615,15 @@ def rouge_l_py(tokens_a: list, tokens_b: list, decimals: int = 6) -> tuple:
     lcs = prev[n]
     p, r = lcs / m, lcs / n
     f = (2 * p * r / (p + r)) if (p + r) > 0 else 0.0
-    return lcs, round(p, decimals), round(r, decimals), round(f, decimals)
+    # half-UP rounding (floor(x*10^d + 0.5)), not Python's banker's round:
+    # SQL engines round half away from zero, and lcs/m CAN land exactly on
+    # a 10^-7 tie (power-of-two token counts, e.g. the 512 cap), so the
+    # oracle and the operator must break ties the same way
+    import math
+
+    scale = 10**decimals
+    rnd = lambda x: math.floor(x * scale + 0.5) / scale  # noqa: E731
+    return lcs, rnd(p), rnd(r), rnd(f)
 
 
 def rouge_l(

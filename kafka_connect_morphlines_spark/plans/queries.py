@@ -7385,14 +7385,67 @@ def chi2_token_lang(spark, sf_dir):
     )
 
 
-@query("rouge_l_pairs", None)
+_ROUGE_L_SQL = """
+    WITH RECURSIVE
+    d AS (SELECT doc_id, source,
+                 list_filter(string_split(trim(text), ' '), x -> x != '')[1:512] AS toks
+          FROM documents WHERE doc_id < 40),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb,
+                 len(a.toks) AS m, len(b.toks) AS n
+          FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id),
+    -- LCS as a row-state DP: dp(i, j) over rows, one recursion step per
+    -- candidate-token position i.  The in-row dependency dp[i][j-1] is
+    -- eliminated with the prefix-max identity
+    --   dp[i][j] = max(dp[i-1][j], runmax_{j'<=j}(dp[i-1][j'-1]+1 if match))
+    -- (dp[i-1] is monotone in j, so the dp[i][j-1] term is dominated),
+    -- leaving one lag + one running-max window per step.
+    dp AS (
+      SELECT id_a, id_b, 0 AS i, unnest(range(0, n + 1)) AS j, 0 AS v FROM p
+      UNION ALL
+      SELECT id_a, id_b, i + 1 AS i, j,
+             CAST(greatest(v, max(cand) OVER (PARTITION BY id_a, id_b
+                  ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS INT) AS v
+      FROM (
+        SELECT dp.id_a, dp.id_b, dp.i, dp.j, dp.v,
+               CASE WHEN dp.j >= 1 AND p.ta[dp.i + 1] = p.tb[dp.j]
+                    THEN lag(dp.v, 1, 0) OVER (PARTITION BY dp.id_a, dp.id_b ORDER BY dp.j) + 1
+                    ELSE 0 END AS cand
+        FROM dp JOIN p USING (id_a, id_b)
+        WHERE dp.i < p.m
+      )
+    ),
+    lcs AS (
+      SELECT dp.id_a, dp.id_b, dp.v AS lcs_len, p.m, p.n
+      FROM dp JOIN p USING (id_a, id_b)
+      WHERE dp.i = p.m AND dp.j = p.n
+    ),
+    pr AS (
+      SELECT id_a, id_b, lcs_len,
+             CASE WHEN m > 0 AND n > 0 THEN CAST(lcs_len AS DOUBLE) / m END AS p,
+             CASE WHEN m > 0 AND n > 0 THEN CAST(lcs_len AS DOUBLE) / n END AS r
+      FROM lcs
+    )
+    SELECT id_a, id_b, lcs_len,
+           floor(p * 1000000 + 0.5) / 1000000 AS rouge_p,
+           floor(r * 1000000 + 0.5) / 1000000 AS rouge_r,
+           floor((CASE WHEN p IS NULL THEN NULL
+                       WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                       ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS rouge_f
+    FROM pr ORDER BY id_a, id_b
+"""
+
+
+@query("rouge_l_pairs", _ROUGE_L_SQL)
 def rouge_l_pairs(spark, sf_dir):
     """ROUGE-L pair scoring (evalmetrics.rouge_l, Lin 2004): LCS-based
     P/R/F over bounded candidate pairs (same source, doc_id < 40, a < b) —
-    the rewrite/summary overlap grader.  The LCS dynamic program is not
-    SQL-expressible (no oracle by nature); pytest pins exact parity with a
-    pure-Python reference.  The pair frame is blocked+bounded by
-    construction, the same contract as jaro_winkler_linkage."""
+    the rewrite/summary overlap grader.  Promoted from rows-only in r07:
+    the LCS dynamic program IS SQL-expressible as a recursive CTE — the
+    intra-row dependency falls to a prefix-max identity, so each DP row
+    is one lag + one running-max window — and the P/R/F rounding is the
+    engine-portable half-up floor(x*1e6+0.5) on both sides.  The pair
+    frame is blocked+bounded by construction, the same contract as
+    jaro_winkler_linkage."""
     from kafka_connect_morphlines_spark.functions import evalmetrics
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select(
