@@ -1117,7 +1117,7 @@ def _hp_bucket_ctes(n_planes: int) -> str:
 # --------------------------------------------------------------------------
 
 _HLL_REG = "CAST(('0x' || substr(h, 1, 2)) AS BIGINT)"
-_HLL_Z = "length(regexp_extract(substr(h, 3, 13), '^0*', 0))"
+_HLL_Z = "(13 - length(ltrim(substr(h, 3, 13), '0')))"
 _HLL_RHO = f"""(CASE WHEN {_HLL_Z} = 13 THEN 53
     ELSE {_HLL_Z} * 4 + (CASE substr(substr(h, 3, 13), {_HLL_Z} + 1, 1)
       WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
