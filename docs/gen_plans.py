@@ -93,6 +93,23 @@ NAMES = [
     "icws_weighted_near_dupes",
     "control_char_stats",
     "phrase_contamination_scan",
+    # round-7 promotions / additions
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "hll_audience_overlap",
+    "hll_rolling_distinct_users",
+    "approx_sketches",
+    "pq_encode_codes",
+    "pq_topk_adc",
+    "sample_seeded",
+    "multimodal_features",
+    "rouge_l_pairs",
+    "mrr_user_rankings",
+    "gumbel_stratified_sample",
+    "quantile_normalize_chars",
+    "interleave_sources_order",
+    "route_by_schema_docs",
+    "lang_prf_report",
 ]
 
 
