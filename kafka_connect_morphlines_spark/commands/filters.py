@@ -303,24 +303,61 @@ def _noop(config, ctx):
 for _name in ("logTrace", "logDebug", "logInfo", "logWarn", "logError"):
     command(_name)(_noop)
 
-# Metrics reporters: Spark UI / df.observe supersede Codahale reporting.
+# Metrics reporters.  JMX/SLF4J/JVM registration stay no-ops (the Spark UI
+# and its own metrics system supersede Codahale there); CSV is implemented
+# for real — see startReportingMetricsToCSV below.
 for _name in (
     "startReportingMetricsToSLF4J",
-    "startReportingMetricsToCSV",
     "startReportingMetricsToJMX",
     "registerJVMMetrics",
 ):
     command(_name)(_noop)
 
 
+@command("startReportingMetricsToCSV")
+def start_reporting_metrics_to_csv(config, ctx):
+    """Kite ``startReportingMetricsToCSV { outputDir }`` (imported by every
+    reference config via the org.kitesdk.** wildcard,
+    config/cloudsolr.conf:18): arms CSV metrics reporting for the rest of
+    the chain.  Downstream ``observe`` commands then register real
+    ``Observation`` handles and ``Pipeline.flush_metrics()`` appends one
+    file per metric under ``outputDir`` — per-action rather than the
+    reference's per-interval reporter thread (the honest batch analog; a
+    DataFrame has no steady-state to sample between actions)."""
+    from kafka_connect_morphlines_spark.pipeline import PipelineMetrics, PipelineSpecError
+
+    out_dir = config.get("outputDir", config.get("_value"))
+    if not out_dir:
+        raise PipelineSpecError("startReportingMetricsToCSV needs outputDir")
+    ctx.metrics = PipelineMetrics(csv_dir=str(out_dir))
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df
+
+    return transform
+
+
 @command("observe")
 def observe(config, ctx):
     """Engine extension: named row-count metric via ``df.observe`` — the
     Spark-native replacement for the reference's per-command Codahale record
-    counters (Metrics import, MorphlineSinkTask.java:42)."""
+    counters (Metrics import, MorphlineSinkTask.java:42).
+
+    With CSV reporting armed (startReportingMetricsToCSV earlier in the
+    chain) each batch application registers a ``pyspark.sql.Observation``
+    whose values ``Pipeline.flush_metrics()`` writes after the action;
+    streaming frames always use the string-named form, surfaced through
+    ``progress.observedMetrics`` in the runner."""
     name = config.get("name", "observed")
+    metrics = ctx.metrics  # captured at compile time (reporter must precede)
 
     def transform(df: DataFrame) -> DataFrame:
+        if metrics is not None and not df.isStreaming:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            metrics.pending.append((name, obs))
+            return df.observe(obs, F.count(F.lit(1)).alias("numRecords"))
         return df.observe(name, F.count(F.lit(1)).alias("numRecords"))
 
     return transform

@@ -64,9 +64,56 @@ class CompiledCommand:
 
 
 @dataclass
+class PipelineMetrics:
+    """Metrics-reporting state shared by the reporter + observe commands.
+
+    The reference starts Codahale reporter threads
+    (startReportingMetricsToCSV — kite stdlib, imported by every
+    reference config via the org.kitesdk.** wildcard); the Spark-first
+    analog reports per-ACTION instead of per-interval: each ``observe``
+    command registers a ``pyspark.sql.Observation`` on the passing frame,
+    and after the caller's action ``Pipeline.flush_metrics()`` appends one
+    CSV row per (metric, key) to ``csv_dir`` — same file-per-metric layout
+    as the Codahale CSV reporter, no background thread to leak.  Streaming
+    frames keep the string-named ``df.observe`` form; the runner reads
+    ``progress.observedMetrics`` per micro-batch (see streaming.runner).
+    """
+
+    csv_dir: str
+    morphline_id: str = ""
+    #: (metric_name, Observation) registered since the last flush
+    pending: list = field(default_factory=list)
+
+    def flush(self, morphline_id: str = "") -> list[str]:
+        """Append pending observations to per-metric CSV files; returns the
+        written paths.  Call AFTER the action that ran the pipeline (an
+        Observation blocks until its frame has been acted on)."""
+        import csv
+        import os
+        import time as _time
+
+        os.makedirs(self.csv_dir, exist_ok=True)
+        written = []
+        for name, obs in self.pending:
+            path = os.path.join(self.csv_dir, f"{name}.csv")
+            fresh = not os.path.exists(path)
+            with open(path, "a", newline="") as fh:
+                w = csv.writer(fh)
+                if fresh:
+                    w.writerow(["ts", "morphline_id", "metric", "key", "value"])
+                ts = int(_time.time())
+                for key, value in obs.get.items():
+                    w.writerow([ts, morphline_id or self.morphline_id, name, key, value])
+            written.append(path)
+        self.pending.clear()
+        return written
+
+
+@dataclass
 class CompileContext:
     base_dir: str = "."
     settings: dict[str, Any] = field(default_factory=dict)
+    metrics: "PipelineMetrics | None" = None
 
     def compile_chain(self, commands: list[dict[str, Any]]) -> list[CompiledCommand]:
         return [self.compile_command(c) for c in commands]
@@ -107,6 +154,16 @@ class Pipeline:
     commands: list[CompiledCommand]
     morphline_id: str = ""
     first_only: bool = False
+    metrics: "PipelineMetrics | None" = None
+
+    def flush_metrics(self) -> list[str]:
+        """Write any Observation metrics registered by ``observe`` commands
+        to the CSV dir configured by ``startReportingMetricsToCSV``.  Call
+        after the action that executed the pipeline output.  No-op (empty
+        list) when CSV reporting isn't configured."""
+        if self.metrics is None:
+            return []
+        return self.metrics.flush(self.morphline_id)
 
     def __call__(self, df: DataFrame) -> DataFrame:
         return self.apply(df)
@@ -286,8 +343,10 @@ def compile_pipeline(
         commands, mid = block.get("commands", []), block.get("id", "")
 
     ctx = CompileContext(base_dir=base_dir, settings=dict(spec.get("settings", {})))
+    compiled = ctx.compile_chain(commands)  # may attach ctx.metrics
     return Pipeline(
-        commands=ctx.compile_chain(commands),
+        commands=compiled,
         morphline_id=mid,
         first_only=bool(ctx.settings.get("firstOnly", False)),
+        metrics=ctx.metrics,
     )

@@ -76,6 +76,12 @@ def run_stream(
             quarantine_sink(bad, epoch_id)
         if sink is not None:
             sink(good, epoch_id)
+        # per-batch metrics flush (startReportingMetricsToCSV + observe):
+        # inside foreachBatch the frame is a batch frame, so observe
+        # registered real Observations; they only resolve once a sink
+        # action ran on the observed plan
+        if (sink is not None or quarantine_sink is not None) and isinstance(pipeline, Pipeline):
+            pipeline.flush_metrics()
 
     writer = source.writeStream.queryName(query_name).outputMode(output_mode).foreachBatch(process_batch)
     if checkpoint:

@@ -254,3 +254,73 @@ def test_stub_decode_is_digest_fake_without_pillow(spark):
     )
     want = [b / 255.0 for b in hashlib.sha256(payload).digest()[:8]]
     assert row["feature"] == pytest.approx(want, abs=1e-6)
+
+
+# ------------------------------------------------------- CSV metrics reporter
+def test_metrics_csv_reporter_batch(spark, tmp_path):
+    """startReportingMetricsToCSV + observe: after the caller's action,
+    flush_metrics appends one Codahale-CSV-style file per metric (the
+    per-action batch analog of the reference's reporter thread)."""
+    from kafka_connect_morphlines_spark.pipeline import compile_pipeline
+
+    out = str(tmp_path / "metrics")
+    pipe = compile_pipeline(
+        [
+            {"startReportingMetricsToCSV": {"outputDir": out}},
+            {"observe": {"name": "ingested"}},
+            {"contains": {"event_type": ["click"]}},
+            {"observe": {"name": "kept"}},
+        ]
+    )
+    df = spark.createDataFrame([("click",), ("view",), ("click",)], "event_type string")
+    result = pipe(df)
+    assert result.count() == 2  # the action the observations resolve on
+    paths = pipe.flush_metrics()
+    assert sorted(p.rsplit("/", 1)[1] for p in paths) == ["ingested.csv", "kept.csv"]
+    import csv
+
+    with open(f"{out}/ingested.csv") as fh:
+        rows = list(csv.reader(fh))
+    assert rows[0] == ["ts", "morphline_id", "metric", "key", "value"]
+    assert rows[1][2:] == ["ingested", "numRecords", "3"]
+    with open(f"{out}/kept.csv") as fh:
+        assert list(csv.reader(fh))[1][2:] == ["kept", "numRecords", "2"]
+    # flush is drain-once; a second flush with no new action writes nothing
+    assert pipe.flush_metrics() == []
+
+
+def test_metrics_csv_reporter_streaming_micro_batches(spark, tmp_path):
+    """Same pipeline through the streaming runner: inside foreachBatch the
+    frame is a batch frame, so each micro-batch appends its own rows."""
+    import csv
+    import glob
+    import time
+
+    from kafka_connect_morphlines_spark.pipeline import compile_pipeline
+    from kafka_connect_morphlines_spark.streaming import runner
+
+    out = str(tmp_path / "metrics")
+    pipe = compile_pipeline(
+        [
+            {"startReportingMetricsToCSV": {"outputDir": out}},
+            {"observe": {"name": "stream_rows"}},
+        ]
+    )
+    src = spark.readStream.format("rate").option("rowsPerSecond", 50).load()
+    sunk = []
+    q = runner.run_stream(
+        src, pipe, sink=lambda df, epoch: sunk.append(df.count()),
+        checkpoint=str(tmp_path / "ckpt"), query_name="metrics_smoke",
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            files = glob.glob(f"{out}/stream_rows.csv")
+            if files and len(list(csv.reader(open(files[0])))) >= 3:  # header + >=2 batches
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = list(csv.reader(open(f"{out}/stream_rows.csv")))
+    assert rows[0] == ["ts", "morphline_id", "metric", "key", "value"]
+    assert len(rows) >= 3 and all(r[2] == "stream_rows" for r in rows[1:])
