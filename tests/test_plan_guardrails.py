@@ -1,0 +1,102 @@
+"""Physical-plan guardrails: the plans docs/gen_plans.py audits are now
+ASSERTED, so a regression (lost pushdown, lost broadcast, a cartesian
+product sneaking into a join rewrite) fails CI instead of silently
+shipping a 100TB-hostile plan.
+
+Plans are taken AFTER execution (AQE-finalized) at sf0.001 — shape, not
+speed, is under test.
+"""
+
+import os
+
+import pytest
+
+from kafka_connect_morphlines_spark.plans.queries import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _executed_plan(spark, name: str) -> str:
+    import re
+
+    df = QUERIES[name].build(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return re.split(r"== Initial Plan ==", plan)[0]
+
+
+# Queries whose joins must all be hash/broadcast joins: a CartesianProduct
+# anywhere is a plan regression.  (Queries that intentionally cross-join
+# 1-row aggregates compile to BroadcastNestedLoopJoin, which is fine and
+# distinct from CartesianProduct.)
+NO_CARTESIAN = [
+    "join_revenue_by_nation",
+    "shipping_priority_topk",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ngram_jaccard_pairs",
+    "fuzzy_join_part_names",
+    "asof_join_events",
+    "hll_rolling_distinct_users",
+    "interleave_sources_order",
+    "mrr_user_rankings",
+    "rouge_l_pairs",
+]
+
+
+@pytest.mark.parametrize("name", NO_CARTESIAN)
+def test_no_cartesian_product(spark, name):
+    plan = _executed_plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product:\n{plan[:2000]}"
+
+
+# (query, fragment that must appear in PushedFilters) — predicate pushdown
+# reaching the parquet scan is the whole point of the declarative layer.
+PUSHDOWN = [
+    # NOTE: toString truncates long filter lists, so fragments must sit
+    # near the front of the PushedFilters list
+    ("filter_agg_revenue", "PushedFilters: [IsNotNull(l_shipdate)"),
+    ("shipping_priority_topk", "EqualTo(c_mktsegment,BUILDING)"),
+    ("rouge_l_pairs", "LessThan(doc_id,40)"),
+    ("pq_topk_adc", "Not(EqualTo(vec_id,0))"),
+]
+
+
+@pytest.mark.parametrize("name,fragment", PUSHDOWN)
+def test_filter_pushdown_reaches_scan(spark, name, fragment):
+    plan = _executed_plan(spark, name)
+    assert "PushedFilters: [" in plan, f"{name}: no pushed filters at all"
+    assert fragment in plan, f"{name}: expected pushed filter {fragment!r} missing:\n{plan[:2000]}"
+
+
+# (query, columns that must NOT be read) — column pruning: a scan reading
+# the fat text/embedding column for a metadata-only query is a regression.
+PRUNING = [
+    ("sort_topn_lineitems", "l_comment"),
+    ("sample_seeded", "props"),
+    ("argmin_supplier_per_nation", "s_comment"),
+]
+
+
+@pytest.mark.parametrize("name,absent_col", PRUNING)
+def test_column_pruning(spark, name, absent_col):
+    plan = _executed_plan(spark, name)
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, f"{name}: no ReadSchema found"
+    for ln in scan_lines:
+        assert absent_col not in ln, f"{name}: scan reads pruned column {absent_col}:\n{ln}"
+
+
+# dimension joins that must stay broadcast (no sort-merge shuffle of a
+# small side at any SF — nation/region/customer are bounded)
+BROADCAST = [
+    ("join_revenue_by_nation", "BroadcastHashJoin"),
+    ("shipping_priority_topk", "BroadcastHashJoin"),
+    ("interleave_sources_order", "BroadcastHashJoin"),
+]
+
+
+@pytest.mark.parametrize("name,node", BROADCAST)
+def test_small_side_broadcasts(spark, name, node):
+    plan = _executed_plan(spark, name)
+    assert node in plan, f"{name}: expected {node} in plan:\n{plan[:2000]}"
