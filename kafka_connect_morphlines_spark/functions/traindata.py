@@ -505,6 +505,65 @@ def temperature_rates(
     )
 
 
+def temperature_quota_sample(
+    df: DataFrame,
+    k_total: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "tqs",
+) -> DataFrame:
+    """Exact-k temperature-sampled mixture at alpha = 0.5: apportion
+    ``k_total`` document slots across sources proportional to sqrt(n_s)
+    (the sqrt-temperature upweighting of small sources used for
+    multilingual/multi-source pretraining mixes), then fill each source's
+    quota with its md5-order uniform sample.  Returns
+    (source, id, grp_rank, quota).
+
+    Determinism contract (what makes this certifiable AND rerun-stable on
+    any cluster): alpha is pinned to 0.5 because IEEE sqrt is correctly
+    rounded — bit-identical on every engine — unlike pow(n, alpha);
+    sqrt(n) is then fixed-pointed to micro-units and the largest-remainder
+    apportionment runs in pure integer arithmetic (base = k*w DIV tot,
+    remainders compared as integer MODs, ties by source), so quotas can
+    never flip on a float ulp.  For arbitrary alpha use
+    :func:`temperature_rates` + :func:`mixture_sample` (rate-based, not
+    exact-k).
+
+    100 TB shape: one groupBy(source) count, all apportionment on the
+    m-row source table (windows over m rows), one broadcast quota join,
+    one per-source rank window over md5 keys — no global sort, no driver
+    action (the plan is compile-pure like interleave_sources).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = F.expr("CAST(floor(sqrt(CAST(_n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)")
+    tot = Window.partitionBy()
+    weighted = counts.select(source_col, "_n", w.alias("_w")).withColumn(
+        "_tot", F.sum("_w").over(tot)
+    )
+    shares = weighted.select(
+        source_col,
+        "_n",
+        F.expr(f"CAST({k_total} AS BIGINT) * _w DIV _tot").alias("_base"),
+        F.expr(f"CAST({k_total} AS BIGINT) * _w % _tot").alias("_rem"),
+    ).withColumn("_leftover", F.lit(k_total) - F.sum("_base").over(tot))
+    rem_rank = Window.orderBy(F.col("_rem").desc(), F.col(source_col))
+    quotas = shares.select(
+        source_col,
+        (
+            F.col("_base")
+            + F.when(F.row_number().over(rem_rank) <= F.col("_leftover"), 1).otherwise(0)
+        ).alias("quota"),
+    )
+    u = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    w_rank = Window.partitionBy(source_col).orderBy(u, F.col(id_col))
+    ranked = df.select(source_col, id_col).withColumn("grp_rank", F.row_number().over(w_rank))
+    return ranked.join(F.broadcast(quotas), source_col).filter(
+        F.col("grp_rank") <= F.col("quota")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight: Column,

@@ -8091,6 +8091,52 @@ def gumbel_stratified_sample(spark, sf_dir):
     return out.select("source", "doc_id", "key_milli", "grp_rank").orderBy("source", "doc_id")
 
 
+@query(
+    "temperature_quota_sample",
+    """
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    weighted AS (
+      SELECT source, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w
+      FROM counts
+    ),
+    tot AS (SELECT sum(w) AS t FROM weighted),
+    shares AS (
+      SELECT source, CAST(200 AS BIGINT) * w // t AS base, CAST(200 AS BIGINT) * w % t AS rem
+      FROM weighted, tot
+    ),
+    quotas AS (
+      SELECT source,
+             CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                         <= 200 - (SELECT sum(base) FROM shares) THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM shares
+    ),
+    ranked AS (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY md5('tqs:' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS grp_rank
+      FROM documents
+    )
+    SELECT r.source, r.doc_id, r.grp_rank, q.quota
+    FROM ranked r JOIN quotas q USING (source)
+    WHERE r.grp_rank <= q.quota
+    ORDER BY source, doc_id
+    """,
+)
+def temperature_quota_sample(spark, sf_dir):
+    """Exact-k temperature mixture at alpha=0.5
+    (traindata.temperature_quota_sample): 200 slots apportioned across
+    sources proportional to sqrt(n_s) by integer largest-remainder (IEEE
+    sqrt is correctly rounded, everything after is integer — quotas can
+    never flip on a float ulp), each quota filled by the source's
+    md5-order sample.  The multilingual-pretraining mixture sampler as a
+    certifiable operator; new in r07."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = t(spark, sf_dir, "documents")
+    out = traindata.temperature_quota_sample(docs, k_total=200, seed="tqs")
+    return out.select("source", "doc_id", "grp_rank", "quota").orderBy("source", "doc_id")
+
+
 def _quantile_normalize_oracle_sql(grid: int = 1000) -> str:
     pct = ", ".join(str(i / grid) for i in range(grid + 1))
     return f"""

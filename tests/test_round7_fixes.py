@@ -324,3 +324,24 @@ def test_metrics_csv_reporter_streaming_micro_batches(spark, tmp_path):
     rows = list(csv.reader(open(f"{out}/stream_rows.csv")))
     assert rows[0] == ["ts", "morphline_id", "metric", "key", "value"]
     assert len(rows) >= 3 and all(r[2] == "stream_rows" for r in rows[1:])
+
+
+# ---------------------------------------------------- temperature quota sample
+def test_temperature_quota_sums_to_k_and_upweights_small_sources(spark):
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = traindata.temperature_quota_sample(df, k_total=100).collect()
+    assert len(out) == 100, "exact-k contract"
+    by_src = {}
+    for r in out:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    # sqrt temperature: big/small = sqrt(900)/sqrt(100) = 3:1 (proportional
+    # sampling would give 9:1) -> small source upweighted to ~25 slots
+    assert by_src["small"] == 25 and by_src["big"] == 75, by_src
+
+    # determinism: rerun yields the identical id set
+    ids1 = sorted(r["doc_id"] for r in out)
+    ids2 = sorted(r["doc_id"] for r in traindata.temperature_quota_sample(df, k_total=100).collect())
+    assert ids1 == ids2
