@@ -441,6 +441,14 @@ def main() -> None:
         ),
         # md5 portable-hash dedup modes (certified r07): same plan shapes
         # as the murmur3/xxhash legs, md5 adds per-token/shingle cost only
+        # exact-k temperature mixture: m-row apportionment + rank window
+        "temperature_quota_200k": run(
+            "temperature_quota_200k",
+            lambda: traindata.temperature_quota_sample(
+                docs.withColumn("source", (F.col("doc_id") % 20).cast("string")),
+                k_total=10_000,
+            ),
+        ),
         "minhash_md5_200k": run(
             "minhash_md5_200k",
             lambda: dedup.minhash_dedup_pairs(docs, threshold=0.6, base_hash="md5"),
