@@ -244,3 +244,137 @@ def semantic_dedup_keep(
         F.col("id_b").alias(id_col)
     )
     return df.join(victims, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# Quantized-lattice Lloyd: the engine-portable k-means variant (same
+# fixed-point discipline as pq_fit_sample/pq_encode_int).  Vectors AND
+# centroids live on the integer lattice floor(x*scale + 0.5); the centroid
+# update floors the per-dimension mean back onto the lattice.  Every
+# assignment is then an exact integer argmin and every update an exact
+# integer sum + one floor(int/int) — bit-reproducible across engines,
+# partitionings and BLAS builds, which is what lets a SQL oracle replay
+# the FULL iterative fit.  The float kmeans_fit above stays the production
+# default (sub-ulp centroid precision); this is the certifiable twin.
+# --------------------------------------------------------------------------
+
+
+def kmeans_fit_int(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    scale: int = 1024,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "kmq",
+) -> list[list[int]]:
+    """Integer-lattice Lloyd fit; returns k integer centroids (id = index).
+
+    Init = the k md5-order seed vectors (quantized); per iteration one
+    Arrow-batched exact-int argmin assignment + one groupBy carrying d
+    integer sums; the driver sees k x (d+1) numbers per round.  Empty
+    clusters keep their previous centroid.  Centroid update
+    ``floor(sum/n)`` is computed as floor of the DOUBLE quotient — exact
+    ints below 2^53 divide to a correctly-rounded double that can only
+    floor wrong within 1e-9 of an integer boundary, impossible for
+    rationals with denominator <= cluster size — so Python, Spark SQL and
+    DuckDB agree bit-for-bit.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    seeds = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", F.md5(F.concat_ws(":", F.lit(seed), F.col("_id").cast("string"))))
+        .orderBy("_h", "_id")
+        .limit(k)
+        .collect()
+    )
+    dim = len(seeds[0]["_v"])
+    cents = [
+        [int(math.floor(float(v) * scale + 0.5)) for v in r["_v"]] for r in seeds
+    ]
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
+    if not src.isStreaming:
+        src = src.localCheckpoint()  # n_iter+1 assignment passes re-read it
+
+    for _ in range(n_iter):
+        assigned = _assign_int(src, cents, scale, vec_col)
+        rows = assigned.groupBy("centroid").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at(F.col("_xq"), j + 1)).alias(f"s{j}") for j in range(dim)],
+        ).collect()
+        by_id = {int(r["centroid"]): r for r in rows}
+        nxt = []
+        for cid, old in enumerate(cents):
+            r = by_id.get(cid)
+            if r is None or r["n"] == 0:
+                nxt.append(old)
+            else:
+                n = int(r["n"])
+                nxt.append([int(math.floor(int(r[f"s{j}"]) / n)) for j in range(dim)])
+        cents = nxt
+    return cents
+
+
+def _assign_int(
+    df: DataFrame, cents: list[list[int]], scale: int, vec_col: str
+) -> DataFrame:
+    """Add (centroid, _xq): exact-integer nearest centroid + the quantized
+    vector (ties -> lowest centroid id).  One Arrow pass, map-only."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(cents, dtype=np.int64)  # (k, d)
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf's hint inference then rejects the local pd import;
+    # the legacy SCALAR path handles the struct-as-DataFrame return
+    @F.pandas_udf("struct<centroid:int, _xq:array<long>>")
+    def assign(series):
+        if series.empty:
+            return pd.DataFrame({"centroid": pd.Series([], dtype="int32"), "_xq": []})
+        v = np.stack(series.to_numpy()).astype(np.float64)
+        xq = np.floor(v * scale + 0.5).astype(np.int64)
+        diff = xq[:, None, :] - books[None, :, :]
+        d2 = (diff * diff).sum(axis=2)
+        return pd.DataFrame(
+            {"centroid": d2.argmin(axis=1).astype("int32"), "_xq": list(xq)}
+        )
+
+    out = df.withColumn("_a", assign(F.col(vec_col)))
+    return out.select("*", F.col("_a.centroid").alias("centroid"), F.col("_a._xq").alias("_xq")).drop("_a")
+
+
+def kmeans_stats_int(
+    df: DataFrame,
+    cents: list[list[int]],
+    scale: int = 1024,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster (centroid, cluster_size, mean_sq_dist): final exact-int
+    assignment + integer distance sums, one double division at the end
+    (round 6 — no exact decimal ties exist for denominators <= |cluster|,
+    so all engines round identically)."""
+    assigned = _assign_int(ensure_parallelism(df), cents, scale, vec_col)
+    import numpy as np
+
+    books = np.asarray(cents, dtype=np.int64)
+    d2 = None
+    for j in range(books.shape[1]):
+        cent_j = F.create_map(
+            *[x for cid in range(len(cents)) for x in (F.lit(cid), F.lit(int(books[cid][j])))]
+        )
+        term = F.element_at(F.col("_xq"), j + 1) - cent_j[F.col("centroid")]
+        term = term * term
+        d2 = term if d2 is None else d2 + term
+    return (
+        assigned.withColumn("_d2", d2)
+        .groupBy("centroid")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.round(F.sum("_d2").cast("double") / F.count(F.lit(1)), 6).alias("mean_sq_dist"),
+        )
+    )

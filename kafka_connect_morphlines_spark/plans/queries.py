@@ -3285,18 +3285,83 @@ def semantic_dedup(spark, sf_dir):
     return kept.select("vec_id", "label").orderBy("vec_id")
 
 
-@query("kmeans_cluster_stats", None)
+def _kmeans_int_oracle_sql(k: int = 8, d: int = 64, iters: int = 3, scale: int = 1024, seed: str = "kmq") -> str:
+    """Replays the ENTIRE quantized-lattice Lloyd fit in SQL: md5-order
+    seeds, then per iteration an exact-integer argmin assignment and a
+    floor(sum/n) centroid update (empty clusters carry over via the LEFT
+    JOIN coalesce) — possible because every quantity is an integer or a
+    correctly-rounded double the engines agree on."""
+    q = f"CAST(floor(CAST(embedding[j] AS DOUBLE) * {scale} + 0.5) AS BIGINT)"
+    ctes = [
+        f"""xq AS (
+      SELECT vec_id, CAST(j - 1 AS INT) AS j, {q} AS xv
+      FROM embeddings, range(1, {d + 1}) t(j)
+    )""",
+        f"""seeds AS (
+      SELECT embedding, row_number() OVER (ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+      FROM embeddings ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+    )""",
+        f"""c0 AS (
+      SELECT c, CAST(j - 1 AS INT) AS j, {q} AS cv
+      FROM seeds, range(1, {d + 1}) t(j)
+    )""",
+    ]
+    for it in range(iters):
+        ctes += [
+            f"""d{it} AS (
+      SELECT x.vec_id, c.c, sum((x.xv - c.cv) * (x.xv - c.cv)) AS d2
+      FROM xq x JOIN c{it} c ON c.j = x.j GROUP BY x.vec_id, c.c
+    )""",
+            f"""a{it} AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d{it}
+      ) WHERE rn = 1
+    )""",
+            f"""u{it} AS (
+      SELECT a.c, x.j, CAST(floor(CAST(sum(x.xv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      FROM a{it} a JOIN xq x ON x.vec_id = a.vec_id GROUP BY a.c, x.j
+    )""",
+            f"""c{it + 1} AS (
+      SELECT p.c, p.j, coalesce(u.cv, p.cv) AS cv
+      FROM c{it} p LEFT JOIN u{it} u ON u.c = p.c AND u.j = p.j
+    )""",
+        ]
+    ctes += [
+        f"""dF AS (
+      SELECT x.vec_id, c.c, sum((x.xv - c.cv) * (x.xv - c.cv)) AS d2
+      FROM xq x JOIN c{iters} c ON c.j = x.j GROUP BY x.vec_id, c.c
+    )""",
+        """aF AS (
+      SELECT vec_id, c, d2 FROM (
+        SELECT vec_id, c, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM dF
+      ) WHERE rn = 1
+    )""",
+    ]
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT CAST(c AS INT) AS centroid, count(*) AS cluster_size,
+           round(CAST(sum(d2) AS DOUBLE) / count(*), 6) AS mean_sq_dist
+    FROM aF GROUP BY c ORDER BY centroid
+"""
+
+
+@query("kmeans_cluster_stats", _kmeans_int_oracle_sql())
 def kmeans_cluster_stats(spark, sf_dir):
-    """Full Lloyd k-means fit (semantic.kmeans_fit: broadcast-assign matmul +
-    d codegen per-dimension SUMs per iteration, k×(d+1) numbers to the
-    driver) with per-cluster size + mean cosine distance.  Iterative —
-    not SQL-expressible; golden-pinned at sf0.01 (tests/test_goldens)."""
+    """Full Lloyd k-means fit with per-cluster size + mean squared
+    distance.  Promoted from rows-only in r07 via the quantized-lattice
+    variant (semantic.kmeans_fit_int): vectors and centroids live on the
+    floor(x*1024+0.5) integer lattice and the centroid update floors the
+    mean back onto it, so the whole 3-iteration fit — assignments,
+    updates, empty-cluster carryover, final stats — is exact integer
+    arithmetic a DuckDB oracle replays end to end.  The float
+    semantic.kmeans_fit stays the production path (semantic_dedup,
+    ssl_prototype_prune, IVF); golden kept alongside the oracle."""
     from kafka_connect_morphlines_spark.functions import semantic
 
     emb = t(spark, sf_dir, "embeddings")
-    cents = semantic.kmeans_fit(emb, k=8, n_iter=3, seed=1)
-    out = semantic.kmeans_inertia(emb, cents)
-    return out.orderBy("centroid")
+    cents = semantic.kmeans_fit_int(emb, k=8, n_iter=3)
+    return semantic.kmeans_stats_int(emb, cents).orderBy("centroid")
 
 
 @query(
