@@ -23,53 +23,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["join_revenue_by_nation"].build(spark, "/root/testdata/sf0.001")
 
 
-# Round-6 certification prefix.  The driver samples a bounded (50-entry)
+# Round-8 certification prefix.  The driver samples a bounded (50-entry)
 # prefix of queries() per round; across rounds the union of CORRECTNESS_r*
-# files must cover the whole corpus.  Slots 1-4: the four r05 hash-FAILs,
-# all fixed this round (their DuckDB oracles left integer sum() columns as
-# HUGEINT while Spark emits BIGINT; every one is now CAST ... AS BIGINT and
-# a pytest gate, tests/test_oracle_types.py, forbids the bug class).
-# Slots 5-31: the 27 queries never sampled in r01-r05 — this completes
-# union(CORRECTNESS_r01..r06) over the whole 225-query corpus (the four
-# queued HUGEINT repeats among them are fixed by the same cast sweep;
-# permutation_test_values / ndcg / map additionally carry this round's
-# semantics fixes).  Slots 32+: round-6 session additions as they land.
-# Nothing is ever dropped: certified queries stay registered afterwards.
-_ROUND6_PREFIX = [
-    # r05 hash-FAILs, oracle types fixed this round — re-sample first.
-    "ab_test_event_values", "priority_counts_by_linestatus",
-    "dsir_importance_weights", "line_dedup_within_doc",
-    # Never sampled in r01-r05 (27 names; alphabetical).
-    "bloom_semi_join_orders", "bootstrap_purchase_mean_ci",
-    "brier_score_purchase", "chi2_token_lang", "collocations_pmi",
-    "compression_ratio_quality", "control_char_stats",
-    "dataset_card_by_source", "domain_cap_sample", "dsir_gumbel_topk",
-    "embedding_int8_quantize", "embedding_int8_topk", "gini_value_by_type",
-    "icws_weighted_near_dupes", "ks_drift_value", "lang_confusion_matrix",
-    "leakage_safe_split", "map_user_rankings", "ndcg_user_rankings",
-    "permutation_test_values", "phrase_contamination_scan",
-    "pii_scan_summary", "rouge_l_pairs", "rrf_hybrid_fusion",
-    "trimmed_mean_by_type", "url_blocklist_filter", "vocab_growth_curve",
-    # ---- slot 32+ : round-6 session additions (local-certified) ----
-    "route_by_schema_docs",
-    # Promoted from rows-only to hash-certified this round (the md5
-    # hyperplane family + the integer-scored MMR greedy gained exact
-    # DuckDB oracles) — re-sample for hash certification.
-    "embedding_random_projection", "embedding_ann_lsh",
-    "embedding_near_dupes", "embedding_ivf_topk", "mmr_diverse_topk",
-    "embedding_binary_hamming_topk", "mann_whitney_values",
-    "interleave_sources_order", "event_time_hopping_window",
-    "quantile_normalize_chars", "mrr_user_rankings",
-    "gumbel_stratified_sample", "lang_prf_report",
+# files must cover the whole corpus.  Slots 1-11: the eleven queries whose
+# full-pipeline DuckDB oracles landed in round 7 (portable md5 HLL, md5
+# hash modes for MinHash-LSH/SimHash, fixed-point PQ, quantized-lattice
+# Lloyd k-means, deterministic md5-keyed sampling, multimodal feature
+# narrowing, exact-k temperature mixture) but were never driver-sampled —
+# the round-7 prefix was stale, so they are hash-green only in
+# CORRECTNESS_local.json.  Certifying them is round 8's top task
+# (VERDICT.md next-round #1).  Slots 12+: round-8 session additions as
+# they land.  Nothing is ever dropped: certified queries stay registered.
+_ROUND8_PREFIX = [
+    # r07 oracles, locally green, never driver-sampled — certify first.
+    "dedup_minhash_lsh", "dedup_simhash",
+    "hll_sketch_rollup", "hll_audience_overlap", "hll_rolling_distinct_users",
+    "pq_encode_codes", "pq_topk_adc",
+    "kmeans_cluster_stats", "sample_seeded",
+    "multimodal_features", "temperature_quota_sample",
+    # ---- slot 12+ : round-8 session additions (local-certified) ----
 ]
-_ROUND6_RANK = {name: i for i, name in enumerate(_ROUND6_PREFIX)}
+_ROUND8_RANK = {name: i for i, name in enumerate(_ROUND8_PREFIX)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     ordered = sorted(
         QUERIES,
-        key=lambda name: (_ROUND6_RANK.get(name, len(_ROUND6_PREFIX)), name),
+        key=lambda name: (_ROUND8_RANK.get(name, len(_ROUND8_PREFIX)), name),
     )
     return {name: QUERIES[name].build for name in ordered}
 
