@@ -110,6 +110,8 @@ NAMES = [
     "interleave_sources_order",
     "route_by_schema_docs",
     "lang_prf_report",
+    "kmeans_cluster_stats",
+    "temperature_quota_sample",
 ]
 
 

@@ -27,6 +27,25 @@ def _as_array(col: Column, dtype: T.DataType) -> Column:
     return col if isinstance(dtype, T.ArrayType) else F.array(col)
 
 
+def _pop_multivalued(config: dict) -> bool:
+    """Extract the engine's multiValued option WITHOUT swallowing a field
+    assignment of the same name (driver ADVICE r07: in kite, setValues keys
+    are plain field names and no such option exists, so ``multiValued`` is
+    a legal field).  ``_multiValued`` (namespaced) always wins and is never
+    a field; bare ``multiValued`` counts as the option only when its value
+    is a HOCON boolean — a string/number/list value is a field assignment
+    and passes through untouched.  Remaining collision (a field literally
+    named multiValued with a boolean value) is documented in SURVEY.md
+    §1.1 next to the scalar-default deviation."""
+    if "_multiValued" in config:
+        return bool(config.pop("_multiValued"))
+    v = config.get("multiValued")
+    if isinstance(v, bool):
+        config.pop("multiValued")
+        return v
+    return False
+
+
 @command("setValues")
 def set_values(config, ctx):
     """Assign field values, with ``@{field}`` interpolation.
@@ -43,7 +62,7 @@ def set_values(config, ctx):
     of a columnar pipeline (joins, aggregates, parquet) wants.
     """
     config = dict(config)
-    mv = bool(config.pop("multiValued", False))
+    mv = _pop_multivalued(config)
     assignments = {}
     for out, v in config.items():
         col = template_to_column(v)
@@ -63,7 +82,7 @@ def add_values(config, ctx):
     (already the multimap append contract — ``multiValued`` is accepted
     for spec uniformity and changes nothing)."""
     config = dict(config)
-    config.pop("multiValued", None)
+    _pop_multivalued(config)
 
     def transform(df: DataFrame) -> DataFrame:
         dtypes = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))
@@ -84,7 +103,7 @@ def add_values_if_absent(config, ctx):
     """Append values not already present (array set-union semantics;
     ``multiValued`` accepted for spec uniformity, changes nothing)."""
     config = dict(config)
-    config.pop("multiValued", None)
+    _pop_multivalued(config)
 
     def transform(df: DataFrame) -> DataFrame:
         dtypes = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))
@@ -146,7 +165,7 @@ def remove_values(config, ctx):
     (a matched scalar becomes an empty list, like a one-element multimap
     entry after removal — MorphlineTransform.java:137-148)."""
     config = dict(config)
-    mv = bool(config.pop("multiValued", False))
+    mv = _pop_multivalued(config)
 
     def transform(df: DataFrame) -> DataFrame:
         dtypes = {f.name: f.dataType for f in df.schema.fields}

@@ -515,19 +515,32 @@ def temperature_quota_sample(
     """Exact-k temperature-sampled mixture at alpha = 0.5: apportion
     ``k_total`` document slots across sources proportional to sqrt(n_s)
     (the sqrt-temperature upweighting of small sources used for
-    multilingual/multi-source pretraining mixes), then fill each source's
-    quota with its md5-order uniform sample.  Returns
-    (source, id, grp_rank, quota).
+    multilingual/multi-source pretraining mixes), CAPPED at each source's
+    row count, then fill each source's quota with its md5-order uniform
+    sample.  Returns (source, id, grp_rank, quota).
+
+    Cap-aware exact-k (r08, ADVICE fix): a small source whose sqrt share
+    exceeds its row count used to silently under-fill the sample.  The
+    apportionment is now water-filling: sources are scanned in ascending
+    n order (for alpha=0.5 the saturation ratio n/w ~ sqrt(n) is monotone
+    in n while n < 2.5e11 — documented bound), the saturated prefix takes
+    quota = n, and the remaining A slots are shared over the suffix
+    weights B by integer largest-remainder.  When no cap binds the result
+    is bit-identical to plain largest-remainder over all sources (the
+    pre-r08 behavior).  Exactness proof sketch: for an unsaturated source
+    A*w_s <= n_s*B, so base <= n_s; the +1 remainder slots number
+    t = sum(frac) < #unsaturated and only land on frac>0 sources, where
+    base < n_s strictly.  If k_total >= total rows, every source
+    saturates and the whole table is returned (exact-k impossible).
 
     Determinism contract (what makes this certifiable AND rerun-stable on
     any cluster): alpha is pinned to 0.5 because IEEE sqrt is correctly
     rounded — bit-identical on every engine — unlike pow(n, alpha);
-    sqrt(n) is then fixed-pointed to micro-units and the largest-remainder
-    apportionment runs in pure integer arithmetic (base = k*w DIV tot,
-    remainders compared as integer MODs, ties by source), so quotas can
-    never flip on a float ulp.  For arbitrary alpha use
-    :func:`temperature_rates` + :func:`mixture_sample` (rate-based, not
-    exact-k).
+    sqrt(n) is then fixed-pointed to micro-units and everything after is
+    integer arithmetic (saturation tests are decimal(38,0) cross
+    products, base/rem are DIV/MOD), so quotas can never flip on a float
+    ulp.  For arbitrary alpha use :func:`temperature_rates` +
+    :func:`mixture_sample` (rate-based, not exact-k).
 
     100 TB shape: one groupBy(source) count, all apportionment on the
     m-row source table (windows over m rows), one broadcast quota join,
@@ -538,22 +551,78 @@ def temperature_quota_sample(
 
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
     w = F.expr("CAST(floor(sqrt(CAST(_n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)")
-    tot = Window.partitionBy()
-    weighted = counts.select(source_col, "_n", w.alias("_w")).withColumn(
-        "_tot", F.sum("_w").over(tot)
+    ordered = counts.select(source_col, "_n", w.alias("_w"))
+    # Water-filling scan order: ascending saturation ratio == ascending n
+    # (exact integer sort key; see monotonicity bound in the docstring).
+    scan = Window.orderBy(F.col("_n").asc(), F.col(source_col))
+    full = Window.partitionBy()
+    staged = (
+        ordered.withColumn("_idx", F.row_number().over(scan))
+        .withColumn(
+            "_A",  # slots left if every earlier row saturates
+            F.lit(k_total).cast("long")
+            - F.coalesce(
+                F.sum("_n").over(scan.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_B",  # weight mass from this row on
+            F.sum("_w").over(scan.rowsBetween(Window.currentRow, Window.unboundedFollowing)),
+        )
+        # Unsaturated-boundary test: lambda_i <= r_i, i.e. A*w <= n*B —
+        # exact 128-bit cross products, no division.
+        .withColumn(
+            "_ok",
+            F.expr(
+                "CAST(_A AS DECIMAL(19,0)) * CAST(_w AS DECIMAL(19,0))"
+                " <= CAST(_n AS DECIMAL(19,0)) * CAST(_B AS DECIMAL(19,0))"
+            ),
+        )
     )
-    shares = weighted.select(
-        source_col,
-        "_n",
-        F.expr(f"CAST({k_total} AS BIGINT) * _w DIV _tot").alias("_base"),
-        F.expr(f"CAST({k_total} AS BIGINT) * _w % _tot").alias("_rem"),
-    ).withColumn("_leftover", F.lit(k_total) - F.sum("_base").over(tot))
-    rem_rank = Window.orderBy(F.col("_rem").desc(), F.col(source_col))
-    quotas = shares.select(
+    staged = (
+        staged.withColumn("_istar", F.min(F.when(F.col("_ok"), F.col("_idx"))).over(full))
+        .withColumn(
+            "_As", F.max(F.when(F.col("_idx") == F.col("_istar"), F.col("_A"))).over(full)
+        )
+        .withColumn(
+            "_Bs", F.max(F.when(F.col("_idx") == F.col("_istar"), F.col("_B"))).over(full)
+        )
+        .withColumn("_sat", F.col("_istar").isNull() | (F.col("_idx") < F.col("_istar")))
+        .withColumn(
+            "_base",
+            F.when(F.col("_sat"), F.col("_n")).otherwise(
+                F.expr(
+                    "CAST((CAST(_As AS DECIMAL(19,0)) * CAST(_w AS DECIMAL(19,0)))"
+                    " DIV CAST(_Bs AS DECIMAL(19,0)) AS BIGINT)"
+                )
+            ),
+        )
+        .withColumn(
+            "_rem",
+            F.when(F.col("_sat"), F.lit(-1).cast("decimal(38,0)")).otherwise(
+                F.expr(
+                    "CAST(_As AS DECIMAL(19,0)) * CAST(_w AS DECIMAL(19,0))"
+                    " % CAST(_Bs AS DECIMAL(19,0))"
+                )
+            ),
+        )
+        .withColumn(
+            "_t",
+            F.coalesce(F.col("_As"), F.lit(0))
+            - F.sum(F.when(~F.col("_sat"), F.col("_base")).otherwise(F.lit(0))).over(full),
+        )
+    )
+    rem_rank = Window.orderBy(
+        F.col("_sat").asc(), F.col("_rem").desc(), F.col(source_col)
+    )
+    quotas = staged.select(
         source_col,
         (
             F.col("_base")
-            + F.when(F.row_number().over(rem_rank) <= F.col("_leftover"), 1).otherwise(0)
+            + F.when(
+                (~F.col("_sat")) & (F.row_number().over(rem_rank) <= F.col("_t")), 1
+            ).otherwise(0)
         ).alias("quota"),
     )
     u = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))

@@ -10,9 +10,10 @@ anti-join each (broadcast when the key side is small).
 Used as the admission gate of an ingest pipeline: `check()` returns a
 (constraint, column, violations, passed) frame; `expect()` raises when any
 constraint fails, which is the batch-abort semantics of the reference's
-dropRecord/tryRules error path lifted to table granularity
-(/root/reference/src/main/java/com/github/epheatt/kafka/connect/morphlines/MorphlineUtils.java:160-180
-is the closest per-record analogue).
+per-record failure path lifted to table granularity
+(/root/reference/src/main/java/com/github/epheatt/kafka/connect/morphlines/MorphlineSinkTask.java:136-138
+— `if (!morphline.process(record)) log.warn(...)` drop-and-continue — is
+the closest per-record analogue).
 
 Scale notes:
 - every scalar constraint is a conditional SUM in the same Aggregate node —

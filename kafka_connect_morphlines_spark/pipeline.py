@@ -84,17 +84,42 @@ class PipelineMetrics:
     #: (metric_name, Observation) registered since the last flush
     pending: list = field(default_factory=list)
 
+    @staticmethod
+    def _resolved(obs) -> bool:
+        """True iff the Observation's frame has completed an action, so
+        ``obs.get`` returns immediately.  ``Observation.get`` BLOCKS until
+        the first action on the observed frame — flushing an observation
+        whose plan never ran would hang the caller forever (e.g. a
+        foreachBatch thread flushing per micro-batch while a second,
+        never-acted-on pipeline application is pending).  The JVM
+        Observation exposes the non-blocking ``getRowOrEmpty`` Option
+        accessor; an Observation never attached via ``df.observe`` has no
+        JVM peer yet and is likewise unresolved."""
+        jo = getattr(obs, "_jo", None)
+        if jo is None:
+            return False
+        try:
+            return not jo.getRowOrEmpty().isEmpty()
+        except Exception:  # pragma: no cover - e.g. Connect-mode Observation
+            return False
+
     def flush(self, morphline_id: str = "") -> list[str]:
-        """Append pending observations to per-metric CSV files; returns the
-        written paths.  Call AFTER the action that ran the pipeline (an
-        Observation blocks until its frame has been acted on)."""
+        """Append RESOLVED pending observations to per-metric CSV files;
+        returns the written paths.  Call after the action that ran the
+        pipeline.  Observations whose frame has not been acted on yet stay
+        pending (they drain on a later flush) instead of blocking — so a
+        pre-action flush, or a sink that performs no Spark action, is a
+        safe no-op rather than a deadlock."""
         import csv
         import os
         import time as _time
 
+        ready = [(n, o) for n, o in self.pending if self._resolved(o)]
+        if not ready:
+            return []
         os.makedirs(self.csv_dir, exist_ok=True)
         written = []
-        for name, obs in self.pending:
+        for name, obs in ready:
             path = os.path.join(self.csv_dir, f"{name}.csv")
             fresh = not os.path.exists(path)
             with open(path, "a", newline="") as fh:
@@ -105,7 +130,8 @@ class PipelineMetrics:
                 for key, value in obs.get.items():
                     w.writerow([ts, morphline_id or self.morphline_id, name, key, value])
             written.append(path)
-        self.pending.clear()
+        drained = {id(o) for _, o in ready}
+        self.pending = [(n, o) for n, o in self.pending if id(o) not in drained]
         return written
 
 

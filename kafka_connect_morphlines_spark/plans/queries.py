@@ -7605,8 +7605,12 @@ def icws_weighted_near_dupes(spark, sf_dir):
     guard, exact agreement threshold.  Approximate by nature (no SQL
     oracle); pytest pins the
     J_w-estimation property and rerun determinism — the signatures are
-    fully derandomized (md5-derived Gamma/Uniform draws), so the output
-    is stable across runs and engines."""
+    fully derandomized (xxhash64-pair-derived Gamma/Uniform draws,
+    dedup.py icws_signatures), so the output is stable across reruns in
+    this engine.  NOTE: the r07 switch from md5 to xxhash64 draws changed
+    the drawn hash functions, so the rows-only baseline pair count moved
+    1089 -> 2758 at sf0.01 — an intentional re-randomization, not a
+    semantics change (the J_w estimator property is unchanged)."""
     from kafka_connect_morphlines_spark.functions import dedup, ensure_parallelism
 
     docs = ensure_parallelism(t(spark, sf_dir, "documents"))
@@ -8161,19 +8165,44 @@ def gumbel_stratified_sample(spark, sf_dir):
     """
     WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
     weighted AS (
-      SELECT source, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w
+      SELECT source, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w
       FROM counts
     ),
-    tot AS (SELECT sum(w) AS t FROM weighted),
-    shares AS (
-      SELECT source, CAST(200 AS BIGINT) * w // t AS base, CAST(200 AS BIGINT) * w % t AS rem
-      FROM weighted, tot
+    staged AS (
+      SELECT source, n, w,
+             row_number() OVER (ORDER BY n, source) AS idx,
+             CAST(200 AS BIGINT)
+               - COALESCE(sum(n) OVER (ORDER BY n, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a,
+             sum(w) OVER (ORDER BY n, source
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS b
+      FROM weighted
+    ),
+    flagged AS (
+      SELECT *, (CAST(a AS HUGEINT) * w <= CAST(n AS HUGEINT) * b) AS ok FROM staged
+    ),
+    level AS (SELECT min(CASE WHEN ok THEN idx END) AS istar FROM flagged),
+    params AS (
+      SELECT f.a AS a_s, f.b AS b_s FROM flagged f, level l WHERE f.idx = l.istar
+    ),
+    alloc AS (
+      SELECT f.source,
+             (l.istar IS NULL OR f.idx < l.istar) AS sat,
+             CASE WHEN (l.istar IS NULL OR f.idx < l.istar) THEN f.n
+                  ELSE CAST((CAST(p.a_s AS HUGEINT) * f.w) // p.b_s AS BIGINT) END AS base,
+             CASE WHEN (l.istar IS NULL OR f.idx < l.istar) THEN CAST(-1 AS HUGEINT)
+                  ELSE (CAST(p.a_s AS HUGEINT) * f.w) % p.b_s END AS rem
+      FROM flagged f CROSS JOIN level l LEFT JOIN params p ON TRUE
     ),
     quotas AS (
       SELECT source,
-             CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
-                         <= 200 - (SELECT sum(base) FROM shares) THEN 1 ELSE 0 END AS BIGINT) AS quota
-      FROM shares
+             CAST(base + CASE WHEN NOT sat
+                          AND row_number() OVER (ORDER BY sat ASC, rem DESC, source)
+                          <= (SELECT COALESCE(max(a_s), 0) FROM params)
+                             - (SELECT sum(CASE WHEN NOT sat THEN base ELSE 0 END) FROM alloc)
+                          THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM alloc
     ),
     ranked AS (
       SELECT source, doc_id,
@@ -8190,11 +8219,15 @@ def gumbel_stratified_sample(spark, sf_dir):
 def temperature_quota_sample(spark, sf_dir):
     """Exact-k temperature mixture at alpha=0.5
     (traindata.temperature_quota_sample): 200 slots apportioned across
-    sources proportional to sqrt(n_s) by integer largest-remainder (IEEE
-    sqrt is correctly rounded, everything after is integer — quotas can
-    never flip on a float ulp), each quota filled by the source's
-    md5-order sample.  The multilingual-pretraining mixture sampler as a
-    certifiable operator; new in r07."""
+    sources proportional to sqrt(n_s), CAPPED at each source's row count
+    (r08 water-filling fix — an uncapped quota on a small source used to
+    silently under-fill the sample), remaining slots shared by integer
+    largest-remainder (IEEE sqrt is correctly rounded, everything after
+    is integer — quotas can never flip on a float ulp), each quota filled
+    by the source's md5-order sample.  Bit-identical to plain
+    largest-remainder whenever no cap binds.  The
+    multilingual-pretraining mixture sampler as a certifiable operator;
+    new in r07."""
     from kafka_connect_morphlines_spark.functions import traindata
 
     docs = t(spark, sf_dir, "documents")

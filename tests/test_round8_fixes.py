@@ -1,0 +1,172 @@
+"""Round-8 regression tests (VERDICT.md r07 + driver ADVICE items).
+
+Covers: the PipelineMetrics.flush deadlock (flush before any action, or
+with a never-acted-on second pipeline application, must not block),
+temperature_quota_sample quota overflow on small sources, the
+multiValued reserved-key namespacing, and citation integrity for every
+/root/reference path mentioned in package docstrings.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+PKG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "kafka_connect_morphlines_spark")
+
+
+# ------------------------------------------------------ metrics flush deadlock
+def test_flush_before_action_is_noop_not_deadlock(spark, tmp_path):
+    """ADVICE r07 (medium): Observation.get blocks until the observed frame
+    runs an action; flushing before the action used to hang forever.  Now a
+    pre-action flush returns [] and leaves the observation pending, and the
+    post-action flush drains it."""
+    from kafka_connect_morphlines_spark.pipeline import compile_pipeline
+
+    out = str(tmp_path / "metrics")
+    pipe = compile_pipeline(
+        [
+            {"startReportingMetricsToCSV": {"outputDir": out}},
+            {"observe": {"name": "pending_metric"}},
+        ]
+    )
+    df = spark.createDataFrame([("a",), ("b",)], "v string")
+    result = pipe(df)
+    # No action has run yet — this call used to deadlock on obs.get.
+    assert pipe.flush_metrics() == []
+    assert len(pipe.metrics.pending) == 1  # still pending, not dropped
+    assert result.count() == 2
+    paths = pipe.flush_metrics()
+    assert [p.rsplit("/", 1)[1] for p in paths] == ["pending_metric.csv"]
+    assert pipe.metrics.pending == []
+
+
+def test_flush_drains_only_resolved_observations(spark, tmp_path):
+    """A pipeline applied twice with only one action: the acted-on
+    observation drains; the never-acted one stays pending instead of
+    hanging the flush (the foreachBatch-thread scenario from ADVICE)."""
+    from kafka_connect_morphlines_spark.pipeline import compile_pipeline
+
+    out = str(tmp_path / "metrics")
+    pipe = compile_pipeline(
+        [
+            {"startReportingMetricsToCSV": {"outputDir": out}},
+            {"observe": {"name": "dual_metric"}},
+        ]
+    )
+    acted = pipe(spark.createDataFrame([("x",)], "v string"))
+    pipe(spark.createDataFrame([("y",), ("z",)], "v string"))  # never acted on
+    assert acted.count() == 1
+    paths = pipe.flush_metrics()  # must not block on the un-acted observation
+    assert [p.rsplit("/", 1)[1] for p in paths] == ["dual_metric.csv"]
+    assert len(pipe.metrics.pending) == 1  # the un-acted one survives
+    import csv
+
+    rows = list(csv.reader(open(f"{out}/dual_metric.csv")))
+    assert rows[1][2:] == ["dual_metric", "numRecords", "1"]
+
+
+# ------------------------------------------- temperature quota cap (ADVICE)
+def test_temperature_quota_caps_small_sources_exact_k(spark):
+    """ADVICE r07: sqrt upweighting can assign a small source quota > n_s;
+    the uncapped filter then silently under-filled the sample.  The r08
+    water-filling apportionment caps at n_s and redistributes, keeping the
+    exact-k contract."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    rows = [(i, "big") for i in range(10000)] + [(20000 + i, "tiny") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = traindata.temperature_quota_sample(df, k_total=500).collect()
+    assert len(out) == 500, "exact-k even when a cap binds"
+    by = {}
+    for r in out:
+        by[r["source"]] = by.get(r["source"], 0) + 1
+    assert by == {"big": 496, "tiny": 4}
+    # k >= total rows: every source saturates, the whole table comes back
+    assert traindata.temperature_quota_sample(df, k_total=99999).count() == len(rows)
+
+
+def test_temperature_quota_oracle_parity_with_binding_cap(spark, tmp_path):
+    """The registered DuckDB oracle must replay the cap-aware water-filling
+    exactly, including on a corpus where the cap binds (the driver's sf
+    corpora never trigger it, so pin it here)."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    rows = [(i, "big") for i in range(3000)] + [(90000 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    pq = str(tmp_path / "documents.parquet")
+    df.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    sql = e.oracle_sql()["temperature_quota_sample"]
+    got = traindata.temperature_quota_sample(df, k_total=200, seed="tqs")
+    s = sorted(
+        (r["source"], r["doc_id"], r["grp_rank"], r["quota"]) for r in got.collect()
+    )
+    o = sorted(
+        (r["source"], r["doc_id"], r["grp_rank"], r["quota"])
+        for r in con.execute(sql).fetchdf().to_dict("records")
+    )
+    assert len(s) == 200 and s == o
+
+
+# ------------------------------------------- multiValued reserved-key fix
+def test_multivalued_field_name_not_swallowed(spark):
+    """ADVICE r07: a kite morphline may legitimately assign a field named
+    'multiValued'; the engine option must not eat it.  Non-boolean values
+    are field assignments; boolean stays the option; the namespaced
+    '_multiValued' alias always wins."""
+    from kafka_connect_morphlines_spark.pipeline import compile_pipeline
+
+    df = spark.createDataFrame([("t1",)], "topic string")
+    # string value -> plain field assignment, NOT the option
+    out = compile_pipeline([{"setValues": {"multiValued": "yes", "x": 1}}])(df)
+    row = out.collect()[0]
+    assert row["multiValued"] == "yes" and row["x"] == 1
+
+    # namespaced alias arms the option and never becomes a column
+    out2 = compile_pipeline([{"setValues": {"_multiValued": True, "tags": "a"}}])(df)
+    assert "_multiValued" not in out2.columns
+    assert out2.collect()[0]["tags"] == ["a"]
+
+    # bare boolean keeps the r07 behavior (option, not a field)
+    out3 = compile_pipeline([{"setValues": {"multiValued": True, "tags": "a"}}])(df)
+    assert "multiValued" not in out3.columns
+    assert out3.collect()[0]["tags"] == ["a"]
+
+
+# -------------------------------------------------- citation integrity gate
+def test_all_reference_citations_resolve():
+    """VERDICT r07 'what's wrong' #3: a docstring cited a nonexistent
+    reference file.  Every /root/reference/... path mentioned anywhere in
+    the package must exist on disk, so fabricated citations are impossible."""
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference tree not mounted")
+    ref_basenames = set()
+    for root, _dirs, files in os.walk("/root/reference"):
+        ref_basenames.update(files)
+    pat = re.compile(r"/root/reference/[\w\-./]+")
+    missing = []
+    for root, _dirs, files in os.walk(PKG_DIR):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            text = open(path, encoding="utf-8").read()
+            for m in pat.finditer(text):
+                cited = m.group(0).rstrip(".")
+                if "/.../" in m.group(0):
+                    # `.../Foo.java` elision — the cited basename must exist
+                    # somewhere under the reference tree
+                    base = m.group(0).rsplit("/", 1)[1].rstrip(".")
+                    if base and base not in ref_basenames:
+                        missing.append(f"{path}: {m.group(0)} (basename)")
+                elif not os.path.exists(cited):
+                    missing.append(f"{path}: {cited}")
+    assert not missing, f"citations to nonexistent reference files: {missing}"
