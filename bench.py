@@ -126,6 +126,13 @@ HEADLINE = [
     "mrr_user_rankings",
     "gumbel_stratified_sample",
     "lang_prf_report",
+    # round-7/8 additions (exact-k mixture sampler; certified kmeans twin
+    # is already above)
+    "temperature_quota_sample",
+    "sample_seeded",
+    "multimodal_features",
+    "hll_rolling_distinct_users",
+    "pq_topk_adc",
 ]
 
 
@@ -143,6 +150,10 @@ def main() -> None:
 
     load_table(spark, sf_dir, "region").selectExpr("count(*)").collect()
     spark.sql("SELECT from_json('{\"a\":1}', 'a int')").collect()
+    # warm the Python/Arrow runner too (worker-pool spawn + first Arrow
+    # batch is ~2-3s of session init that would otherwise be billed to
+    # whichever pandas-UDF query happens to run first)
+    spark.range(100).mapInPandas(lambda it: it, "id long").collect()
 
     # Four passes per query: the first pays one-time whole-stage-codegen/JIT
     # compilation (measured on this host at 20-40s under contention vs ~1s

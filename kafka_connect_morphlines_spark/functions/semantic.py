@@ -270,9 +270,12 @@ def kmeans_fit_int(
 ) -> list[list[int]]:
     """Integer-lattice Lloyd fit; returns k integer centroids (id = index).
 
-    Init = the k md5-order seed vectors (quantized); per iteration one
-    Arrow-batched exact-int argmin assignment + one groupBy carrying d
-    integer sums; the driver sees k x (d+1) numbers per round.  Empty
+    Init = the k md5-order seed vectors (quantized); per iteration ONE
+    Arrow-batched mapInPandas pass does the exact-int argmin assignment
+    AND the per-batch partial sums (long-format (centroid, j, s) rows),
+    so the only shuffle is k x (d+1) x n_batches tiny rows through a
+    3-column groupBy whose plan shape never changes across iterations;
+    the driver sees k x (d+1) numbers per round.  Empty
     clusters keep their previous centroid.  Centroid update
     ``floor(sum/n)`` is computed as floor of the DOUBLE quotient — exact
     ints below 2^53 divide to a correctly-rounded double that can only
@@ -296,64 +299,68 @@ def kmeans_fit_int(
     cents = [
         [int(math.floor(float(v) * scale + 0.5)) for v in r["_v"]] for r in seeds
     ]
-    src = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
+    src = ensure_parallelism(df.select(F.col(vec_col)))
     if not src.isStreaming:
-        src = src.localCheckpoint()  # n_iter+1 assignment passes re-read it
+        src = src.localCheckpoint()  # n_iter assignment passes re-read it
 
     for _ in range(n_iter):
-        assigned = _assign_int(src, cents, scale, vec_col)
-        rows = assigned.groupBy("centroid").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(_xq_col(vec_col, j, scale)).alias(f"s{j}") for j in range(dim)],
-        ).collect()
-        by_id = {int(r["centroid"]): r for r in rows}
+        # One Arrow pass per iteration: assignment AND per-batch partial
+        # sums in the same mapInPandas (r08 — replaces a scalar-UDF argmin
+        # followed by a 64-column-wide codegen aggregate whose compile
+        # dominated the cold run and whose full-width shuffle dominated the
+        # warm run).  Each batch emits <= k x (d+1) long-format rows
+        # (centroid, j, s): j = -1 carries the count, j >= 0 the dim-j
+        # quantized sum.  int64 partial sums of lattice ints are exact and
+        # order-independent, so the result is bit-identical to the wide
+        # aggregate the oracle replays; the downstream groupBy is over
+        # k x (d+1) x n_batches tiny rows with a 3-column plan whose shape
+        # (and codegen) is identical every iteration.
+        books = np.asarray(cents, dtype=np.int64)
+
+        def partial_sums(batches, _books=books):
+            bf = _books.astype(np.float64)
+            b2 = (bf * bf).sum(1)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                xq = np.floor(v * scale + 0.5)  # integer-valued float64
+                # expanded L2 via BLAS: every term is an integer < 2^53,
+                # so the float64 matmul is EXACT (same argmin as int math)
+                d2 = (xq * xq).sum(1)[:, None] - 2.0 * (xq @ bf.T) + b2[None, :]
+                best = d2.argmin(axis=1)
+                out_c, out_j, out_s = [], [], []
+                for cid in np.unique(best):
+                    members = xq[best == cid]
+                    out_c.append(int(cid)); out_j.append(-1)
+                    out_s.append(int(members.shape[0]))
+                    sums = members.astype(np.int64).sum(axis=0)
+                    out_c.extend([int(cid)] * len(sums))
+                    out_j.extend(range(len(sums)))
+                    out_s.extend(int(s) for s in sums)
+                yield pd.DataFrame({"centroid": pd.Series(out_c, dtype="int32"),
+                                    "j": pd.Series(out_j, dtype="int32"),
+                                    "s": pd.Series(out_s, dtype="int64")})
+
+        rows = (
+            src.mapInPandas(partial_sums, "centroid int, j int, s long")
+            .groupBy("centroid", "j")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )
+        stats: dict[int, dict[int, int]] = {}
+        for r in rows:
+            stats.setdefault(int(r["centroid"]), {})[int(r["j"])] = int(r["s"])
         nxt = []
         for cid, old in enumerate(cents):
-            r = by_id.get(cid)
-            if r is None or r["n"] == 0:
+            got = stats.get(cid)
+            if not got or got.get(-1, 0) == 0:
                 nxt.append(old)
             else:
-                n = int(r["n"])
-                nxt.append([int(math.floor(int(r[f"s{j}"]) / n)) for j in range(dim)])
+                n = got[-1]
+                nxt.append([int(math.floor(got[j] / n)) for j in range(dim)])
         cents = nxt
     return cents
-
-
-def _xq_col(vec_col: str, j: int, scale: int):
-    """Quantized dimension j as a codegen expression — identical values to
-    the UDF's numpy floor (same doubles, same floor)."""
-    return F.floor(
-        F.element_at(F.col(vec_col), j + 1).cast("double") * scale + F.lit(0.5)
-    ).cast("long")
-
-
-def _assign_int(
-    df: DataFrame, cents: list[list[int]], scale: int, vec_col: str
-) -> DataFrame:
-    """Add (centroid): exact-integer nearest centroid, ties -> lowest
-    centroid id.  One Arrow pass, map-only; only the int32 label comes
-    back through Arrow (quantized values are recomputed JVM-side by
-    _xq_col where aggregates need them — shipping the 64-long array per
-    row measured 2.5x slower)."""
-    import numpy as np
-    import pandas as pd
-
-    books = np.asarray(cents, dtype=np.int64)  # (k, d)
-
-    @F.pandas_udf("int")
-    def assign(series):
-        if series.empty:
-            return pd.Series([], dtype="int32")
-        v = np.stack(series.to_numpy()).astype(np.float64)
-        xq = np.floor(v * scale + 0.5)  # integer-valued float64
-        # expanded L2 via BLAS: every term is an integer < 2^53, so the
-        # float64 matmul is EXACT and argmin matches the naive int path
-        # (the (n,k,d) diff temp it replaces was allocation-bound)
-        bf = books.astype(np.float64)
-        d2 = (xq * xq).sum(1)[:, None] - 2.0 * (xq @ bf.T) + (bf * bf).sum(1)[None, :]
-        return pd.Series(d2.argmin(axis=1).astype("int32"))
-
-    return df.withColumn("centroid", assign(F.col(vec_col)))
 
 
 def kmeans_stats_int(
@@ -363,36 +370,48 @@ def kmeans_stats_int(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Per-cluster (centroid, cluster_size, mean_sq_dist): ONE Arrow pass
-    returns (nearest centroid, its exact integer d2) per row — the argmin
-    already computed the distances, so stats ride along for free — then a
-    tiny aggregate with one double division at the end (round 6 — no
-    exact decimal ties exist for denominators <= |cluster|, so all
+    emits per-batch (centroid, j, s) partials in the SAME long-format
+    schema as the fit iterations (j = -1 count, j = -2 exact integer d2
+    sum — the argmin already computed every distance), so the expensive
+    mapInPandas -> groupBy(c, j) stage reuses the codegen compiled during
+    the fit; a k-row pivot with one double division finishes it (round 6
+    — no exact decimal ties exist for denominators <= |cluster|, so all
     engines round identically)."""
     import numpy as np
     import pandas as pd
 
     books = np.asarray(cents, dtype=np.int64)
 
-    @F.pandas_udf("struct<centroid:int, d2:long>")
-    def assign_d2(series):
-        if series.empty:
-            return pd.DataFrame({"centroid": pd.Series([], dtype="int32"), "d2": pd.Series([], dtype="int64")})
-        v = np.stack(series.to_numpy()).astype(np.float64)
-        xq = np.floor(v * scale + 0.5)
+    def partial_stats(batches):
         bf = books.astype(np.float64)
-        d2 = (xq * xq).sum(1)[:, None] - 2.0 * (xq @ bf.T) + (bf * bf).sum(1)[None, :]
-        best = d2.argmin(axis=1)
-        return pd.DataFrame({
-            "centroid": best.astype("int32"),
-            "d2": d2[np.arange(len(best)), best].astype("int64"),
-        })
+        b2 = (bf * bf).sum(1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xq = np.floor(v * scale + 0.5)
+            d2 = (xq * xq).sum(1)[:, None] - 2.0 * (xq @ bf.T) + b2[None, :]
+            best = d2.argmin(axis=1)
+            dbest = d2[np.arange(len(best)), best].astype(np.int64)
+            out_c, out_j, out_s = [], [], []
+            for cid in np.unique(best):
+                mask = best == cid
+                out_c.extend([int(cid), int(cid)])
+                out_j.extend([-1, -2])
+                out_s.extend([int(mask.sum()), int(dbest[mask].sum())])
+            yield pd.DataFrame({"centroid": pd.Series(out_c, dtype="int32"),
+                                "j": pd.Series(out_j, dtype="int32"),
+                                "s": pd.Series(out_s, dtype="int64")})
 
-    assigned = ensure_parallelism(df).select(assign_d2(F.col(vec_col)).alias("_a"))
-    return (
-        assigned.select(F.col("_a.centroid").alias("centroid"), F.col("_a.d2").alias("_d2"))
-        .groupBy("centroid")
-        .agg(
-            F.count(F.lit(1)).alias("cluster_size"),
-            F.round(F.sum("_d2").cast("double") / F.count(F.lit(1)), 6).alias("mean_sq_dist"),
-        )
+    partials = (
+        ensure_parallelism(df.select(F.col(vec_col)))
+        .mapInPandas(partial_stats, "centroid int, j int, s long")
+        .groupBy("centroid", "j")
+        .agg(F.sum("s").alias("s"))
+    )
+    n = F.max(F.when(F.col("j") == -1, F.col("s")))
+    d2sum = F.max(F.when(F.col("j") == -2, F.col("s")))
+    return partials.groupBy("centroid").agg(
+        n.alias("cluster_size"),
+        F.round(d2sum.cast("double") / n, 6).alias("mean_sq_dist"),
     )
