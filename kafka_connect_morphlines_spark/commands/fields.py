@@ -411,32 +411,49 @@ def decode_base64(config, ctx):
 
 @command("findReplace")
 def find_replace(config, ctx):
-    """Literal or regex find/replace (kite findReplace)."""
+    """Literal or regex find/replace (kite findReplace).
+
+    Multimap parity (r08): on an ArrayType field the replacement maps over
+    every element — the reference's Record is a String -> List multimap, so
+    kite findReplace rewrites EACH value in the field's list.  Previously an
+    array input was stringified whole (silent wrong result)."""
     fld = config.get("field")
     pattern = str(config.get("pattern", config.get("find", "")))
     replacement = str(config.get("replacement", config.get("replace", "")))
     is_regex = config.get("isRegex", "pattern" in config)
     replace_first = config.get("replaceFirst", False)
-    col = colref(fld).cast("string")
     pat = pattern if is_regex else re.escape(pattern)
-    if replace_first:
-        # prefix = longest run before the first match; group refs unsupported here
-        prefix = F.regexp_extract(col, f"(?s)^((?:(?!{pat}).)*)", 1)
-        matched = F.regexp_extract(col, f"(?s)^(?:(?!{pat}).)*({pat})", 1)
-        suffix = col.substr(F.length(prefix) + F.length(matched) + F.lit(1), F.lit(2147483647))
-        out = F.when(col.rlike(pat), F.concat(prefix, F.lit(replacement), suffix)).otherwise(col)
-    else:
-        out = F.regexp_replace(col, pat, replacement)
+
+    def replaced(col: Column) -> Column:
+        col = col.cast("string")
+        if replace_first:
+            # prefix = longest run before the first match; group refs unsupported here
+            prefix = F.regexp_extract(col, f"(?s)^((?:(?!{pat}).)*)", 1)
+            matched = F.regexp_extract(col, f"(?s)^(?:(?!{pat}).)*({pat})", 1)
+            suffix = col.substr(F.length(prefix) + F.length(matched) + F.lit(1), F.lit(2147483647))
+            return F.when(col.rlike(pat), F.concat(prefix, F.lit(replacement), suffix)).otherwise(col)
+        return F.regexp_replace(col, pat, replacement)
 
     def transform(df: DataFrame) -> DataFrame:
-        return df.withColumn(fld, out)
+        dtype = next((f.dataType for f in df.schema.fields if f.name == fld), None)
+        if isinstance(dtype, T.ArrayType):
+            return df.withColumn(fld, F.transform(colref(fld), replaced))
+        return df.withColumn(fld, replaced(colref(fld)))
 
     return transform
 
 
 @command("split")
 def split_cmd(config, ctx):
-    """Split a string field by separator into a list or numbered fields."""
+    """Split a string field by separator into a list or numbered fields.
+
+    Multimap parity (r08): an ArrayType input splits EACH element and
+    flattens the results into one list — kite split iterates the field's
+    value list and appends every piece to the output list.  ``outputFields``
+    (positional extraction) is undefined on a multi-valued input and raises
+    a clear PipelineSpecError instead of silently picking an element."""
+    from kafka_connect_morphlines_spark.pipeline import PipelineSpecError
+
     in_fld = config.get("inputField")
     sep = str(config.get("separator", ","))
     is_regex = config.get("isRegex", False)
@@ -446,13 +463,29 @@ def split_cmd(config, ctx):
     out_fld = config.get("outputField")
     out_fields = config.get("outputFields")
     pat = sep if is_regex else re.escape(sep)
-    arr = F.split(colref(in_fld).cast("string"), pat, limit)
-    if do_trim:
-        arr = F.transform(arr, lambda x: F.trim(x))
-    if not add_empty:
-        arr = F.filter(arr, lambda x: x != "")
+
+    def split_one(col: Column) -> Column:
+        arr = F.split(col.cast("string"), pat, limit)
+        if do_trim:
+            arr = F.transform(arr, lambda x: F.trim(x))
+        if not add_empty:
+            arr = F.filter(arr, lambda x: x != "")
+        return arr
 
     def transform(df: DataFrame) -> DataFrame:
+        dtype = next((f.dataType for f in df.schema.fields if f.name == in_fld), None)
+        if isinstance(dtype, T.ArrayType):
+            if out_fields:
+                raise PipelineSpecError(
+                    f"split: outputFields (positional extraction) is undefined on "
+                    f"the multi-valued (ArrayType) field {in_fld!r} — each element "
+                    f"splits into its own list.  Use outputField to collect the "
+                    f"flattened pieces, or explode the field first."
+                )
+            return df.withColumn(
+                out_fld or in_fld, F.flatten(F.transform(colref(in_fld), split_one))
+            )
+        arr = split_one(colref(in_fld))
         if out_fields:
             for i, name in enumerate(out_fields):
                 if name:

@@ -303,15 +303,42 @@ def _noop(config, ctx):
 for _name in ("logTrace", "logDebug", "logInfo", "logWarn", "logError"):
     command(_name)(_noop)
 
-# Metrics reporters.  JMX/SLF4J/JVM registration stay no-ops (the Spark UI
-# and its own metrics system supersede Codahale there); CSV is implemented
-# for real — see startReportingMetricsToCSV below.
+# JMX/JVM metrics registration stay no-ops BY DESIGN: Spark already
+# publishes executor/driver JVM metrics and per-query metrics through its
+# own MetricsSystem (JMX sink available via metrics.properties) and the
+# Spark UI — re-registering Codahale JVM gauges inside a pipeline would
+# duplicate what the engine exports natively.  SLF4J and CSV are
+# implemented for real below.
 for _name in (
-    "startReportingMetricsToSLF4J",
     "startReportingMetricsToJMX",
     "registerJVMMetrics",
 ):
     command(_name)(_noop)
+
+
+@command("startReportingMetricsToSLF4J")
+def start_reporting_metrics_to_slf4j(config, ctx):
+    """Kite ``startReportingMetricsToSLF4J { logger : "..." }`` (available
+    to every reference pipeline via the org.kitesdk.** wildcard,
+    config/cloudsolr.conf:18): arms logger metrics reporting for the rest
+    of the chain.  Downstream ``observe`` commands register Observations
+    and ``Pipeline.flush_metrics()`` logs one Codahale-Slf4jReporter-style
+    line per (metric, key) — ``type=GAUGE, name=<id>.<metric>.<key>,
+    value=<v>`` — per action rather than per interval (same per-action
+    contract as the CSV reporter).  Composes with
+    startReportingMetricsToCSV: both sinks drain on the same flush."""
+    from kafka_connect_morphlines_spark.pipeline import PipelineMetrics
+
+    logger_name = str(config.get("logger", config.get("_value", "metrics")))
+    if ctx.metrics is None:
+        ctx.metrics = PipelineMetrics(logger_name=logger_name)
+    else:
+        ctx.metrics.logger_name = logger_name
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df
+
+    return transform
 
 
 @command("startReportingMetricsToCSV")
@@ -329,7 +356,10 @@ def start_reporting_metrics_to_csv(config, ctx):
     out_dir = config.get("outputDir", config.get("_value"))
     if not out_dir:
         raise PipelineSpecError("startReportingMetricsToCSV needs outputDir")
-    ctx.metrics = PipelineMetrics(csv_dir=str(out_dir))
+    if ctx.metrics is None:
+        ctx.metrics = PipelineMetrics(csv_dir=str(out_dir))
+    else:  # compose with an earlier SLF4J reporter: one flush, both sinks
+        ctx.metrics.csv_dir = str(out_dir)
 
     def transform(df: DataFrame) -> DataFrame:
         return df

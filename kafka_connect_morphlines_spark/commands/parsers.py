@@ -280,6 +280,18 @@ def extract_json_paths(config, ctx):
 
     def transform(df: DataFrame) -> DataFrame:
         dtype = {f.name: f.dataType for f in df.schema.fields}.get(in_fld)
+        if isinstance(dtype, T.ArrayType):
+            # Multimap fence (r08): a multi-valued JSON field would need each
+            # output to become a list of extractions — unsupported; fail
+            # loudly instead of stringifying the array (silent garbage).
+            from kafka_connect_morphlines_spark.pipeline import PipelineSpecError
+
+            raise PipelineSpecError(
+                f"extractJsonPaths: inputField {in_fld!r} is multi-valued "
+                f"(ArrayType) — per-element extraction is not supported; "
+                f"explode the field first (separateAttachments) or extract "
+                f"before the field becomes a list."
+            )
         src = colref(in_fld)
         assignments = {}
         for out, path in paths.items():

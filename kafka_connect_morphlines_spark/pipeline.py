@@ -79,7 +79,10 @@ class PipelineMetrics:
     ``progress.observedMetrics`` per micro-batch (see streaming.runner).
     """
 
-    csv_dir: str
+    #: CSV output dir (startReportingMetricsToCSV); None = CSV not armed
+    csv_dir: str | None = None
+    #: SLF4J-analog logger name (startReportingMetricsToSLF4J); None = off
+    logger_name: str | None = None
     morphline_id: str = ""
     #: (metric_name, Observation) registered since the last flush
     pending: list = field(default_factory=list)
@@ -104,32 +107,47 @@ class PipelineMetrics:
             return False
 
     def flush(self, morphline_id: str = "") -> list[str]:
-        """Append RESOLVED pending observations to per-metric CSV files;
-        returns the written paths.  Call after the action that ran the
-        pipeline.  Observations whose frame has not been acted on yet stay
-        pending (they drain on a later flush) instead of blocking — so a
-        pre-action flush, or a sink that performs no Spark action, is a
-        safe no-op rather than a deadlock."""
+        """Drain RESOLVED pending observations to the armed sinks (CSV
+        files and/or the SLF4J-analog logger); returns the written CSV
+        paths.  Call after the action that ran the pipeline.  Observations
+        whose frame has not been acted on yet stay pending (they drain on
+        a later flush) instead of blocking — so a pre-action flush, or a
+        sink that performs no Spark action, is a safe no-op rather than a
+        deadlock."""
         import csv
+        import logging
         import os
         import time as _time
 
         ready = [(n, o) for n, o in self.pending if self._resolved(o)]
         if not ready:
             return []
-        os.makedirs(self.csv_dir, exist_ok=True)
+        mid = morphline_id or self.morphline_id
+        log = logging.getLogger(self.logger_name) if self.logger_name else None
         written = []
+        if self.csv_dir:
+            os.makedirs(self.csv_dir, exist_ok=True)
         for name, obs in ready:
-            path = os.path.join(self.csv_dir, f"{name}.csv")
-            fresh = not os.path.exists(path)
-            with open(path, "a", newline="") as fh:
-                w = csv.writer(fh)
-                if fresh:
-                    w.writerow(["ts", "morphline_id", "metric", "key", "value"])
-                ts = int(_time.time())
-                for key, value in obs.get.items():
-                    w.writerow([ts, morphline_id or self.morphline_id, name, key, value])
-            written.append(path)
+            ts = int(_time.time())
+            values = obs.get.items()
+            if self.csv_dir:
+                path = os.path.join(self.csv_dir, f"{name}.csv")
+                fresh = not os.path.exists(path)
+                with open(path, "a", newline="") as fh:
+                    w = csv.writer(fh)
+                    if fresh:
+                        w.writerow(["ts", "morphline_id", "metric", "key", "value"])
+                    for key, value in values:
+                        w.writerow([ts, mid, name, key, value])
+                written.append(path)
+            if log is not None:
+                # Codahale Slf4jReporter line layout: type=GAUGE, name=..., value=...
+                for key, value in values:
+                    log.info(
+                        "type=GAUGE, name=%s, value=%s",
+                        ".".join(p for p in (mid, name, key) if p),
+                        value,
+                    )
         drained = {id(o) for _, o in ready}
         self.pending = [(n, o) for n, o in self.pending if id(o) not in drained]
         return written
