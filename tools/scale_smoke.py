@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window, functions as F  # noqa: E402
 
 from kafka_connect_morphlines_spark import compile_pipeline, get_spark  # noqa: E402
-from kafka_connect_morphlines_spark.functions import bloom, dedup, dsir, evalmetrics, funnel, pq, relational, retrieval, semantic, similarity, sketches, temporal, textclean, textstats, traindata, validation, web, winnow  # noqa: E402
+from kafka_connect_morphlines_spark.functions import bloom, dedup, dsir, evalmetrics, funnel, multimodal, pq, relational, retrieval, semantic, similarity, sketches, temporal, textclean, textstats, traindata, validation, web, winnow  # noqa: E402
 
 
 def main() -> None:
@@ -456,6 +456,33 @@ def main() -> None:
         "simhash_md5_200k": run(
             "simhash_md5_200k",
             lambda: dedup.simhash_near_dupes(docs, bits=48, max_hamming=3, token_hash="md5"),
+        ),
+        # r08 straggler smokes (verdict #9): deterministic md5-keyed sample
+        # (map-only filter), multimodal Arrow decode plumbing (mapInPandas
+        # over binary payloads), quantized-lattice Lloyd fit + stats
+        "sample_seeded_20m": run(
+            "sample_seeded_20m",
+            lambda: compile_pipeline(
+                [{"sample": {"probability": 0.1, "seed": 42, "deterministic": True,
+                             "keyField": "event_id"}}]
+            )(events.select("event_id", "event_type")),
+        ),
+        "multimodal_features_200k": run(
+            "multimodal_features_200k",
+            lambda: multimodal.extract_features(
+                docs.select(
+                    F.col("doc_id").alias("media_id"),
+                    F.lit("image/fake").alias("mime"),
+                    F.encode(F.col("text"), "UTF-8").alias("payload"),
+                )
+            ),
+        ),
+        "kmeans_int_100k": run(
+            "kmeans_int_100k",
+            lambda: semantic.kmeans_stats_int(
+                vecs.withColumnRenamed("vec_id", "vec_id"),
+                semantic.kmeans_fit_int(vecs, k=8, n_iter=3, id_col="vec_id"),
+            ),
         ),
     }
     print(json.dumps(results))
