@@ -133,6 +133,8 @@ HEADLINE = [
     "multimodal_features",
     "hll_rolling_distinct_users",
     "pq_topk_adc",
+    "cdc_chunk_stats",
+    "source_overlap_matrix",
 ]
 
 

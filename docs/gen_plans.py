@@ -112,6 +112,8 @@ NAMES = [
     "lang_prf_report",
     "kmeans_cluster_stats",
     "temperature_quota_sample",
+    "cdc_chunk_stats",
+    "source_overlap_matrix",
 ]
 
 

@@ -744,3 +744,88 @@ def icws_near_dupes(
         .filter(F.col("agree") >= min_agree)
         .orderBy("id_a", "id_b")
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking over tokens (the rsync/LBFS rolling-boundary
+    idea applied to text): a chunk boundary falls BEFORE token i whenever
+    the hash of the trailing 3-token window (t_{i-2}, t_{i-1}, t_i) is
+    0 mod ``divisor`` — so boundaries are a pure function of local CONTENT,
+    and inserting or deleting a paragraph shifts chunk frames only within
+    ~divisor tokens of the edit instead of re-framing the whole document
+    (what fixed-width chunking does).  Chunk-hash dedup across a corpus
+    therefore finds shared shifted content that exact-dedup (whole doc) and
+    fixed-window chunking both miss.
+
+    Output: one row per chunk — (id_col, chunk_id, n_tokens, chunk_hash)
+    with chunk_id 0-based in token order and chunk_hash = md5 of the
+    space-joined chunk tokens.  Mean chunk length ~ divisor tokens.
+
+    Determinism/portability: the boundary hash is the md5 60-bit idiom
+    (CAST('0x'||substr(md5(w),1,15) AS BIGINT) in DuckDB), so a SQL oracle
+    replays framing and hashes exactly.
+
+    100 TB shape: posexplode to token rows, two windows partitioned by
+    document (lag + running boundary count), one groupBy(doc, chunk) whose
+    sort_array(collect_list) is bounded by chunk length (~divisor) — all
+    shuffles are document-keyed, no cross-document joins.
+    """
+    from pyspark.sql import Window
+
+    from kafka_connect_morphlines_spark.functions.textstats import tokens_codegen
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_codegen(F.col(text_col))).alias("_pos", "_t"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    trailing = F.concat_ws("|", F.lag("_t", 2).over(w), F.lag("_t", 1).over(w), F.col("_t"))
+    h = F.conv(F.substring(F.md5(trailing), 1, 15), 16, 10).cast("long")
+    boundary = (
+        F.when(F.col("_pos") == 0, F.lit(1))
+        .when((F.col("_pos") >= 2) & (h % divisor == 0), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    flagged = toks.withColumn("_b", boundary).withColumn(
+        "chunk_id",
+        F.sum("_b").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1,
+    )
+    chunk_toks = F.transform(
+        F.array_sort(F.collect_list(F.struct("_pos", "_t"))), lambda s: s["_t"]
+    )
+    return flagged.groupBy(id_col, "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(F.array_join(chunk_toks, " ")).alias("chunk_hash"),
+    )
+
+
+def cdc_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    divisor: int = 16,
+) -> DataFrame:
+    """Per-source chunk-level dedup audit over content-defined chunks:
+    (source, n_chunks, n_distinct_chunks, dup_chunk_ratio) — the fraction
+    of chunk occurrences whose content already occurred in the same source
+    (the storage/compute saving chunk-level dedup would realize; near-1
+    ratios flag template/boilerplate-heavy sources).  One distinct
+    aggregate per source over (chunk_hash); everything document- or
+    hash-keyed."""
+    chunks = cdc_chunks(df, text_col, id_col, divisor).join(
+        df.select(id_col, source_col), id_col
+    )
+    return chunks.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_distinct("chunk_hash").alias("n_distinct_chunks"),
+        F.round(
+            1 - F.count_distinct("chunk_hash").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_chunk_ratio"),
+    )

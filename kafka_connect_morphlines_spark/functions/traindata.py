@@ -1482,3 +1482,59 @@ def phrase_scan(
         ]
     )
     return wide.select(F.explode(rows).alias("r")).select("r.phrase", "r.n_docs", "r.n_occurrences")
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix: for every source pair, the count
+    of distinct word n-grams they share and the gram-set Jaccard — the
+    dataset-card "how much does subset A leak into subset B" audit (the
+    pairwise generalization of decontaminate(), which checks one corpus
+    against one benchmark).  Includes zero-overlap pairs, so the output is
+    the full upper triangle: (src_a, src_b, grams_a, grams_b, shared,
+    jaccard), m*(m-1)/2 rows.
+
+    Grams are compared as the portable md5 60-bit hash (the oracle idiom) —
+    the shuffle and the self-join carry longs, never gram text; a collision
+    needs two different grams to agree on 60 bits within one source pair
+    (p ~ |grams|^2 / 2^60, negligible).
+
+    100 TB shape: the gram explode is map-only; distinct and the self-join
+    key on the gram hash, whose cardinality ~ corpus vocabulary — the
+    shuffle spreads over the cluster (never keyed by source, which would
+    put one source per task); per-source totals are m rows broadcast both
+    ways; the zero-pair completion is an m^2 broadcast cross of two m-row
+    aggregates.
+    """
+    grams = word_ngrams_exploded(df.select(source_col, text_col), text_col, source_col, n)
+    g = grams.select(
+        source_col,
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("_g"),
+    ).distinct()
+    if not g.isStreaming:
+        g = g.localCheckpoint()  # three consumers: totals + both join legs
+    totals = g.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        g.select(F.col(source_col).alias("src_a"), "_g")
+        .join(g.select(F.col(source_col).alias("src_b"), "_g"), "_g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ta = totals.select(F.col(source_col).alias("src_a"), F.col("n_grams").alias("grams_a"))
+    tb = totals.select(F.col(source_col).alias("src_b"), F.col("n_grams").alias("grams_b"))
+    pairs = ta.crossJoin(F.broadcast(tb)).filter(F.col("src_a") < F.col("src_b"))
+    out = pairs.join(F.broadcast(shared), ["src_a", "src_b"], "left").withColumn(
+        "shared", F.coalesce(F.col("shared"), F.lit(0))
+    )
+    jacc = F.col("shared").cast("double") / (
+        F.col("grams_a") + F.col("grams_b") - F.col("shared")
+    ).cast("double")
+    return out.select(
+        "src_a", "src_b", "grams_a", "grams_b", "shared", F.round(jacc, 6).alias("jaccard")
+    )

@@ -8358,3 +8358,100 @@ def permutation_test_values(spark, sf_dir):
         ev, F.col("value"), F.col("event_type"), "click", "purchase",
         id_col=F.col("event_id"), b=200,
     )
+
+
+@query(
+    "cdc_chunk_stats",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split(trim(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    tr AS (
+      SELECT doc_id, source, i - 1 AS pos, toks[i] AS t
+      FROM tok, UNNEST(generate_series(1, len(toks))) AS r(i)
+    ),
+    lagged AS (
+      SELECT doc_id, source, pos, t,
+             lag(t, 2) OVER w AS t2, lag(t, 1) OVER w AS t1
+      FROM tr WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    flagged AS (
+      SELECT doc_id, source, pos, t,
+             CASE WHEN pos = 0 THEN 1
+                  WHEN pos >= 2 AND CAST('0x' || substr(md5(
+                         coalesce(t2, '') || '|' || coalesce(t1, '') || '|' || t
+                       ), 1, 15) AS BIGINT) % 16 = 0 THEN 1
+                  ELSE 0 END AS b
+      FROM lagged
+    ),
+    chunked AS (
+      SELECT doc_id, source, pos, t,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS chunk_id
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT doc_id, source, chunk_id,
+             md5(string_agg(t, ' ' ORDER BY pos)) AS chunk_hash
+      FROM chunked GROUP BY doc_id, source, chunk_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT chunk_hash) AS BIGINT) AS n_distinct_chunks,
+           round(1 - CAST(count(DISTINCT chunk_hash) AS DOUBLE) / count(*), 6)
+             AS dup_chunk_ratio
+    FROM chunks GROUP BY source ORDER BY source
+    """,
+)
+def cdc_chunk_stats(spark, sf_dir):
+    """Content-defined-chunking dedup audit (dedup.cdc_dedup_stats, the
+    rsync/LBFS rolling-boundary idea over tokens): chunk boundaries fall
+    where the md5 of the trailing 3-token window is 0 mod 16, so shared
+    SHIFTED content chunks identically in every document containing it;
+    per-source chunk counts, distinct chunk hashes, and the dup ratio
+    chunk-level dedup would reclaim.  New in r08."""
+    from kafka_connect_morphlines_spark.functions import dedup as dd
+
+    docs = t(spark, sf_dir, "documents")
+    return dd.cdc_dedup_stats(docs).orderBy("source")
+
+
+@query(
+    "source_overlap_matrix",
+    """
+    WITH tok AS (
+      SELECT source, list_filter(string_split(trim(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source,
+             CAST('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15) AS BIGINT) AS g
+      FROM tok, UNNEST(generate_series(1, len(toks) - 7)) AS r(i)
+      WHERE len(toks) >= 8
+    ),
+    totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY source),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS shared
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT ta.source AS src_a, tb.source AS src_b,
+           ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+           coalesce(s.shared, 0) AS shared,
+           round(CAST(coalesce(s.shared, 0) AS DOUBLE)
+                 / (ta.n_grams + tb.n_grams - coalesce(s.shared, 0)), 6) AS jaccard
+    FROM totals ta JOIN totals tb ON ta.source < tb.source
+    LEFT JOIN shared s ON s.src_a = ta.source AND s.src_b = tb.source
+    ORDER BY src_a, src_b
+    """,
+)
+def source_overlap_matrix(spark, sf_dir):
+    """Cross-source 8-gram overlap matrix (traindata.source_overlap_matrix):
+    distinct portable-hashed grams per source, hash-keyed self-join for the
+    shared counts, full upper triangle including zero-overlap pairs — the
+    pairwise dataset-card leakage audit.  New in r08."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = t(spark, sf_dir, "documents")
+    return traindata.source_overlap_matrix(docs, n=8).orderBy("src_a", "src_b")

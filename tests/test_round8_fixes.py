@@ -228,6 +228,61 @@ def test_metrics_slf4j_and_csv_compose(spark, tmp_path, caplog):
     assert any("name=both.numRecords, value=2" in r.getMessage() for r in caplog.records)
 
 
+# ---------------------------------------------- CDC chunking (new r08 op)
+def test_cdc_chunks_resync_after_insertion(spark):
+    """The content-defined property: prepending tokens shifts only the
+    chunks near the edit — after the first content boundary the chunk
+    hashes realign (fixed-width chunking would reframe everything)."""
+    from kafka_connect_morphlines_spark.functions import dedup
+
+    base = " ".join(f"tok{(i * 37) % 101}x{i % 13}" for i in range(400))
+    edited = "zzz qqq " + base
+    df = spark.createDataFrame([(1, base), (2, edited)], "doc_id long, text string")
+    out = dedup.cdc_chunks(df, divisor=16).collect()
+    h1 = [r["chunk_hash"] for r in sorted(out, key=lambda r: r["chunk_id"]) if r["doc_id"] == 1]
+    h2 = [r["chunk_hash"] for r in sorted(out, key=lambda r: r["chunk_id"]) if r["doc_id"] == 2]
+    shared = set(h1) & set(h2)
+    # all but the first boundary-straddling chunk(s) must realign
+    assert len(shared) >= len(h1) - 2 and len(h1) > 5
+    # token conservation: chunks partition the token stream
+    n1 = sum(r["n_tokens"] for r in out if r["doc_id"] == 1)
+    assert n1 == 400
+
+
+def test_cdc_chunks_empty_and_boundary_edges(spark):
+    from kafka_connect_morphlines_spark.functions import dedup
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    out = dedup.cdc_chunks(df).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by and 2 not in by  # empty docs emit no chunks
+    assert len(by[3]) == 1 and by[3][0]["n_tokens"] == 1
+
+
+def test_source_overlap_matrix_counts(spark):
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    text_a = " ".join(f"w{i}" for i in range(20))          # grams w0..w12 starts
+    text_b = " ".join(f"w{i}" for i in range(10, 30))       # overlaps w10..w19
+    text_c = " ".join(f"q{i}" for i in range(20))           # disjoint
+    df = spark.createDataFrame(
+        [(1, "A", text_a), (2, "B", text_b), (3, "C", text_c)],
+        "doc_id long, source string, text string",
+    )
+    rows = {(r["src_a"], r["src_b"]): r for r in traindata.source_overlap_matrix(df, n=8).collect()}
+    assert set(rows) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = rows[("A", "B")]
+    # A grams: starts 0..12 of w0..w19 -> 13; shared 8-grams: windows inside
+    # w10..w19 intersect: grams starting at w10,w11,w12 in A == starts 0,1,2 in B
+    assert ab["grams_a"] == 13 and ab["grams_b"] == 13 and ab["shared"] == 3
+    assert rows[("A", "C")]["shared"] == 0 and rows[("A", "C")]["jaccard"] == 0.0
+
+
 # -------------------------------------------------- citation integrity gate
 def test_all_reference_citations_resolve():
     """VERDICT r07 'what's wrong' #3: a docstring cited a nonexistent
