@@ -42,7 +42,7 @@ _ROUND8_PREFIX = [
     "kmeans_cluster_stats", "sample_seeded",
     "multimodal_features", "temperature_quota_sample",
     # ---- slot 12+ : round-8 session additions (local-certified) ----
-    "cdc_chunk_stats", "source_overlap_matrix",
+    "cdc_chunk_stats", "source_overlap_matrix", "chunk_sliding_windows",
 ]
 _ROUND8_RANK = {name: i for i, name in enumerate(_ROUND8_PREFIX)}
 

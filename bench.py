@@ -135,6 +135,7 @@ HEADLINE = [
     "pq_topk_adc",
     "cdc_chunk_stats",
     "source_overlap_matrix",
+    "chunk_sliding_windows",
 ]
 
 

@@ -114,6 +114,7 @@ NAMES = [
     "temperature_quota_sample",
     "cdc_chunk_stats",
     "source_overlap_matrix",
+    "chunk_sliding_windows",
 ]
 
 

@@ -1538,3 +1538,44 @@ def source_overlap_matrix(
     return out.select(
         "src_a", "src_b", "grams_a", "grams_b", "shared", F.round(jacc, 6).alias("jaccard")
     )
+
+
+def sliding_window_chunks(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token windows (RAG / long-context chunk prep): window
+    starts at 0, stride, 2*stride, ...; the final window is the last start
+    < n_tokens, so every token lands in at least one chunk and trailing
+    text keeps window-worth of left context.  stride < window gives
+    (window - stride) tokens of overlap between neighbors — the standard
+    retrieval-chunking recipe; stride == window degrades to
+    :func:`chunk_documents`.
+
+    Output: (id, chunk_id, start_pos, n_tokens, chunk_text), chunk_id
+    0-based.  All codegen: split, explode(sequence), slice, concat —
+    map-only, no shuffle; the 1->ceil(n/stride) fan-out is the same
+    explode shape as chunk_documents.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("sliding_window_chunks requires window > 0 and stride > 0")
+    from kafka_connect_morphlines_spark.functions.textstats import tokens_codegen
+
+    d = df.select(F.col(id_col), tokens_codegen(F.col(text_col)).alias("_w")).filter(
+        F.size("_w") > 0
+    )
+    nchunks = F.ceil(F.size("_w") / F.lit(stride))
+    d = d.select(
+        id_col, "_w", F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("chunk_id")
+    )
+    chunk = F.slice(F.col("_w"), F.col("chunk_id") * stride + 1, window)
+    return d.select(
+        id_col,
+        "chunk_id",
+        (F.col("chunk_id") * stride).alias("start_pos"),
+        F.size(chunk).alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

@@ -8455,3 +8455,40 @@ def source_overlap_matrix(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return traindata.source_overlap_matrix(docs, n=8).orderBy("src_a", "src_b")
+
+
+@query(
+    "chunk_sliding_windows",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x != '') AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, i AS chunk_id, CAST(i * 32 AS BIGINT) AS start_pos,
+             w[i * 32 + 1 : least(i * 32 + 64, len(w))] AS ch
+      FROM tok, UNNEST(generate_series(0, CAST(ceil(len(w) / 32.0) AS BIGINT) - 1)) AS t(i)
+      WHERE len(w) > 0
+    )
+    SELECT doc_id, chunk_id, start_pos, CAST(len(ch) AS BIGINT) AS n_tokens,
+           md5(array_to_string(ch, ' ')) AS chunk_digest
+    FROM c
+    """,
+)
+def chunk_sliding_windows(spark, sf_dir):
+    """Overlapping 64-token windows at stride 32
+    (traindata.sliding_window_chunks) — the RAG retrieval-chunking recipe
+    with half-window overlap; digests keep the compare payload small.
+    New in r08."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    out = traindata.sliding_window_chunks(
+        t(spark, sf_dir, "documents"), window=64, stride=32
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5("chunk_text").alias("chunk_digest"),
+    )

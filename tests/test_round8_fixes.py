@@ -283,6 +283,30 @@ def test_source_overlap_matrix_counts(spark):
     assert rows[("A", "C")]["shared"] == 0 and rows[("A", "C")]["jaccard"] == 0.0
 
 
+# --------------------------------------- sliding-window chunks (new r08 op)
+def test_sliding_window_chunks_overlap_and_coverage(spark):
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        traindata.sliding_window_chunks(df, window=64, stride=32).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["start_pos"] for r in rows] == [0, 32, 64, 96]
+    assert [r["n_tokens"] for r in rows] == [64, 64, 36, 4]
+    c0, c1 = rows[0]["chunk_text"].split(" "), rows[1]["chunk_text"].split(" ")
+    assert c0[32:] == c1[:32]  # half-window overlap
+    # coverage: union of chunks = the token stream
+    seen = set()
+    for r in rows:
+        seen.update(r["chunk_text"].split(" "))
+    assert len(seen) == 100
+
+    with pytest.raises(ValueError):
+        traindata.sliding_window_chunks(df, window=64, stride=0)
+
+
 # -------------------------------------------------- citation integrity gate
 def test_all_reference_citations_resolve():
     """VERDICT r07 'what's wrong' #3: a docstring cited a nonexistent
