@@ -111,3 +111,59 @@ def test_cap_per_group_prefilter_exactness(rows, cap, n_parts):
     assert global_kept <= topcap(local_union) | global_kept
     # stronger: the global top-cap computed over the union equals the true one
     assert topcap(local_union) == global_kept
+
+
+def _waterfill_quota(counts: dict, k: int) -> dict:
+    """Pure-Python mirror of the r08 cap-aware apportionment in
+    traindata.temperature_quota_sample (w = round-half-up micro-sqrt,
+    ascending-n water-filling, integer largest-remainder on the
+    unsaturated suffix)."""
+    w = {s: math.floor(math.sqrt(n) * 1_000_000 + 0.5) for s, n in counts.items()}
+    order = sorted(counts, key=lambda s: (counts[s], s))
+    m = len(order)
+    prefix_n = 0
+    istar = None
+    for i, s in enumerate(order):
+        a = k - prefix_n
+        b = sum(w[t] for t in order[i:])
+        if a * w[s] <= counts[s] * b:
+            istar = i
+            break
+        prefix_n += counts[s]
+    quota = {}
+    if istar is None:
+        return dict(counts)  # k >= total: everything
+    a = k - sum(counts[s] for s in order[:istar])
+    b = sum(w[s] for s in order[istar:])
+    for s in order[:istar]:
+        quota[s] = counts[s]
+    unsat = order[istar:]
+    base = {s: (a * w[s]) // b for s in unsat}
+    rem = {s: (a * w[s]) % b for s in unsat}
+    t = a - sum(base.values())
+    for s in sorted(unsat, key=lambda s: (-rem[s], s))[:t]:
+        base[s] += 1
+    quota.update(base)
+    return quota
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from([f"s{i}" for i in range(8)]),
+        st.integers(min_value=1, max_value=100_000),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=50_000),
+)
+def test_waterfill_quota_exact_k_and_caps(counts, k):
+    """The r08 apportionment contract: quotas never exceed source counts,
+    and they sum to exactly min(k, total rows) for EVERY distribution —
+    including ones where sqrt upweighting pushes small sources over their
+    cap (the r07 defect class)."""
+    q = _waterfill_quota(counts, k)
+    total = sum(counts.values())
+    assert set(q) == set(counts)
+    assert all(0 <= q[s] <= counts[s] for s in counts), (counts, k, q)
+    assert sum(q.values()) == min(k, total), (counts, k, q)

@@ -41,6 +41,12 @@ NO_CARTESIAN = [
     "interleave_sources_order",
     "mrr_user_rankings",
     "rouge_l_pairs",
+    # r08 additions: CDC chunk stats joins source onto chunks; the overlap
+    # matrix self-joins on the gram hash and completes zero pairs via a
+    # broadcast cross of two m-row aggregates (BroadcastNestedLoopJoin ok)
+    "cdc_chunk_stats",
+    "source_overlap_matrix",
+    "temperature_quota_sample",
 ]
 
 
@@ -75,6 +81,9 @@ PRUNING = [
     ("sort_topn_lineitems", "l_comment"),
     ("sample_seeded", "props"),
     ("argmin_supplier_per_nation", "s_comment"),
+    # kmeans must scan ONLY the embedding column (r08 one-pass rework)
+    ("kmeans_cluster_stats", "text"),
+    ("chunk_sliding_windows", "source"),
 ]
 
 
@@ -93,6 +102,9 @@ BROADCAST = [
     ("join_revenue_by_nation", "BroadcastHashJoin"),
     ("shipping_priority_topk", "BroadcastHashJoin"),
     ("interleave_sources_order", "BroadcastHashJoin"),
+    # the m-row quota table must broadcast onto the ranked doc frame
+    ("temperature_quota_sample", "BroadcastHashJoin"),
+    ("cdc_chunk_stats", "BroadcastHashJoin"),
 ]
 
 

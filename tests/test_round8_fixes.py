@@ -307,6 +307,32 @@ def test_sliding_window_chunks_overlap_and_coverage(spark):
         traindata.sliding_window_chunks(df, window=64, stride=0)
 
 
+@pytest.mark.parametrize(
+    "counts,k",
+    [
+        ({"a": 5000, "b": 3, "c": 40}, 300),      # two caps bind in sequence
+        ({"a": 1, "b": 1, "c": 1, "d": 97}, 50),  # tiny sources all saturate
+        ({"a": 10, "b": 10}, 7),                  # no cap binds (plain path)
+    ],
+)
+def test_temperature_quota_matches_python_mirror(spark, counts, k):
+    """The Spark water-filling must agree with the pure-Python mirror the
+    property suite exhausts (test_function_properties.test_waterfill_*)."""
+    from tests.test_function_properties import _waterfill_quota
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    rows, nid = [], 0
+    for s, n in counts.items():
+        for _ in range(n):
+            rows.append((nid, s)); nid += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {}
+    for r in traindata.temperature_quota_sample(df, k_total=k).collect():
+        got[r["source"]] = got.get(r["source"], 0) + 1
+    want = {s: q for s, q in _waterfill_quota(counts, k).items() if q > 0}
+    assert got == want
+
+
 # -------------------------------------------------- citation integrity gate
 def test_all_reference_citations_resolve():
     """VERDICT r07 'what's wrong' #3: a docstring cited a nonexistent
