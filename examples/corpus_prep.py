@@ -142,9 +142,24 @@ def prepare_corpus(
         capped.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
     )
 
+    # the surviving corpus feeds five consumers (two audits + mixture +
+    # cap rejoin + splits) and its lineage carries every dedup stage — cut
+    # it once; it's (doc_id, source, text) for the survivors
+    decontaminated = decontaminated.localCheckpoint()
+
+    # 5c. dataset-card audits on the surviving corpus (pure reporting —
+    #     nothing downstream consumes them): chunk-level redundancy via
+    #     content-defined chunking, and the cross-source n-gram leakage
+    #     matrix (r08 operators)
+    cdc_audit = dedup.cdc_dedup_stats(decontaminated)
+    overlap_audit = traindata.source_overlap_matrix(decontaminated, n=8)
+
     # 6. mixture sampling + LEAKAGE-SAFE split assignment: the split hashes
     #    the near-dup component id (already computed in stage 4), so a doc
-    #    and its surviving near-dup can never straddle train/test
+    #    and its surviving near-dup can never straddle train/test.
+    #    (For an exact-k sqrt-temperature mix across sources use
+    #    traindata.temperature_quota_sample(decontaminated, k_total=...)
+    #    instead of the rate-based mixture.)
     mixed = traindata.mixture_sample(decontaminated, rates={"src0": 0.5}, default_rate=1.0)
     comp_split = traindata.hash_split(
         comps.withColumnRenamed("component", "_comp"),
@@ -161,7 +176,9 @@ def prepare_corpus(
     vocab = traindata.build_vocab(train, vocab_size=vocab_size)
     encoded = traindata.encode_documents(train, vocab)
 
-    # 9. pack into fixed token-budget bins per source shard
+    # 9. pack into fixed token-budget bins per source shard (for RAG-style
+    #    retrieval chunking use traindata.sliding_window_chunks(train,
+    #    window=64, stride=32) instead — overlapping windows, not bins)
     packed = traindata.pack_sequences(train, budget=512)
 
     return {
@@ -169,6 +186,8 @@ def prepare_corpus(
         "gopher_audit": gopher,
         "deduped": deduped,
         "contamination": contam,
+        "cdc_audit": cdc_audit,
+        "overlap_audit": overlap_audit,
         "train_shuffled": shuffled,
         "vocab": vocab,
         "encoded": encoded,

@@ -751,6 +751,7 @@ def cdc_chunks(
     text_col: str = "text",
     id_col: str = "doc_id",
     divisor: int = 16,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Content-defined chunking over tokens (the rsync/LBFS rolling-boundary
     idea applied to text): a chunk boundary falls BEFORE token i whenever
@@ -779,8 +780,10 @@ def cdc_chunks(
 
     from kafka_connect_morphlines_spark.functions.textstats import tokens_codegen
 
+    carry = list(carry_cols or [])
     toks = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.posexplode(tokens_codegen(F.col(text_col))).alias("_pos", "_t"),
     )
     w = Window.partitionBy(id_col).orderBy("_pos")
@@ -798,7 +801,9 @@ def cdc_chunks(
     chunk_toks = F.transform(
         F.array_sort(F.collect_list(F.struct("_pos", "_t"))), lambda s: s["_t"]
     )
-    return flagged.groupBy(id_col, "chunk_id").agg(
+    # carry_cols are constant per document, so grouping by them is free
+    # (same shuffle key prefix) and saves the caller a second scan + join
+    return flagged.groupBy(id_col, *carry, "chunk_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.md5(F.array_join(chunk_toks, " ")).alias("chunk_hash"),
     )
@@ -817,10 +822,9 @@ def cdc_dedup_stats(
     (the storage/compute saving chunk-level dedup would realize; near-1
     ratios flag template/boilerplate-heavy sources).  One distinct
     aggregate per source over (chunk_hash); everything document- or
-    hash-keyed."""
-    chunks = cdc_chunks(df, text_col, id_col, divisor).join(
-        df.select(id_col, source_col), id_col
-    )
+    hash-keyed.  The source column rides the chunk pass (constant per
+    document) — no second scan of the input, no join."""
+    chunks = cdc_chunks(df, text_col, id_col, divisor, carry_cols=[source_col])
     return chunks.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.count_distinct("chunk_hash").alias("n_distinct_chunks"),

@@ -1517,7 +1517,11 @@ def source_overlap_matrix(
         F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("_g"),
     ).distinct()
     if not g.isStreaming:
-        g = g.localCheckpoint()  # three consumers: totals + both join legs
+        # lazy: materializes once on FIRST action, then feeds all three
+        # consumers (totals + both join legs); eager would execute the
+        # caller's entire upstream lineage at BUILD time, which punishes
+        # pipelines that compose this audit but collect it later
+        g = g.localCheckpoint(eager=False)
     totals = g.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_grams"))
     shared = (
         g.select(F.col(source_col).alias("src_a"), "_g")

@@ -212,6 +212,15 @@ def test_corpus_prep_end_to_end(spark):
     # a multi-doc bin may exceed budget only by less than its last doc
     assert over.filter(F.col("tot") > 2 * 512).count() == 0
 
+    # r08 dataset-card audits: CDC dup ratio in [0,1] per source; the
+    # overlap matrix is the full upper triangle with valid Jaccards
+    cdc = out["cdc_audit"].collect()
+    assert cdc and all(0.0 <= r["dup_chunk_ratio"] <= 1.0 for r in cdc)
+    ov = out["overlap_audit"].collect()
+    m = out["cdc_audit"].count()
+    assert len(ov) == m * (m - 1) // 2
+    assert all(0.0 <= r["jaccard"] <= 1.0 and r["src_a"] < r["src_b"] for r in ov)
+
 
 def test_corpus_prep_incremental_and_semantic(spark):
     """The optional stages: bloom incremental dedup drops every re-ingested

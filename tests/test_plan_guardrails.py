@@ -104,7 +104,6 @@ BROADCAST = [
     ("interleave_sources_order", "BroadcastHashJoin"),
     # the m-row quota table must broadcast onto the ranked doc frame
     ("temperature_quota_sample", "BroadcastHashJoin"),
-    ("cdc_chunk_stats", "BroadcastHashJoin"),
 ]
 
 
