@@ -136,6 +136,7 @@ HEADLINE = [
     "cdc_chunk_stats",
     "source_overlap_matrix",
     "chunk_sliding_windows",
+    "detect_mime_type",
 ]
 
 

@@ -115,6 +115,7 @@ NAMES = [
     "cdc_chunk_stats",
     "source_overlap_matrix",
     "chunk_sliding_windows",
+    "detect_mime_type",
 ]
 
 

@@ -342,3 +342,153 @@ def sanitize_unknown_fields(config, ctx):
         return df.select(*[colref(c) for c in keep])
 
     return transform
+
+
+# Magic-byte signature table for detectMimeType: (mime, offset, hex prefix).
+# Checked in order; RIFF containers disambiguate on the format tag at
+# offset 8.  This is the deterministic core of Tika's magic detection the
+# kite command delegates to (kite-morphlines detectMimeType, importable by
+# every reference config via the org.kitesdk.** wildcard,
+# /root/reference/config/cloudsolr.conf:18).
+_MAGIC = [
+    ("image/jpeg", 0, "FFD8FF"),
+    ("image/png", 0, "89504E47"),
+    ("image/gif", 0, "474946"),
+    ("image/bmp", 0, "424D"),
+    ("application/pdf", 0, "25504446"),
+    ("application/zip", 0, "504B0304"),
+    ("application/gzip", 0, "1F8B"),
+    ("application/x-xz", 0, "FD377A585A00"),
+    ("application/zstd", 0, "28B52FFD"),
+    ("avro/binary", 0, "4F626A01"),
+    ("application/xml", 0, "3C3F786D6C"),
+    ("audio/mpeg", 0, "494433"),
+]
+_RIFF = [("audio/x-wav", "57415645"), ("image/webp", "57454250"), ("video/x-msvideo", "41564920")]
+
+
+def detect_mime_type_col(payload: Column, fallback: str = "application/octet-stream") -> Column:
+    """Pure-codegen magic-byte MIME sniff over a binary column: hex the
+    first bytes, compare against the signature table; RIFF containers
+    (WAV/WEBP/AVI) check the format tag at offset 8.  Deterministic and
+    replayable in SQL (hex(substring(payload, off, n)))."""
+    hexed = F.upper(F.hex(F.substring(payload, 1, 12)))
+    riff_tag = F.upper(F.hex(F.substring(payload, 9, 4)))
+    out = F.lit(fallback)
+    for mime, tag in reversed(_RIFF):
+        out = F.when(hexed.startswith("52494646") & (riff_tag == tag), F.lit(mime)).otherwise(out)
+    for mime, off, sig in reversed(_MAGIC):
+        prefix = F.upper(F.hex(F.substring(payload, off + 1, len(sig) // 2)))
+        out = F.when(prefix == sig, F.lit(mime)).otherwise(out)
+    return F.when(payload.isNull(), F.lit(None).cast("string")).otherwise(out)
+
+
+@command("detectMimeType")
+def detect_mime_type(config, ctx):
+    """Kite ``detectMimeType``: sniff the attachment body's MIME type from
+    magic bytes and store it (kite writes ``_attachment_mimetype``; the
+    reference's envelope keeps bytes in ``_value``).  Config:
+    ``inputField`` (default ``_value``), ``outputField`` (default
+    ``_attachment_mimetype``), ``fallbackMimeType``.  Unlike kite's
+    Tika-backed version this is the deterministic magic-byte core only —
+    no locale/extension heuristics — which is exactly what makes it
+    certifiable and executor-safe (no Tika singleton per JVM)."""
+    in_fld = config.get("inputField", R.VALUE)
+    out_fld = config.get("outputField", "_attachment_mimetype")
+    fallback = str(config.get("fallbackMimeType", "application/octet-stream"))
+
+    def transform(df: DataFrame) -> DataFrame:
+        payload = colref(in_fld).cast("binary")
+        return df.withColumn(out_fld, detect_mime_type_col(payload, fallback))
+
+    return transform
+
+
+@command("toAvro")
+def to_avro_cmd(config, ctx):
+    """Kite ``toAvro { schemaString | schemaFile }``: conform the in-flight
+    value to an Avro schema — the struct-typing step before
+    writeAvroToByteArray (kite attaches an IndexedRecord; the engine's
+    frame-wide analog is a typed struct column).  Uses the same
+    from_json/avro_struct conformance core as enrichJson.  Limitation vs
+    kite: Avro ``bytes``/``fixed`` fields are not representable through
+    the JSON staging hop — use fromConnectData's avro leg for byte-typed
+    schemas."""
+    from kafka_connect_morphlines_spark.avro_schema import avro_struct
+
+    schema_json = config.get("schemaString")
+    schema_file = config.get("schemaFile")
+    if schema_file and not schema_json:
+        import os
+
+        path = schema_file if os.path.isabs(schema_file) else os.path.join(ctx.base_dir, schema_file)
+        with open(path, encoding="utf-8") as fh:
+            schema_json = fh.read()
+    if not schema_json:
+        raise PipelineSpecError("toAvro needs schemaString or schemaFile")
+    schema = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+    struct_type = avro_struct(schema)
+    in_fld = config.get("inputField", R.VALUE)
+    out_fld = config.get("outputField", in_fld)
+
+    def transform(df: DataFrame) -> DataFrame:
+        src = colref(in_fld)
+        dtype = {f.name: f.dataType for f in df.schema.fields}.get(in_fld)
+        if isinstance(dtype, T.StructType):
+            conformed = F.from_json(F.to_json(src), struct_type)
+        else:
+            conformed = F.from_json(src.cast("string"), struct_type)
+        return df.withColumn(out_fld, conformed)
+
+    # stash for writeAvroToByteArray downstream (schema travels with the
+    # compile context, mirroring kite's record-attached schema)
+    ctx.settings["_last_avro_schema"] = schema
+    return transform
+
+
+@command("writeAvroToByteArray")
+def write_avro_to_byte_array(config, ctx):
+    """Kite ``writeAvroToByteArray { format : container|containerlessBinary }``:
+    serialize the conformed value struct to Avro bytes in a binary column.
+    ``container`` frames each record as a single-record object-container
+    file (self-describing, the kite default); ``containerlessBinary`` is
+    the raw datum encoding.  Arrow-batched pandas UDF over the pure-Python
+    codec (avro_codec.py) — the jar-less encode path the kafkaProducer
+    format=avro leg already certifies (confluent_wire_roundtrip)."""
+    fmt = str(config.get("format", "container"))
+    if fmt not in ("container", "containerlessBinary"):
+        raise PipelineSpecError(f"writeAvroToByteArray: unknown format {fmt!r}")
+    schema_json = config.get("schemaString") or ctx.settings.get("_last_avro_schema")
+    if not schema_json:
+        raise PipelineSpecError(
+            "writeAvroToByteArray needs schemaString or a preceding toAvro"
+        )
+    schema = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+    in_fld = config.get("inputField", R.VALUE)
+    out_fld = config.get("outputField", in_fld)
+
+    def transform(df: DataFrame) -> DataFrame:
+        import pandas as pd
+
+        from kafka_connect_morphlines_spark import avro_codec
+
+        src = colref(in_fld)
+        json_col = F.to_json(src)
+
+        @F.pandas_udf("binary")
+        def enc(series):
+            out = []
+            for s in series:
+                if s is None:
+                    out.append(None)
+                    continue
+                value = json.loads(s)
+                if fmt == "container":
+                    out.append(avro_codec.write_container([value], schema))
+                else:
+                    out.append(avro_codec.encode_datum(value, schema))
+            return pd.Series(out)
+
+        return df.withColumn(out_fld, enc(json_col))
+
+    return transform

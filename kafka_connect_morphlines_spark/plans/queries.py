@@ -8492,3 +8492,72 @@ def chunk_sliding_windows(spark, sf_dir):
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.md5("chunk_text").alias("chunk_digest"),
     )
+
+
+@query(
+    "detect_mime_type",
+    r"""
+    WITH payloads AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN '\xFF\xD8\xFF'::BLOB || encode(text)
+               WHEN 1 THEN '\x89PNG\x0D\x0A\x1A\x0A'::BLOB || encode(text)
+               WHEN 2 THEN 'RIFF\x00\x00\x00\x00WAVEfmt '::BLOB || encode(text)
+               WHEN 3 THEN '%PDF-1.7 '::BLOB || encode(text)
+               WHEN 4 THEN '\x1F\x8B\x08'::BLOB || encode(text)
+               ELSE encode(text) END AS payload
+      FROM documents
+    ),
+    sniffed AS (
+      SELECT doc_id, substring(hex(payload), 1, 24) AS h,
+             substring(hex(payload), 17, 8) AS riff_tag
+      FROM payloads
+    )
+    SELECT doc_id,
+           CASE
+             WHEN h LIKE 'FFD8FF%' THEN 'image/jpeg'
+             WHEN h LIKE '89504E47%' THEN 'image/png'
+             WHEN h LIKE '474946%' THEN 'image/gif'
+             WHEN h LIKE '424D%' THEN 'image/bmp'
+             WHEN h LIKE '25504446%' THEN 'application/pdf'
+             WHEN h LIKE '504B0304%' THEN 'application/zip'
+             WHEN h LIKE '1F8B%' THEN 'application/gzip'
+             WHEN h LIKE 'FD377A585A00%' THEN 'application/x-xz'
+             WHEN h LIKE '28B52FFD%' THEN 'application/zstd'
+             WHEN h LIKE '4F626A01%' THEN 'avro/binary'
+             WHEN h LIKE '3C3F786D6C%' THEN 'application/xml'
+             WHEN h LIKE '494433%' THEN 'audio/mpeg'
+             WHEN h LIKE '52494646%' AND riff_tag = '57415645' THEN 'audio/x-wav'
+             WHEN h LIKE '52494646%' AND riff_tag = '57454250' THEN 'image/webp'
+             WHEN h LIKE '52494646%' AND riff_tag = '41564920' THEN 'video/x-msvideo'
+             ELSE 'application/octet-stream'
+           END AS mime
+    FROM sniffed ORDER BY doc_id
+    """,
+)
+def detect_mime_type(spark, sf_dir):
+    """detectMimeType command (kite stdlib gap-fill, r08): pure-codegen
+    magic-byte sniff — hex the payload prefix, compare against the
+    signature table, RIFF containers disambiguate on the format tag at
+    offset 8.  Payloads are synthesized per doc_id residue so every
+    signature class (and the fallback) is exercised on real data; the
+    oracle sniffs the same bytes via substring(hex(payload))."""
+    docs = t(spark, sf_dir, "documents")
+    prefixes = {
+        0: bytes.fromhex("FFD8FF"),
+        1: bytes.fromhex("89504E470D0A1A0A"),
+        2: b"RIFF\x00\x00\x00\x00WAVEfmt ",
+        3: b"%PDF-1.7 ",
+        4: bytes.fromhex("1F8B08"),
+    }
+    payload = F.encode(F.col("text"), "UTF-8")
+    expr = payload
+    for residue, pre in prefixes.items():
+        expr = F.when(
+            (F.col("doc_id") % 6).cast("int") == residue, F.concat(F.lit(pre), payload)
+        ).otherwise(expr)
+    staged = docs.select("doc_id", expr.alias("payload"))
+    p = compile_pipeline(
+        [{"detectMimeType": {"inputField": "payload", "outputField": "mime"}}]
+    )
+    return p(staged).select("doc_id", "mime").orderBy("doc_id")

@@ -333,6 +333,66 @@ def test_temperature_quota_matches_python_mirror(spark, counts, k):
     assert got == want
 
 
+# ------------------------------- kite stdlib gap-fill: detectMimeType etc.
+def test_detect_mime_type_magic_bytes(spark):
+    """detectMimeType (kite stdlib, importable via the org.kitesdk.**
+    wildcard): deterministic magic-byte sniff incl. RIFF disambiguation."""
+    from kafka_connect_morphlines_spark.pipeline import compile_pipeline
+
+    payloads = [
+        (1, bytes.fromhex("FFD8FF") + b"rest"),
+        (2, bytes.fromhex("89504E470D0A1A0A")),
+        (3, b"RIFF" + b"\x00\x00\x00\x00" + b"WAVEfmt "),
+        (4, b"RIFF" + b"\x00\x00\x00\x00" + b"WEBPVP8 "),
+        (5, b"Obj\x01avro-container"),
+        (6, b"%PDF-1.7"),
+        (7, b"plain old text"),
+        (8, None),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, _value binary")
+    out = compile_pipeline([{"detectMimeType": {}}])(df)
+    got = {r["doc_id"]: r["_attachment_mimetype"] for r in out.collect()}
+    assert got == {
+        1: "image/jpeg", 2: "image/png", 3: "audio/x-wav", 4: "image/webp",
+        5: "avro/binary", 6: "application/pdf",
+        7: "application/octet-stream", 8: None,
+    }
+
+
+def test_to_avro_write_byte_array_roundtrip(spark):
+    """toAvro -> writeAvroToByteArray (container + containerless): the
+    emitted bytes decode through the pure-Python codec to the input."""
+    from kafka_connect_morphlines_spark import avro_codec
+    from kafka_connect_morphlines_spark.pipeline import compile_pipeline
+
+    schema = (
+        '{"type":"record","name":"E","fields":['
+        '{"name":"id","type":"long"},{"name":"name","type":"string"}]}'
+    )
+    df = spark.createDataFrame([('{"id": 7, "name": "seven"}',)], "_value string")
+    for fmt, decode in [
+        ("container", lambda b: avro_codec.read_container(b)[1][0]),
+        ("containerlessBinary", lambda b: avro_codec.decode_datum(
+            b, {"type": "record", "name": "E", "fields": [
+                {"name": "id", "type": "long"}, {"name": "name", "type": "string"}]})),
+    ]:
+        pipe = compile_pipeline(
+            [
+                {"toAvro": {"schemaString": schema}},
+                {"writeAvroToByteArray": {"format": fmt}},
+            ]
+        )
+        blob = pipe(df).collect()[0]["_value"]
+        assert decode(bytes(blob)) == {"id": 7, "name": "seven"}
+    # unknown format and missing schema raise clear spec errors
+    from kafka_connect_morphlines_spark.pipeline import PipelineSpecError
+
+    with pytest.raises(PipelineSpecError, match="unknown format"):
+        compile_pipeline([{"writeAvroToByteArray": {"format": "nope", "schemaString": schema}}])
+    with pytest.raises(PipelineSpecError, match="schemaString"):
+        compile_pipeline([{"writeAvroToByteArray": {}}])
+
+
 # -------------------------------------------------- citation integrity gate
 def test_all_reference_citations_resolve():
     """VERDICT r07 'what's wrong' #3: a docstring cited a nonexistent
