@@ -137,6 +137,8 @@ HEADLINE = [
     "source_overlap_matrix",
     "chunk_sliding_windows",
     "detect_mime_type",
+    "read_xml_roundtrip",
+    "user_agent_parse",
 ]
 
 

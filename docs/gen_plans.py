@@ -116,6 +116,8 @@ NAMES = [
     "source_overlap_matrix",
     "chunk_sliding_windows",
     "detect_mime_type",
+    "read_xml_roundtrip",
+    "user_agent_parse",
 ]
 
 

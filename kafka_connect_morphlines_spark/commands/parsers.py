@@ -521,3 +521,75 @@ def read_avro_container(config, ctx):
         return exploded
 
     return transform
+
+
+@command("readXml")
+def read_xml(config, ctx):
+    """Parse the body as XML into a typed struct (the kite-morphlines
+    saxon module's readXml, re-expressed on Spark 4's native ``from_xml``
+    — JVM-side, no Python in the hot path).  Config: ``schemaDdl`` /
+    ``schemaString`` (required — XML has no self-describing types),
+    ``inputField`` (default ``_value``), ``outputField`` (default
+    ``_xml``), ``dropInvalid`` (default true, mirroring the reference's
+    failed-record drop, MorphlineSinkTask.java:136-138)."""
+    out = config.get("outputField", "_xml")
+    schema = bound_schema(config, ctx)
+    if schema is None:
+        raise PipelineSpecError(
+            "readXml needs schemaDdl or schemaString (XML carries no types; "
+            "for schemaless one-off fields use extractXmlPaths on the raw text)"
+        )
+    drop_invalid = config.get("dropInvalid", True)
+
+    def transform(df: DataFrame) -> DataFrame:
+        text = _as_text(_body(df, config), config)
+        # PERMISSIVE from_xml returns an all-null struct (not NULL) on
+        # malformed input, exactly like from_json — same corrupt-record +
+        # explode-fence idiom as readJson (single parse per row)
+        corrupt = "_corrupt_record"
+        while corrupt in schema.fieldNames():
+            corrupt = "_" + corrupt
+        parse_schema = schema.add(corrupt, T.StringType())
+        parsed = F.from_xml(
+            text, parse_schema,
+            {"columnNameOfCorruptRecord": corrupt, "mode": "PERMISSIVE"},
+        )
+        fence = "_parsed_once"
+        while fence in df.columns:
+            fence = "_" + fence
+        df = df.withColumn(fence, F.explode(F.array(parsed)))
+        valid = (
+            text.isNotNull()
+            & F.col(fence).isNotNull()
+            & F.col(fence).getField(corrupt).isNull()
+        )
+        df = df.withColumn(out, F.col(fence).dropFields(corrupt))
+        if drop_invalid:
+            df = df.filter(valid)
+        return df.drop(fence)
+
+    return transform
+
+
+@command("extractXmlPaths")
+def extract_xml_paths(config, ctx):
+    """Project XPath expressions into named fields (the saxon module's
+    extractXPaths analog).  Config: ``paths { out : /xpath/expr }``,
+    ``inputField`` (default ``_xml``).  A struct input (from readXml)
+    takes the slash-path fast path (pure column access); a string input
+    evaluates real XPath via the codegen ``xpath_string`` expression."""
+    paths = config.get("paths", {})
+    in_fld = config.get("inputField", "_xml")
+
+    def transform(df: DataFrame) -> DataFrame:
+        dtype = {f.name: f.dataType for f in df.schema.fields}.get(in_fld)
+        src = colref(in_fld)
+        assignments = {}
+        for out, path in paths.items():
+            if isinstance(dtype, T.StructType):
+                assignments[out] = _nested(src, _slash_path_to_parts(path))
+            else:
+                assignments[out] = F.xpath_string(src.cast("string"), F.lit(str(path)))
+        return df.withColumns(assignments)
+
+    return transform

@@ -84,3 +84,65 @@ def canonicalize_uri(config, ctx):
         return df.withColumn(out_fld, value)
 
     return transform
+
+
+@command("userAgent")
+def user_agent(config, ctx):
+    """Kite useragent module's ``userAgent`` command, re-expressed as the
+    deterministic core ruleset (the module wraps the ua_parser regex
+    database; this is the precedence-ordered family/OS subset that covers
+    the overwhelming share of real traffic, as pure codegen
+    regexp/contains expressions — no per-executor parser state).
+
+    Config: ``inputField`` (required), ``outputPrefix`` (default ``ua_``).
+    Emits <prefix>family, <prefix>major, <prefix>os.  Precedence: bots
+    first (family tokens hide inside bot UAs), then Edge before Chrome
+    before Safari (Chromium UAs carry all three tokens), Opera via OPR/.
+    """
+    from kafka_connect_morphlines_spark.pipeline import PipelineSpecError
+
+    in_fld = config.get("inputField")
+    if not in_fld:
+        raise PipelineSpecError("userAgent needs inputField")
+    prefix = config.get("outputPrefix", "ua_")
+
+    def transform(df: DataFrame) -> DataFrame:
+        ua = colref(in_fld).cast("string")
+        low = F.lower(ua)
+        is_bot = low.rlike("bot|crawler|spider|slurp")
+        family = (
+            F.when(ua.isNull(), F.lit(None).cast("string"))
+            .when(is_bot, "Bot")
+            .when(ua.contains("Edg/") | ua.contains("Edge/"), "Edge")
+            .when(ua.contains("OPR/") | ua.contains("Opera"), "Opera")
+            .when(ua.contains("Chrome/"), "Chrome")
+            .when(ua.contains("Firefox/"), "Firefox")
+            .when(ua.contains("Safari/"), "Safari")
+            .when(ua.contains("MSIE ") | ua.contains("Trident/"), "IE")
+            .otherwise("Other")
+        )
+        ver = (
+            F.when(family == "Edge", F.regexp_extract(ua, r"Edge?/(\d+)", 1))
+            .when(family == "Opera", F.regexp_extract(ua, r"(?:OPR|Version)/(\d+)", 1))
+            .when(family == "Chrome", F.regexp_extract(ua, r"Chrome/(\d+)", 1))
+            .when(family == "Firefox", F.regexp_extract(ua, r"Firefox/(\d+)", 1))
+            .when(family == "Safari", F.regexp_extract(ua, r"Version/(\d+)", 1))
+            .when(family == "IE", F.regexp_extract(ua, r"(?:MSIE |rv:)(\d+)", 1))
+            .otherwise(F.lit(""))
+        )
+        os_family = (
+            F.when(ua.isNull(), F.lit(None).cast("string"))
+            .when(ua.contains("Windows NT"), "Windows")
+            .when(ua.contains("iPhone") | ua.contains("iPad"), "iOS")
+            .when(ua.contains("Mac OS X"), "Mac OS X")
+            .when(ua.contains("Android"), "Android")
+            .when(ua.contains("Linux"), "Linux")
+            .otherwise("Other")
+        )
+        return (
+            df.withColumn(f"{prefix}family", family)
+            .withColumn(f"{prefix}major", F.when(ver == "", None).otherwise(ver))
+            .withColumn(f"{prefix}os", os_family)
+        )
+
+    return transform

@@ -8561,3 +8561,89 @@ def detect_mime_type(spark, sf_dir):
         [{"detectMimeType": {"inputField": "payload", "outputField": "mime"}}]
     )
     return p(staged).select("doc_id", "mime").orderBy("doc_id")
+
+
+@query(
+    "read_xml_roundtrip",
+    """
+    SELECT doc_id, doc_id AS xid, source AS xsrc,
+           CAST(length(text) AS INT) AS xn
+    FROM documents ORDER BY doc_id
+    """,
+)
+def read_xml_roundtrip(spark, sf_dir):
+    """readXml + extractXmlPaths (saxon-module analog on Spark 4's native
+    from_xml, r08): construct an XML body from each document's columns,
+    parse it with a bound schema, project slash paths back out — the
+    oracle recomputes the expected fields straight from the source
+    columns, certifying the whole construct -> parse -> extract loop."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<doc><id>"), F.col("doc_id").cast("string"),
+            F.lit("</id><src>"), F.col("source"),
+            F.lit("</src><n>"), F.length("text").cast("string"),
+            F.lit("</n></doc>"),
+        ).alias("_value"),
+    )
+    p = compile_pipeline(
+        [
+            {"readXml": {"schemaDdl": "id BIGINT, src STRING, n INT"}},
+            {"extractXmlPaths": {"paths": {"xid": "/id", "xsrc": "/src", "xn": "/n"}}},
+        ]
+    )
+    return p(docs).select("doc_id", "xid", "xsrc", "xn").orderBy("doc_id")
+
+
+_UA_TEMPLATES = [
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) "
+     "Chrome/120.0.0.0 Safari/537.36", "Chrome", "120", "Windows"),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) "
+     "Version/17.1 Safari/605.1.15", "Safari", "17", "Mac OS X"),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0", "Firefox", "115", "Linux"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) "
+     "Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91", "Edge", "120", "Windows"),
+    ("Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) "
+     "Chrome/120.0.6099.43 Mobile Safari/537.36 OPR/76.2.4027.73374", "Opera", "76", "Android"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 "
+     "(KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1", "Safari", "17", "iOS"),
+    ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)", "Bot", None, "Other"),
+]
+
+
+def _ua_oracle_sql() -> str:
+    fam = " ".join(
+        f"WHEN {i} THEN '{f}'" for i, (_, f, _v, _o) in enumerate(_UA_TEMPLATES)
+    )
+    ver = " ".join(
+        f"WHEN {i} THEN {repr(v) if v else 'NULL'}" for i, (_, _f, v, _o) in enumerate(_UA_TEMPLATES)
+    )
+    osf = " ".join(
+        f"WHEN {i} THEN '{o}'" for i, (_, _f, _v, o) in enumerate(_UA_TEMPLATES)
+    )
+    return f"""
+    SELECT event_id,
+           CASE CAST(event_id % 7 AS INT) {fam} END AS ua_family,
+           CASE CAST(event_id % 7 AS INT) {ver} END AS ua_major,
+           CASE CAST(event_id % 7 AS INT) {osf} END AS ua_os
+    FROM events WHERE event_id % 97 = 0 ORDER BY event_id
+    """
+
+
+@query("user_agent_parse", _ua_oracle_sql())
+def user_agent_parse(spark, sf_dir):
+    """userAgent command (kite useragent-module core subset, r08):
+    precedence-ordered family/major/OS extraction as codegen
+    regexp/contains expressions.  UA strings are synthesized per event_id
+    residue from seven real-world templates (Chromium token pile-ups, the
+    Edge/Opera-before-Chrome precedence, a bot); the oracle recomputes the
+    expected labels from the residues — certifying the parse is exactly
+    right on every template class."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    ua = F.element_at(
+        F.array(*[F.lit(t_[0]) for t_ in _UA_TEMPLATES]),
+        (F.col("event_id") % 7).cast("int") + 1,
+    )
+    staged = ev.select("event_id", ua.alias("agent"))
+    p = compile_pipeline([{"userAgent": {"inputField": "agent"}}])
+    return p(staged).select("event_id", "ua_family", "ua_major", "ua_os").orderBy("event_id")
