@@ -44,6 +44,7 @@ _ROUND8_PREFIX = [
     # ---- slot 12+ : round-8 session additions (local-certified) ----
     "cdc_chunk_stats", "source_overlap_matrix", "chunk_sliding_windows",
     "detect_mime_type", "read_xml_roundtrip", "user_agent_parse",
+    "krippendorff_alpha_langid", "kmv_distinct_users", "bradley_terry_events",
 ]
 _ROUND8_RANK = {name: i for i, name in enumerate(_ROUND8_PREFIX)}
 

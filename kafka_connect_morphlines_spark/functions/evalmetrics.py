@@ -42,6 +42,8 @@ __all__ = [
     "calibration_table",
     "threshold_metrics",
     "cohens_kappa",
+    "krippendorff_alpha_nominal",
+    "bradley_terry_strengths",
     "nb_train",
     "nb_predict",
     "pmi_table",
@@ -381,6 +383,173 @@ def cohens_kappa(df: DataFrame, rater_a: Column, rater_b: Column) -> DataFrame:
             F.col("n").cast(dec0) * F.col("n") - F.col("sum_ab_d"),
         ).alias("kappa"),
     )
+
+
+def krippendorff_alpha_nominal(df: DataFrame, unit: Column, rating: Column) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) over a long ratings table.
+
+    Input: one row per *rating instance* ``(unit, rating)`` — rater
+    identity is irrelevant (alpha is rater-symmetric) and missing
+    ratings are simply absent rows, which is exactly the missing-data
+    case alpha handles and Cohen's kappa cannot.  Units with fewer than
+    two ratings are excluded (pairable ratings only), per Krippendorff.
+
+    Exact-arithmetic form (no double sums anywhere):
+    the coincidence-matrix disagreement collapses per unit to
+    ``a_u = m_u^2 - sum_c r_uc^2`` over a denominator ``m_u - 1``
+    (each ordered within-unit pair weighs ``1/(m_u-1)``).  Summing
+    ``a_u`` grouped by the handful of distinct ``m`` values and scaling
+    by ``L = lcm{m-1}`` clears every denominator, so
+
+        alpha = 1 - (n-1) * A_L / (L * B),
+        A_L   = sum_m (L div (m-1)) * S_m          (exact integer)
+        B     = (sum_c n_c)^2 - sum_c n_c^2        (exact integer)
+
+    with ``n_c`` the per-category totals and ``n = sum_u m_u``.  The one
+    driver round-trip collects the DISTINCT m values — bounded by the
+    number of raters, never by data size.  Shuffle shape: one groupBy on
+    (unit, rating) with map-side combine, then aggregates over
+    already-reduced unit rows; category/m marginals are tiny.  The final
+    division is a single integer/integer double division rounded 6dp —
+    bit-identical across engines (the _ratio6 contract).
+    """
+    from math import lcm
+
+    dec0 = "decimal(38,0)"
+    ruc = (
+        df.select(unit.alias("u"), rating.alias("c"))
+        .groupBy("u", "c")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    per_u = (
+        ruc.groupBy("u")
+        .agg(
+            F.sum("r").alias("m"),
+            F.sum(F.col("r") * F.col("r")).alias("sq"),
+        )
+        .filter(F.col("m") >= 2)
+        .withColumn("a", F.col("m") * F.col("m") - F.col("sq"))
+    )
+    per_u = per_u.localCheckpoint()  # reused by 3 small aggregates below
+    sm = per_u.groupBy("m").agg(F.sum(F.col("a").cast(dec0)).alias("s"))
+    m_values = [int(r["m"]) for r in sm.select("m").collect()]  # <= #raters rows
+    if not m_values:
+        return per_u.sparkSession.createDataFrame(
+            [(0, 0, None)], "n_units long, n_ratings long, alpha double"
+        )
+    big_l = lcm(*[m - 1 for m in m_values])
+    # exact integer weight L/(m-1) as a literal CASE over the observed m
+    # values (computed in Python — no runtime division anywhere)
+    weight = F.lit(None).cast("long")
+    for m in m_values:
+        weight = F.when(F.col("m") == m, F.lit(big_l // (m - 1))).otherwise(weight)
+    a_l = sm.agg(F.sum(weight.cast(dec0) * F.col("s")).alias("a_l"))
+    totals = per_u.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("m").alias("n_ratings"),
+    )
+    nc = (
+        ruc.join(per_u.select("u"), "u")  # pairable units only
+        .groupBy("c")
+        .agg(F.sum("r").alias("n_c"))
+    )
+    b = nc.agg(
+        (
+            F.sum(F.col("n_c").cast(dec0)) * F.sum(F.col("n_c").cast(dec0))
+            - F.sum(F.col("n_c").cast(dec0) * F.col("n_c").cast(dec0))
+        ).alias("b")
+    )
+    return (
+        totals.crossJoin(F.broadcast(a_l))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "n_units",
+            "n_ratings",
+            F.round(
+                F.lit(1.0)
+                - F.try_divide(
+                    ((F.col("n_ratings").cast(dec0) - 1) * F.col("a_l")).cast("double"),
+                    (F.lit(big_l).cast(dec0) * F.col("b")).cast("double"),
+                ),
+                6,
+            ).alias("alpha"),
+        )
+    )
+
+
+def bradley_terry_strengths(
+    duels: DataFrame,
+    winner: Column,
+    loser: Column,
+    n_iter: int = 3,
+    unit: int = 1 << 20,
+) -> DataFrame:
+    """Bradley-Terry preference strengths from a pairwise-duel table —
+    the aggregation step behind RLHF preference datasets and arena-style
+    model leaderboards.
+
+    Distributed part: ONE groupBy((winner, loser)) reduces arbitrarily
+    many duels to the k*(k-1) wins matrix (map-side combine; k = item
+    count), which is collected — the same bounded-driver-state contract
+    as kmeans_fit_int's k x (d+1) stats.  The MM fixed point (Zermelo /
+    Hunter 2004)
+
+        p_i' = floor(W_i * unit^2 / S_i),
+        S_i  = sum_j floor(n_ij * unit^2 / (p_i + p_j))
+
+    runs ``n_iter`` rounds in PYTHON integers (arbitrary precision — no
+    overflow at any n_ij), on the fixed-point lattice p ~ unit, so a SQL
+    oracle replays the full fit with BIGINT arithmetic wherever
+    n_ij * unit^2 < 2^63 (true by orders of magnitude at certification
+    scale; shrink ``unit`` for duel counts beyond ~2^22).  No
+    normalization inside the loop — the MM update is scale-covariant and
+    deterministic without it; the reported strength normalizes once at
+    the end via the exact-integer _ratio6 idiom.  Items that lose every
+    duel reach p = 0 (strength 0), the fixed-point analog of the BT MLE
+    diverging for never-winners.
+    """
+    u2 = unit * unit
+    rows = (
+        duels.groupBy(winner.alias("a"), loser.alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    wins_ab = {(r["a"], r["b"]): int(r["w"]) for r in rows}
+    items = sorted({a for a, _ in wins_ab} | {b for _, b in wins_ab})
+    n_ij: dict[tuple, int] = {}
+    big_w = {i: 0 for i in items}
+    for (a, b), c in wins_ab.items():
+        big_w[a] += c
+        n_ij[(a, b)] = n_ij.get((a, b), 0) + c
+        n_ij[(b, a)] = n_ij.get((b, a), 0) + c
+    p = {i: unit for i in items}
+    for _ in range(n_iter):
+        s = {
+            i: sum(
+                (n_ij[(i, j)] * u2) // (p[i] + p[j])
+                for j in items
+                if j != i and (i, j) in n_ij
+            )
+            for i in items
+        }
+        p = {i: (big_w[i] * u2) // s[i] if s[i] > 0 else p[i] for i in items}
+    tot = sum(p.values())
+    out_rows = [
+        (
+            i,
+            big_w[i],
+            sum(n_ij.get((i, j), 0) for j in items if j != i),
+            p[i],
+            tot,
+        )
+        for i in items
+    ]
+    df = duels.sparkSession.createDataFrame(
+        out_rows, "item string, wins long, duels long, _p long, _tot long"
+    )
+    return df.select(
+        "item", "wins", "duels", _ratio6(F.col("_p"), F.col("_tot")).alias("strength")
+    ).orderBy("item")
 
 
 def _tokens(text: Column) -> Column:

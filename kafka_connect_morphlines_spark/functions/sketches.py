@@ -474,3 +474,125 @@ def hll_rolling_distinct(
         "bucket",
         F.hll_sketch_estimate(F.hll_union_agg("_sk").over(w)).alias("rolling_distinct"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch: the third member of
+# the mergeable-sketch family (CMS = frequency, HLL = distinct via
+# registers, KMV = distinct via order statistics).  KMV's advantage over
+# HLL is LOSSLESS set algebra on the sketch: bottom-k(distinct(A ∪ B)) is
+# computable exactly from bottom-k(A) and bottom-k(B), so merged-sketch
+# estimates are bit-identical to direct estimates (pinned in pytest), and
+# the kth order statistic supports intersection/Jaccard extensions the
+# HLL register array cannot express exactly.
+#
+# Hash = first 15 hex chars of md5 (60 bits, < 2^63 — long-safe under
+# ANSI), identical in DuckDB as CAST(concat('0x', substr(md5(k),1,15)) AS
+# BIGINT), so estimates are engine-portable like the md5 HLL above.
+# --------------------------------------------------------------------------
+
+KMV_BITS = 60  # 15 md5 hex chars; hash domain [0, 2^60)
+
+
+def kmv_hash(key: Column) -> Column:
+    """60-bit md5-derived hash as BIGINT (engine-portable, deterministic)."""
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def kmv_build(
+    df: DataFrame,
+    key: Column,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+    prereduce: bool = True,
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest DISTINCT 60-bit hashes, as
+    (groups..., pos, hv) rows with pos = 1..k ordered by hv.
+
+    Scale shape: with ``prereduce`` (default), an Arrow pass keeps only
+    each in-memory batch's k smallest distinct hashes BEFORE any shuffle,
+    so the shuffled volume is <= groups x k x n_batches rows instead of
+    one row per distinct key.  The pre-reduction is provably lossless: a
+    hash outside its batch's bottom-k has k smaller hashes in the same
+    group globally, so it cannot be in the global bottom-k.  The final
+    window therefore ranks a tiny survivor set; the pure-SQL oracle
+    replays the window over all distinct hashes and gets the identical
+    result by that argument.
+    """
+    import pandas as pd  # noqa: F401 (arrow path)
+
+    gcols = group_cols or []
+    src = df.select(*gcols, kmv_hash(key).alias("hv"))
+    if prereduce and gcols:
+        schema = ", ".join(f"{c} string" for c in gcols) + ", hv long"
+
+        def bottomk(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                yield (
+                    pdf.drop_duplicates()
+                    .sort_values([*gcols, "hv"])
+                    .groupby(gcols, sort=False)
+                    .head(k)
+                )
+
+        # group cols pass through as-is; only string group keys supported
+        # on the arrow path (the corpus' group keys are strings)
+        src = src.mapInPandas(bottomk, schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy("hv")
+    return (
+        src.groupBy(*gcols, "hv")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(*gcols, "hv", F.row_number().over(w).alias("pos"))
+        .filter(F.col("pos") <= k)
+    )
+
+
+def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """Lossless union: re-rank the distinct hashes of the stacked sketches
+    and keep the bottom k — exactly kmv_build on the concatenated input."""
+    from pyspark.sql import Window
+
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    gcols = [c for c in out.columns if c not in ("hv", "pos")]
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy("hv")
+    return (
+        out.select(*gcols, "hv")
+        .distinct()
+        .select(*gcols, "hv", F.row_number().over(w).alias("pos"))
+        .filter(F.col("pos") <= k)
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+    out_col: str = "estimate",
+) -> DataFrame:
+    """Distinct-count estimate per group: (k-1)/U(h_k) with U the hash
+    normalized to (0,1); exact count when the group holds < k hashes.
+
+    Arithmetic portability: (k-1) * 2^60 is computed as a DOUBLE product
+    of two exactly-representable doubles (k-1 small, 2^60 a power of
+    two), the divide is one correctly-rounded IEEE op on both engines,
+    and the 3dp round ends it — same discipline as the md5 HLL."""
+    gcols = group_cols or []
+    agg = sketch.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("hv").alias("_hk"),
+    )
+    est = F.when(
+        F.col("_n") < k, F.col("_n").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(float(1 << KMV_BITS)) / F.col("_hk").cast("double"),
+            3,
+        )
+    )
+    return agg.select(*gcols, est.alias(out_col))

@@ -3588,6 +3588,63 @@ def hll_sketch_rollup(spark, sf_dir):
     return per_est.unionByName(merged).orderBy("scope")
 
 
+@query(
+    "kmv_distinct_users",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS pos
+      FROM h
+    ),
+    sk AS (
+      SELECT event_type, count(*) AS n, max(hv) AS hk
+      FROM r WHERE pos <= 64 GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, exact_distinct,
+           CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                ELSE round(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE), 3)
+           END AS kmv_distinct
+    FROM ex e JOIN sk s ON e.event_type = s.event_type
+    ORDER BY e.event_type
+    """,
+)
+def kmv_distinct_users(spark, sf_dir):
+    """KMV (bottom-k) distinct sketch (sketches.kmv_build/kmv_estimate):
+    distinct users per event type via the k smallest md5-60bit hashes,
+    next to the exact count for audit.  Third mergeable-sketch family
+    member (CMS frequency / HLL registers / KMV order statistics) — KMV's
+    edge is LOSSLESS sketch union (bottom-k of a union is computable
+    exactly from the parts; pinned in pytest).  Scale shape: an Arrow
+    per-batch bottom-k pre-reduction bounds the shuffle at groups x k x
+    n_batches rows (provably lossless — a value outside its batch's
+    bottom-k cannot be in the global bottom-k), so the estimator never
+    shuffles one row per distinct key the way exact countDistinct must."""
+    from kafka_connect_morphlines_spark.functions import sketches
+
+    ev = t(spark, sf_dir, "events")
+    sk = sketches.kmv_build(
+        ev, F.col("user_id").cast("string"), k=64, group_cols=["event_type"]
+    )
+    est = sketches.kmv_estimate(sk, k=64, group_cols=["event_type"], out_col="kmv_distinct")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select("event_type", "exact_distinct", "kmv_distinct")
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # Time-series regularization (functions/timeseries.py)
 # --------------------------------------------------------------------------
@@ -6828,6 +6885,182 @@ def cohens_kappa_langid(spark, sf_dir):
 QUERIES["cohens_kappa_langid"] = QuerySpec(
     build=cohens_kappa_langid, oracle=_kappa_oracle_sql()
 )
+
+
+def _lang_case_sql(text_expr: str) -> tuple[str, str]:
+    """(score exprs, argmax CASE) over an arbitrary SQL text expression —
+    the same generator as lang_id_oracle_sql (strict >, code order,
+    'und' floor), parameterized so extra raters (e.g. a truncated-text
+    rater) share one certification path with lang_id_pred."""
+    from kafka_connect_morphlines_spark.functions.textstats import LANG_MARKERS
+
+    codes = sorted(LANG_MARKERS)
+    score = {
+        c: (
+            "len(list_filter(list_transform(list_filter("
+            f"string_split(trim({text_expr}), ' '), x -> x != ''), x -> lower(x)),"
+            f" x -> list_contains({LANG_MARKERS[c]!r}, x)))"
+        )
+        for c in codes
+    }
+    exprs = ", ".join(f"{score[c]} AS s_{c}" for c in codes)
+    greatest = "greatest(" + ", ".join(f"s_{c}" for c in codes) + ")"
+    case = f"CASE WHEN {greatest} <= 0 THEN 'und' "
+    for c in codes:
+        case += f"WHEN s_{c} = {greatest} THEN '{c}' "
+    case += "END"
+    return exprs, case
+
+
+def _krippendorff_oracle_sql() -> str:
+    """Replays the exact-integer alpha pipeline: three raters (gold lang,
+    lang-id on full text, lang-id on the first 80 chars for docs with
+    n_chars >= 160 — the missing-data leg), per-unit disagreement
+    a_u = m^2 - sum r^2 over denominator (m-1) cleared by L = lcm{m-1} = 2
+    (m is 2 or 3 here; alpha is L-invariant so the constant is safe),
+    then ONE double division rounded 6dp."""
+    exprs_b, case_b = _lang_case_sql("text")
+    exprs_c, case_c = _lang_case_sql("substr(text, 1, 80)")
+    return f"""
+    WITH ra AS (SELECT doc_id AS u, lang AS c FROM documents),
+    rb AS (SELECT doc_id AS u, {case_b} AS c
+           FROM (SELECT doc_id, text, {exprs_b} FROM documents)),
+    rc AS (SELECT doc_id AS u, {case_c} AS c
+           FROM (SELECT doc_id, text, {exprs_c} FROM documents WHERE n_chars >= 160)),
+    ratings AS (SELECT u, c FROM ra UNION ALL SELECT u, c FROM rb
+                UNION ALL SELECT u, c FROM rc),
+    ruc AS (SELECT u, c, count(*) AS r FROM ratings GROUP BY u, c),
+    per_u AS (SELECT u, sum(r) AS m, sum(r * r) AS sq
+              FROM ruc GROUP BY u HAVING sum(r) >= 2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+                   CAST(sum(m) AS BIGINT) AS n_ratings,
+                   CAST(sum((2 // (m - 1)) * (m * m - sq)) AS BIGINT) AS a_l
+            FROM per_u),
+    nc AS (SELECT c, sum(r) AS n_c FROM ruc JOIN per_u USING (u) GROUP BY c),
+    bb AS (SELECT sum(n_c) * sum(n_c) - sum(n_c * n_c) AS b FROM nc)
+    SELECT n_units, n_ratings,
+           round(1 - CAST((n_ratings - 1) * a_l AS DOUBLE)
+                     / CAST(2 * b AS DOUBLE), 6) AS alpha
+    FROM tot CROSS JOIN bb
+    """
+
+
+def _bt_oracle_sql(n_iter: int = 3, unit: int = 1 << 20) -> str:
+    """Replays the ENTIRE Bradley-Terry MM fit in SQL: exact DECIMAL duel
+    construction, wins-matrix aggregation, then ``n_iter`` unrolled
+    fixed-point rounds of S_i = sum floor(n_ij*unit^2/(p_i+p_j)) and
+    p_i' = floor(W_i*unit^2/S_i) — every quantity a BIGINT, `//` and
+    Python's // agreeing on positives, so the fit is bit-identical to
+    evalmetrics.bradley_terry_strengths."""
+    u2 = unit * unit
+    ctes = [
+        """tv AS (
+      SELECT user_id, event_type, sum(CAST(value AS DECIMAL(23,6))) AS tv
+      FROM events GROUP BY user_id, event_type
+    )""",
+        """d AS (
+      SELECT CASE WHEN x.tv >= y.tv THEN x.event_type ELSE y.event_type END AS wn,
+             CASE WHEN x.tv >= y.tv THEN y.event_type ELSE x.event_type END AS ls
+      FROM tv x JOIN tv y
+        ON x.user_id = y.user_id AND x.event_type < y.event_type
+    )""",
+        """w AS (SELECT wn AS a, ls AS b, CAST(count(*) AS BIGINT) AS w FROM d GROUP BY wn, ls)""",
+        """items AS (SELECT a AS item FROM w UNION SELECT b FROM w)""",
+        """nm AS (
+      SELECT a, b, CAST(sum(w) AS BIGINT) AS n
+      FROM (SELECT a, b, w FROM w UNION ALL SELECT b AS a, a AS b, w FROM w)
+      GROUP BY a, b
+    )""",
+        """wt AS (SELECT a AS item, CAST(sum(w) AS BIGINT) AS wins FROM w GROUP BY a)""",
+        """dd AS (SELECT a AS item, CAST(sum(n) AS BIGINT) AS duels FROM nm GROUP BY a)""",
+        f"""p0 AS (SELECT item, CAST({unit} AS BIGINT) AS p FROM items)""",
+    ]
+    for it in range(n_iter):
+        ctes += [
+            f"""s{it} AS (
+      SELECT nm.a AS item, sum((nm.n * {u2}) // (pi.p + pj.p)) AS s
+      FROM nm JOIN p{it} pi ON pi.item = nm.a JOIN p{it} pj ON pj.item = nm.b
+      GROUP BY nm.a
+    )""",
+            f"""p{it + 1} AS (
+      SELECT p.item,
+             CASE WHEN s.s > 0 THEN (coalesce(wt.wins, 0) * {u2}) // s.s ELSE p.p END AS p
+      FROM p{it} p LEFT JOIN s{it} s USING (item) LEFT JOIN wt ON wt.item = p.item
+    )""",
+        ]
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body},
+    tot AS (SELECT sum(p) AS t FROM p{n_iter})
+    SELECT i.item, coalesce(wt.wins, 0) AS wins, coalesce(dd.duels, 0) AS duels,
+           round(CAST(pf.p AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS strength
+    FROM items i
+    LEFT JOIN wt ON wt.item = i.item
+    LEFT JOIN dd ON dd.item = i.item
+    JOIN p{n_iter} pf ON pf.item = i.item
+    CROSS JOIN tot
+    ORDER BY i.item
+    """
+
+
+@query("bradley_terry_events", _bt_oracle_sql())
+def bradley_terry_events(spark, sf_dir):
+    """Bradley-Terry preference ranking
+    (evalmetrics.bradley_terry_strengths): the RLHF-preference /
+    arena-leaderboard aggregation.  Duels: for every user and every pair
+    of event types the user engaged with, the type with the larger exact
+    DECIMAL value total wins (ties -> lexicographically smaller type, a
+    deterministic convention both engines share).  The duel table — the
+    100 TB-sized object — reduces via ONE map-side-combinable groupBy to
+    the k*(k-1) wins matrix; the 3-round MM fixed point then runs on the
+    integer lattice (unit 2^20) in Python bigints, replayed exactly by
+    the unrolled SQL oracle.  Strength = p_i / sum(p) via _ratio6."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    ev = t(spark, sf_dir, "events")
+    tv = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(23,6)")).alias("tv")
+    )
+    x, y = tv.alias("x"), tv.alias("y")
+    duels = x.join(
+        y,
+        (F.col("x.user_id") == F.col("y.user_id"))
+        & (F.col("x.event_type") < F.col("y.event_type")),
+    ).select(
+        F.when(F.col("x.tv") >= F.col("y.tv"), F.col("x.event_type"))
+        .otherwise(F.col("y.event_type"))
+        .alias("wn"),
+        F.when(F.col("x.tv") >= F.col("y.tv"), F.col("y.event_type"))
+        .otherwise(F.col("x.event_type"))
+        .alias("ls"),
+    )
+    return evalmetrics.bradley_terry_strengths(duels, F.col("wn"), F.col("ls"))
+
+
+@query("krippendorff_alpha_langid", _krippendorff_oracle_sql())
+def krippendorff_alpha_langid(spark, sf_dir):
+    """Krippendorff's alpha (evalmetrics.krippendorff_alpha_nominal):
+    annotation-QA agreement across THREE raters with missing data — gold
+    lang, the marker-token lang-id, and lang-id on the first 80 chars
+    (abstains below 160 chars), the case Cohen's kappa cannot express.
+    Exact integer coincidence arithmetic throughout (per-unit
+    m^2 - sum r^2 with lcm-cleared denominators); the only driver
+    round-trip is the distinct-m collect, bounded by the rater count."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    docs = t(spark, sf_dir, "documents")
+    ra = docs.select(F.col("doc_id").alias("u"), F.col("lang").alias("c"))
+    rb = docs.select(
+        F.col("doc_id").alias("u"), textstats.lang_id(F.col("text")).alias("c")
+    )
+    rc = docs.filter(F.col("n_chars") >= 160).select(
+        F.col("doc_id").alias("u"),
+        textstats.lang_id(F.substring(F.col("text"), 1, 80)).alias("c"),
+    )
+    ratings = ra.unionByName(rb).unionByName(rc)
+    return evalmetrics.krippendorff_alpha_nominal(
+        ratings, F.col("u"), F.col("c")
+    )
 
 _NB_TOKENS_DUCK = (
     "unnest(list_transform(list_filter(string_split(trim(text), ' '), "

@@ -1,0 +1,207 @@
+"""Round-8 session-2 operators: Krippendorff's alpha, KMV bottom-k sketch,
+Bradley-Terry preference strengths.
+
+Each test pins the distributed implementation against an INDEPENDENT
+formulation (textbook coincidence-matrix alpha, float-MM Bradley-Terry,
+brute-force bottom-k) — the corpus' two-formulations-agree discipline.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_morphlines_spark.functions import evalmetrics, sketches
+
+
+# --------------------------------------------------------------------------
+# Krippendorff's alpha
+# --------------------------------------------------------------------------
+
+
+def alpha_nominal_reference(units: dict) -> float:
+    """Textbook coincidence-matrix alpha (float arithmetic): build the
+    o_ck matrix by literally enumerating ordered within-unit pairs with
+    weight 1/(m_u-1) — an independent formulation of the closed form the
+    engine uses."""
+    units = {u: rs for u, rs in units.items() if len(rs) >= 2}
+    o: Counter = Counter()
+    for rs in units.values():
+        m = len(rs)
+        for i, c in enumerate(rs):
+            for j, k in enumerate(rs):
+                if i != j:
+                    o[(c, k)] += 1.0 / (m - 1)
+    n_c: Counter = Counter()
+    for (c, _k), v in o.items():
+        n_c[c] += v
+    n = sum(n_c.values())
+    d_o = sum(v for (c, k), v in o.items() if c != k)
+    d_e = sum(n_c[c] * n_c[k] for c in n_c for k in n_c if c != k) / (n - 1)
+    return 1.0 - d_o / d_e
+
+
+def _alpha(spark, units: dict) -> tuple:
+    rows = [(u, c) for u, rs in units.items() for c in rs]
+    df = spark.createDataFrame(rows, "u string, c string")
+    got = evalmetrics.krippendorff_alpha_nominal(df, F.col("u"), F.col("c")).collect()[0]
+    return got["n_units"], got["n_ratings"], got["alpha"]
+
+
+def test_krippendorff_matches_reference_formulation(spark):
+    # 3 raters, missing data (u4 has one rating -> excluded), mixed m
+    units = {
+        "u1": ["en", "en", "en"],
+        "u2": ["en", "de", "en"],
+        "u3": ["de", "de"],
+        "u4": ["fr"],  # unpairable: must be dropped
+        "u5": ["fr", "fr", "de"],
+        "u6": ["en", "en"],
+        "u7": ["de", "en"],
+    }
+    n_units, n_ratings, alpha = _alpha(spark, units)
+    assert n_units == 6
+    assert n_ratings == 15  # u4's single rating excluded
+    assert alpha == pytest.approx(alpha_nominal_reference(units), abs=5e-7)
+
+
+def test_krippendorff_perfect_agreement_is_one(spark):
+    units = {f"u{i}": ["en", "en", "en"] for i in range(5)}
+    units["x"] = ["de", "de"]
+    _, _, alpha = _alpha(spark, units)
+    assert alpha == 1.0
+
+
+def test_krippendorff_uniform_mix_two_raters(spark):
+    # systematic disagreement worse than chance -> negative alpha,
+    # still matching the reference formulation exactly
+    units = {f"u{i}": ["a", "b"] for i in range(4)}
+    _, _, alpha = _alpha(spark, units)
+    assert alpha == pytest.approx(alpha_nominal_reference(units), abs=5e-7)
+    assert alpha < 0
+
+
+# --------------------------------------------------------------------------
+# KMV bottom-k sketch
+# --------------------------------------------------------------------------
+
+
+def _kmv_frame(spark, keys: list, group: str = "g"):
+    return spark.createDataFrame([(group, str(k)) for k in keys], "g string, k string")
+
+
+def test_kmv_build_is_bottom_k_of_distinct(spark):
+    df = _kmv_frame(spark, list(range(200)) + list(range(50)))  # dups collapse
+    sk = sketches.kmv_build(df, F.col("k"), k=16, group_cols=["g"])
+    rows = sk.orderBy("pos").collect()
+    assert [r["pos"] for r in rows] == list(range(1, 17))
+    # independent brute force over the same hash
+    brute = sorted(
+        {r["hv"] for r in df.select(sketches.kmv_hash(F.col("k")).alias("hv")).collect()}
+    )[:16]
+    assert [r["hv"] for r in rows] == brute
+
+
+def test_kmv_prereduce_identical_to_direct(spark):
+    df = _kmv_frame(spark, range(500)).repartition(8)
+    a = sketches.kmv_build(df, F.col("k"), k=32, group_cols=["g"], prereduce=True)
+    b = sketches.kmv_build(df, F.col("k"), k=32, group_cols=["g"], prereduce=False)
+    assert sorted(r["hv"] for r in a.collect()) == sorted(r["hv"] for r in b.collect())
+
+
+def test_kmv_merge_is_lossless(spark):
+    all_keys = list(range(400))
+    whole = sketches.kmv_build(_kmv_frame(spark, all_keys), F.col("k"), k=24, group_cols=["g"])
+    part1 = sketches.kmv_build(_kmv_frame(spark, all_keys[:250]), F.col("k"), k=24, group_cols=["g"])
+    part2 = sketches.kmv_build(_kmv_frame(spark, all_keys[150:]), F.col("k"), k=24, group_cols=["g"])
+    merged = sketches.kmv_merge(24, part1, part2)
+    assert sorted(r["hv"] for r in merged.collect()) == sorted(
+        r["hv"] for r in whole.collect()
+    )
+    est_w = sketches.kmv_estimate(whole, 24, ["g"]).collect()[0]["estimate"]
+    est_m = sketches.kmv_estimate(merged, 24, ["g"]).collect()[0]["estimate"]
+    assert est_w == est_m  # bit-identical, not approximately
+
+
+def test_kmv_exact_below_k(spark):
+    df = _kmv_frame(spark, range(10))
+    sk = sketches.kmv_build(df, F.col("k"), k=64, group_cols=["g"])
+    est = sketches.kmv_estimate(sk, 64, ["g"]).collect()[0]["estimate"]
+    assert est == 10.0
+
+
+def test_kmv_estimate_within_theory_error(spark):
+    # KMV relative error ~ 1/sqrt(k-2); allow 4 sigma
+    n, k = 5000, 256
+    df = _kmv_frame(spark, range(n))
+    sk = sketches.kmv_build(df, F.col("k"), k=k, group_cols=["g"])
+    est = sketches.kmv_estimate(sk, k, ["g"]).collect()[0]["estimate"]
+    assert abs(est - n) / n < 4.0 / (k - 2) ** 0.5
+
+
+# --------------------------------------------------------------------------
+# Bradley-Terry
+# --------------------------------------------------------------------------
+
+
+def bt_reference_float(wins: dict, n_iter: int = 3) -> dict:
+    """Float MM, same schedule as the engine (no in-loop normalization,
+    one final normalize) — the independent formulation; the fixed-point
+    engine run must land within lattice quantization of it."""
+    items = sorted({a for a, _ in wins} | {b for _, b in wins})
+    n = Counter()
+    w_tot = Counter()
+    for (a, b), c in wins.items():
+        w_tot[a] += c
+        n[(a, b)] += c
+        n[(b, a)] += c
+    p = {i: 1.0 for i in items}
+    for _ in range(n_iter):
+        s = {
+            i: sum(n[(i, j)] / (p[i] + p[j]) for j in items if j != i and (i, j) in n)
+            for i in items
+        }
+        p = {i: w_tot[i] / s[i] if s[i] > 0 else p[i] for i in items}
+    z = sum(p.values())
+    return {i: v / z for i, v in p.items()}
+
+
+def _duels_df(spark, wins: dict):
+    rows = [(a, b) for (a, b), c in wins.items() for _ in range(c)]
+    return spark.createDataFrame(rows, "wn string, ls string")
+
+
+def test_bradley_terry_counts_and_ordering(spark):
+    wins = {("a", "b"): 30, ("b", "a"): 10, ("a", "c"): 35, ("c", "a"): 5, ("b", "c"): 25, ("c", "b"): 15}
+    out = evalmetrics.bradley_terry_strengths(
+        _duels_df(spark, wins), F.col("wn"), F.col("ls")
+    ).collect()
+    got = {r["item"]: r for r in out}
+    assert got["a"]["wins"] == 65 and got["a"]["duels"] == 80
+    assert got["b"]["wins"] == 35 and got["c"]["wins"] == 20
+    # strengths sum to ~1 and follow the win structure
+    assert sum(r["strength"] for r in out) == pytest.approx(1.0, abs=2e-6)
+    assert got["a"]["strength"] > got["b"]["strength"] > got["c"]["strength"]
+    ref = bt_reference_float(wins, n_iter=3)
+    for i in ("a", "b", "c"):
+        # same schedule in floats: only lattice quantization apart
+        assert got[i]["strength"] == pytest.approx(ref[i], abs=1e-4)
+
+
+def test_bradley_terry_never_winner_gets_zero(spark):
+    wins = {("a", "b"): 10, ("a", "c"): 10, ("b", "c"): 10, ("b", "a"): 2}
+    out = {r["item"]: r for r in evalmetrics.bradley_terry_strengths(
+        _duels_df(spark, wins), F.col("wn"), F.col("ls")
+    ).collect()}
+    assert out["c"]["wins"] == 0
+    assert out["c"]["strength"] == 0.0
+
+
+def test_bradley_terry_symmetric_duels_equal_strengths(spark):
+    wins = {("a", "b"): 20, ("b", "a"): 20}
+    out = {r["item"]: r for r in evalmetrics.bradley_terry_strengths(
+        _duels_df(spark, wins), F.col("wn"), F.col("ls")
+    ).collect()}
+    assert out["a"]["strength"] == out["b"]["strength"]
