@@ -45,6 +45,8 @@ _ROUND8_PREFIX = [
     "cdc_chunk_stats", "source_overlap_matrix", "chunk_sliding_windows",
     "detect_mime_type", "read_xml_roundtrip", "user_agent_parse",
     "krippendorff_alpha_langid", "kmv_distinct_users", "bradley_terry_events",
+    "pca_power_component", "triangle_count_cosupply",
+    "tokenizer_fertility_by_lang", "acf_daily_revenue",
 ]
 _ROUND8_RANK = {name: i for i, name in enumerate(_ROUND8_PREFIX)}
 

@@ -600,3 +600,102 @@ def mmr_topk(
         out.append((rank, ids[best_i], float(rel[best_i]), best_score / 1e6))
     spark = df.sparkSession
     return spark.createDataFrame(out, out_schema)
+
+
+# --------------------------------------------------------------------------
+# Quantized power iteration: the certifiable twin of the eigen step in
+# pca_whiten (same fixed-point discipline as semantic.kmeans_fit_int).
+# pca_whiten's np.linalg.eigh stays the production path; this variant
+# computes the DOMINANT principal direction with arithmetic a SQL oracle
+# replays bit-for-bit, closing the "eigendecomposition is not
+# SQL-expressible" gap for the component that matters most (drift
+# monitoring, deflation seeds, OPQ init).
+# --------------------------------------------------------------------------
+
+
+def power_component_int(
+    df: DataFrame,
+    n_iter: int = 4,
+    scale: int = 1024,
+    unit: int = 1 << 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Dominant eigenvector of the (uncentered) second-moment matrix
+    S = Xq^T Xq on the integer lattice Xq = floor(X*scale + 0.5), by
+    ``n_iter`` rounds of power iteration with L-infinity normalization —
+    no square roots anywhere, which is what makes the whole fit exact:
+
+    - S is accumulated distributed: one Arrow pass emits per-batch d x d
+      integer partials (exact — every float64 matmul term is an integer
+      below 2^53), one groupBy(i, j) sums them, the driver sees d^2
+      numbers (the kmeans_fit_int bounded-driver-state contract).
+    - each round: w = S v in exact integers; m = max|w|;
+      v' = floor((w_as_double / m_as_double) * unit).  The division is
+      ONE correctly-rounded IEEE op on CAST-to-double operands and unit
+      is a power of two (exact exponent shift), so Python, Spark and
+      DuckDB agree on every lattice coordinate.
+    - sign convention: the largest-|v| coordinate (smallest index on
+      ties) is made positive — same convention as pca_whiten.
+
+    Returns (j, loading, lambda_hat): loading = v_j/unit rounded 6dp,
+    lambda_hat = m_final/unit rounded 3dp (the L-inf Rayleigh estimate of
+    the top eigenvalue of S, in lattice units).  int64 bounds: |w| <=
+    d * max|S| * unit — with |x| <= 1, scale 1024, d = 64 that holds to
+    ~8e9 input rows; beyond that shrink ``unit``.  Rounding parity with
+    the oracle is kept by doing the two final roundings in Spark
+    expressions (round-half-up both engines), not Python (half-even).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    d = int(dim_row["d"])
+
+    def s_partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xq = np.floor(v * scale + 0.5)
+            s = xq.T @ xq  # exact: integer-valued float64 terms < 2^53
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": pd.Series(ii.ravel(), dtype="int32"),
+                    "j": pd.Series(jj.ravel(), dtype="int32"),
+                    "s": pd.Series(s.ravel().astype(np.int64), dtype="int64"),
+                }
+            )
+
+    rows = (
+        df.select(F.col(vec_col))
+        .mapInPandas(s_partials, "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    s_mat: dict[tuple[int, int], int] = {(int(r["i"]), int(r["j"])): int(r["s"]) for r in rows}
+    v = [unit] * d
+    m = unit
+    for _ in range(n_iter):
+        w = [sum(s_mat.get((i, j), 0) * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        # float(w)/float(m) mirrors SQL CAST(w AS DOUBLE)/CAST(m AS DOUBLE);
+        # * unit is an exact power-of-two scale; floor ends it
+        v = [math.floor((float(wi) / float(m)) * unit) for wi in w]
+    # sign: largest-|v| coordinate, smallest index on ties, made positive
+    j_star = max(range(d), key=lambda j: (abs(v[j]), -j))
+    sgn = -1 if v[j_star] < 0 else 1
+    out = df.sparkSession.createDataFrame(
+        [(j, sgn * v[j], m) for j in range(d)], "j int, _v long, _m long"
+    )
+    return out.select(
+        "j",
+        F.round(F.col("_v").cast("double") / F.lit(float(unit)), 6).alias("loading"),
+        F.round(F.col("_m").cast("double") / F.lit(float(unit)), 3).alias("lambda_hat"),
+    ).orderBy("j")

@@ -4330,6 +4330,194 @@ def pagerank_trade_graph(spark, sf_dir):
 
 
 @query(
+    "triangle_count_cosupply",
+    """
+    WITH und AS (
+      SELECT DISTINCT p.l_partkey AS a, q.l_partkey AS b
+      FROM lineitem p JOIN lineitem q
+        ON p.l_orderkey = q.l_orderkey AND p.l_partkey < q.l_partkey
+    ),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v
+    ),
+    rk AS (SELECT v, deg * 2147483648 + v AS rk FROM deg),
+    e AS (
+      SELECT CASE WHEN ra.rk < rb.rk THEN und.a ELSE und.b END AS u,
+             CASE WHEN ra.rk < rb.rk THEN und.b ELSE und.a END AS w,
+             CASE WHEN ra.rk < rb.rk THEN rb.rk ELSE ra.rk END AS rkw
+      FROM und JOIN rk ra ON ra.v = und.a JOIN rk rb ON rb.v = und.b
+    ),
+    wed AS (
+      SELECT x.w AS u, y.w AS w
+      FROM e x JOIN e y ON x.u = y.u AND x.rkw < y.rkw
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM wed JOIN e ON wed.u = e.u AND wed.w = e.w
+    ),
+    cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                  CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges
+           FROM deg)
+    SELECT n_nodes, n_edges, n_triangles,
+           round(CAST(3 * n_triangles AS DOUBLE) / CAST(wedges AS DOUBLE), 6) AS gcc
+    FROM nd, cnt, tri
+    """,
+)
+def triangle_count_cosupply(spark, sf_dir):
+    """Exact triangle count + global clustering coefficient
+    (web.triangle_count) over the part co-purchase graph (parts sharing
+    an order) — the non-bipartite companion to pagerank_trade_graph's
+    link analysis; at sf0.01 a genuinely sparse graph (115k edges over
+    2k nodes, 414k triangles), unlike the complete supplier graph.
+    Degree-ordered orientation bounds every vertex's wedge fan-out at
+    ~sqrt(2m), the property that keeps the self-join alive on hub-heavy
+    100 TB graphs; each triangle is counted exactly once at its
+    lowest-rank vertex."""
+    from kafka_connect_morphlines_spark.functions import web
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p, q = li.alias("p"), li.alias("q")
+    edges = (
+        p.join(
+            q,
+            (F.col("p.l_orderkey") == F.col("q.l_orderkey"))
+            & (F.col("p.l_partkey") < F.col("q.l_partkey")),
+        )
+        .select(F.col("p.l_partkey").alias("src"), F.col("q.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return web.triangle_count(edges)
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    r"""
+    WITH d AS (
+      SELECT lang,
+             len(list_filter(string_split(trim(text), ' '), x -> x != '')) AS words,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS toks,
+             octet_length(encode(text)) AS bytes
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(words) AS BIGINT) AS words,
+           CAST(sum(toks) AS BIGINT) AS tokens,
+           CAST(sum(bytes) AS BIGINT) AS bytes,
+           round(CAST(sum(toks) AS DOUBLE) / CAST(sum(words) AS DOUBLE), 6) AS fertility,
+           round(CAST(sum(bytes) AS DOUBLE) / CAST(sum(toks) AS DOUBLE), 6) AS bytes_per_token
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility audit: tokens-per-word and bytes-per-token per
+    language under the BPE-ish pre-tokenizer (textstats.bpe_ish_tokens) —
+    the standard multilingual-tokenizer-cost table (fertility >> 1 means
+    a language pays more sequence length per word; zh pays bytes per
+    token).  Map-only scan + one groupBy(lang) with exact integer sums;
+    ratios via the _ratio6 idiom.  On this synthetic corpus the text is
+    punctuation-free and space-separated, so fertility degenerates to
+    1.0 and the discriminating signal is bytes_per_token (zh multibyte
+    vs latin) — the oracle still certifies the full computation."""
+    docs = t(spark, sf_dir, "documents")
+    agg = (
+        docs.select(
+            "lang",
+            F.size(textstats.tokens(F.col("text"))).alias("w"),
+            F.size(textstats.bpe_ish_tokens(F.col("text"))).alias("tk"),
+            F.octet_length("text").alias("by"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("w").alias("words"),
+            F.sum("tk").alias("tokens"),
+            F.sum("by").alias("bytes"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "docs",
+        "words",
+        "tokens",
+        "bytes",
+        F.round(F.try_divide(F.col("tokens").cast("double"), F.col("words").cast("double")), 6).alias("fertility"),
+        F.round(F.try_divide(F.col("bytes").cast("double"), F.col("tokens").cast("double")), 6).alias("bytes_per_token"),
+    ).orderBy("lang")
+
+
+@query(
+    "acf_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             sum(CAST(o_totalprice AS DECIMAL(23,6))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT CAST(v AS INT) AS lag FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) t(v)),
+    j AS (
+      SELECT l.lag, a.rev AS x, b.rev AS y
+      FROM lags l
+      JOIN daily a ON true
+      JOIN daily b ON b.d = a.d + to_days(l.lag)
+    ),
+    s AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM j GROUP BY lag
+    )
+    SELECT lag, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+    FROM s ORDER BY lag
+    """,
+)
+def acf_daily_revenue(spark, sf_dir):
+    """Autocorrelation function of daily order revenue at lags 1-7 — the
+    seasonality probe of the timeseries family (weekly periodicity shows
+    as a lag-7 peak).  Exactness: daily revenue and all Pearson moments
+    accumulate as DECIMAL (order-invariant), so both engines feed
+    IDENTICAL numbers into the closed-form n*Sxy - Sx*Sy correlation;
+    the only float ops are two correctly-rounded casts, two IEEE sqrts
+    and one divide — deterministic on both engines.  Shuffle shape: one
+    groupBy(day) reduction, then a 7-way broadcast lag self-join over
+    the ~day-count-sized series."""
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(23,6)")).alias("rev")
+    )
+    daily = daily.localCheckpoint()  # tiny series reused on both join sides
+    lags = spark.createDataFrame([(i,) for i in range(1, 8)], "lag int")
+    a, b = daily.alias("a"), daily.alias("b")
+    j = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(
+            b,
+            F.col("b.d") == F.col("a.d") + F.make_dt_interval(days=F.col("lag")),
+        )
+        .select("lag", F.col("a.rev").alias("x"), F.col("b.rev").alias("y"))
+    )
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select("lag", "n", F.round(num / den, 6).alias("acf")).orderBy("lag")
+
+
+@query(
     "event_transition_probs",
     """
     WITH seq AS (
@@ -6719,6 +6907,74 @@ def embedding_pca_whiten(spark, sf_dir):
             "|", F.transform(F.col("embedding_pca"), lambda x: F.format_number(x, 6))
         ).alias("pca_str"),
     ).orderBy("vec_id")
+
+
+def _power_oracle_sql(
+    d: int = 64, n_iter: int = 4, scale: int = 1024, unit: int = 1 << 20
+) -> str:
+    """Replays the ENTIRE quantized power iteration in SQL: lattice
+    quantization, exact-integer S = Xq^T Xq, n_iter rounds of integer
+    matvec + one correctly-rounded double division per coordinate
+    (times a power-of-two unit — exact), then the same
+    largest-|v|/smallest-index sign convention.  See
+    similarity.power_component_int for the bit-for-bit argument."""
+    q = f"CAST(floor(CAST(embedding[j] AS DOUBLE) * {scale} + 0.5) AS BIGINT)"
+    ctes = [
+        f"""xq AS (
+      SELECT vec_id, CAST(j - 1 AS INT) AS j, {q} AS xv
+      FROM embeddings, range(1, {d + 1}) t(j)
+    )""",
+        """s AS (
+      SELECT a.j AS i, b.j AS j, CAST(sum(a.xv * b.xv) AS BIGINT) AS s
+      FROM xq a JOIN xq b USING (vec_id) GROUP BY a.j, b.j
+    )""",
+        f"""v0 AS (SELECT CAST(j AS INT) AS j, CAST({unit} AS BIGINT) AS v
+              FROM range(0, {d}) t(j))""",
+    ]
+    for it in range(n_iter):
+        ctes += [
+            f"""w{it} AS (
+      SELECT s.i AS j, CAST(sum(s.s * v.v) AS BIGINT) AS w
+      FROM s JOIN v{it} v ON v.j = s.j GROUP BY s.i
+    )""",
+            f"""m{it} AS (SELECT max(abs(w)) AS m FROM w{it})""",
+            f"""v{it + 1} AS (
+      SELECT j, CAST(floor(CAST(w AS DOUBLE) / CAST(m AS DOUBLE) * {unit}) AS BIGINT) AS v
+      FROM w{it}, m{it}
+    )""",
+        ]
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body},
+    jstar AS (
+      SELECT j, v FROM v{n_iter}
+      ORDER BY abs(v) DESC, j ASC LIMIT 1
+    ),
+    sgn AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg FROM jstar)
+    SELECT vf.j,
+           round(CAST(sg * vf.v AS DOUBLE) / {float(unit)!r}, 6) AS loading,
+           round(CAST(mf.m AS DOUBLE) / {float(unit)!r}, 3) AS lambda_hat
+    FROM v{n_iter} vf, m{n_iter - 1} mf, sgn
+    ORDER BY vf.j
+    """
+
+
+@query("pca_power_component", _power_oracle_sql())
+def pca_power_component(spark, sf_dir):
+    """Dominant principal direction via quantized power iteration
+    (similarity.power_component_int) — the certifiable twin of the eigen
+    step inside pca_whiten, same float-production/int-certified split as
+    kmeans_fit vs kmeans_fit_int.  The d x d second-moment matrix is
+    accumulated distributed in ONE Arrow pass (exact integer partials,
+    bounded d^2 driver state); 4 L-infinity-normalized power rounds are
+    then pure integer matvecs plus one correctly-rounded division per
+    coordinate, replayed exactly by the unrolled SQL oracle.  Promotes
+    the eigen family from "no oracle by nature" to hash-certified for
+    the top component."""
+    from kafka_connect_morphlines_spark.functions import similarity as sim
+
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.power_component_int(emb, n_iter=4)
 
 
 # --------------------------------------------------------------------------

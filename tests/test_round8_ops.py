@@ -205,3 +205,147 @@ def test_bradley_terry_symmetric_duels_equal_strengths(spark):
         _duels_df(spark, wins), F.col("wn"), F.col("ls")
     ).collect()}
     assert out["a"]["strength"] == out["b"]["strength"]
+
+
+# --------------------------------------------------------------------------
+# Quantized power iteration
+# --------------------------------------------------------------------------
+
+
+def test_power_component_matches_eigh(spark):
+    import numpy as np
+
+    from kafka_connect_morphlines_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 400
+    # anisotropic cloud -> clear dominant direction
+    basis = rng.normal(size=(d, d))
+    scales = np.linspace(3.0, 0.1, d)
+    x = rng.normal(size=(n, d)) * scales @ basis.T
+    x = x / (np.abs(x).max() * 1.05)  # keep |x| < 1 like the corpus
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.power_component_int(df, n_iter=6).collect()
+    v = np.array([r["loading"] for r in out])
+    lam = out[0]["lambda_hat"]
+
+    xq = np.floor(np.stack([np.array(r, dtype=np.float64) for r in
+                            df.select("embedding").toPandas()["embedding"]]) * 1024 + 0.5)
+    s = xq.T @ xq
+    vals, vecs = np.linalg.eigh(s)
+    top = vecs[:, -1]
+    cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos > 0.999
+    # with v L-inf-normalized, max|S v| / unit converges to the top
+    # eigenvalue of S itself
+    assert lam == pytest.approx(vals[-1], rel=0.05)
+
+
+def test_power_component_partition_invariant(spark, tmp_path):
+    from kafka_connect_morphlines_spark.functions import similarity as sim
+
+    src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sim.power_component_int(src.repartition(1), n_iter=3).collect()
+    b = sim.power_component_int(src.repartition(13), n_iter=3).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# --------------------------------------------------------------------------
+# Triangle counting
+# --------------------------------------------------------------------------
+
+
+def test_triangle_count_brute_force(spark):
+    import itertools
+    import random
+
+    from kafka_connect_morphlines_spark.functions import web
+
+    rng = random.Random(42)
+    nodes = list(range(30))
+    edges = sorted(
+        {(a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.25}
+    )
+    adj = set(edges)
+    brute = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = web.triangle_count(df).collect()[0]
+    assert row["n_triangles"] == brute
+    assert row["n_edges"] == len(edges)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(v * (v - 1) // 2 for v in deg.values())
+    assert row["gcc"] == pytest.approx(3 * brute / wedges, abs=1e-6)
+
+
+def test_triangle_count_known_graphs(spark):
+    from kafka_connect_morphlines_spark.functions import web
+
+    # K4: 4 triangles, gcc = 1
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    row = web.triangle_count(spark.createDataFrame(k4, "src long, dst long")).collect()[0]
+    assert row["n_triangles"] == 4 and row["gcc"] == 1.0
+    # star graph: 0 triangles
+    star = [(0, i) for i in range(1, 6)]
+    row = web.triangle_count(spark.createDataFrame(star, "src long, dst long")).collect()[0]
+    assert row["n_triangles"] == 0 and row["gcc"] == 0.0
+
+
+# --------------------------------------------------------------------------
+# ACF / fertility sanity
+# --------------------------------------------------------------------------
+
+
+def test_acf_matches_numpy(spark):
+    import numpy as np
+
+    from kafka_connect_morphlines_spark.plans.queries import QUERIES
+
+    out = QUERIES["acf_daily_revenue"].build(spark, "/root/testdata/sf0.001").collect()
+    daily = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .orderBy("d")
+        .collect()
+    )
+    series = {r["d"]: float(r["rev"]) for r in daily}
+    days = sorted(series)
+    import datetime
+
+    for r in out:
+        lag = r["lag"]
+        xs, ys = [], []
+        for dday in days:
+            nxt = dday + datetime.timedelta(days=lag)
+            if nxt in series:
+                xs.append(series[dday])
+                ys.append(series[nxt])
+        ref = np.corrcoef(xs, ys)[0, 1]
+        assert r["n"] == len(xs)
+        assert r["acf"] == pytest.approx(ref, abs=1e-6)
+
+
+def test_fertility_counts_toy(spark):
+    from kafka_connect_morphlines_spark.plans.queries import QUERIES  # noqa: F401
+    from kafka_connect_morphlines_spark.functions import textstats
+
+    df = spark.createDataFrame(
+        [("x", "Hello, world! 42")], "lang string, text string"
+    )
+    row = df.select(
+        F.size(textstats.tokens(F.col("text"))).alias("w"),
+        F.size(textstats.bpe_ish_tokens(F.col("text"))).alias("t"),
+        F.octet_length("text").alias("b"),
+    ).collect()[0]
+    # words: Hello, | world! | 42 ; bpe-ish: Hello , world ! 42
+    assert row["w"] == 3 and row["t"] == 5 and row["b"] == 16
