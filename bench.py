@@ -139,6 +139,14 @@ HEADLINE = [
     "detect_mime_type",
     "read_xml_roundtrip",
     "user_agent_parse",
+    # round-8 session-2 additions
+    "krippendorff_alpha_langid",
+    "kmv_distinct_users",
+    "bradley_terry_events",
+    "pca_power_component",
+    "triangle_count_cosupply",
+    "tokenizer_fertility_by_lang",
+    "acf_daily_revenue",
 ]
 
 

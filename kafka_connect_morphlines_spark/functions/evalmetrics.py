@@ -421,6 +421,10 @@ def krippendorff_alpha_nominal(df: DataFrame, unit: Column, rating: Column) -> D
         .groupBy("u", "c")
         .agg(F.count(F.lit(1)).alias("r"))
     )
+    # materialize the REDUCED (unit, rating, r) frame once: rating
+    # construction upstream (e.g. an expensive lang-id scan) must not be
+    # recomputed by the marginal/aggregate passes below
+    ruc = ruc.localCheckpoint()
     per_u = (
         ruc.groupBy("u")
         .agg(

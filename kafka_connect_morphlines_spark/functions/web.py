@@ -338,6 +338,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     ratio idiom.
     """
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # materialize the reduced edge list once: it feeds the degree pass,
+    # the orientation join and the edge/node counters — without this the
+    # (possibly expensive) upstream edge derivation runs three times
+    und = und.localCheckpoint()
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))

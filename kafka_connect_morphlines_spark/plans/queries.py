@@ -1238,11 +1238,13 @@ def text_quality(spark, sf_dir):
     None,  # oracle built in __spark_entry__ via the generated CASE (see lang_id_oracle_sql)
 )
 def lang_id_pred(spark, sf_dir):
-    """Marker-token language identification (argmax over marker hits)."""
+    """Marker-token language identification (argmax over marker hits) —
+    served by the explode-once codegen plan (textstats.lang_id_exploded,
+    r08; exact parity with the Column form pinned in pytest)."""
     from kafka_connect_morphlines_spark.functions import ensure_parallelism
 
     docs = ensure_parallelism(t(spark, sf_dir, "documents"))
-    return docs.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
+    return textstats.lang_id_exploded(docs)
 
 
 def lang_id_oracle_sql() -> str:
@@ -4333,9 +4335,12 @@ def pagerank_trade_graph(spark, sf_dir):
     "triangle_count_cosupply",
     """
     WITH und AS (
-      SELECT DISTINCT p.l_partkey AS a, q.l_partkey AS b
-      FROM lineitem p JOIN lineitem q
-        ON p.l_orderkey = q.l_orderkey AND p.l_partkey < q.l_partkey
+      SELECT a, b FROM (
+        SELECT p.l_partkey AS a, q.l_partkey AS b, count(*) AS n
+        FROM lineitem p JOIN lineitem q
+          ON p.l_orderkey = q.l_orderkey AND p.l_partkey < q.l_partkey
+        GROUP BY 1, 2
+      ) WHERE n >= 2
     ),
     deg AS (
       SELECT v, CAST(count(*) AS BIGINT) AS deg
@@ -4367,26 +4372,43 @@ def pagerank_trade_graph(spark, sf_dir):
 )
 def triangle_count_cosupply(spark, sf_dir):
     """Exact triangle count + global clustering coefficient
-    (web.triangle_count) over the part co-purchase graph (parts sharing
-    an order) — the non-bipartite companion to pagerank_trade_graph's
-    link analysis; at sf0.01 a genuinely sparse graph (115k edges over
-    2k nodes, 414k triangles), unlike the complete supplier graph.
-    Degree-ordered orientation bounds every vertex's wedge fan-out at
-    ~sqrt(2m), the property that keeps the self-join alive on hub-heavy
-    100 TB graphs; each triangle is counted exactly once at its
+    (web.triangle_count) over the part co-purchase AFFINITY graph —
+    parts that share an order MORE THAN ONCE (support >= 2, the standard
+    market-basket noise cut) — the non-bipartite companion to
+    pagerank_trade_graph's link analysis.  The support threshold is also
+    the scale lever: the raw co-occurrence graph has 41M wedges at
+    sf0.1, the support-2 graph ~3.9k edges — thresholding BEFORE the
+    wedge join is how co-occurrence triangle counting stays tractable on
+    any corpus.  Degree-ordered orientation bounds every vertex's wedge
+    fan-out at ~sqrt(2m); each triangle counted exactly once at its
     lowest-rank vertex."""
     from kafka_connect_morphlines_spark.functions import web
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p, q = li.alias("p"), li.alias("q")
+    # co-occurrence pairs WITHOUT a fact-table self-join: ONE shuffle of
+    # lineitem into per-order sorted part lists (bounded by order size),
+    # then codegen double index-explode generates each i<j combination
+    # map-side — exactly the lineitem-pair multiset the oracle's
+    # self-join counts, at half the shuffled volume
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    base = per_order.select(
+        "ps", F.explode(F.sequence(F.lit(1), F.size("ps") - 1)).alias("i")
+    )
+    pairs = base.select(
+        "ps", "i", F.explode(F.sequence(F.col("i") + 1, F.size("ps"))).alias("j")
+    ).select(
+        F.element_at(F.col("ps"), F.col("i")).alias("src"),
+        F.element_at(F.col("ps"), F.col("j")).alias("dst"),
+    ).filter(F.col("src") < F.col("dst"))
     edges = (
-        p.join(
-            q,
-            (F.col("p.l_orderkey") == F.col("q.l_orderkey"))
-            & (F.col("p.l_partkey") < F.col("q.l_partkey")),
-        )
-        .select(F.col("p.l_partkey").alias("src"), F.col("q.l_partkey").alias("dst"))
-        .distinct()
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("src", "dst")
     )
     return web.triangle_count(edges)
 
@@ -7132,8 +7154,9 @@ def cohens_kappa_langid(spark, sf_dir):
     from kafka_connect_morphlines_spark.functions import evalmetrics
 
     docs = t(spark, sf_dir, "documents")
-    pairs = docs.select(
-        F.col("lang").alias("a"), textstats.lang_id(F.col("text")).alias("b")
+    preds = textstats.lang_id_exploded(docs)  # explode-once codegen plan (r08)
+    pairs = docs.select("doc_id", "lang").join(preds, "doc_id").select(
+        F.col("lang").alias("a"), F.col("lang_pred").alias("b")
     )
     return evalmetrics.cohens_kappa(pairs, F.col("a"), F.col("b"))
 
@@ -7306,13 +7329,14 @@ def krippendorff_alpha_langid(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     ra = docs.select(F.col("doc_id").alias("u"), F.col("lang").alias("c"))
-    rb = docs.select(
-        F.col("doc_id").alias("u"), textstats.lang_id(F.col("text")).alias("c")
+    rb = textstats.lang_id_exploded(docs).select(
+        F.col("doc_id").alias("u"), F.col("lang_pred").alias("c")
     )
-    rc = docs.filter(F.col("n_chars") >= 160).select(
-        F.col("doc_id").alias("u"),
-        textstats.lang_id(F.substring(F.col("text"), 1, 80)).alias("c"),
-    )
+    rc = textstats.lang_id_exploded(
+        docs.filter(F.col("n_chars") >= 160).select(
+            "doc_id", F.substring(F.col("text"), 1, 80).alias("text")
+        )
+    ).select(F.col("doc_id").alias("u"), F.col("lang_pred").alias("c"))
     ratings = ra.unionByName(rb).unionByName(rc)
     return evalmetrics.krippendorff_alpha_nominal(
         ratings, F.col("u"), F.col("c")
@@ -8167,9 +8191,10 @@ def lang_confusion_matrix(spark, sf_dir):
     groupBy over the pair table + a |classes|-partition window over the
     |classes|^2-row aggregate (bounded by construction)."""
     docs = t(spark, sf_dir, "documents")
-    pairs = docs.select(
+    preds = textstats.lang_id_exploded(docs)  # explode-once codegen plan (r08)
+    pairs = docs.select("doc_id", "lang").join(preds, "doc_id").select(
         F.col("lang").alias("actual"),
-        textstats.lang_id(F.col("text")).alias("predicted"),
+        F.col("lang_pred").alias("predicted"),
     )
     from pyspark.sql import Window
 
@@ -8231,8 +8256,10 @@ def lang_prf_report(spark, sf_dir):
     from kafka_connect_morphlines_spark.functions import evalmetrics
 
     docs = t(spark, sf_dir, "documents")
+    preds = textstats.lang_id_exploded(docs)  # explode-once codegen plan (r08)
+    joined = docs.select("doc_id", "lang").join(preds, "doc_id")
     return evalmetrics.multiclass_prf(
-        docs, F.col("lang"), textstats.lang_id(F.col("text"))
+        joined, F.col("lang"), F.col("lang_pred")
     )
 
 

@@ -349,3 +349,41 @@ def test_fertility_counts_toy(spark):
     ).collect()[0]
     # words: Hello, | world! | 42 ; bpe-ish: Hello , world ! 42
     assert row["w"] == 3 and row["t"] == 5 and row["b"] == 16
+
+
+# --------------------------------------------------------------------------
+# lang_id exploded-codegen variant (r08 perf path)
+# --------------------------------------------------------------------------
+
+
+def test_lang_id_exploded_exact_parity(spark):
+    from kafka_connect_morphlines_spark.functions import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    col_form = {
+        r["doc_id"]: r["p"]
+        for r in docs.select(
+            "doc_id", textstats.lang_id(F.col("text")).alias("p")
+        ).collect()
+    }
+    exploded = {
+        r["doc_id"]: r["lang_pred"] for r in textstats.lang_id_exploded(docs).collect()
+    }
+    assert col_form == exploded
+
+
+def test_lang_id_exploded_edge_cases(spark):
+    from kafka_connect_morphlines_spark.functions import textstats
+
+    edge = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   "), (4, "the the el el"), (5, "el la de the and of")],
+        "doc_id long, text string",
+    )
+    got = sorted(tuple(r) for r in textstats.lang_id_exploded(edge).collect())
+    want = sorted(
+        tuple(r)
+        for r in edge.select("doc_id", textstats.lang_id(F.col("text")).alias("p")).collect()
+    )
+    assert got == want
+    # empty/null/whitespace all keep their row and land on 'und'
+    assert dict(got)[1] == "und" and dict(got)[2] == "und" and dict(got)[3] == "und"
