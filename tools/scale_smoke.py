@@ -484,6 +484,72 @@ def main() -> None:
                 semantic.kmeans_fit_int(vecs, k=8, n_iter=3, id_col="vec_id"),
             ),
         ),
+        # r08 session-2 operators: KMV bottom-k sketch (Arrow pre-reduce
+        # bounds the shuffle), Bradley-Terry (duels -> k x (k-1) matrix),
+        # Krippendorff alpha (one (u,c) groupBy + tiny marginals),
+        # quantized power iteration (one Arrow d^2 pass), triangle count
+        # on a random sparse graph (degree-ordered orientation)
+        "kmv_20m": run(
+            "kmv_20m",
+            lambda: sketches.kmv_estimate(
+                sketches.kmv_build(
+                    events, F.col("user_id").cast("string"), k=64, group_cols=["event_type"]
+                ),
+                k=64,
+                group_cols=["event_type"],
+            ),
+        ),
+        "bradley_terry_20m": run(
+            "bradley_terry_20m",
+            lambda: (lambda tv: evalmetrics.bradley_terry_strengths(
+                tv.alias("x").join(
+                    tv.alias("y"),
+                    (F.col("x.user_id") == F.col("y.user_id"))
+                    & (F.col("x.event_type") < F.col("y.event_type")),
+                ).select(
+                    F.when(F.col("x.tv") >= F.col("y.tv"), F.col("x.event_type"))
+                    .otherwise(F.col("y.event_type")).alias("wn"),
+                    F.when(F.col("x.tv") >= F.col("y.tv"), F.col("y.event_type"))
+                    .otherwise(F.col("x.event_type")).alias("ls"),
+                ),
+                F.col("wn"), F.col("ls"),
+            ))(events.groupBy("user_id", "event_type").agg(
+                F.sum(F.col("value").cast("decimal(23,6)")).alias("tv"))),
+        ),
+        "krippendorff_200k": run(
+            "krippendorff_200k",
+            lambda: evalmetrics.krippendorff_alpha_nominal(
+                docs.select(
+                    F.col("doc_id").alias("u"),
+                    (F.col("doc_id") % 5).cast("string").alias("c"),
+                ).unionByName(
+                    docs.select(
+                        F.col("doc_id").alias("u"),
+                        ((F.col("doc_id") * 7 + F.col("doc_id") % 13) % 5)
+                        .cast("string").alias("c"),
+                    )
+                ).unionByName(
+                    docs.filter(F.col("doc_id") % 2 == 0).select(  # missing data leg
+                        F.col("doc_id").alias("u"),
+                        ((F.col("doc_id") * 3) % 5).cast("string").alias("c"),
+                    )
+                ),
+                F.col("u"), F.col("c"),
+            ),
+        ),
+        "power_component_100k": run(
+            "power_component_100k",
+            lambda: similarity.power_component_int(vecs, n_iter=4),
+        ),
+        "triangle_2m_edges": run(
+            "triangle_2m_edges",
+            lambda: web.triangle_count(
+                spark.range(2_000_000 * mult).select(
+                    (F.col("id") % 100_000).alias("src"),
+                    ((F.col("id") * 7919 + 13) % 100_000).alias("dst"),
+                ).filter(F.col("src") < F.col("dst")).distinct()
+            ),
+        ),
     }
     print(json.dumps(results))
 
