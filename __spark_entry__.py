@@ -47,6 +47,8 @@ _ROUND8_PREFIX = [
     "krippendorff_alpha_langid", "kmv_distinct_users", "bradley_terry_events",
     "pca_power_component", "triangle_count_cosupply",
     "tokenizer_fertility_by_lang", "acf_daily_revenue",
+    # r08: BPE train+encode promoted from rows-only to full SQL oracles
+    "bpe_merge_rules", "bpe_encode_sample",
 ]
 _ROUND8_RANK = {name: i for i, name in enumerate(_ROUND8_PREFIX)}
 

@@ -4617,15 +4617,90 @@ def zscore_hourly_anomalies(spark, sf_dir):
     ).orderBy("k", "bucket")
 
 
-@query("bpe_merge_rules", None)
+def _bpe_train_ctes(n_merges: int = 20, max_words: int = 50000, end_token: str = "</w>") -> tuple[list, str]:
+    """(CTE list, rules-emission subquery) replaying the ENTIRE
+    argmax-BPE training in SQL, one merge per unrolled round
+    (bpe_train's batched selection is provably identical to
+    one-at-a-time — the invariant its pytest reference pins).
+
+    The merge application — greedy left-to-right non-overlapping replace
+    of adjacent symbols (l, r) — is ONE global regexp_replace on a
+    double-separator encoding: symbols joined by two \\x1f bytes with the
+    pattern consuming one separator from each flank, so back-to-back
+    matches ('a b a b' under merge a+b) each retain a flank for the next
+    scan position, exactly the Python two-pointer walk.  Pair stats per
+    round come from re-splitting the state string; argmax tie-break
+    (cnt DESC, l, r) and the cnt >= 2 stop rule (max pair count is
+    non-increasing, so a dead round stays dead) mirror bpe_train.
+    States are MATERIALIZED so the 20-round chain plans linearly."""
+    s1 = "\x1f"
+    s2 = s1 + s1
+    ctes = [
+        rf"""w0 AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> x != '')) AS w
+        FROM documents)
+      GROUP BY w ORDER BY freq DESC, w LIMIT {max_words}
+    )""",
+        f"""s0 AS MATERIALIZED (
+      SELECT freq, '{s2}' || array_to_string(regexp_split_to_array(w, ''), '{s2}')
+             || '{s2}' || '{end_token}' || '{s2}' AS str
+      FROM w0
+    )""",
+    ]
+    for it in range(n_merges):
+        ctes += [
+            f"""e{it} AS (
+      SELECT freq, ls, unnest(range(1, len(ls))) AS i
+      FROM (SELECT freq, string_split(trim(str, '{s1}'), '{s2}') AS ls FROM s{it})
+    )""",
+            f"""b{it} AS MATERIALIZED (
+      SELECT ls[i] AS l, ls[i + 1] AS r, sum(freq) AS cnt
+      FROM e{it} GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1
+    )""",
+            f"""s{it + 1} AS MATERIALIZED (
+      SELECT s.freq,
+             CASE WHEN b.cnt >= 2 THEN regexp_replace(
+               s.str,
+               '{s1}' || regexp_escape(b.l) || '{s2}' || regexp_escape(b.r) || '{s1}',
+               '{s1}' || replace(b.l || b.r, '\\', '\\\\') || '{s1}',
+               'g')
+             ELSE s.str END AS str
+      FROM s{it} s CROSS JOIN b{it} b
+    )""",
+        ]
+    emits = "\n      UNION ALL ".join(
+        f'SELECT {it} AS rank, l AS "left", r AS "right", CAST(cnt AS BIGINT) AS pair_count FROM b{it} WHERE cnt >= 2'
+        for it in range(n_merges)
+    )
+    return ctes, emits
+
+
+def _bpe_oracle_sql(n_merges: int = 20, max_words: int = 50000, end_token: str = "</w>") -> str:
+    ctes, emits = _bpe_train_ctes(n_merges, max_words, end_token)
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT * FROM ({emits})
+    ORDER BY rank
+    """
+
+
+@query("bpe_merge_rules", _bpe_oracle_sql())
 def bpe_merge_rules(spark, sf_dir):
     """Distributed BPE tokenizer training (traindata.bpe_train): the top 20
-    merge rules learned from the corpus.  Iterative (argmax per round) —
-    not SQL-expressible, so rows-only for the driver; exact-match golden at
-    sf0.01 plus a pytest equality gate against a pure-Python reference
-    implementation.  Scale story: one corpus shuffle collapses text to the
-    (distinct word, freq) table; every round then runs on that
-    vocabulary-sized table (codegen pair counts, Arrow-batched merge)."""
+    merge rules learned from the corpus.  PROMOTED from rows-only in r08:
+    the full iterative argmax fit is replayed by an unrolled 20-round SQL
+    oracle (_bpe_oracle_sql) — pair counts are exact integers, the argmax
+    tie-break is total, and the greedy merge application is expressible
+    as one boundary-aware global regexp_replace per round, so nothing in
+    the fit is engine-specific.  The pytest equality gate against the
+    pure-Python sequential reference remains (it also justifies replaying
+    bpe_train's batched selection one merge at a time).  Scale story: one
+    corpus shuffle collapses text to the (distinct word, freq) table;
+    every round then runs on that vocabulary-sized table (codegen pair
+    counts, Arrow-batched merge)."""
     from kafka_connect_morphlines_spark.functions import traindata
 
     docs = t(spark, sf_dir, "documents")
@@ -4746,12 +4821,85 @@ def kn_bigram_logprob(spark, sf_dir):
     return textstats.kn_bigram_logprob_df(docs)
 
 
-@query("bpe_encode_sample", None)
+def _bpe_encode_oracle_sql(
+    n_merges: int = 20, k_rounds: int = 10, end_token: str = "</w>"
+) -> str:
+    """Replays train AND encode in SQL: the 20-round training chain
+    (_bpe_train_ctes) feeds a per-distinct-word DYNAMIC encode loop —
+    ``k_rounds`` unrolled rounds of "min applicable rank, apply
+    exhaustively" — which is exactly encode_word's outer while, NOT a
+    fixed rank-order sweep (rank order diverges under same-string merge
+    collisions; the dynamic unroll never does).  Applicability is a
+    literal substring probe on the double-separator encoding; the
+    rewrite is the same flank-preserving global regexp_replace as
+    training.  k_rounds bounds the while loop: each round shrinks an
+    unfinished word by >= 1 symbol and corpus words are <= 8 chars
+    (9 symbols), so 10 rounds provably reach fixpoint."""
+    s1 = "\x1f"
+    s2 = s1 + s1
+    ctes, emits = _bpe_train_ctes(n_merges, 50000, end_token)
+    ctes = list(ctes)
+    ctes += [
+        f"""rtab AS MATERIALIZED (SELECT * FROM ({emits}))""",
+        r"""wdocs AS MATERIALIZED (
+      SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+            FROM documents WHERE doc_id < 50)
+    )""",
+        f"""enc0 AS MATERIALIZED (
+      SELECT w, '{s2}' || array_to_string(regexp_split_to_array(w, ''), '{s2}')
+             || '{s2}' || '{end_token}' || '{s2}' AS str
+      FROM (SELECT DISTINCT w FROM wdocs)
+    )""",
+    ]
+    for k in range(k_rounds):
+        ctes += [
+            f"""a{k} AS MATERIALIZED (
+      SELECT e.w, min(r.rank) AS mrk
+      FROM enc{k} e JOIN rtab r
+        ON strpos(e.str, '{s1}' || r."left" || '{s2}' || r."right" || '{s1}') > 0
+      GROUP BY e.w
+    )""",
+            f"""enc{k + 1} AS MATERIALIZED (
+      SELECT e.w,
+             CASE WHEN a.mrk IS NOT NULL THEN regexp_replace(
+               e.str,
+               '{s1}' || regexp_escape(r."left") || '{s2}' || regexp_escape(r."right") || '{s1}',
+               '{s1}' || replace(r."left" || r."right", '\\', '\\\\') || '{s1}',
+               'g')
+             ELSE e.str END AS str
+      FROM enc{k} e LEFT JOIN a{k} a USING (w) LEFT JOIN rtab r ON r.rank = a.mrk
+    )""",
+        ]
+    ctes += [
+        f"""wt AS (SELECT w, string_split(trim(str, '{s1}'), '{s2}') AS toks FROM enc{k_rounds})""",
+        f"""agg AS (
+      SELECT d.doc_id, CAST(sum(len(t.toks)) AS INT) AS n_tokens,
+             array_to_string(list_slice(flatten(list(t.toks ORDER BY d.pos)), 1, 8), '|') AS head_tokens
+      FROM wdocs d JOIN wt t USING (w) GROUP BY d.doc_id
+    )""",
+    ]
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT doc.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens,
+           coalesce(agg.head_tokens, '') AS head_tokens
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 50) doc
+    LEFT JOIN agg USING (doc_id)
+    ORDER BY doc.doc_id
+    """
+
+
+@query("bpe_encode_sample", _bpe_encode_oracle_sql())
 def bpe_encode_sample(spark, sf_dir):
     """BPE encode with self-trained merges (traindata.bpe_encode after
     bpe_train): token counts + first tokens for the 50 lowest-id docs.
-    Iterative training + greedy encode — rows-only + golden; pytest pins
-    train->encode round-trip consistency."""
+    PROMOTED from rows-only in r08: train AND the dynamic greedy encode
+    loop are both replayed in SQL (_bpe_encode_oracle_sql) — the encode
+    unrolls "min applicable rank, apply exhaustively" per distinct word,
+    bounded by the corpus' 8-char words.  The pytest train->encode
+    round-trip gate remains."""
     from kafka_connect_morphlines_spark.functions import traindata
 
     docs = t(spark, sf_dir, "documents")
