@@ -49,6 +49,7 @@ _ROUND8_PREFIX = [
     "tokenizer_fertility_by_lang", "acf_daily_revenue",
     # r08: BPE train+encode promoted from rows-only to full SQL oracles
     "bpe_merge_rules", "bpe_encode_sample",
+    "spearman_spend_vs_orders",
 ]
 _ROUND8_RANK = {name: i for i, name in enumerate(_ROUND8_PREFIX)}
 

@@ -147,6 +147,7 @@ HEADLINE = [
     "triangle_count_cosupply",
     "tokenizer_fertility_by_lang",
     "acf_daily_revenue",
+    "spearman_spend_vs_orders",
 ]
 
 

@@ -125,6 +125,7 @@ NAMES = [
     "triangle_count_cosupply",
     "tokenizer_fertility_by_lang",
     "acf_daily_revenue",
+    "spearman_spend_vs_orders",
 ]
 
 

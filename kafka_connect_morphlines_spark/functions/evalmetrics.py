@@ -44,6 +44,7 @@ __all__ = [
     "cohens_kappa",
     "krippendorff_alpha_nominal",
     "bradley_terry_strengths",
+    "spearman_rho",
     "nb_train",
     "nb_predict",
     "pmi_table",
@@ -554,6 +555,57 @@ def bradley_terry_strengths(
     return df.select(
         "item", "wins", "duels", _ratio6(F.col("_p"), F.col("_tot")).alias("strength")
     ).orderBy("item")
+
+
+def _rank2(df: DataFrame, col: str, out: str) -> DataFrame:
+    """(value -> 2*average-rank) as an exact-integer map over DISTINCT
+    values: 2*avg_rank(v) = 2*#less(v) + #equal(v) + 1.  The ordered
+    cumulative pass runs over distinct values only (the binary_rank_auc
+    discipline — callers pass quantized metrics so this is bounded),
+    never over rows."""
+    cnt = df.groupBy(F.col(col).alias("_v")).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    return cnt.select(
+        "_v",
+        (2 * F.coalesce(F.sum("_c").over(w), F.lit(0)) + F.col("_c") + 1).alias(out),
+    ).withColumnRenamed("_v", col)
+
+
+def spearman_rho(df: DataFrame, x: Column, y: Column) -> DataFrame:
+    """Spearman rank correlation (tie-corrected: Pearson over average
+    ranks) between two row-level metrics — the monotone-association
+    check of drift/quality dashboards (does metric A's ordering track
+    metric B's?).
+
+    Exactness: ranks are kept as 2*avg_rank INTEGERS (ties make average
+    ranks half-integers; doubling clears them — the AUC idiom), so all
+    five Pearson moments are exact DECIMAL sums and both engines feed
+    identical numbers into the closed form; the only float ops are two
+    correctly-rounded casts, two IEEE sqrts and one divide (the
+    acf_daily_revenue argument).  Scale: two distinct-value rank maps
+    (bounded when callers pass quantized metrics) broadcast-joined back
+    to one row-level pass, then a single aggregate."""
+    dec0 = "decimal(38,0)"
+    pairs = df.select(x.alias("_x"), y.alias("_y"))
+    rx = _rank2(pairs, "_x", "_rx")
+    ry = _rank2(pairs, "_y", "_ry")
+    ranked = pairs.join(F.broadcast(rx), "_x").join(F.broadcast(ry), "_y")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_rx").cast(dec0)).alias("sx"),
+        F.sum(F.col("_ry").cast(dec0)).alias("sy"),
+        F.sum((F.col("_rx") * F.col("_ry")).cast(dec0)).alias("sxy"),
+        F.sum((F.col("_rx") * F.col("_rx")).cast(dec0)).alias("sxx"),
+        F.sum((F.col("_ry") * F.col("_ry")).cast(dec0)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.try_divide(num, den), 6).alias("rho"),
+    )
 
 
 def _tokens(text: Column) -> Column:

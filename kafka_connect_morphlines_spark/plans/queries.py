@@ -7372,6 +7372,62 @@ def _krippendorff_oracle_sql() -> str:
     """
 
 
+@query(
+    "spearman_spend_vs_orders",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(23,6))) AS spend,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    rx AS (
+      SELECT spend,
+             2 * coalesce(sum(c) OVER (ORDER BY spend
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS rx
+      FROM (SELECT spend, count(*) AS c FROM per_cust GROUP BY spend)
+    ),
+    ry AS (
+      SELECT n_orders,
+             2 * coalesce(sum(c) OVER (ORDER BY n_orders
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS ry
+      FROM (SELECT n_orders, count(*) AS c FROM per_cust GROUP BY n_orders)
+    ),
+    ranked AS (
+      SELECT rx.rx, ry.ry FROM per_cust p JOIN rx USING (spend) JOIN ry USING (n_orders)
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(rx AS DECIMAL(38,0))) AS sx, sum(CAST(ry AS DECIMAL(38,0))) AS sy,
+             sum(CAST(rx * ry AS DECIMAL(38,0))) AS sxy,
+             sum(CAST(rx * rx AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(ry * ry AS DECIMAL(38,0))) AS syy
+      FROM ranked
+    )
+    SELECT n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+    FROM s
+    """,
+)
+def spearman_spend_vs_orders(spark, sf_dir):
+    """Spearman rank correlation (evalmetrics.spearman_rho) between a
+    customer's total spend and their order count — do heavy spenders
+    also order often?  Tie-corrected via exact 2*avg-rank integers (the
+    AUC idiom) so both engines feed identical DECIMAL moments into the
+    closed form.  One groupBy(customer), two bounded distinct-value rank
+    maps broadcast back, one final aggregate."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    orders = t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(23,6)")).alias("spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return evalmetrics.spearman_rho(per_cust, F.col("spend"), F.col("n_orders"))
+
+
 def _bt_oracle_sql(n_iter: int = 3, unit: int = 1 << 20) -> str:
     """Replays the ENTIRE Bradley-Terry MM fit in SQL: exact DECIMAL duel
     construction, wins-matrix aggregation, then ``n_iter`` unrolled

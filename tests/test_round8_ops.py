@@ -387,3 +387,48 @@ def test_lang_id_exploded_edge_cases(spark):
     assert got == want
     # empty/null/whitespace all keep their row and land on 'und'
     assert dict(got)[1] == "und" and dict(got)[2] == "und" and dict(got)[3] == "und"
+
+
+# --------------------------------------------------------------------------
+# Spearman rho
+# --------------------------------------------------------------------------
+
+
+def spearman_reference(xs: list, ys: list) -> float:
+    """Textbook tie-corrected Spearman: average ranks + Pearson."""
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)) ** 0.5
+    return num / den
+
+
+def test_spearman_matches_reference(spark):
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0]
+    ys = [2, 7, 1, 8, 2, 8, 1, 8, 2, 8]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y long")
+    got = evalmetrics.spearman_rho(df, F.col("x"), F.col("y")).collect()[0]
+    assert got["n"] == 10
+    assert got["rho"] == pytest.approx(spearman_reference(xs, ys), abs=1e-6)
+
+
+def test_spearman_perfect_and_inverse(spark):
+    df = spark.createDataFrame([(i, i * 2) for i in range(20)], "x long, y long")
+    assert evalmetrics.spearman_rho(df, F.col("x"), F.col("y")).collect()[0]["rho"] == 1.0
+    df2 = spark.createDataFrame([(i, -i) for i in range(20)], "x long, y long")
+    assert evalmetrics.spearman_rho(df2, F.col("x"), F.col("y")).collect()[0]["rho"] == -1.0
