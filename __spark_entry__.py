@@ -50,6 +50,7 @@ _ROUND8_PREFIX = [
     # r08: BPE train+encode promoted from rows-only to full SQL oracles
     "bpe_merge_rules", "bpe_encode_sample",
     "spearman_spend_vs_orders",
+    "unigram_lm_vocab", "unigram_lm_encode_sample",
 ]
 _ROUND8_RANK = {name: i for i, name in enumerate(_ROUND8_PREFIX)}
 

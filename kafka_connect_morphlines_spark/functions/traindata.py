@@ -1583,3 +1583,255 @@ def sliding_window_chunks(
         F.size(chunk).alias("n_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# Probability-product unigram-LM twin (r08): the certifiable variant of
+# unigram_lm_train/encode, same float-production/certified-twin split as
+# kmeans_fit vs kmeans_fit_int.  The log-domain Viterbi above compares
+# sums of ln(c/T) — and libm ln is NOT guaranteed identical across
+# engines, which is why the family was rows-only.  This twin scores in
+# the PRODUCT domain: path score = prod(c_i/T) with plain doubles.  Every
+# operation in that chain — int->double conversion (exact below 2^53),
+# division, multiplication — is a correctly-rounded IEEE-754 op that
+# Python, the JVM and DuckDB all perform bit-identically, and the DP
+# fixes the association order, so a SQL oracle replays the ENTIRE
+# Viterbi-EM fit including float ties.  No underflow: words are short
+# (len <= ~50) and probs >= 1/T, so scores stay far above the subnormal
+# range for any T below ~1e60^(1/len).
+# --------------------------------------------------------------------------
+
+
+def _viterbi_segment_prob(
+    word: str, probs: dict, max_len: int
+) -> list[str] | None:
+    """Best segmentation under probability products — same DP and
+    tie-break as ``_viterbi_segment`` (longer last piece at equal score)
+    with scores multiplied instead of log-summed."""
+    n = len(word)
+    best = [1.0] + [0.0] * n  # 0.0 = unreachable (true scores are > 0)
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            p = probs.get(word[j:i])
+            if p is None or best[j] == 0.0:
+                continue
+            score = best[j] * p
+            if score > best[i] or (score == best[i] and j < back[i]):
+                best[i], back[i] = score, j
+    if best[n] == 0.0:
+        return None
+    out, i = [], n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def unigram_lm_reference_prob(
+    word_freqs: list,
+    vocab_size: int = 64,
+    n_iter: int = 3,
+    max_piece_len: int = 4,
+    seed_mult: int = 4,
+) -> list:
+    """Pure-Python single-process reference for ``unigram_lm_train_prob``
+    (the pytest pin).  Returns (piece, count, prob)."""
+    from collections import Counter
+
+    cand: Counter = Counter()
+    chars: set = set()
+    for w, f in word_freqs:
+        chars.update(w)
+        for i in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - i) + 1):
+                cand[w[i : i + l]] += f
+    multi = sorted(
+        ((p, c) for p, c in cand.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: seed_mult * vocab_size]
+    pieces = {p: cand[p] for p in chars}
+    pieces.update(dict(multi))
+
+    def em_round(vocab_counts: dict) -> dict:
+        total = sum(vocab_counts.values())
+        ps = {p: c / total for p, c in vocab_counts.items() if c > 0}
+        counts: Counter = Counter()
+        for w, f in word_freqs:
+            seg = _viterbi_segment_prob(w, ps, max_piece_len)
+            for p in seg or []:
+                counts[p] += f
+        return {p: max(counts.get(p, 0), 1 if len(p) == 1 else 0) for p in vocab_counts}
+
+    for _ in range(n_iter):
+        pieces = {p: c for p, c in em_round(pieces).items() if c > 0}
+    multi_kept = sorted(
+        ((p, c) for p, c in pieces.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: max(0, vocab_size - len(chars))]
+    pruned = {p: c for p, c in pieces.items() if len(p) == 1}
+    pruned.update(dict(multi_kept))
+    final = {p: c for p, c in em_round(pruned).items() if c > 0}
+    tot = sum(final.values())
+    return sorted(
+        ((p, c, c / tot) for p, c in final.items()),
+        key=lambda x: (-x[1], x[0]),
+    )
+
+
+def unigram_lm_train_prob(
+    df: DataFrame,
+    vocab_size: int = 64,
+    n_iter: int = 3,
+    max_piece_len: int = 4,
+    seed_mult: int = 4,
+    text_col: str = "text",
+    max_words: int | None = 50000,
+) -> DataFrame:
+    """``unigram_lm_train`` with product-domain Viterbi scoring — the
+    certifiable twin (see module banner above).  Identical distributed
+    skeleton: one corpus shuffle to (word, freq), bounded substring
+    seeding, per-round Arrow E-step emitting integer counts, vocab-sized
+    driver state.  Returns (rank, piece, piece_len, count, prob) with
+    prob = count/total rounded 6dp IN SPARK (half-up parity with the
+    oracle's round())."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if max_words is not None:
+        words = words.orderBy(F.col("freq").desc(), F.col("w")).limit(max_words)
+    words = words.localCheckpoint()
+
+    subs = words.select(
+        "freq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(F.lit(max_piece_len), F.length("w") - i + 1),
+                        ),
+                        lambda l: F.substring(F.col("w"), i, l),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).groupBy("p").agg(F.sum("freq").alias("cnt"))
+    chars = {r["p"]: int(r["cnt"]) for r in subs.filter(F.length("p") == 1).collect()}
+    multi_rows = (
+        subs.filter(F.length("p") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("p"))
+        .limit(seed_mult * vocab_size)
+        .collect()
+    )
+    pieces: dict[str, int] = dict(chars)
+    pieces.update({r["p"]: int(r["cnt"]) for r in multi_rows})
+
+    def em_round(vocab_counts: dict) -> dict:
+        total = sum(vocab_counts.values())
+        ps = {p: c / total for p, c in vocab_counts.items() if c > 0}
+
+        def estep(batches, _ps=ps, _ml=max_piece_len):
+            for pdf in batches:
+                out_p: list[str] = []
+                out_c: list[int] = []
+                for w, f in zip(pdf["w"], pdf["freq"]):
+                    seg = _viterbi_segment_prob(w, _ps, _ml)
+                    for p in seg or []:
+                        out_p.append(p)
+                        out_c.append(int(f))
+                yield pd.DataFrame({"p": out_p, "c": out_c})
+
+        counted = {
+            r["p"]: int(r["cnt"])
+            for r in words.mapInPandas(estep, schema="p string, c long")
+            .groupBy("p")
+            .agg(F.sum("c").alias("cnt"))
+            .collect()
+        }
+        return {p: max(counted.get(p, 0), 1 if len(p) == 1 else 0) for p in vocab_counts}
+
+    for _ in range(n_iter):
+        pieces = {p: c for p, c in em_round(pieces).items() if c > 0}
+    multi_kept = sorted(
+        ((p, c) for p, c in pieces.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: max(0, vocab_size - len(chars))]
+    pruned = {p: c for p, c in pieces.items() if len(p) == 1}
+    pruned.update(dict(multi_kept))
+    final = {p: c for p, c in em_round(pruned).items() if c > 0}
+    tot = sum(final.values())
+    rows = sorted(((p, c) for p, c in final.items()), key=lambda x: (-x[1], x[0]))
+    base = spark.createDataFrame(
+        [(i, p, len(p), c, tot) for i, (p, c) in enumerate(rows)],
+        "rank int, piece string, piece_len int, count long, _tot long",
+    )
+    return base.select(
+        "rank",
+        "piece",
+        "piece_len",
+        "count",
+        F.round(F.col("count").cast("double") / F.col("_tot").cast("double"), 6).alias("prob"),
+    )
+
+
+def unigram_lm_encode_prob(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_token: str = "<unk>",
+) -> DataFrame:
+    """``unigram_lm_encode`` against a prob-twin vocabulary: Viterbi in
+    the product domain with probs reconstructed EXACTLY as count/total
+    from the vocab's integer counts (never from the rounded prob column).
+    Same map-only Arrow shape and unknown-char fallback."""
+    import pandas as pd
+
+    counts = {r["piece"]: int(r["count"]) for r in vocab.select("piece", "count").collect()}
+    total = sum(counts.values())
+    ps = {p: c / total for p, c in counts.items()}
+    max_len = max((len(p) for p in ps), default=1)
+
+    def encode(batches, _ps=ps, _ml=max_len, _unk=unk_token):
+        for pdf in batches:
+            memo: dict[str, list] = {}
+            ids, ns, toks = [], [], []
+            for rid, text in zip(pdf["_id"], pdf["_text"]):
+                out: list = []
+                for w in str(text).split():
+                    seg = memo.get(w)
+                    if seg is None:
+                        seg = _viterbi_segment_prob(w, _ps, _ml)
+                        if seg is None:
+                            seg = []
+                            run = ""
+                            for ch in w:
+                                if ch in _ps:
+                                    run += ch
+                                else:
+                                    if run:
+                                        seg.extend(_viterbi_segment_prob(run, _ps, _ml) or [_unk])
+                                        run = ""
+                                    seg.append(_unk)
+                            if run:
+                                seg.extend(_viterbi_segment_prob(run, _ps, _ml) or [_unk])
+                        memo[w] = seg
+                    out.extend(seg)
+                ids.append(rid)
+                ns.append(len(out))
+                toks.append(out)
+            yield pd.DataFrame({"_id": ids, "n_pieces": ns, "pieces": toks})
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    out = src.mapInPandas(encode, schema="_id long, n_pieces int, pieces array<string>")
+    return out.withColumnRenamed("_id", id_col)

@@ -7028,30 +7028,219 @@ def jaro_winkler_linkage(spark, sf_dir):
     return out.filter(F.col("l_id") < F.col("r_id")).orderBy("l_id", "r_id")
 
 
-@query("unigram_lm_vocab", None)
+_ULM_MAXLEN = 8  # corpus max word length (the DP/backtrace unroll bound)
+
+
+def _ulm_em_ctes(rname: str, vin: str, max_piece_len: int, with_freq: bool) -> list:
+    """CTEs for one Viterbi pass under vocab ``vin``'s probs: probs ->
+    piece-match table -> position DP (unrolled to _ULM_MAXLEN, tie-break
+    score DESC / split-point ASC == the reference's longer-last-piece
+    rule) -> backtrace walk emitting (w[, freq], piece, start)."""
+    tname = f"ut{rname}"
+    out = [
+        f"""{tname} AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM {vin})""",
+        f"""upr{rname} AS MATERIALIZED (
+      SELECT p, CAST(c AS DOUBLE) / CAST(t.t AS DOUBLE) AS prob
+      FROM {vin}, {tname} t WHERE c > 0
+    )""",
+        f"""uwm{rname} AS MATERIALIZED (
+      SELECT s.w, s.j, s.i, pr.prob
+      FROM uwsp s JOIN upr{rname} pr ON pr.p = s.piece
+    )""",
+        f"""ub{rname}p0 AS (SELECT w, CAST(1.0 AS DOUBLE) AS best, 0 AS back FROM uw0)""",
+    ]
+    for i in range(1, _ULM_MAXLEN + 1):
+        joins = []
+        for j in range(max(0, i - max_piece_len), i):
+            joins.append(
+                f"""SELECT m.w, {j} AS j, b.best * m.prob AS score
+        FROM uwm{rname} m JOIN ub{rname}p{j} b ON b.w = m.w
+        WHERE m.j = {j} AND m.i = {i}"""
+            )
+        uni = "\n        UNION ALL ".join(joins)
+        out.append(
+            f"""ub{rname}p{i} AS MATERIALIZED (
+      SELECT w, score AS best, j AS back FROM (
+        SELECT w, j, score, row_number() OVER (PARTITION BY w ORDER BY score DESC, j ASC) AS rn
+        FROM ({uni})
+      ) WHERE rn = 1
+    )"""
+        )
+    bt_uni = "\n        UNION ALL ".join(
+        f"SELECT w, {i} AS i, back FROM ub{rname}p{i}" for i in range(1, _ULM_MAXLEN + 1)
+    )
+    out.append(f"""ubt{rname} AS MATERIALIZED ({bt_uni})""")
+    fcol = ", f.freq" if with_freq else ""
+    out.append(
+        f"""us{rname}k0 AS (SELECT f.w{fcol}, len(f.w) AS pos FROM uw0 f)"""
+    )
+    scol = ", s.freq" if with_freq else ""
+    for k in range(_ULM_MAXLEN):
+        out.append(
+            f"""us{rname}k{k + 1} AS MATERIALIZED (
+      SELECT s.w{scol}, b.back AS pos, substr(s.w, b.back + 1, s.pos - b.back) AS piece,
+             b.back AS start
+      FROM us{rname}k{k} s JOIN ubt{rname} b ON b.w = s.w AND b.i = s.pos
+      WHERE s.pos > 0
+    )"""
+        )
+    pcols = "w, freq, piece, start" if with_freq else "w, piece, start"
+    pc_uni = "\n        UNION ALL ".join(
+        f"SELECT {pcols} FROM us{rname}k{k + 1}" for k in range(_ULM_MAXLEN)
+    )
+    out.append(f"""upc{rname} AS MATERIALIZED ({pc_uni})""")
+    return out
+
+
+def _ulm_train_ctes(n_iter: int = 2, vocab_size: int = 64, max_piece_len: int = 4, seed_mult: int = 4) -> list:
+    """Replays the ENTIRE unigram-LM Viterbi-EM fit of
+    traindata.unigram_lm_train_prob in SQL: substring seeding, ``n_iter``
+    EM rounds (Viterbi E-step = the unrolled DP; M-step = integer
+    freq-weighted counts with the chars-never-die floor), vocab_size
+    pruning, one final EM round — ending in uvf (final counts) + utf
+    (final total).  Certifiable because the prob twin scores paths as
+    products of count/total doubles: every op in that chain is a
+    correctly-rounded IEEE op all engines perform identically (the ln()
+    the log-domain production path uses is exactly the op that is NOT)."""
+    ctes = [
+        r"""uw0 AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) AS w
+        FROM documents)
+      GROUP BY w ORDER BY freq DESC, w LIMIT 50000
+    )""",
+        f"""uws AS MATERIALIZED (
+      SELECT w, j, unnest(range(j + 1, least(j + {max_piece_len}, len(w)) + 1)) AS i
+      FROM (SELECT w, unnest(range(0, len(w))) AS j FROM uw0)
+    )""",
+        """uwsp AS MATERIALIZED (
+      SELECT w, j, i, substr(w, j + 1, i - j) AS piece FROM uws
+    )""",
+        """useed AS MATERIALIZED (
+      SELECT s.piece AS p, CAST(sum(f.freq) AS BIGINT) AS c
+      FROM uwsp s JOIN uw0 f USING (w) GROUP BY s.piece
+    )""",
+        f"""uv0 AS MATERIALIZED (
+      SELECT p, c FROM useed WHERE len(p) = 1
+      UNION ALL
+      SELECT p, c FROM (
+        SELECT p, c FROM useed WHERE len(p) > 1
+        ORDER BY c DESC, p LIMIT {seed_mult * vocab_size})
+    )""",
+    ]
+
+    def vnext(rname: str, vin: str, vout: str) -> list:
+        return [
+            f"""ucnt{rname} AS MATERIALIZED (
+      SELECT piece AS p, CAST(sum(freq) AS BIGINT) AS c FROM upc{rname} GROUP BY piece
+    )""",
+            f"""{vout} AS MATERIALIZED (
+      SELECT p, c FROM (
+        SELECT v.p,
+               CASE WHEN len(v.p) = 1 THEN greatest(coalesce(c.c, 0), 1)
+                    ELSE coalesce(c.c, 0) END AS c
+        FROM {vin} v LEFT JOIN ucnt{rname} c USING (p)
+      ) WHERE c > 0
+    )""",
+        ]
+
+    for r in range(n_iter):
+        ctes += _ulm_em_ctes(f"r{r}", f"uv{r}", max_piece_len, with_freq=True)
+        ctes += vnext(f"r{r}", f"uv{r}", f"uv{r + 1}")
+    ctes += [
+        f"""unch AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uv{n_iter} WHERE len(p) = 1)""",
+        f"""uvp AS MATERIALIZED (
+      SELECT p, c FROM uv{n_iter} WHERE len(p) = 1
+      UNION ALL
+      SELECT p, c FROM (
+        SELECT p, c, row_number() OVER (ORDER BY c DESC, p) AS rn
+        FROM uv{n_iter} WHERE len(p) > 1
+      ), unch WHERE rn <= greatest({vocab_size} - unch.n, 0)
+    )""",
+    ]
+    ctes += _ulm_em_ctes("rf", "uvp", max_piece_len, with_freq=True)
+    ctes += vnext("rf", "uvp", "uvf")
+    ctes += ["""utf AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uvf)"""]
+    return ctes
+
+
+def _ulm_vocab_oracle_sql(n_iter: int = 2) -> str:
+    body = ",\n    ".join(_ulm_train_ctes(n_iter=n_iter))
+    return f"""
+    WITH {body}
+    SELECT CAST(row_number() OVER (ORDER BY c DESC, p) - 1 AS INT) AS rank,
+           p AS piece, CAST(len(p) AS INT) AS piece_len, c AS count,
+           round(CAST(c AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS prob
+    FROM uvf, utf t
+    ORDER BY rank
+    """
+
+
+def _ulm_encode_oracle_sql(n_iter: int = 2, max_piece_len: int = 4) -> str:
+    ctes = _ulm_train_ctes(n_iter=n_iter, max_piece_len=max_piece_len)
+    ctes += _ulm_em_ctes("E", "uvf", max_piece_len, with_freq=False)
+    ctes += [
+        """uwtE AS MATERIALIZED (
+      SELECT w, list(piece ORDER BY start) AS toks FROM upcE GROUP BY w
+    )""",
+        r"""udocs AS MATERIALIZED (
+      SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+            FROM documents WHERE doc_id < 50)
+    )""",
+        """uagg AS (
+      SELECT d.doc_id, CAST(sum(len(t.toks)) AS INT) AS n_pieces,
+             array_to_string(list_slice(flatten(list(t.toks ORDER BY d.pos)), 1, 8), '|') AS head_pieces
+      FROM udocs d JOIN uwtE t USING (w) GROUP BY d.doc_id
+    )""",
+    ]
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT doc.doc_id, coalesce(uagg.n_pieces, 0) AS n_pieces,
+           coalesce(uagg.head_pieces, '') AS head_pieces
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 50) doc
+    LEFT JOIN uagg USING (doc_id)
+    ORDER BY doc.doc_id
+    """
+
+
+@query("unigram_lm_vocab", _ulm_vocab_oracle_sql())
 def unigram_lm_vocab(spark, sf_dir):
-    """Unigram-LM tokenizer training (traindata.unigram_lm_train — the
-    SentencePiece model, Viterbi-EM): learned vocabulary with integer
-    freq-weighted Viterbi counts and 6dp logprobs.  Iterative EM — no SQL
-    oracle by nature; rows-only + golden, and pytest pins exact parity
-    with the pure-Python reference implementation."""
+    """Unigram-LM tokenizer training (the SentencePiece model,
+    Viterbi-EM).  PROMOTED from rows-only in r08 via the
+    probability-product twin (traindata.unigram_lm_train_prob): path
+    scores are products of count/total doubles — int->double conversion,
+    division and multiplication are all correctly-rounded IEEE ops every
+    engine performs identically, unlike the libm ln() of the log-domain
+    production path — so the unrolled SQL oracle replays the ENTIRE fit:
+    substring seeding, 2 EM rounds of per-word Viterbi DP (positions
+    unrolled to the corpus' 8-char words), chars-never-die count floors,
+    vocab pruning, final round.  Output prob = count/total rounded 6dp
+    in Spark (half-up parity).  Pytest pins the distributed twin against
+    unigram_lm_reference_prob; the log-domain unigram_lm_train stays the
+    production default."""
     from kafka_connect_morphlines_spark.functions import traindata
 
     docs = t(spark, sf_dir, "documents")
-    return traindata.unigram_lm_train(docs, vocab_size=64, n_iter=2).orderBy("rank")
+    return traindata.unigram_lm_train_prob(docs, vocab_size=64, n_iter=2).orderBy("rank")
 
 
-@query("unigram_lm_encode_sample", None)
+@query("unigram_lm_encode_sample", _ulm_encode_oracle_sql())
 def unigram_lm_encode_sample(spark, sf_dir):
     """Unigram-LM encode with the self-trained vocabulary
-    (traindata.unigram_lm_encode after unigram_lm_train): piece counts +
-    first pieces for the 50 lowest-id docs, arrays serialized for the
-    driver canonicalizer (same convention as bpe_encode_sample)."""
+    (traindata.unigram_lm_encode_prob after unigram_lm_train_prob):
+    piece counts + first pieces for the 50 lowest-id docs.  PROMOTED
+    from rows-only in r08: the oracle replays train AND the encode-time
+    Viterbi pass (probs rebuilt exactly as count/total from the final
+    integer counts), reassembling pieces in word order via the
+    backtrace's start positions."""
     from kafka_connect_morphlines_spark.functions import traindata
 
     docs = t(spark, sf_dir, "documents")
-    vocab = traindata.unigram_lm_train(docs, vocab_size=64, n_iter=2)
-    enc = traindata.unigram_lm_encode(docs.filter(F.col("doc_id") < 50), vocab)
+    vocab = traindata.unigram_lm_train_prob(docs, vocab_size=64, n_iter=2)
+    enc = traindata.unigram_lm_encode_prob(docs.filter(F.col("doc_id") < 50), vocab)
     return enc.select(
         "doc_id",
         "n_pieces",

@@ -432,3 +432,54 @@ def test_spearman_perfect_and_inverse(spark):
     assert evalmetrics.spearman_rho(df, F.col("x"), F.col("y")).collect()[0]["rho"] == 1.0
     df2 = spark.createDataFrame([(i, -i) for i in range(20)], "x long, y long")
     assert evalmetrics.spearman_rho(df2, F.col("x"), F.col("y")).collect()[0]["rho"] == -1.0
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM probability-product twin (r08 certified path)
+# --------------------------------------------------------------------------
+
+
+def test_unigram_prob_twin_matches_reference(spark):
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = traindata.unigram_lm_train_prob(docs, vocab_size=64, n_iter=2).orderBy("rank").collect()
+    wf = (
+        docs.selectExpr("explode(split(trim(text), '\\\\s+')) AS w")
+        .filter("w != ''")
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    ref = traindata.unigram_lm_reference_prob(
+        [(r["w"], int(r["count"])) for r in wf], vocab_size=64, n_iter=2
+    )
+    assert len(got) == len(ref)
+    for g, (p, c, pr) in zip(got, ref):
+        assert (g["piece"], g["count"]) == (p, c)
+        assert g["prob"] == pytest.approx(pr, abs=1e-6)
+
+
+def test_unigram_prob_encode_roundtrip(spark):
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vocab = traindata.unigram_lm_train_prob(docs, vocab_size=64, n_iter=2)
+    enc = traindata.unigram_lm_encode_prob(docs.filter(F.col("doc_id") < 10), vocab).collect()
+    assert len(enc) == 10
+    # pieces re-concatenate to the original words (lossless segmentation)
+    texts = {r["doc_id"]: r["text"] for r in docs.filter(F.col("doc_id") < 10).collect()}
+    for r in enc:
+        assert "".join(r["pieces"]) == "".join(texts[r["doc_id"]].split())
+        assert r["n_pieces"] == len(r["pieces"])
+
+
+def test_viterbi_prob_tiebreak_longer_last_piece():
+    from kafka_connect_morphlines_spark.functions.traindata import _viterbi_segment_prob
+
+    # 'ab' can split as [a,b] or [ab]; with p(ab) = p(a)*p(b) exactly the
+    # scores tie and the longer LAST piece (smaller split point) must win
+    ps = {"a": 0.5, "b": 0.5, "ab": 0.25}
+    assert _viterbi_segment_prob("ab", ps, 2) == ["ab"]
+    # unreachable word -> None
+    assert _viterbi_segment_prob("xz", {"a": 1.0}, 2) is None
