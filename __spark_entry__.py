@@ -51,6 +51,7 @@ _ROUND8_PREFIX = [
     "bpe_merge_rules", "bpe_encode_sample",
     "spearman_spend_vs_orders",
     "unigram_lm_vocab", "unigram_lm_encode_sample",
+    "embedding_pca_whiten",
 ]
 _ROUND8_RANK = {name: i for i, name in enumerate(_ROUND8_PREFIX)}
 

@@ -699,3 +699,153 @@ def power_component_int(
         F.round(F.col("_v").cast("double") / F.lit(float(unit)), 6).alias("loading"),
         F.round(F.col("_m").cast("double") / F.lit(float(unit)), 3).alias("lambda_hat"),
     ).orderBy("j")
+
+
+def pca_whiten_int(
+    df: DataFrame,
+    out_dim: int = 8,
+    n_iter: int = 4,
+    scale: int = 1024,
+    unit: int = 1 << 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantized PCA whitening — the certifiable twin of ``pca_whiten``
+    (which keeps np.linalg.eigh as the float production path): the top
+    ``out_dim`` components come from repeated ``power_component_int``-style
+    iteration with HOTELLING DEFLATION, all on the integer lattice.
+
+    Per component: 4 L-infinity power rounds on the (deflated) centered
+    second-moment matrix C (exact integer matvecs + one correctly-rounded
+    division per coordinate), then C <- C - floor(u_i*u_j / D) with
+    u = C v and D = v^T u — the products taken in DOUBLES (u ~ 3e16
+    exceeds exact-double range, but int->double casts, multiply, divide
+    and floor are all correctly-rounded IEEE ops every engine performs
+    identically, which is the certification requirement; exactness is
+    not).  C itself is the exact integer S - n*mu_q*mu_q^T with
+    mu_q = floor(colsum/n) — the lattice centering.
+
+    Projection: y_c = (xq - mu_q) . v_c is an exact int64 sum (|terms|
+    <= 2*scale*unit, 64 of them); whitening divides by
+    |v|_2 * sqrt(lambda_hat/n + 1e-9) with lambda_hat = m_final/unit —
+    two IEEE sqrts and divisions, mirrored operation-for-operation by
+    the SQL oracle.  Output long-format (id, component, value) so the
+    driver hashes doubles, not engine-specific float rendering.
+
+    Bounded driver state: d^2 + d + 1 integers in, out_dim x (d + 2)
+    out — the kmeans_fit_int contract.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    d = int(df.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+
+    def moment_partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xq = np.floor(v * scale + 0.5)
+            s = xq.T @ xq  # exact integer-valued float64
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            out_i = list(ii.ravel()) + [-1] * d + [-2]
+            out_j = list(jj.ravel()) + list(range(d)) + [-1]
+            out_s = list(s.ravel().astype(np.int64)) + list(
+                xq.sum(axis=0).astype(np.int64)
+            ) + [int(xq.shape[0])]
+            yield pd.DataFrame(
+                {
+                    "i": pd.Series(out_i, dtype="int32"),
+                    "j": pd.Series(out_j, dtype="int32"),
+                    "s": pd.Series(out_s, dtype="int64"),
+                }
+            )
+
+    rows = (
+        df.select(F.col(vec_col))
+        .mapInPandas(moment_partials, "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    s_mat: dict[tuple[int, int], int] = {}
+    colsum = [0] * d
+    n_rows = 0
+    for r in rows:
+        i, j, s = int(r["i"]), int(r["j"]), int(r["s"])
+        if i == -2:
+            n_rows = s
+        elif i == -1:
+            colsum[j] = s
+        else:
+            s_mat[(i, j)] = s
+    mu = [math.floor(float(colsum[j]) / float(n_rows)) for j in range(d)]
+    c_mat = [
+        [s_mat.get((i, j), 0) - n_rows * mu[i] * mu[j] for j in range(d)]
+        for i in range(d)
+    ]
+
+    comps = []  # (c, v_signed, m, sv2)
+    for c in range(out_dim):
+        v = [unit] * d
+        m = unit
+        for _ in range(n_iter):
+            w = [sum(c_mat[i][j] * v[j] for j in range(d)) for i in range(d)]
+            m = max(abs(x) for x in w)
+            if m == 0:
+                break
+            v = [math.floor((float(wi) / float(m)) * unit) for wi in w]
+        # deflate with the UNSIGNED v (u_i*u_j is sign-invariant)
+        u = [sum(c_mat[i][j] * v[j] for j in range(d)) for i in range(d)]
+        big_d = sum(v[j] * u[j] for j in range(d))
+        if big_d != 0:
+            for i in range(d):
+                for j in range(d):
+                    c_mat[i][j] -= math.floor(
+                        float(u[i]) * float(u[j]) / float(big_d)
+                    )
+        j_star = max(range(d), key=lambda j: (abs(v[j]), -j))
+        sgn = -1 if v[j_star] < 0 else 1
+        vs = [sgn * x for x in v]
+        comps.append((c, vs, m, sum(x * x for x in vs)))
+
+    books = np.asarray([vs for _, vs, _, _ in comps], dtype=np.int64)  # (k, d)
+    mu_np = np.asarray(mu, dtype=np.int64)
+
+    def project(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xq = np.floor(v * scale + 0.5).astype(np.int64) - mu_np
+            y = xq @ books.T  # exact int64: |terms| <= 2*scale*unit, d of them
+            ids = pdf["_id"].to_numpy()
+            k = books.shape[0]
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(ids, k),
+                    "component": np.tile(np.arange(k, dtype=np.int32), len(ids)),
+                    "y": y.ravel().astype(np.int64),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(vec_col))
+    ydf = src.mapInPandas(project, "_id long, component int, y long")
+    scal = df.sparkSession.createDataFrame(
+        [(c, m, sv2) for c, _, m, sv2 in comps], "component int, _m long, _sv2 long"
+    )
+    den = F.sqrt(F.col("_sv2").cast("double")) * F.sqrt(
+        F.col("_m").cast("double") / F.lit(float(unit)) / F.lit(float(n_rows))
+        + F.lit(1e-9)
+    )
+    return (
+        ydf.join(F.broadcast(scal), "component")
+        .select(
+            F.col("_id").alias(id_col),
+            "component",
+            F.round(F.col("y").cast("double") / den, 6).alias("value"),
+        )
+        .orderBy(id_col, "component")
+    )

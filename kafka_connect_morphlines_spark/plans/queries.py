@@ -7248,24 +7248,117 @@ def unigram_lm_encode_sample(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@query("embedding_pca_whiten", None)
+def _pcaw_oracle_sql(
+    out_dim: int = 8, n_iter: int = 4, scale: int = 1024, unit: int = 1 << 20, d: int = 64
+) -> str:
+    """Replays similarity.pca_whiten_int END TO END: lattice centering
+    (mu = floor(colsum/n)), exact-integer centered second moment, then
+    per component 4 L-inf power rounds + Hotelling deflation
+    C -= floor(u_i*u_j/D) with the products taken in doubles (the
+    correctly-rounded-IEEE argument in the function docstring), sign
+    convention, and the exact-int projection divided by
+    |v|_2 * sqrt(m/unit/n + 1e-9) — every float op mirrored
+    operation-for-operation."""
+    q = f"CAST(floor(CAST(embedding[j] AS DOUBLE) * {scale} + 0.5) AS BIGINT)"
+    uf = float(unit)
+    ctes = [
+        f"""xq AS MATERIALIZED (
+      SELECT vec_id, CAST(j - 1 AS INT) AS j, {q} AS xv
+      FROM embeddings, range(1, {d + 1}) t(j)
+    )""",
+        """nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)""",
+        """mu AS MATERIALIZED (
+      SELECT j, CAST(floor(CAST(sum(xv) AS DOUBLE) / CAST((SELECT n FROM nr) AS DOUBLE)) AS BIGINT) AS mq
+      FROM xq GROUP BY j
+    )""",
+        """s0 AS MATERIALIZED (
+      SELECT a.j AS i, b.j AS j, CAST(sum(a.xv * b.xv) AS BIGINT) AS s
+      FROM xq a JOIN xq b USING (vec_id) GROUP BY a.j, b.j
+    )""",
+        """cm0 AS MATERIALIZED (
+      SELECT s0.i, s0.j, s0.s - (SELECT n FROM nr) * ma.mq * mb.mq AS c
+      FROM s0 JOIN mu ma ON ma.j = s0.i JOIN mu mb ON mb.j = s0.j
+    )""",
+    ]
+    for comp in range(out_dim):
+        ctes.append(
+            f"""v{comp}r0 AS (SELECT CAST(j AS INT) AS j, CAST({unit} AS BIGINT) AS v
+              FROM range(0, {d}) t(j))"""
+        )
+        for it in range(1, n_iter + 1):
+            ctes += [
+                f"""w{comp}r{it} AS MATERIALIZED (
+      SELECT m.i AS j, CAST(sum(m.c * v.v) AS BIGINT) AS w
+      FROM cm{comp} m JOIN v{comp}r{it - 1} v ON v.j = m.j GROUP BY m.i
+    )""",
+                f"""m{comp}r{it} AS (SELECT max(abs(w)) AS m FROM w{comp}r{it})""",
+                f"""v{comp}r{it} AS MATERIALIZED (
+      SELECT j, CAST(floor(CAST(w AS DOUBLE) / CAST(m AS DOUBLE) * {unit}) AS BIGINT) AS v
+      FROM w{comp}r{it}, m{comp}r{it}
+    )""",
+            ]
+        ctes += [
+            f"""u{comp} AS MATERIALIZED (
+      SELECT m.i, CAST(sum(m.c * v.v) AS BIGINT) AS u
+      FROM cm{comp} m JOIN v{comp}r{n_iter} v ON v.j = m.j GROUP BY m.i
+    )""",
+            f"""dd{comp} AS (
+      SELECT sum(CAST(v.v AS HUGEINT) * u.u) AS dd
+      FROM v{comp}r{n_iter} v JOIN u{comp} u ON u.i = v.j
+    )""",
+            f"""sg{comp} AS (
+      SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg FROM (
+        SELECT j, v FROM v{comp}r{n_iter} ORDER BY abs(v) DESC, j ASC LIMIT 1)
+    )""",
+            f"""vs{comp} AS MATERIALIZED (
+      SELECT v.j, sg.sg * v.v AS v FROM v{comp}r{n_iter} v, sg{comp} sg
+    )""",
+            f"""sc{comp} AS (
+      SELECT (SELECT m FROM m{comp}r{n_iter}) AS m,
+             (SELECT CAST(sum(v * v) AS BIGINT) FROM vs{comp}) AS sv2
+    )""",
+            f"""cm{comp + 1} AS MATERIALIZED (
+      SELECT m.i, m.j,
+             CASE WHEN d.dd = 0 THEN m.c
+                  ELSE m.c - CAST(floor(CAST(a.u AS DOUBLE) * CAST(b.u AS DOUBLE)
+                                        / CAST(d.dd AS DOUBLE)) AS BIGINT) END AS c
+      FROM cm{comp} m JOIN u{comp} a ON a.i = m.i JOIN u{comp} b ON b.i = m.j, dd{comp} d
+    )""",
+        ]
+    projs = []
+    for comp in range(out_dim):
+        projs.append(
+            f"""SELECT x.vec_id, {comp} AS component,
+             round(CAST(CAST(sum((x.xv - m.mq) * v.v) AS BIGINT) AS DOUBLE)
+                   / (sqrt(CAST(sc.sv2 AS DOUBLE))
+                      * sqrt(CAST(sc.m AS DOUBLE) / {uf!r} / CAST((SELECT n FROM nr) AS DOUBLE) + 1e-09)), 6) AS value
+      FROM xq x JOIN mu m ON m.j = x.j JOIN vs{comp} v ON v.j = x.j, sc{comp} sc
+      GROUP BY x.vec_id, sc.sv2, sc.m"""
+        )
+    uni = "\n      UNION ALL ".join(projs)
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT vec_id, component, value FROM ({uni})
+    ORDER BY vec_id, component
+    """
+
+
+@query("embedding_pca_whiten", _pcaw_oracle_sql())
 def embedding_pca_whiten(spark, sf_dir):
-    """PCA whitening (similarity.pca_whiten): top-8 principal components at
-    unit variance, fit on a deterministic md5-ordered sample, projected
-    map-only over the corpus.  Eigendecomposition is not SQL-expressible —
-    rows-only + golden; pytest pins variance/orthogonality properties.
-    Array serialized for the driver canonicalizer (bpe_encode_sample
-    convention)."""
+    """PCA whitening.  PROMOTED from rows-only in r08 via the quantized
+    power-iteration + Hotelling-deflation twin (similarity.pca_whiten_int):
+    all eight components and the whitened projection are computed with
+    integer lattice arithmetic plus correctly-rounded IEEE casts/divides/
+    sqrts that every engine performs identically, so the unrolled SQL
+    oracle replays the ENTIRE fit + transform.  The eigh-based
+    similarity.pca_whiten stays the float production path (pytest pins
+    its variance/orthogonality); long-format output so the driver hashes
+    doubles, not float rendering."""
     from kafka_connect_morphlines_spark.functions import similarity as sim
 
     emb = t(spark, sf_dir, "embeddings")
-    out = sim.pca_whiten(emb, out_dim=8, sample_n=2000)
-    return out.select(
-        "vec_id",
-        F.concat_ws(
-            "|", F.transform(F.col("embedding_pca"), lambda x: F.format_number(x, 6))
-        ).alias("pca_str"),
-    ).orderBy("vec_id")
+    return sim.pca_whiten_int(emb, out_dim=8)
 
 
 def _power_oracle_sql(

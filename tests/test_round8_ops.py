@@ -483,3 +483,70 @@ def test_viterbi_prob_tiebreak_longer_last_piece():
     assert _viterbi_segment_prob("ab", ps, 2) == ["ab"]
     # unreachable word -> None
     assert _viterbi_segment_prob("xz", {"a": 1.0}, 2) is None
+
+
+# --------------------------------------------------------------------------
+# Quantized PCA whitening twin
+# --------------------------------------------------------------------------
+
+
+def test_pca_whiten_int_subspace_and_whitening(spark):
+    import numpy as np
+
+    from kafka_connect_morphlines_spark.functions import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = sim.pca_whiten_int(emb, out_dim=4).collect()
+    n = emb.count()
+    y = np.zeros((n, 4))
+    ids = sorted({r["vec_id"] for r in out})
+    idx = {v: i for i, v in enumerate(ids)}
+    for r in out:
+        y[idx[r["vec_id"]], r["component"]] = r["value"]
+    # whitened components: ~zero mean, ~unit variance, ~uncorrelated
+    assert np.all(np.abs(y.mean(axis=0)) < 0.2)
+    assert np.all((y.std(axis=0) > 0.5) & (y.std(axis=0) < 2.0))
+    corr = np.corrcoef(y.T)
+    off = corr[~np.eye(4, dtype=bool)]
+    assert np.all(np.abs(off) < 0.2)
+    # NOTE: the corpus embeddings have a near-flat spectrum, so "the
+    # top-4 eigh subspace" is ill-conditioned there; subspace alignment
+    # is asserted on anisotropic data below instead.
+
+
+def test_pca_whiten_int_subspace_on_anisotropic_data(spark):
+    import numpy as np
+
+    from kafka_connect_morphlines_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(11)
+    d, n, k = 16, 500, 3
+    basis = np.linalg.qr(rng.normal(size=(d, d)))[0]
+    scales = np.array([8.0, 5.0, 3.0] + [0.3] * (d - 3))  # clear spectral gaps
+    x = rng.normal(size=(n, d)) * scales @ basis.T
+    x = x / (np.abs(x).max() * 1.05)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.pca_whiten_int(df, out_dim=k, n_iter=6).collect()
+    y = np.zeros((n, k))
+    for r in out:
+        y[r["vec_id"], r["component"]] = r["value"]
+    xq = np.floor(x * 1024 + 0.5)
+    mu = np.floor(xq.sum(0) / n)
+    c = xq.T @ xq - n * np.outer(mu, mu)
+    _, vecs = np.linalg.eigh(c)
+    yref = (xq - mu) @ vecs[:, -k:]  # exact top-k projections
+    for j in range(k):
+        r = np.corrcoef(np.column_stack([y[:, j], yref]).T)[0, 1:]
+        assert np.max(np.abs(r)) > 0.98  # each twin axis matches an eigh axis
+
+
+def test_pca_whiten_int_partition_invariant(spark):
+    from kafka_connect_morphlines_spark.functions import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sim.pca_whiten_int(emb.repartition(1), out_dim=2).collect()
+    b = sim.pca_whiten_int(emb.repartition(11), out_dim=2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
