@@ -52,6 +52,7 @@ _ROUND8_PREFIX = [
     "spearman_spend_vs_orders",
     "unigram_lm_vocab", "unigram_lm_encode_sample",
     "embedding_pca_whiten",
+    "trend_daily_revenue",
 ]
 _ROUND8_RANK = {name: i for i, name in enumerate(_ROUND8_PREFIX)}
 

@@ -148,6 +148,7 @@ HEADLINE = [
     "tokenizer_fertility_by_lang",
     "acf_daily_revenue",
     "spearman_spend_vs_orders",
+    "trend_daily_revenue",
 ]
 
 

@@ -126,6 +126,10 @@ NAMES = [
     "tokenizer_fertility_by_lang",
     "acf_daily_revenue",
     "spearman_spend_vs_orders",
+    "trend_daily_revenue",
+    "bpe_merge_rules",
+    "unigram_lm_vocab",
+    "embedding_pca_whiten",
 ]
 
 

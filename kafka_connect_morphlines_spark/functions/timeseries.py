@@ -157,3 +157,85 @@ def zscore_anomalies(
         )
         .filter(F.abs(F.col("z")) > z_threshold)
     )
+
+
+def mann_kendall_trend(series: DataFrame, t: Column, v: Column) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope over a (time, value)
+    series — the standard nonparametric "is this KPI drifting?" monitor
+    (no normality assumption, robust to outliers).
+
+    Exactness: values arrive as exact DECIMALs, so every pairwise
+    comparison (the S statistic), the tie correction and the variance
+    numerator are exact integers; Z and tau_b then divide through
+    correctly-rounded doubles.  Theil-Sen = the exact median of pairwise
+    slopes, each one DECIMAL-diff-cast-to-double / integer-day-gap (two
+    correctly-rounded ops), middle elements picked by rank.
+
+    Scale shape: the pair table and the one-partition rank window are
+    bounded by the SERIES length squared — calendar days, not input rows
+    (a decade is ~13M pairs) — the same n=series-length argument as
+    acf_daily_revenue; the corpus-sized work is the upstream groupBy
+    that built the series."""
+    s = series.select(t.alias("_t"), v.alias("_v"))
+    s = s.localCheckpoint()  # tiny day-level series, reused 3x
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(b, F.col("a._t") < F.col("b._t")).select(
+        F.when(F.col("b._v") > F.col("a._v"), 1)
+        .when(F.col("b._v") < F.col("a._v"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        (
+            (F.col("b._v") - F.col("a._v")).cast("double")
+            / F.datediff(F.col("b._t"), F.col("a._t"))
+        ).alias("slope"),
+    )
+    pairs = pairs.localCheckpoint()  # feeds S aggregate + median rank
+    n_row = s.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        s.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .agg(
+            F.sum(F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)).alias("tie3"),
+            F.sum(F.col("tc") * (F.col("tc") - 1) / 2).cast("long").alias("tie2"),
+        )
+    )
+    s_stat = pairs.agg(F.sum("sgn").alias("s"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("slope")
+    n_pairs_w = Window.partitionBy()
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n_pairs_w).alias("np"),
+    )
+    med = ranked.filter(
+        (F.col("rn") == F.floor((F.col("np") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("np") + 2) / 2))
+    ).agg(F.avg("slope").alias("theil_sen_slope"))
+    base = (
+        n_row.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(s_stat))
+        .crossJoin(F.broadcast(med))
+    )
+    n = F.col("n")
+    var_num = (n * (n - 1) * (2 * n + 5) - F.col("tie3")).cast("double")
+    var_s = var_num / F.lit(18.0)
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    n0 = (n * (n - 1) / 2).cast("long")
+    tau_b = F.try_divide(
+        F.col("s").cast("double"),
+        F.sqrt((n0 - F.col("tie2")).cast("double") * n0.cast("double")),
+    )
+    return base.select(
+        n.cast("long").alias("n_points"),
+        F.col("s").cast("long").alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.round(tau_b, 6).alias("tau_b"),
+        F.round(F.col("theil_sen_slope"), 6).alias("theil_sen_slope"),
+    )

@@ -4540,6 +4540,64 @@ def acf_daily_revenue(spark, sf_dir):
 
 
 @query(
+    "trend_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             sum(CAST(o_totalprice AS DECIMAL(23,6))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    nrow AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+      SELECT coalesce(CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT), 0) AS tie3,
+             coalesce(CAST(sum(tc * (tc - 1) // 2) AS BIGINT), 0) AS tie2
+      FROM (SELECT count(*) AS tc FROM daily GROUP BY rev)
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.rev > a.rev THEN 1 WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn,
+             CAST(b.rev - a.rev AS DOUBLE) / date_diff('day', a.d, b.d) AS slope
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    sstat AS (SELECT CAST(sum(sgn) AS BIGINT) AS s FROM pairs),
+    ranked AS (
+      SELECT slope, row_number() OVER (ORDER BY slope) AS rn, count(*) OVER () AS np
+      FROM pairs
+    ),
+    med AS (
+      SELECT avg(slope) AS ts FROM ranked
+      WHERE rn = CAST(floor((np + 1) / 2) AS BIGINT)
+         OR rn = CAST(floor((np + 2) / 2) AS BIGINT)
+    )
+    SELECT n AS n_points, s AS s_stat,
+           round(CAST(n * (n - 1) * (2 * n + 5) - tie3 AS DOUBLE) / 18.0, 6) AS var_s,
+           round(CASE WHEN s > 0 THEN (s - 1) / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie3 AS DOUBLE) / 18.0)
+                      WHEN s < 0 THEN (s + 1) / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie3 AS DOUBLE) / 18.0)
+                      ELSE 0.0 END, 6) AS z,
+           round(CAST(s AS DOUBLE)
+                 / sqrt(CAST((n * (n - 1) // 2) - tie2 AS DOUBLE)
+                        * CAST(n * (n - 1) // 2 AS DOUBLE)), 6) AS tau_b,
+           round(ts, 6) AS theil_sen_slope
+    FROM nrow, ties, sstat, med
+    """,
+)
+def trend_daily_revenue(spark, sf_dir):
+    """Mann-Kendall trend test + Theil-Sen slope on daily revenue
+    (timeseries.mann_kendall_trend): the nonparametric is-this-KPI-
+    drifting monitor, with exact-integer S statistic / tie correction
+    (DECIMAL value comparisons) and the exact pairwise-slope median.
+    The pair table is bounded by calendar days squared, never by input
+    rows — the corpus-sized work is the one groupBy building the
+    series."""
+    from kafka_connect_morphlines_spark.functions import timeseries
+
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(23,6)")).alias("rev")
+    )
+    return timeseries.mann_kendall_trend(daily, F.col("d"), F.col("rev"))
+
+
+@query(
     "event_transition_probs",
     """
     WITH seq AS (

@@ -550,3 +550,59 @@ def test_pca_whiten_int_partition_invariant(spark):
     a = sim.pca_whiten_int(emb.repartition(1), out_dim=2).collect()
     b = sim.pca_whiten_int(emb.repartition(11), out_dim=2).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall + Theil-Sen
+# --------------------------------------------------------------------------
+
+
+def test_mann_kendall_matches_reference(spark):
+    import datetime
+    import statistics
+
+    from kafka_connect_morphlines_spark.functions import timeseries
+
+    vals = [3.0, 5.0, 2.0, 8.0, 8.0, 9.0, 4.0, 11.0, 12.0, 10.0, 13.0, 13.0]
+    base = datetime.date(2024, 1, 1)
+    rows = [(base + datetime.timedelta(days=i * 2), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "d date, rev double").select(
+        "d", F.col("rev").cast("decimal(23,6)").alias("rev")
+    )
+    got = timeseries.mann_kendall_trend(df, F.col("d"), F.col("rev")).collect()[0]
+    # independent reference
+    n = len(vals)
+    s = sum(
+        (1 if vals[j] > vals[i] else -1 if vals[j] < vals[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tc = Counter(vals)
+    tie3 = sum(t * (t - 1) * (2 * t + 5) for t in tc.values())
+    var_s = (n * (n - 1) * (2 * n + 5) - tie3) / 18
+    z = (s - 1) / var_s**0.5 if s > 0 else (s + 1) / var_s**0.5 if s < 0 else 0.0
+    slopes = sorted(
+        (vals[j] - vals[i]) / ((j - i) * 2) for i in range(n) for j in range(i + 1, n)
+    )
+    ts = statistics.median(slopes)
+    assert got["n_points"] == n and got["s_stat"] == s
+    assert got["var_s"] == pytest.approx(var_s, abs=1e-6)
+    assert got["z"] == pytest.approx(z, abs=1e-6)
+    assert got["theil_sen_slope"] == pytest.approx(ts, abs=1e-6)
+    assert got["z"] > 2.0  # the series genuinely trends up
+
+
+def test_mann_kendall_flat_series_is_zero(spark):
+    import datetime
+
+    from kafka_connect_morphlines_spark.functions import timeseries
+
+    base = datetime.date(2024, 1, 1)
+    rows = [(base + datetime.timedelta(days=i), 7.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "d date, rev double").select(
+        "d", F.col("rev").cast("decimal(23,6)").alias("rev")
+    )
+    got = timeseries.mann_kendall_trend(df, F.col("d"), F.col("rev")).collect()[0]
+    assert got["s_stat"] == 0 and got["z"] == 0.0 and got["theil_sen_slope"] == 0.0
