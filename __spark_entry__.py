@@ -53,6 +53,7 @@ _ROUND8_PREFIX = [
     "unigram_lm_vocab", "unigram_lm_encode_sample",
     "embedding_pca_whiten",
     "trend_daily_revenue",
+    "cusum_changepoint_revenue",
 ]
 _ROUND8_RANK = {name: i for i, name in enumerate(_ROUND8_PREFIX)}
 

@@ -149,6 +149,7 @@ HEADLINE = [
     "acf_daily_revenue",
     "spearman_spend_vs_orders",
     "trend_daily_revenue",
+    "cusum_changepoint_revenue",
 ]
 
 

@@ -127,6 +127,7 @@ NAMES = [
     "acf_daily_revenue",
     "spearman_spend_vs_orders",
     "trend_daily_revenue",
+    "cusum_changepoint_revenue",
     "bpe_merge_rules",
     "unigram_lm_vocab",
     "embedding_pca_whiten",

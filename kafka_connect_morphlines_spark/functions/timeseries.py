@@ -239,3 +239,47 @@ def mann_kendall_trend(series: DataFrame, t: Column, v: Column) -> DataFrame:
         F.round(tau_b, 6).alias("tau_b"),
         F.round(F.col("theil_sen_slope"), 6).alias("theil_sen_slope"),
     )
+
+
+def cusum_changepoint(series: DataFrame, t: Column, v: Column) -> DataFrame:
+    """CUSUM changepoint estimate over a (time, value) series: the
+    classic control-chart method — the changepoint is the argmax of
+    |cumulative sum of deviations from the global mean|.
+
+    Exactness: the mean is never materialized.  Deviations are scaled
+    by n (``n*x_t - total``), which keeps every cumulative sum an EXACT
+    DECIMAL — the same clear-the-denominator move as the alpha/quota
+    operators — so the argmax day is engine-exact; only the reported
+    magnitude divides back by n (one correctly-rounded double op,
+    rounded 6dp).  The ordered window is bounded by the series length
+    (calendar days), never input rows.
+
+    Output: one row (change_point, cusum_peak, direction) — direction
+    +1 means the level shifts UP after the change point (the deviation
+    cumsum bottoms out there), -1 down.
+    """
+    from pyspark.sql import Window
+
+    s = series.select(t.alias("_t"), v.cast("decimal(23,6)").alias("_v"))
+    tot = s.agg(
+        F.sum("_v").alias("_tot"), F.count(F.lit(1)).alias("_n")
+    )
+    j = s.crossJoin(F.broadcast(tot))
+    dev = j.select(
+        "_t",
+        "_n",
+        (
+            F.col("_n").cast("decimal(38,6)") * F.col("_v").cast("decimal(38,6)")
+            - F.col("_tot").cast("decimal(38,6)")
+        ).alias("_d"),
+    )
+    w = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dev.select("_t", "_n", F.sum("_d").over(w).alias("_c"))
+    top = cum.orderBy(F.abs(F.col("_c")).desc(), F.col("_t").asc()).limit(1)
+    return top.select(
+        F.col("_t").cast("date").alias("change_point"),
+        F.round(
+            F.abs(F.col("_c")).cast("double") / F.col("_n").cast("double"), 6
+        ).alias("cusum_peak"),
+        F.when(F.col("_c") < 0, F.lit(1)).otherwise(F.lit(-1)).alias("direction"),
+    )

@@ -4598,6 +4598,49 @@ def trend_daily_revenue(spark, sf_dir):
 
 
 @query(
+    "cusum_changepoint_revenue",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             sum(CAST(o_totalprice AS DECIMAL(23,6))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(CAST(rev AS DECIMAL(38,6))) AS t, CAST(count(*) AS BIGINT) AS n FROM daily),
+    dev AS (
+      SELECT d, n,
+             CAST(n AS DECIMAL(38,6)) * CAST(rev AS DECIMAL(38,6)) - t AS dd
+      FROM daily, tot
+    ),
+    cum AS (
+      SELECT d, n,
+             sum(dd) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM dev
+    ),
+    top AS (SELECT d, n, c FROM cum ORDER BY abs(c) DESC, d ASC LIMIT 1)
+    SELECT CAST(d AS DATE) AS change_point,
+           round(CAST(abs(c) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum_peak,
+           CASE WHEN c < 0 THEN 1 ELSE -1 END AS direction
+    FROM top
+    """,
+)
+def cusum_changepoint_revenue(spark, sf_dir):
+    """CUSUM changepoint estimate on daily revenue
+    (timeseries.cusum_changepoint): argmax |cumulative deviation from
+    the global mean| — the control-chart changepoint locator.  The mean
+    is never materialized: deviations are scaled by n (n*x - total), so
+    every cumulative sum is an EXACT DECIMAL and the argmax day is
+    engine-exact; only the reported peak divides back by n.  Windows
+    bounded by calendar days."""
+    from kafka_connect_morphlines_spark.functions import timeseries
+
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(23,6)")).alias("rev")
+    )
+    return timeseries.cusum_changepoint(daily, F.col("d"), F.col("rev"))
+
+
+@query(
     "event_transition_probs",
     """
     WITH seq AS (

@@ -606,3 +606,23 @@ def test_mann_kendall_flat_series_is_zero(spark):
     )
     got = timeseries.mann_kendall_trend(df, F.col("d"), F.col("rev")).collect()[0]
     assert got["s_stat"] == 0 and got["z"] == 0.0 and got["theil_sen_slope"] == 0.0
+
+
+def test_cusum_changepoint_detects_shift(spark):
+    import datetime
+
+    from kafka_connect_morphlines_spark.functions import timeseries
+
+    base = datetime.date(2024, 1, 1)
+    # level shift at index 30: 10 -> 20
+    rows = [
+        (base + datetime.timedelta(days=i), 10.0 if i < 30 else 20.0)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "d date, rev double")
+    got = timeseries.cusum_changepoint(df, F.col("d"), F.col("rev")).collect()[0]
+    # the deviation cumsum bottoms out on the LAST pre-shift day
+    assert got["change_point"] == base + datetime.timedelta(days=29)
+    assert got["direction"] == 1  # level shifts up afterwards
+    # peak = 30 days * |10 - 15| = 150
+    assert got["cusum_peak"] == pytest.approx(150.0, abs=1e-6)
