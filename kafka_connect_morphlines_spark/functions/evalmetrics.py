@@ -587,6 +587,10 @@ def spearman_rho(df: DataFrame, x: Column, y: Column) -> DataFrame:
     to one row-level pass, then a single aggregate."""
     dec0 = "decimal(38,0)"
     pairs = df.select(x.alias("_x"), y.alias("_y"))
+    # materialize the reduced metric frame once: it feeds both rank maps
+    # AND the ranked join — without this the upstream aggregation (often
+    # a full fact-table groupBy) runs three times
+    pairs = pairs.localCheckpoint()
     rx = _rank2(pairs, "_x", "_rx")
     ry = _rank2(pairs, "_y", "_ry")
     ranked = pairs.join(F.broadcast(rx), "_x").join(F.broadcast(ry), "_y")
