@@ -47,6 +47,15 @@ NO_CARTESIAN = [
     "cdc_chunk_stats",
     "source_overlap_matrix",
     "temperature_quota_sample",
+    # r08 session-2: the triangle wedge join and closing probe are equi-
+    # joins on (u[, rkw]); the degree/orientation joins are keyed; the
+    # BT duel join is keyed on user; spearman joins its rank maps by
+    # value; Krippendorff/trend aggregate without any join fan-out
+    "triangle_count_cosupply",
+    "bradley_terry_events",
+    "spearman_spend_vs_orders",
+    "krippendorff_alpha_langid",
+    "kmv_distinct_users",
 ]
 
 
@@ -84,6 +93,12 @@ PRUNING = [
     # kmeans must scan ONLY the embedding column (r08 one-pass rework)
     ("kmeans_cluster_stats", "text"),
     ("chunk_sliding_windows", "source"),
+    # session-2: the sketch paths must scan only what they use (the
+    # checkpoint/driver-state queries — acf, trend, pca twins — hide
+    # their parquet scan inside the materialization job, so the final
+    # executed plan has no ReadSchema to assert on)
+    ("kmv_distinct_users", "props"),
+    ("tokenizer_fertility_by_lang", "source"),
 ]
 
 
@@ -104,6 +119,10 @@ BROADCAST = [
     ("interleave_sources_order", "BroadcastHashJoin"),
     # the m-row quota table must broadcast onto the ranked doc frame
     ("temperature_quota_sample", "BroadcastHashJoin"),
+    # the 7-row lag table must broadcast onto the daily series, and the
+    # k-row BT scale table onto the per-item frame
+    ("acf_daily_revenue", "BroadcastNestedLoopJoin"),
+    ("spearman_spend_vs_orders", "BroadcastHashJoin"),
 ]
 
 
