@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, functions as F
 
-from kafka_connect_morphlines_spark.functions import bloom, dedup, semantic, textclean, textstats, traindata
+from kafka_connect_morphlines_spark.functions import bloom, dedup, evalmetrics, semantic, textclean, textstats, traindata
 from kafka_connect_morphlines_spark.functions import validation as V
 
 
@@ -154,6 +154,39 @@ def prepare_corpus(
     cdc_audit = dedup.cdc_dedup_stats(decontaminated)
     overlap_audit = traindata.source_overlap_matrix(decontaminated, n=8)
 
+    # 5d. metadata-reliability + tokenizer-cost audits (r08 session-2):
+    #     Krippendorff's alpha across the stored lang label and two
+    #     lang-id raters (the truncated rater abstains on short docs) —
+    #     a low alpha means the lang metadata is too unreliable to
+    #     stratify the mixture on; the fertility table prices each
+    #     language in tokens BEFORE the budget is committed.
+    lang_reliability = None
+    fertility_audit = None
+    if "lang" in decontaminated.columns:
+        ra = decontaminated.select(F.col("doc_id").alias("u"), F.col("lang").alias("c"))
+        rb = textstats.lang_id_exploded(decontaminated).select(
+            F.col("doc_id").alias("u"), F.col("lang_pred").alias("c")
+        )
+        rc = textstats.lang_id_exploded(
+            decontaminated.filter(F.length("text") >= 160).select(
+                "doc_id", F.substring(F.col("text"), 1, 80).alias("text")
+            )
+        ).select(F.col("doc_id").alias("u"), F.col("lang_pred").alias("c"))
+        lang_reliability = evalmetrics.krippendorff_alpha_nominal(
+            ra.unionByName(rb).unionByName(rc), F.col("u"), F.col("c")
+        )
+        fertility_audit = (
+            decontaminated.select(
+                "lang",
+                F.size(textstats.tokens(F.col("text"))).alias("w"),
+                F.size(textstats.bpe_ish_tokens(F.col("text"))).alias("tk"),
+                F.octet_length("text").alias("by"),
+            )
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("docs"), F.sum("w").alias("words"),
+                 F.sum("tk").alias("tokens"), F.sum("by").alias("bytes"))
+        )
+
     # 6. mixture sampling + LEAKAGE-SAFE split assignment: the split hashes
     #    the near-dup component id (already computed in stage 4), so a doc
     #    and its surviving near-dup can never straddle train/test.
@@ -188,6 +221,8 @@ def prepare_corpus(
         "contamination": contam,
         "cdc_audit": cdc_audit,
         "overlap_audit": overlap_audit,
+        **({"lang_reliability": lang_reliability} if lang_reliability is not None else {}),
+        **({"fertility_audit": fertility_audit} if fertility_audit is not None else {}),
         "train_shuffled": shuffled,
         "vocab": vocab,
         "encoded": encoded,
