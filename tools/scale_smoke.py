@@ -22,6 +22,7 @@ from pyspark.sql import Window, functions as F  # noqa: E402
 
 from kafka_connect_morphlines_spark import compile_pipeline, get_spark  # noqa: E402
 from kafka_connect_morphlines_spark.functions import bloom, dedup, dsir, evalmetrics, funnel, multimodal, pq, relational, retrieval, semantic, similarity, sketches, temporal, textclean, textstats, traindata, validation, web, winnow  # noqa: E402
+from kafka_connect_morphlines_spark.functions import timeseries as timeseries_mod  # noqa: E402
 
 
 def main() -> None:
@@ -548,6 +549,41 @@ def main() -> None:
                     (F.col("id") % 100_000).alias("src"),
                     ((F.col("id") * 7919 + 13) % 100_000).alias("dst"),
                 ).filter(F.col("src") < F.col("dst")).distinct()
+            ),
+        ),
+        # trend/changepoint family: the pair/window cost is bounded by the
+        # SERIES length (calendar days), so the smoke scales the series to
+        # a decade (3650 days -> 6.7M Theil-Sen pairs) while the
+        # corpus-sized groupBy feeding it scales with events
+        "mann_kendall_10y": run(
+            "mann_kendall_10y",
+            lambda: (lambda daily: timeseries_mod.mann_kendall_trend(
+                daily, F.col("d"), F.col("rev")))(
+                spark.range(3650 * mult).select(
+                    F.date_add(F.lit("2015-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+                    ((F.col("id") * 37 % 1000) + F.col("id") / 10).cast("decimal(23,6)").alias("rev"),
+                )
+            ),
+        ),
+        "cusum_10y": run(
+            "cusum_10y",
+            lambda: timeseries_mod.cusum_changepoint(
+                spark.range(3650 * mult).select(
+                    F.date_add(F.lit("2015-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+                    ((F.col("id") * 37 % 1000) + F.when(F.col("id") > 1825 * mult, 200).otherwise(0))
+                    .cast("decimal(23,6)").alias("rev"),
+                ),
+                F.col("d"), F.col("rev"),
+            ),
+        ),
+        "spearman_20m": run(
+            "spearman_20m",
+            lambda: evalmetrics.spearman_rho(
+                events.groupBy("user_id").agg(
+                    F.sum(F.col("value").cast("decimal(23,6)")).alias("spend"),
+                    F.count(F.lit(1)).alias("cnt"),
+                ),
+                F.col("spend"), F.col("cnt"),
             ),
         ),
     }
