@@ -57,6 +57,7 @@ _ROUND8_PREFIX = [
     "embedding_pca_whiten",
     "trend_daily_revenue",
     "cusum_changepoint_revenue",
+    "anova_value_by_type", "benford_first_digit_prices",
 ]
 _ROUND8_RANK = {name: i for i, name in enumerate(_ROUND8_PREFIX)}
 

@@ -150,6 +150,8 @@ HEADLINE = [
     "spearman_spend_vs_orders",
     "trend_daily_revenue",
     "cusum_changepoint_revenue",
+    "anova_value_by_type",
+    "benford_first_digit_prices",
 ]
 
 

@@ -128,6 +128,8 @@ NAMES = [
     "spearman_spend_vs_orders",
     "trend_daily_revenue",
     "cusum_changepoint_revenue",
+    "anova_value_by_type",
+    "benford_first_digit_prices",
     "bpe_merge_rules",
     "unigram_lm_vocab",
     "embedding_pca_whiten",

@@ -4540,6 +4540,133 @@ def acf_daily_revenue(spark, sf_dir):
 
 
 @query(
+    "anova_value_by_type",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(value AS DECIMAL(23,6))) AS s,
+             sum(CAST(value AS DECIMAL(23,6)) * CAST(value AS DECIMAL(23,6))) AS s2
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS k,
+             sum(s) AS st, sum(s2) AS s2t,
+             sum(CAST(s * s AS DECIMAL(38,6)) / n) AS ssb_term
+      FROM g
+    )
+    SELECT nt AS n_rows, k AS n_groups,
+           round(CAST(ssb_term AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE), 4) AS ss_between,
+           round(CAST(s2t AS DOUBLE) - CAST(ssb_term AS DOUBLE), 4) AS ss_within,
+           round(((CAST(ssb_term AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)) / (k - 1))
+                 / ((CAST(s2t AS DOUBLE) - CAST(ssb_term AS DOUBLE)) / (nt - k)), 6) AS f_stat
+    FROM tot
+    """,
+)
+def anova_value_by_type(spark, sf_dir):
+    """One-way ANOVA F statistic across event types — the k-group
+    companion to ab_test_event_values' two-sample test.  All moments
+    accumulate as exact DECIMALs (Σx, Σx², per-group (Σx)²/n), so both
+    engines feed identical numbers into the SSB/SSW closed form; only
+    the final F division chain is float, mirrored op-for-op.  One
+    map-side-combined groupBy; everything after runs on k rows.
+
+    CAVEAT on the one decimal division: DECIMAL/BIGINT result scale can
+    differ between engines in general — here (s*s as DECIMAL(38,6))/n
+    happens to agree because both engines keep scale 6; the pytest
+    reference pin and the oracle hash would catch any drift."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(23,6)")).alias("s"),
+        F.sum(
+            F.col("value").cast("decimal(23,6)") * F.col("value").cast("decimal(23,6)")
+        ).alias("s2"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s").alias("st"),
+        F.sum("s2").alias("s2t"),
+        F.sum((F.col("s") * F.col("s")).cast("decimal(38,6)") / F.col("n")).alias("ssb_term"),
+    )
+    ssb = F.col("ssb_term").cast("double") - F.col("st").cast("double") * F.col("st").cast("double") / F.col("nt").cast("double")
+    ssw = F.col("s2t").cast("double") - F.col("ssb_term").cast("double")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k")))
+    return tot.select(
+        F.col("nt").cast("long").alias("n_rows"),
+        F.col("k").cast("long").alias("n_groups"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+
+
+# Benford first-digit expectations as shared literals: log10(1+1/d)
+# computed ONCE here in Python — neither engine ever calls its own log,
+# so the chi-square arithmetic is identical doubles on both sides.
+_BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+_BENFORD_SQL_ROWS = ", ".join(f"({d}, {_BENFORD_P[d]!r})" for d in range(1, 10))
+
+
+@query(
+    "benford_first_digit_prices",
+    f"""
+    WITH exp AS (SELECT CAST(d AS INT) AS digit, CAST(p AS DOUBLE) AS p
+                 FROM (VALUES {_BENFORD_SQL_ROWS}) t(d, p)),
+    obs AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM obs)
+    SELECT e.digit, coalesce(o.n, 0) AS observed,
+           round(CAST(t.nt AS DOUBLE) * e.p, 3) AS expected,
+           round((CAST(coalesce(o.n, 0) AS DOUBLE) - CAST(t.nt AS DOUBLE) * e.p)
+                 * (CAST(coalesce(o.n, 0) AS DOUBLE) - CAST(t.nt AS DOUBLE) * e.p)
+                 / (CAST(t.nt AS DOUBLE) * e.p), 6) AS chi2_term
+    FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
+    ORDER BY e.digit
+    """,
+)
+def benford_first_digit_prices(spark, sf_dir):
+    """Benford's-law first-digit audit over order prices — the classic
+    fabricated-numbers / data-quality screen.  The expected proportions
+    log10(1+1/d) are embedded as shared LITERALS (computed once in
+    Python), so neither engine evaluates its own log and every
+    chi-square term is an identical double chain.  One map-side-combined
+    groupBy over first digits; the 9-row expectation table broadcasts."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    obs = (
+        orders.select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exp = spark.createDataFrame(
+        [(d, _BENFORD_P[d]) for d in range(1, 10)], "digit int, p double"
+    )
+    tot = obs.agg(F.sum("n").alias("nt"))
+    j = (
+        F.broadcast(exp)
+        .join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = F.coalesce(F.col("n"), F.lit(0)).cast("double") - F.col("nt").cast("double") * F.col("p")
+    return j.select(
+        "digit",
+        F.coalesce(F.col("n"), F.lit(0)).alias("observed"),
+        F.round(F.col("nt").cast("double") * F.col("p"), 3).alias("expected"),
+        F.round(dev * dev / (F.col("nt").cast("double") * F.col("p")), 6).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+@query(
     "trend_daily_revenue",
     """
     WITH daily AS (

@@ -626,3 +626,59 @@ def test_cusum_changepoint_detects_shift(spark):
     assert got["direction"] == 1  # level shifts up afterwards
     # peak = 30 days * |10 - 15| = 150
     assert got["cusum_peak"] == pytest.approx(150.0, abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# ANOVA + Benford
+# --------------------------------------------------------------------------
+
+
+def test_anova_matches_reference(spark):
+    from kafka_connect_morphlines_spark.plans.queries import QUERIES
+
+    got = QUERIES["anova_value_by_type"].build(spark, "/root/testdata/sf0.001").collect()[0]
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    )
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["event_type"]].append(r["value"])
+    all_v = [v for vs in groups.values() for v in vs]
+    nt, k = len(all_v), len(groups)
+    grand = sum(all_v) / nt
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - grand) ** 2 for vs in groups.values())
+    ssw = sum((v - sum(vs) / len(vs)) ** 2 for vs in groups.values() for v in vs)
+    f = (ssb / (k - 1)) / (ssw / (nt - k))
+    assert got["n_rows"] == nt and got["n_groups"] == k
+    assert got["ss_between"] == pytest.approx(ssb, rel=1e-6)
+    assert got["ss_within"] == pytest.approx(ssw, rel=1e-6)
+    assert got["f_stat"] == pytest.approx(f, rel=1e-6)
+
+
+def test_benford_chi2_terms(spark):
+    import math
+
+    from kafka_connect_morphlines_spark.plans.queries import QUERIES
+
+    out = QUERIES["benford_first_digit_prices"].build(spark, "/root/testdata/sf0.001").collect()
+    assert [r["digit"] for r in out] == list(range(1, 10))
+    prices = [
+        r["o_totalprice"]
+        for r in spark.read.parquet("/root/testdata/sf0.001/orders.parquet").collect()
+        if r["o_totalprice"] >= 1
+    ]
+    from collections import Counter
+
+    obs = Counter(int(str(int(math.floor(p)))[0]) for p in prices)
+    nt = sum(obs.values())
+    for r in out:
+        d = r["digit"]
+        p = math.log10(1 + 1 / d)
+        assert r["observed"] == obs.get(d, 0)
+        assert r["expected"] == pytest.approx(nt * p, abs=2e-3)
+        assert r["chi2_term"] == pytest.approx((obs.get(d, 0) - nt * p) ** 2 / (nt * p), abs=1e-4)
