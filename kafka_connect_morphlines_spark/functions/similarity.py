@@ -640,11 +640,24 @@ def power_component_int(
 
     Returns (j, loading, lambda_hat): loading = v_j/unit rounded 6dp,
     lambda_hat = m_final/unit rounded 3dp (the L-inf Rayleigh estimate of
-    the top eigenvalue of S, in lattice units).  int64 bounds: |w| <=
-    d * max|S| * unit — with |x| <= 1, scale 1024, d = 64 that holds to
-    ~8e9 input rows; beyond that shrink ``unit``.  Rounding parity with
-    the oracle is kept by doing the two final roundings in Spark
-    expressions (round-half-up both engines), not Python (half-even).
+    the top eigenvalue of S, in lattice units).  Integer bounds (r09
+    correction — the old "~8e9 rows" figure conflated two limits):
+
+    - per-Arrow-batch float64 exactness of the S partials: each batch
+      sums integer terms <= scale^2 = 2^20 in float64, exact while
+      batch_rows * 2^20 < 2^53, i.e. ~8.6e9 rows PER BATCH (never
+      binding — Arrow batches are ~10k rows);
+    - global S entries in int64: |S_ij| <= n * 2^20 <= 2^63 holds to
+      n ~ 8.8e12 total rows — the engine-wide bound;
+    - the matvec |w| <= d * max|S| * unit = n * 2^46 exceeds int64 at
+      only ~1.3e5 worst-case rows (~8e6 with unit-norm vectors), so
+      NEITHER side may hold w in int64: the Python driver uses exact
+      bigints, and the SQL oracle computes the matvec products in
+      HUGEINT (exact to n ~ 2.4e24 rows).
+
+    Rounding parity with the oracle is kept by doing the two final
+    roundings in Spark expressions (round-half-up both engines), not
+    Python (half-even).
     """
     import math
 

@@ -1407,7 +1407,9 @@ def unigram_lm_encode(
             ids, ns, toks = [], [], []
             for rid, text in zip(pdf["_id"], pdf["_text"]):
                 out: list[str] = []
-                for w in str(text).split():
+                # NULL text must yield 0 pieces (matches the SQL oracle's
+                # semantics); str(None) would segment the literal 'None'.
+                for w in (text.split() if isinstance(text, str) else []):
                     seg = memo.get(w)
                     if seg is None:
                         seg = _viterbi_segment(w, _lps, _ml)
@@ -1808,7 +1810,9 @@ def unigram_lm_encode_prob(
             ids, ns, toks = [], [], []
             for rid, text in zip(pdf["_id"], pdf["_text"]):
                 out: list = []
-                for w in str(text).split():
+                # NULL text must yield 0 pieces (matches the SQL oracle's
+                # semantics); str(None) would segment the literal 'None'.
+                for w in (text.split() if isinstance(text, str) else []):
                     seg = memo.get(w)
                     if seg is None:
                         seg = _viterbi_segment_prob(w, _ps, _ml)

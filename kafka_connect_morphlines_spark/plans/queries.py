@@ -4552,7 +4552,8 @@ def acf_daily_revenue(spark, sf_dir):
     tot AS (
       SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS k,
              sum(s) AS st, sum(s2) AS s2t,
-             sum(CAST(s * s AS DECIMAL(38,6)) / n) AS ssb_term
+             sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                      AS DECIMAL(38,6))) AS ssb_term
       FROM g
     )
     SELECT nt AS n_rows, k AS n_groups,
@@ -4571,10 +4572,18 @@ def anova_value_by_type(spark, sf_dir):
     the final F division chain is float, mirrored op-for-op.  One
     map-side-combined groupBy; everything after runs on k rows.
 
-    CAVEAT on the one decimal division: DECIMAL/BIGINT result scale can
-    differ between engines in general — here (s*s as DECIMAL(38,6))/n
-    happens to agree because both engines keep scale 6; the pytest
-    reference pin and the oracle hash would catch any drift."""
+    Division parity (r09 fix): the per-group (Σx)²/n term is computed as
+    a DOUBLE chain (cast s → double, square, divide by n, round 6dp) —
+    each IEEE op is bit-identical across engines given identical exact
+    DECIMAL inputs (the proven _ratio6 idiom) — then quantized onto the
+    6dp grid and summed as exact DECIMAL(38,6), so the cross-group sum is
+    order-independent.  DECIMAL/BIGINT division is deliberately NOT used:
+    DuckDB resolves it to DOUBLE (full-precision quotient) while Spark
+    keeps scale-6 DECIMAL, so the two engines would feed different
+    numbers into SSB/SSW — the exact drift class the repo's _ratio6 rule
+    exists to prevent.  Double-exactness of the s→double cast holds while
+    |Σx| < 2^53/10^6 ≈ 9e9 per group (beyond that, both engines still
+    agree — parity is unconditional; only absolute accuracy degrades)."""
     ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -4588,7 +4597,13 @@ def anova_value_by_type(spark, sf_dir):
         F.count(F.lit(1)).alias("k"),
         F.sum("s").alias("st"),
         F.sum("s2").alias("s2t"),
-        F.sum((F.col("s") * F.col("s")).cast("decimal(38,6)") / F.col("n")).alias("ssb_term"),
+        F.sum(
+            F.round(
+                F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("ssb_term"),
     )
     ssb = F.col("ssb_term").cast("double") - F.col("st").cast("double") * F.col("st").cast("double") / F.col("nt").cast("double")
     ssw = F.col("s2t").cast("double") - F.col("ssb_term").cast("double")
@@ -7614,7 +7629,7 @@ def _power_oracle_sql(
     for it in range(n_iter):
         ctes += [
             f"""w{it} AS (
-      SELECT s.i AS j, CAST(sum(s.s * v.v) AS BIGINT) AS w
+      SELECT s.i AS j, sum(CAST(s.s AS HUGEINT) * v.v) AS w
       FROM s JOIN v{it} v ON v.j = s.j GROUP BY s.i
     )""",
             f"""m{it} AS (SELECT max(abs(w)) AS m FROM w{it})""",
