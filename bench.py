@@ -149,6 +149,7 @@ HEADLINE = [
     "acf_daily_revenue",
     "spearman_spend_vs_orders",
     "trend_daily_revenue",
+    "trend_daily_revenue_fast",
     "cusum_changepoint_revenue",
     "anova_value_by_type",
     "benford_first_digit_prices",
@@ -186,22 +187,73 @@ def main() -> None:
     # One failing query must not zero the whole bench: each query is wrapped;
     # failures land in "errors" as the final exception line and the rest of
     # the file stays valid.
+    #
+    # Contention hardening (r09, VERDICT next-round #1): three consecutive
+    # rounds burned an A/B cycle on phantom perf flags — single readings
+    # taken during host-load bursts that isolated reruns always returned to
+    # floor.  The fix is in the harness: (a) the 1-min load average is
+    # recorded at the start of every query, (b) any query whose warm min
+    # exceeds 2x its committed floor (BENCH_FLOORS.json — the best warm
+    # reading across all committed BENCH_DETAIL revisions + isolated
+    # own-JVM runs) is automatically re-measured up to 3 more times with a
+    # fresh best-of-3 each attempt, keeping the overall min, and (c) both
+    # the pre-rerun reading and the rerun count land in BENCH_DETAIL so a
+    # burst is visible as (first_min, final, load1) instead of masquerading
+    # as a code regression.
+    floors: dict[str, float] = {}
+    floors_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOORS.json")
+    if os.path.exists(floors_path) and abs(sf - 0.1) < 1e-9:
+        try:
+            floors = json.load(open(floors_path)).get("floors", {})
+        except (ValueError, OSError) as exc:
+            print(f"bench: ignoring unreadable {floors_path}: {exc}", file=sys.stderr)
+
+    def best_of_3(spec) -> float:
+        warms = []
+        for _ in range(3):
+            t0 = time.time()
+            spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warms.append(time.time() - t0)
+        return min(warms)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    load1: dict[str, float] = {}
+    reruns: dict[str, dict[str, float]] = {}
+    over_floor: list[str] = []
     errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
         try:
+            load1[name] = round(os.getloadavg()[0], 1)
             t0 = time.time()
             spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             cold[name] = round(time.time() - t0, 3)
-            warms = []
-            for _ in range(3):
-                t0 = time.time()
-                spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                warms.append(time.time() - t0)
-            timings[name] = round(min(warms), 3)
-            print(f"# {name}: warm={timings[name]}s cold={cold[name]}s", file=sys.stderr)
+            best = best_of_3(spec)
+            floor = floors.get(name)
+            if floor is not None and best > 2 * floor:
+                first = best
+                n_extra = 0
+                for _ in range(3):
+                    n_extra += 1
+                    best = min(best, best_of_3(spec))
+                    if best <= 2 * floor:
+                        break
+                reruns[name] = {
+                    "first_min": round(first, 3),
+                    "final": round(best, 3),
+                    "extra_rounds": n_extra,
+                    "floor": floor,
+                    "load1_end": round(os.getloadavg()[0], 1),
+                }
+                if best > 2 * floor:
+                    over_floor.append(name)
+            timings[name] = round(best, 3)
+            flag = " RERUN" if name in reruns else ""
+            print(
+                f"# {name}: warm={timings[name]}s cold={cold[name]}s load1={load1[name]}{flag}",
+                file=sys.stderr,
+            )
         except Exception as exc:  # noqa: BLE001
             msg = str(exc).strip().splitlines()
             errors[name] = f"{type(exc).__name__}: {msg[0] if msg else ''}"[:500]
@@ -214,9 +266,17 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
+        "queries_load1": load1,
         "sf": sf,
         "cold_total_sec": round(sum(cold.values()), 3),
     }
+    if reruns:
+        out["reruns"] = reruns
+    if over_floor:
+        # still >2x floor after up to 3 extra best-of-3 rounds: either a
+        # real regression or a sustained burst — named so the round report
+        # can adjudicate instead of inferring from totals
+        out["over_floor_after_rerun"] = sorted(over_floor)
     if errors:
         out["errors"] = errors
     # The driver records only a bounded tail of stdout, so the one
@@ -256,6 +316,8 @@ def main() -> None:
         "sf": sf,
         "cold_total_sec": out["cold_total_sec"],
         "n_errors": len(errors),
+        "n_reruns": len(reruns),
+        "n_over_floor": len(over_floor),
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)

@@ -135,6 +135,14 @@ NAMES = [
     "embedding_pca_whiten",
 ]
 
+# Every bench.py HEADLINE query must have a PLANS.md section — the list
+# drifted twice (r07 NAMES miss, r08 anova/benford lag), so the union is
+# now computed instead of maintained by hand, and
+# tests/test_plan_guardrails.py::test_plans_md_covers_headline fences it.
+from bench import HEADLINE  # noqa: E402
+
+NAMES = list(dict.fromkeys(NAMES + [n for n in HEADLINE if n not in NAMES]))
+
 
 def audit(spark, sf: str, name: str) -> dict:
     df = QUERIES[name].build(spark, sf)

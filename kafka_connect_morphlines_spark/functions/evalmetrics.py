@@ -559,16 +559,52 @@ def bradley_terry_strengths(
 
 def _rank2(df: DataFrame, col: str, out: str) -> DataFrame:
     """(value -> 2*average-rank) as an exact-integer map over DISTINCT
-    values: 2*avg_rank(v) = 2*#less(v) + #equal(v) + 1.  The ordered
-    cumulative pass runs over distinct values only (the binary_rank_auc
-    discipline — callers pass quantized metrics so this is bounded),
-    never over rows."""
+    values: 2*avg_rank(v) = 2*#less(v) + #equal(v) + 1.
+
+    Distributed global ranking (r09, ADVICE fix): the old version ran ONE
+    un-partitioned ordered window over the distinct values, which is a
+    single-partition sort — fine for quantized metrics, O(n)-hostile for
+    continuous ones (per-customer spend sums are essentially unique).
+    Now the distinct frame is range-repartitioned by value, the
+    cumulative count runs PARTITIONED BY the range bucket (all cores
+    busy, max partition = one range's distinct values), and the global
+    offset of each bucket comes from a per-partition total prefix-summed
+    on the driver — bounded driver state: #shuffle-partitions integers,
+    the kmeans_fit_int contract, NOT data-sized.  Ranks are the identical
+    exact integers the single-partition pass produced, so every certified
+    consumer hashes the same."""
     cnt = df.groupBy(F.col(col).alias("_v")).agg(F.count(F.lit(1)).alias("_c"))
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
-    return cnt.select(
-        "_v",
-        (2 * F.coalesce(F.sum("_c").over(w), F.lit(0)) + F.col("_c") + 1).alias(out),
-    ).withColumnRenamed("_v", col)
+    ranged = cnt.repartitionByRange(F.col("_v")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = ranged.withColumn("_before", F.coalesce(F.sum("_c").over(w), F.lit(0)))
+    # freeze the range assignment: the totals job below and the final rank
+    # projection must observe the SAME pid per value (re-planning could
+    # re-sample range boundaries)
+    local = local.localCheckpoint()
+    totals = {
+        int(r["_pid"]): int(r["_t"])
+        for r in local.groupBy("_pid").agg(F.sum("_c").alias("_t")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):  # pid 0 holds the lowest value range
+        offsets[pid] = acc
+        acc += totals[pid]
+    if offsets:
+        kv: list = []
+        for pid, o in offsets.items():
+            kv += [F.lit(pid), F.lit(o)]
+        offset = F.coalesce(F.element_at(F.create_map(*kv), F.col("_pid")), F.lit(0))
+    else:
+        offset = F.lit(0)
+    return local.select(
+        F.col("_v").alias(col),
+        (2 * (F.col("_before") + offset) + F.col("_c") + 1).alias(out),
+    )
 
 
 def spearman_rho(df: DataFrame, x: Column, y: Column) -> DataFrame:
@@ -582,9 +618,13 @@ def spearman_rho(df: DataFrame, x: Column, y: Column) -> DataFrame:
     five Pearson moments are exact DECIMAL sums and both engines feed
     identical numbers into the closed form; the only float ops are two
     correctly-rounded casts, two IEEE sqrts and one divide (the
-    acf_daily_revenue argument).  Scale: two distinct-value rank maps
-    (bounded when callers pass quantized metrics) broadcast-joined back
-    to one row-level pass, then a single aggregate."""
+    acf_daily_revenue argument).  Scale (r09): the rank maps are built by
+    the DISTRIBUTED _rank2 (range-partitioned cumulative counts + driver
+    prefix offsets), so continuous metrics with ~n distinct values no
+    longer imply a single-partition sort; the maps join back by value
+    WITHOUT a broadcast hint — for quantized metrics AQE broadcasts the
+    small map at runtime, for continuous ones it picks a shuffle join
+    instead of shipping an O(n) table to every executor."""
     dec0 = "decimal(38,0)"
     pairs = df.select(x.alias("_x"), y.alias("_y"))
     # materialize the reduced metric frame once: it feeds both rank maps
@@ -593,7 +633,7 @@ def spearman_rho(df: DataFrame, x: Column, y: Column) -> DataFrame:
     pairs = pairs.localCheckpoint()
     rx = _rank2(pairs, "_x", "_rx")
     ry = _rank2(pairs, "_y", "_ry")
-    ranked = pairs.join(F.broadcast(rx), "_x").join(F.broadcast(ry), "_y")
+    ranked = pairs.join(rx, "_x").join(ry, "_y")
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("_rx").cast(dec0)).alias("sx"),

@@ -4740,6 +4740,62 @@ def trend_daily_revenue(spark, sf_dir):
 
 
 @query(
+    "trend_daily_revenue_fast",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             sum(CAST(o_totalprice AS DECIMAL(23,6))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.d AS i,
+             CAST(b.rev - a.rev AS DOUBLE) / date_diff('day', a.d, b.d) AS slope
+      FROM daily a JOIN daily b ON a.d <> b.d
+    ),
+    inner_ranked AS (
+      SELECT i, slope,
+             row_number() OVER (PARTITION BY i ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY i) AS cnt
+      FROM pairs
+    ),
+    inner_med AS (
+      SELECT i, avg(slope) AS med_i FROM inner_ranked
+      WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
+         OR rn = CAST(floor((cnt + 2) / 2) AS BIGINT)
+      GROUP BY i
+    ),
+    outer_ranked AS (
+      SELECT med_i, row_number() OVER (ORDER BY med_i) AS rn, count(*) OVER () AS cnt
+      FROM inner_med
+    )
+    SELECT CAST(max(cnt) AS BIGINT) AS n_points,
+           round(avg(med_i), 6) AS repeated_median_slope
+    FROM outer_ranked
+    WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
+       OR rn = CAST(floor((cnt + 2) / 2) AS BIGINT)
+    """,
+)
+def trend_daily_revenue_fast(spark, sf_dir):
+    """Siegel repeated-median slope on daily revenue — the fast second
+    mode VERDICT r08 #5 asked for (timeseries.siegel_repeated_median_slope).
+    Same O(days^2) pair count as exact Theil-Sen but the expensive rank
+    runs PARTITIONED BY the left point (max partition = n-1 slopes, all
+    cores busy) instead of one global million-row sort; the outer median
+    ranks only n values.  A different estimator by contract (higher 50%
+    breakdown), not an approximation — exact rank-picked medians with the
+    identical correctly-rounded double slope chain, hence the full SQL
+    oracle.  The exact Theil-Sen mode stays certified as
+    trend_daily_revenue."""
+    from kafka_connect_morphlines_spark.functions import timeseries
+
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(23,6)")).alias("rev")
+    )
+    return timeseries.siegel_repeated_median_slope(daily, F.col("d"), F.col("rev"))
+
+
+@query(
     "cusum_changepoint_revenue",
     """
     WITH daily AS (
@@ -7941,8 +7997,11 @@ def spearman_spend_vs_orders(spark, sf_dir):
     customer's total spend and their order count — do heavy spenders
     also order often?  Tie-corrected via exact 2*avg-rank integers (the
     AUC idiom) so both engines feed identical DECIMAL moments into the
-    closed form.  One groupBy(customer), two bounded distinct-value rank
-    maps broadcast back, one final aggregate."""
+    closed form.  One groupBy(customer), then distributed global ranking:
+    spend sums are essentially unique per customer (~n distinct values),
+    so the rank maps are built by the range-partitioned _rank2 (r09 —
+    no single-partition sort, no O(n) broadcast; AQE picks the join
+    strategy at runtime), one final aggregate."""
     from kafka_connect_morphlines_spark.functions import evalmetrics
 
     orders = t(spark, sf_dir, "orders")
@@ -8883,14 +8942,43 @@ def control_char_stats(spark, sf_dir):
     return textstats.control_char_stats_df(docs).orderBy("doc_id")
 
 
-@query("compression_ratio_quality", None)
+import os as _os
+
+_COMPRESSION_GOLDEN = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests",
+    "resources",
+    "goldens",
+    "compression_ratio_quality_sf001.parquet",
+)
+
+
+@query(
+    "compression_ratio_quality",
+    f"""
+    SELECT doc_id, n_bytes, n_compressed, ratio
+    FROM read_parquet('{_COMPRESSION_GOLDEN}')
+    ORDER BY doc_id
+    """,
+)
 def compression_ratio_quality(spark, sf_dir):
     """zlib compression-ratio quality signal (textclean.compression_ratio):
     highly compressible text is repetitive boilerplate, incompressible is
     junk/gibberish — the cheap redundancy heuristic of Dolma/RedPajama-
-    class pipelines.  Arrow-batched map-only projection; zlib has no SQL
-    analogue (no oracle by nature), pytest pins exact values on known
-    strings and determinism."""
+    class pipelines.  Arrow-batched map-only projection.
+
+    Oracle (r09 promotion out of no-oracle, VERDICT r08 #6): zlib has no
+    SQL analogue, but its output at the pinned level is deterministic for
+    a given zlib build, so the gate is a committed GOLDEN PARQUET
+    generated at sf0.01 (the driver's correctness SF by contract) via
+    tools/make_compression_golden.py; the oracle reads it back with
+    read_parquet().  This pins the full Spark-side pipeline — schema,
+    Arrow batching, null handling, 6dp rounding — while zlib's own
+    semantics stay pinned by the known-string exact values in pytest.
+    Honest limits, documented: the pin is (a) sf0.01-specific and (b)
+    zlib-build-specific (this container); a zlib upgrade that changes
+    compressed sizes requires regenerating the golden, exactly like the
+    md5-keyed sampler goldens."""
     from kafka_connect_morphlines_spark.functions import textclean
 
     docs = t(spark, sf_dir, "documents")

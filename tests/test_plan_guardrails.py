@@ -56,6 +56,15 @@ NO_CARTESIAN = [
     "spearman_spend_vs_orders",
     "krippendorff_alpha_langid",
     "kmv_distinct_users",
+    # r08 session-2 tail (r09 catch-up): ANOVA is a pure two-level agg —
+    # any join at all would be a regression; Benford joins the 9-row
+    # expectation table broadcast and crosses the 1-row total (BNLJ ok)
+    "anova_value_by_type",
+    "benford_first_digit_prices",
+    # r09: the Siegel pair table is an equi-inequality self-join of the
+    # checkpointed day series (BroadcastNestedLoopJoin over a tiny frame,
+    # never CartesianProduct)
+    "trend_daily_revenue_fast",
 ]
 
 
@@ -130,3 +139,24 @@ BROADCAST = [
 def test_small_side_broadcasts(spark, name, node):
     plan = _executed_plan(spark, name)
     assert node in plan, f"{name}: expected {node} in plan:\n{plan[:2000]}"
+
+
+# Every bench.py HEADLINE query must have a section in docs/PLANS.md — the
+# audit doc drifted twice (r07 NAMES miss, r08 anova/benford lag).  The
+# gen_plans NAMES list now unions HEADLINE mechanically; this test fences
+# the committed artifact itself so the regeneration can't be forgotten.
+def test_plans_md_covers_headline():
+    import re
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from bench import HEADLINE
+
+    plans = open(os.path.join(repo, "docs", "PLANS.md"), encoding="utf-8").read()
+    sections = set(re.findall(r"^## (\S+)$", plans, re.MULTILINE))
+    missing = [n for n in HEADLINE if n not in sections]
+    assert not missing, (
+        f"docs/PLANS.md lacks sections for {len(missing)} HEADLINE queries "
+        f"(regenerate with python docs/gen_plans.py): {missing}"
+    )

@@ -105,3 +105,59 @@ def test_power_oracle_hugeint_survives_large_s(tmp_path):
         f"SELECT sum(CAST(s AS HUGEINT) * v) FROM (VALUES ({s_val}, {v_val}), ({s_val}, {v_val})) t(s, v)"
     ).fetchone()[0]
     assert int(got) == 2 * s_val * v_val
+
+
+def test_siegel_repeated_median_matches_python_mirror(spark):
+    """Siegel repeated median vs a literal Python mirror on a small
+    series with an outlier (where it must differ from naive OLS)."""
+    import datetime
+    import statistics
+
+    from kafka_connect_morphlines_spark.functions import timeseries
+
+    base = datetime.date(2024, 1, 1)
+    # one wild outlier at the END (max leverage, so OLS is provably hit)
+    vals = [10.0, 12.0, 14.0, 16.0, 18.0, 20.0, 300.0]
+    rows = [(base + datetime.timedelta(days=i * 2), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "d date, rev double")
+    got = timeseries.siegel_repeated_median_slope(df, F.col("d"), F.col("rev")).collect()[0]
+
+    def med(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        lo, hi = (n + 1) // 2 - 1, (n + 2) // 2 - 1
+        return (xs[lo] + xs[hi]) / 2
+
+    inner = []
+    for i, (ti, vi) in enumerate(rows):
+        slopes = [
+            (vj - vi) / (tj - ti).days for j, (tj, vj) in enumerate(rows) if j != i
+        ]
+        inner.append(med(slopes))
+    want = round(med(inner), 6)
+    assert got["n_points"] == len(vals)
+    assert got["repeated_median_slope"] == pytest.approx(want, abs=1e-9)
+    # robustness: the outlier must not drag the slope toward OLS's value
+    assert abs(got["repeated_median_slope"] - 1.0) < 1.0  # true slope = 1/day
+    ols = statistics.linear_regression(
+        [(r[0] - base).days for r in rows], [r[1] for r in rows]
+    ).slope
+    assert abs(ols - 1.0) > 5  # OLS is wrecked; Siegel is not
+
+
+def test_rank2_distributed_matches_single_partition(spark):
+    """_rank2's distributed ranking must emit the identical exact
+    2*avg-rank integers as the textbook single-pass computation,
+    including ties, across many range partitions."""
+    from kafka_connect_morphlines_spark.functions.evalmetrics import _rank2
+
+    vals = [5, 3, 3, 8, 1, 8, 8, 2, 9, 4] * 50  # heavy ties, 500 rows
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    got = {r["x"]: r["r2"] for r in _rank2(df, "x", "r2").collect()}
+    # textbook: 2*avg_rank(v) = 2*#less + #eq + 1
+    want = {}
+    for v in set(vals):
+        less = sum(1 for u in vals if u < v)
+        eq = vals.count(v)
+        want[v] = 2 * less + eq + 1
+    assert got == want
