@@ -153,6 +153,10 @@ HEADLINE = [
     "cusum_changepoint_revenue",
     "anova_value_by_type",
     "benford_first_digit_prices",
+    # round-9 additions (rank/robust stats ladder + mixture drift)
+    "kruskal_wallis_values",
+    "brown_forsythe_values",
+    "js_divergence_sources",
 ]
 
 

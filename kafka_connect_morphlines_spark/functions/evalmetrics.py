@@ -1336,3 +1336,155 @@ def permutation_test_diff(
             (F.col("_ge").cast("double") + F.lit(1.0)) / F.lit(float(b + 1)), 6
         ).alias("p_value"),
     )
+
+
+def kruskal_wallis(df: DataFrame, group: Column, value: Column) -> DataFrame:
+    """Kruskal-Wallis H test — the k-group rank companion to
+    mann_whitney (2 groups) and the nonparametric sibling of the ANOVA F
+    (anova_value_by_type): does at least one group's distribution
+    stochastically dominate?  The standard screen when values are skewed
+    or outlier-ridden and ANOVA's normality story is wrong.
+
+    H = 12/(n(n+1)) * sum_g R_g^2/n_g - 3(n+1), tie-corrected by
+    1 - sum(t^3-t)/(n^3-n).  With the 2x-integer average ranks
+    (R2 = 2*avg_rank, the AUC idiom) this becomes
+    H = 3/(n(n+1)) * sum_g R2_g^2/n_g - 3(n+1): every rank sum is an
+    exact DECIMAL integer on both engines.
+
+    Division parity: the per-group R2_g^2/n_g quotient uses the ANOVA
+    r09 idiom — a deterministic double chain (cast, square, divide)
+    quantized onto the 6dp grid and summed as exact DECIMAL(38,6), so
+    the cross-group sum is order-independent and engine-identical.
+
+    Scale shape: ranks come from the DISTRIBUTED _rank2 (range-
+    partitioned cumulative counts, bounded driver state), one value-keyed
+    join back, one groupBy(group) for the rank sums, one groupBy(value)
+    for ties; everything after runs on k rows.
+    """
+    dec0 = "decimal(38,0)"
+    pool = df.select(group.alias("_g"), value.alias("_v"))
+    pool = pool.localCheckpoint()  # feeds the rank map AND the join back
+    r2 = _rank2(pool, "_v", "_r2")
+    ranked = pool.join(r2, "_v")
+    per_g = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.col("_r2").cast(dec0)).alias("r2_g"),
+    )
+    ties = (
+        pool.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("tc").cast(dec0) * F.col("tc") * F.col("tc")
+                        - F.col("tc")
+                    )
+                ),
+                F.lit(0).cast(dec0),
+            ).alias("tie3")
+        )
+    )
+    tot = per_g.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.round(
+                F.col("r2_g").cast("double")
+                * F.col("r2_g").cast("double")
+                / F.col("n_g").cast("double"),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("srq"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n").cast("double")
+    h = F.lit(3.0) / (n * (n + F.lit(1.0))) * F.col("srq").cast("double") - F.lit(
+        3.0
+    ) * (n + F.lit(1.0))
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / (n * n * n - n)
+    return tot.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("k").cast("long").alias("n_groups"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(F.try_divide(h, corr), 6).alias("h_tie_corrected"),
+    )
+
+
+def brown_forsythe(df: DataFrame, group: Column, value: Column) -> DataFrame:
+    """Brown-Forsythe test (Levene with MEDIAN centers) for variance
+    homogeneity across groups — the robust "are the spreads equal?"
+    companion to anova_value_by_type (which assumes they are) and
+    robust_outliers_by_type (which flags points, not groups).
+
+    W = one-way ANOVA F computed on z_ig = |v_ig - median_g|.
+
+    Exactness: group medians are EXACT rank-picked (sum of the two
+    middle DECIMALs, med2 = 2*median — avoiding both engines' avg()
+    scale rules), so z2 = |2v - med2| is an exact DECIMAL; F is invariant
+    to the uniform 2x scale (both SS scale by 4), so the statistic is
+    unchanged and every moment stays exact until the ANOVA r09 quantized
+    per-group division idiom.
+
+    Scale shape: the median window is PARTITIONED BY group (parallel,
+    max partition = one group), one broadcast join of k med2 rows back,
+    one map-side-combined groupBy for the z2 moments; everything after
+    runs on k rows.
+    """
+    pool = df.select(group.alias("_g"), value.alias("_v"))
+    pool = pool.localCheckpoint()  # feeds the median ranks AND the z pass
+    w_g = Window.partitionBy("_g").orderBy("_v")
+    meds = (
+        pool.select(
+            "_g",
+            "_v",
+            F.row_number().over(w_g).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("_g")).alias("cnt"),
+        )
+        .filter(
+            (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2))
+        )
+        .groupBy("_g")
+        .agg(
+            # sum over the filtered middles: one row when cnt is odd
+            # (rn coincides), two when even — double the odd one so
+            # med2 = 2*median in BOTH cases
+            F.when(
+                F.count(F.lit(1)) == 1, F.sum("_v") * 2
+            ).otherwise(F.sum("_v")).alias("med2")
+        )
+    )
+    z = pool.join(F.broadcast(meds), "_g").select(
+        "_g",
+        F.abs(F.col("_v") * 2 - F.col("med2")).alias("z2"),
+    )
+    g = z.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("z2").cast("decimal(24,6)")).alias("s"),
+        F.sum(
+            F.col("z2").cast("decimal(24,6)") * F.col("z2").cast("decimal(24,6)")
+        ).alias("s2"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s").alias("st"),
+        F.sum("s2").alias("s2t"),
+        F.sum(
+            F.round(
+                F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("ssb_term"),
+    )
+    ssb = F.col("ssb_term").cast("double") - F.col("st").cast("double") * F.col(
+        "st"
+    ).cast("double") / F.col("nt").cast("double")
+    ssw = F.col("s2t").cast("double") - F.col("ssb_term").cast("double")
+    w_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k")))
+    return tot.select(
+        F.col("nt").cast("long").alias("n_rows"),
+        F.col("k").cast("long").alias("n_groups"),
+        F.round(w_stat, 6).alias("w_stat"),
+    )

@@ -632,3 +632,70 @@ def control_char_stats_df(
             F.round(n_control.cast("double") / n_chars.cast("double"), 6),
         ).otherwise(F.lit(0.0)).alias("control_ratio"),
     )
+
+
+def js_divergence_matrix(
+    docs: DataFrame,
+    text: Column,
+    source: Column,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between the token
+    distributions of every pair of corpus sources — the standard
+    "how different are these data sources?" drift metric used when
+    composing training mixtures (a JSD near 0 says two crawls are
+    near-interchangeable; near 1 says disjoint vocabularies).
+
+    Decomposition that avoids any full-outer join: for shared tokens
+    (p = c_a/N_a > 0, q = c_b/N_b > 0, base-2 logs)
+
+        JSD = sum_shared [ p/2*log2(2p/(p+q)) + q/2*log2(2q/(p+q)) ]
+              + (1 - P_shared_a)/2 + (1 - P_shared_b)/2
+
+    because every token present in only one source contributes exactly
+    p/2*log2(p/(p/2)) = p/2.  P_shared_* come from EXACT integer count
+    sums divided once, so only the log-term sum is floating (the
+    word_entropy precedent: deterministic per-term double chains from
+    exact integer counts, final 6dp round).
+
+    Shuffle shape: one groupBy(source, token), an m-row totals broadcast,
+    one token-keyed self-join (each token meets only the sources that
+    contain it — at most m(m-1)/2 pairs per token), one groupBy(pair).
+    Everything is keyed; nothing is quadratic in corpus size — m sources
+    is a config-sized constant."""
+    tok = docs.select(source.alias("_s"), F.explode(tokens(text)).alias("_t"))
+    counts = tok.groupBy("_s", "_t").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("_s").agg(F.sum("c").alias("n"))
+    cn = counts.join(F.broadcast(totals), "_s")
+    a = cn.select(
+        F.col("_t"),
+        F.col("_s").alias("source_a"),
+        F.col("c").alias("ca"),
+        F.col("n").alias("na"),
+    )
+    b = cn.select(
+        F.col("_t"),
+        F.col("_s").alias("source_b"),
+        F.col("c").alias("cb"),
+        F.col("n").alias("nb"),
+    )
+    shared = a.join(b, ["_t"]).filter(F.col("source_a") < F.col("source_b"))
+    p = F.col("ca").cast("double") / F.col("na").cast("double")
+    q = F.col("cb").cast("double") / F.col("nb").cast("double")
+    term = p / 2 * F.log2(2 * p / (p + q)) + q / 2 * F.log2(2 * q / (p + q))
+    per_pair = shared.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared"),
+        F.sum(term).alias("_terms"),
+        F.sum("ca").alias("_sca"),
+        F.max("na").alias("_na"),
+        F.sum("cb").alias("_scb"),
+        F.max("nb").alias("_nb"),
+    )
+    p_shared_a = F.col("_sca").cast("double") / F.col("_na").cast("double")
+    p_shared_b = F.col("_scb").cast("double") / F.col("_nb").cast("double")
+    jsd = F.col("_terms") + (1 - p_shared_a) / 2 + (1 - p_shared_b) / 2
+    return per_pair.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        F.round(jsd, 6).alias("jsd_bits"),
+    ).orderBy("source_a", "source_b")

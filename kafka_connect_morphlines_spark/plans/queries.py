@@ -4617,6 +4617,175 @@ def anova_value_by_type(spark, sf_dir):
     )
 
 
+@query(
+    "js_divergence_sources",
+    """
+    WITH tok AS (
+      SELECT source AS s,
+             unnest(list_filter(string_split(trim(text), ' '), x -> x != '')) AS t
+      FROM documents
+    ),
+    counts AS (SELECT s, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY s, t),
+    totals AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY s),
+    cn AS (SELECT counts.s, t, c, n FROM counts JOIN totals USING (s)),
+    shared AS (
+      SELECT a.s AS source_a, b.s AS source_b,
+             a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb
+      FROM cn a JOIN cn b ON a.t = b.t AND a.s < b.s
+    ),
+    per_pair AS (
+      SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared,
+             sum(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) / 2
+                   * log2(2 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                          / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                             + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                 + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) / 2
+                   * log2(2 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                          / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                             + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))) AS terms,
+             CAST(sum(ca) AS BIGINT) AS sca, max(na) AS mna,
+             CAST(sum(cb) AS BIGINT) AS scb, max(nb) AS mnb
+      FROM shared GROUP BY source_a, source_b
+    )
+    SELECT source_a, source_b, n_shared,
+           round(terms + (1 - CAST(sca AS DOUBLE) / CAST(mna AS DOUBLE)) / 2
+                       + (1 - CAST(scb AS DOUBLE) / CAST(mnb AS DOUBLE)) / 2,
+                 6) AS jsd_bits
+    FROM per_pair ORDER BY source_a, source_b
+    """,
+)
+def js_divergence_sources(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between source token
+    distributions (textstats.js_divergence_matrix) — the training-mixture
+    drift matrix.  Absent-token mass is folded in closed form
+    ((1 - P_shared)/2 per side, from EXACT integer count sums divided
+    once), so no full-outer join exists anywhere; only the shared-token
+    log-term sum is floating, each term a deterministic double chain from
+    exact integer counts (the word_entropy precedent), final 6dp round.
+    One (source, token) groupBy + one token-keyed self-join; m sources is
+    a config-sized constant."""
+    docs = t(spark, sf_dir, "documents")
+    return textstats.js_divergence_matrix(docs, F.col("text"), F.col("source"))
+
+
+@query(
+    "kruskal_wallis_values",
+    """
+    WITH pool AS (
+      SELECT event_type AS g, CAST(value AS DECIMAL(23,6)) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    r2 AS (
+      SELECT v,
+             2 * coalesce(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+      FROM (SELECT v, count(*) AS c FROM pool GROUP BY v)
+    ),
+    per_g AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+             sum(CAST(r2 AS DECIMAL(38,0))) AS r2_g
+      FROM pool JOIN r2 USING (v) GROUP BY g
+    ),
+    ties AS (
+      SELECT coalesce(sum(CAST(tc AS DECIMAL(38,0)) * tc * tc - tc),
+                      CAST(0 AS DECIMAL(38,0))) AS tie3
+      FROM (SELECT count(*) AS tc FROM pool GROUP BY v)
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             sum(CAST(round(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)
+                            / CAST(n_g AS DOUBLE), 6) AS DECIMAL(38,6))) AS srq
+      FROM per_g
+    )
+    SELECT n AS n_rows, k AS n_groups,
+           round(3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                   * CAST(srq AS DOUBLE)
+                 - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h_stat,
+           round((3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                    * CAST(srq AS DOUBLE)
+                  - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                 / (1.0 - CAST(tie3 AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             - CAST(n AS DOUBLE))), 6) AS h_tie_corrected
+    FROM tot, ties
+    """,
+)
+def kruskal_wallis_values(spark, sf_dir):
+    """Kruskal-Wallis H across event types (evalmetrics.kruskal_wallis):
+    the k-group RANK test completing the stats ladder — mann_whitney
+    (2-group ranks) / anova_value_by_type (k-group means) / this (k-group
+    ranks).  Pooled 2x-integer average ranks from the distributed _rank2,
+    exact DECIMAL rank sums, tie-corrected; the per-group R2^2/n quotient
+    uses the ANOVA r09 quantized-double idiom so both engines sum
+    identical DECIMAL(38,6) terms."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return evalmetrics.kruskal_wallis(
+        ev, F.col("event_type"), F.col("value").cast("decimal(23,6)")
+    )
+
+
+@query(
+    "brown_forsythe_values",
+    """
+    WITH pool AS (
+      SELECT event_type AS g, CAST(value AS DECIMAL(23,6)) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY g) AS cnt
+      FROM pool
+    ),
+    meds AS (
+      SELECT g, CASE WHEN count(*) = 1 THEN sum(v) * 2 ELSE sum(v) END AS med2
+      FROM ranked
+      WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
+         OR rn = CAST(floor((cnt + 2) / 2) AS BIGINT)
+      GROUP BY g
+    ),
+    z AS (
+      SELECT p.g, abs(p.v * 2 - m.med2) AS z2
+      FROM pool p JOIN meds m ON m.g = p.g
+    ),
+    grp AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(z2 AS DECIMAL(24,6))) AS s,
+             sum(CAST(z2 AS DECIMAL(24,6)) * CAST(z2 AS DECIMAL(24,6))) AS s2
+      FROM z GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS k,
+             sum(s) AS st, sum(s2) AS s2t,
+             sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                      AS DECIMAL(38,6))) AS ssb_term
+      FROM grp
+    )
+    SELECT nt AS n_rows, k AS n_groups,
+           round(((CAST(ssb_term AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)) / (k - 1))
+                 / ((CAST(s2t AS DOUBLE) - CAST(ssb_term AS DOUBLE)) / (nt - k)), 6) AS w_stat
+    FROM tot
+    """,
+)
+def brown_forsythe_values(spark, sf_dir):
+    """Brown-Forsythe variance-homogeneity test across event types
+    (evalmetrics.brown_forsythe): the robust "are the spreads equal?"
+    check ANOVA silently assumes.  Group medians are EXACT rank-picked
+    sums of the two middle DECIMALs (med2 = 2*median — no engine avg()
+    scale rules anywhere), z2 = |2v - med2| stays exact DECIMAL, and the
+    F chain reuses the ANOVA r09 quantized-division idiom; F is invariant
+    to the uniform 2x scale so the statistic equals the textbook W."""
+    from kafka_connect_morphlines_spark.functions import evalmetrics
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return evalmetrics.brown_forsythe(
+        ev, F.col("event_type"), F.col("value").cast("decimal(23,6)")
+    )
+
+
 # Benford first-digit expectations as shared literals: log10(1+1/d)
 # computed ONCE here in Python — neither engine ever calls its own log,
 # so the chi-square arithmetic is identical doubles on both sides.

@@ -161,3 +161,120 @@ def test_rank2_distributed_matches_single_partition(spark):
         eq = vals.count(v)
         want[v] = 2 * less + eq + 1
     assert got == want
+
+
+def test_kruskal_wallis_matches_reference(spark):
+    """KW H on sf0.001 vs a from-scratch Python mirror (scipy-free)."""
+    from collections import defaultdict
+
+    from kafka_connect_morphlines_spark.plans.queries import QUERIES
+
+    got = QUERIES["kruskal_wallis_values"].build(spark, "/root/testdata/sf0.001").collect()[0]
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("value").cast("decimal(23,6)").alias("v"))
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["event_type"]].append(r["v"])
+    pooled = sorted(v for vs in groups.values() for v in vs)
+    n = len(pooled)
+    # average rank per value (ties -> mean of positions)
+    first = {}
+    for i, v in enumerate(pooled):
+        first.setdefault(v, i + 1)
+    cnt = defaultdict(int)
+    for v in pooled:
+        cnt[v] += 1
+    avg_rank = {v: first[v] + (cnt[v] - 1) / 2 for v in cnt}
+    h = 0.0
+    for vs in groups.values():
+        rg = sum(avg_rank[v] for v in vs)
+        h += rg * rg / len(vs)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    tie3 = sum(c**3 - c for c in cnt.values())
+    h_corr = h / (1 - tie3 / (n**3 - n))
+    assert got["n_rows"] == n and got["n_groups"] == len(groups)
+    assert got["h_stat"] == pytest.approx(h, rel=1e-6)
+    assert got["h_tie_corrected"] == pytest.approx(h_corr, rel=1e-6)
+
+
+def test_brown_forsythe_matches_reference(spark):
+    """BF W on sf0.001 vs a from-scratch Python mirror: ANOVA F over
+    |v - exact group median|."""
+    from collections import defaultdict
+
+    from kafka_connect_morphlines_spark.plans.queries import QUERIES
+
+    got = QUERIES["brown_forsythe_values"].build(spark, "/root/testdata/sf0.001").collect()[0]
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("value").cast("decimal(23,6)").alias("v"))
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["event_type"]].append(float(r["v"]))
+
+    def median(xs):
+        xs = sorted(xs)
+        m = len(xs)
+        return (xs[(m + 1) // 2 - 1] + xs[(m + 2) // 2 - 1]) / 2
+
+    z = {g: [abs(v - median(vs)) for v in vs] for g, vs in groups.items()}
+    nt = sum(len(vs) for vs in z.values())
+    k = len(z)
+    grand = sum(sum(vs) for vs in z.values()) / nt
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - grand) ** 2 for vs in z.values())
+    ssw = sum((v - sum(vs) / len(vs)) ** 2 for vs in z.values() for v in vs)
+    w = (ssb / (k - 1)) / (ssw / (nt - k))
+    assert got["n_rows"] == nt and got["n_groups"] == k
+    assert got["w_stat"] == pytest.approx(w, rel=1e-6)
+
+
+def test_js_divergence_bounds_and_identity(spark):
+    """JSD properties: 0 for identical token distributions, 1 bit for
+    disjoint vocabularies, strictly between otherwise — plus an exact
+    value check vs a Python mirror on a 3-source corpus."""
+    import math
+
+    from kafka_connect_morphlines_spark.functions import textstats
+
+    rows = [
+        (0, "a b c a", "s1"),
+        (1, "a b c a", "s2"),   # s2 identical to s1
+        (2, "x y z", "s3"),     # s3 disjoint from both
+        (3, "a b x", "s4"),     # s4 overlaps both worlds
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): r["jsd_bits"]
+        for r in textstats.js_divergence_matrix(
+            df, F.col("text"), F.col("source")
+        ).collect()
+    }
+    assert got[("s1", "s2")] == pytest.approx(0.0, abs=1e-9)
+    # disjoint pairs don't share a token, so they are ABSENT from the
+    # shared-join output (their JSD is exactly 1 by construction)
+    assert ("s1", "s3") not in got
+    assert 0.0 < got[("s1", "s4")] < 1.0
+
+    def jsd(ca, cb):
+        na, nb = sum(ca.values()), sum(cb.values())
+        toks = set(ca) | set(cb)
+        out = 0.0
+        for t_ in toks:
+            p = ca.get(t_, 0) / na
+            q = cb.get(t_, 0) / nb
+            m = (p + q) / 2
+            if p:
+                out += p / 2 * math.log2(p / m)
+            if q:
+                out += q / 2 * math.log2(q / m)
+        return out
+
+    want = jsd({"a": 2, "b": 1, "c": 1}, {"a": 1, "b": 1, "x": 1})
+    assert got[("s1", "s4")] == pytest.approx(round(want, 6), abs=1e-9)
