@@ -23,50 +23,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["join_revenue_by_nation"].build(spark, "/root/testdata/sf0.001")
 
 
-# Round-8 certification prefix.  The driver samples a bounded (50-entry)
+# Round-9 certification prefix.  The driver samples a bounded (50-entry)
 # prefix of queries() per round; across rounds the union of CORRECTNESS_r*
-# files must cover the whole corpus.  The 32 slots below are EXACTLY the
-# queries that are hash-green in CORRECTNESS_local.json but have never
-# been driver-hash-certified: slots 1-11 the round-7 oracle landings the
-# stale r07 prefix missed (VERDICT.md next-round #1), slots 12-17 the
-# round-8 session-1 additions, and the rest the session-2 additions and
-# promotions (Krippendorff, KMV, Bradley-Terry, power iteration,
-# triangles, fertility, ACF, BPE train+encode, Spearman, unigram-LM
-# train+encode via the probability-product twin, quantized PCA whitening,
-# Mann-Kendall/Theil-Sen, CUSUM).  The remaining ~18 sampled slots fall
-# through to already-certified queries alphabetically (harmless
-# re-certification).  Nothing is ever dropped: certified queries stay
+# files must cover the whole corpus.  After r08 the union reached 251/253
+# with nothing uncertified, so this round's 50 slots rotate (VERDICT r08
+# next-round #7): slots 1-10 are the queries CHANGED OR ADDED in round 9
+# (the ANOVA division-parity fix, the HUGEINT power oracle, the
+# distributed-_rank2 Spearman, the unigram NULL-text fix, exact trend
+# replayed alongside its new Siegel fast mode, compression_ratio_quality
+# newly promoted to a golden-parquet oracle, and the new Kruskal-Wallis /
+# Brown-Forsythe / Jensen-Shannon operators); slots 11-50 re-certify the
+# 40 OLDEST r01-certified queries against the current engine, guarding
+# long-untouched operators against silent drift.  Exactly 50 slots, zero
+# fall-through.  Nothing is ever dropped: certified queries stay
 # registered.
-_ROUND8_PREFIX = [
-    # r07 oracles, locally green, never driver-sampled — certify first.
-    "dedup_minhash_lsh", "dedup_simhash",
-    "hll_sketch_rollup", "hll_audience_overlap", "hll_rolling_distinct_users",
-    "pq_encode_codes", "pq_topk_adc",
-    "kmeans_cluster_stats", "sample_seeded",
-    "multimodal_features", "temperature_quota_sample",
-    # ---- slot 12+ : round-8 session additions (local-certified) ----
-    "cdc_chunk_stats", "source_overlap_matrix", "chunk_sliding_windows",
-    "detect_mime_type", "read_xml_roundtrip", "user_agent_parse",
-    "krippendorff_alpha_langid", "kmv_distinct_users", "bradley_terry_events",
-    "pca_power_component", "triangle_count_cosupply",
-    "tokenizer_fertility_by_lang", "acf_daily_revenue",
-    # r08: BPE train+encode promoted from rows-only to full SQL oracles
-    "bpe_merge_rules", "bpe_encode_sample",
-    "spearman_spend_vs_orders",
-    "unigram_lm_vocab", "unigram_lm_encode_sample",
-    "embedding_pca_whiten",
-    "trend_daily_revenue",
-    "cusum_changepoint_revenue",
-    "anova_value_by_type", "benford_first_digit_prices",
+_ROUND9_PREFIX = [
+    # ---- slots 1-10: changed or added in round 9 ----
+    "anova_value_by_type", "pca_power_component", "spearman_spend_vs_orders",
+    "unigram_lm_encode_sample", "trend_daily_revenue",
+    "trend_daily_revenue_fast", "compression_ratio_quality",
+    "kruskal_wallis_values", "brown_forsythe_values", "js_divergence_sources",
+    # ---- slots 11-50: the 40 oldest r01-certified queries, re-certified ----
+    "read_json_typed", "extract_json_paths", "set_values_template",
+    "generate_uuid_deterministic", "convert_timestamp_millis", "find_replace",
+    "split_field", "split_key_value", "extract_uri", "grok_extract",
+    "translate_dict", "contains_filter", "not_equals_filter", "if_then_else",
+    "try_rules", "head_sorted", "read_csv_lines", "read_line_explode",
+    "read_multi_line", "enrich_json_conform", "to_connect_data_projection",
+    "from_connect_data_json", "agg_pricing_summary", "join_revenue_by_nation",
+    "window_topk_orders", "window_running_sum", "sessionize",
+    "anti_join_customers", "semi_join_intersect", "except_low_priority",
+    "distinct_count_by_nation", "rollup_counts", "pivot_event_counts",
+    "orders_by_month", "event_time_tumbling_window", "string_functions",
+    "math_functions", "sort_topn_lineitems", "dedup_exact",
+    "ngram_jaccard_pairs",
 ]
-_ROUND8_RANK = {name: i for i, name in enumerate(_ROUND8_PREFIX)}
+_ROUND9_RANK = {name: i for i, name in enumerate(_ROUND9_PREFIX)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     ordered = sorted(
         QUERIES,
-        key=lambda name: (_ROUND8_RANK.get(name, len(_ROUND8_PREFIX)), name),
+        key=lambda name: (_ROUND9_RANK.get(name, len(_ROUND9_PREFIX)), name),
     )
     return {name: QUERIES[name].build for name in ordered}
 

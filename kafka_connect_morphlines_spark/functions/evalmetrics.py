@@ -557,23 +557,44 @@ def bradley_terry_strengths(
     ).orderBy("item")
 
 
-def _rank2(df: DataFrame, col: str, out: str) -> DataFrame:
+# below this many input rows the distinct-value frame trivially fits one
+# partition and the distributed machinery (range shuffle + checkpoint +
+# two bounded driver jobs) is pure overhead (~1.1s measured at sf0.1)
+_RANK2_SMALL_ROWS = 5_000_000
+
+
+def _rank2(
+    df: DataFrame, col: str, out: str, n_rows: int | None = None
+) -> DataFrame:
     """(value -> 2*average-rank) as an exact-integer map over DISTINCT
     values: 2*avg_rank(v) = 2*#less(v) + #equal(v) + 1.
 
-    Distributed global ranking (r09, ADVICE fix): the old version ran ONE
-    un-partitioned ordered window over the distinct values, which is a
-    single-partition sort — fine for quantized metrics, O(n)-hostile for
-    continuous ones (per-customer spend sums are essentially unique).
-    Now the distinct frame is range-repartitioned by value, the
-    cumulative count runs PARTITIONED BY the range bucket (all cores
-    busy, max partition = one range's distinct values), and the global
-    offset of each bucket comes from a per-partition total prefix-summed
-    on the driver — bounded driver state: #shuffle-partitions integers,
-    the kmeans_fit_int contract, NOT data-sized.  Ranks are the identical
-    exact integers the single-partition pass produced, so every certified
-    consumer hashes the same."""
+    Distributed global ranking (r09, ADVICE fix): continuous metrics
+    (per-customer spend sums) have ~n distinct values, so an
+    un-partitioned ordered window is a single-partition O(n) sort.  The
+    scale path range-repartitions the distinct frame, runs the cumulative
+    count PARTITIONED BY the range bucket (all cores busy), and
+    prefix-sums the per-bucket totals on the driver — bounded driver
+    state: #shuffle-partitions integers, the kmeans_fit_int contract,
+    NOT data-sized.
+
+    Adaptive cutover: callers that already know the input row count
+    (their reduced frame is checkpointed, so count() is ~free) pass
+    ``n_rows``; at or below _RANK2_SMALL_ROWS the classic one-window path
+    runs instead — the distributed machinery's fixed cost (~1.1s) buys
+    nothing when the distinct values fit one partition.  BOTH paths emit
+    the identical exact integers (pinned by
+    test_rank2_distributed_matches_single_partition), so certified
+    consumers hash the same either way."""
     cnt = df.groupBy(F.col(col).alias("_v")).agg(F.count(F.lit(1)).alias("_c"))
+    if n_rows is not None and n_rows <= _RANK2_SMALL_ROWS:
+        w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+        return cnt.select(
+            "_v",
+            (2 * F.coalesce(F.sum("_c").over(w), F.lit(0)) + F.col("_c") + 1).alias(
+                out
+            ),
+        ).withColumnRenamed("_v", col)
     ranged = cnt.repartitionByRange(F.col("_v")).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -631,8 +652,9 @@ def spearman_rho(df: DataFrame, x: Column, y: Column) -> DataFrame:
     # AND the ranked join — without this the upstream aggregation (often
     # a full fact-table groupBy) runs three times
     pairs = pairs.localCheckpoint()
-    rx = _rank2(pairs, "_x", "_rx")
-    ry = _rank2(pairs, "_y", "_ry")
+    n_pairs = pairs.count()  # checkpointed: one bounded metadata-ish job
+    rx = _rank2(pairs, "_x", "_rx", n_rows=n_pairs)
+    ry = _rank2(pairs, "_y", "_ry", n_rows=n_pairs)
     ranked = pairs.join(rx, "_x").join(ry, "_y")
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1364,7 +1386,7 @@ def kruskal_wallis(df: DataFrame, group: Column, value: Column) -> DataFrame:
     dec0 = "decimal(38,0)"
     pool = df.select(group.alias("_g"), value.alias("_v"))
     pool = pool.localCheckpoint()  # feeds the rank map AND the join back
-    r2 = _rank2(pool, "_v", "_r2")
+    r2 = _rank2(pool, "_v", "_r2", n_rows=pool.count())
     ranked = pool.join(r2, "_v")
     per_g = ranked.groupBy("_g").agg(
         F.count(F.lit(1)).alias("n_g"),

@@ -251,10 +251,12 @@ def siegel_repeated_median_slope(series: DataFrame, t: Column, v: Column) -> Dat
     ranks ALL C(n,2) pairwise slopes in ONE partition to pick the global
     median — the costliest accepted plan per useful row in the engine
     (~5s at sf0.1's ~2.4k-day series).  The repeated median keeps the
-    same O(n^2) pair count but restructures the expensive step as a
-    window PARTITIONED BY the left point: n inner medians of (n-1)
-    elements each run across all cores, and the outer median ranks only
-    n values.  No single-partition million-row sort anywhere.
+    same O(n^2) pair count but computes n independent inner medians (one
+    per point, over its n-1 slopes) across all cores, and the outer
+    median ranks only n values.  No single-partition million-row sort
+    anywhere.  Measured at a 7300-day series under identical load:
+    40.5s vs the exact mode's 138s (3.4x); comparable at 2.4k days where
+    pair GENERATION, not the median, dominates (docs/SCALE.md r09).
 
     Exactness trade (documented, not hidden): this is a DIFFERENT
     estimator than Theil-Sen — statistically (higher breakdown point,
@@ -265,53 +267,71 @@ def siegel_repeated_median_slope(series: DataFrame, t: Column, v: Column) -> Dat
     is deterministic and SQL-oracle-certifiable bit-for-bit.
 
     Scale shape: pair table is series-length-squared (calendar days, not
-    input rows); the inner-median window shuffles by point — max
-    partition size is n-1 elements, never the full pair table."""
+    input rows); medians are picked from sort_array(collect_list(...))
+    INSIDE a hash aggregate — the per-group in-memory sort replaces
+    WindowExec, which measured 62s of external-sort machinery for the
+    same result.  Memory bound: each collected array is series-length-
+    sized (7300 days = 58 KB, a 100-year daily series = 292 KB), never
+    corpus-sized."""
     s = series.select(t.alias("_t"), v.alias("_v"))
     s = s.localCheckpoint()  # tiny day-level series, joined to itself
+    # n is a DRIVER-KNOWN constant (the series is checkpointed; one count
+    # over it is bounded by calendar days): every inner group has exactly
+    # n-1 slopes and the outer median ranks exactly n values, so both
+    # "count over window" passes collapse to literals — one window pass
+    # with one sort instead of two WindowExec nodes per level.
+    n = s.count()
     a, b = s.alias("a"), s.alias("b")
-    # full ordered-pair table: each unordered pair feeds BOTH endpoints'
-    # inner medians (slope(i,j) == slope(j,i), so grouping by the left
-    # point gives every i its complete {j != i} slope multiset)
-    pairs = a.join(b, F.col("a._t") != F.col("b._t")).select(
-        F.col("a._t").alias("_i"),
+    # half-pair table (i < j), then each unordered pair feeds BOTH
+    # endpoints' inner medians via one cheap explode (slope(i,j) ==
+    # slope(j,i)) — half the nested-loop output of the naive != join
+    pairs = (
+        a.join(b, F.col("a._t") < F.col("b._t"))
+        .select(
+            F.explode(
+                F.array(F.col("a._t"), F.col("b._t"))
+            ).alias("_i"),
+            (
+                (F.col("b._v") - F.col("a._v")).cast("double")
+                / F.datediff(F.col("b._t"), F.col("a._t"))
+            ).alias("slope"),
+        )
+    )
+    # Median-pick via sort_array(collect_list(...)): each group's n-1
+    # slopes sort IN MEMORY inside the aggregate (7300 days = 58 KB per
+    # group), replacing WindowExec entirely — the row_number formulation
+    # measured 62s at a 7300-day series (WindowExec's external-sort
+    # machinery over 53M rows) vs ~3s for the same shuffle feeding a
+    # hash aggregate.  (a[lo]+a[hi])/2 is the exact rank-picked median:
+    # odd counts make lo==hi so (x+x)/2 == x exactly; even counts average
+    # the two middles with the identical IEEE ops as the SQL oracle's
+    # avg() over two rows.
+    cnt_in = n - 1
+    lo_in, hi_in = (cnt_in + 1) // 2, (cnt_in + 2) // 2
+    inner = pairs.groupBy("_i").agg(
+        F.sort_array(F.collect_list("slope")).alias("_arr")
+    ).select(
         (
-            (F.col("b._v") - F.col("a._v")).cast("double")
-            / F.datediff(F.col("b._t"), F.col("a._t"))
-        ).alias("slope"),
+            (
+                F.element_at(F.col("_arr"), lo_in)
+                + F.element_at(F.col("_arr"), hi_in)
+            )
+            / 2
+        ).alias("med_i")
     )
-    from pyspark.sql import Window
-
-    w_i = Window.partitionBy("_i").orderBy("slope")
-    inner = (
-        pairs.select(
-            "_i",
-            "slope",
-            F.row_number().over(w_i).alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy("_i")).alias("cnt"),
-        )
-        .filter(
-            (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
-            | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2))
-        )
-        .groupBy("_i")
-        .agg(F.avg("slope").alias("med_i"))
-    )
-    w_o = Window.orderBy("med_i")
-    outer = (
-        inner.select(
-            "med_i",
-            F.row_number().over(w_o).alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
-        )
-        .filter(
-            (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
-            | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2))
-        )
-        .agg(
-            F.max("cnt").cast("long").alias("n_points"),
-            F.round(F.avg("med_i"), 6).alias("repeated_median_slope"),
-        )
+    lo_out, hi_out = (n + 1) // 2, (n + 2) // 2
+    outer = inner.agg(
+        F.sort_array(F.collect_list("med_i")).alias("_arr")
+    ).select(
+        F.lit(n).cast("long").alias("n_points"),
+        F.round(
+            (
+                F.element_at(F.col("_arr"), lo_out)
+                + F.element_at(F.col("_arr"), hi_out)
+            )
+            / 2,
+            6,
+        ).alias("repeated_median_slope"),
     )
     return outer
 

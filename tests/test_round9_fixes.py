@@ -153,14 +153,20 @@ def test_rank2_distributed_matches_single_partition(spark):
 
     vals = [5, 3, 3, 8, 1, 8, 8, 2, 9, 4] * 50  # heavy ties, 500 rows
     df = spark.createDataFrame([(v,) for v in vals], "x int")
-    got = {r["x"]: r["r2"] for r in _rank2(df, "x", "r2").collect()}
     # textbook: 2*avg_rank(v) = 2*#less + #eq + 1
     want = {}
     for v in set(vals):
         less = sum(1 for u in vals if u < v)
         eq = vals.count(v)
         want[v] = 2 * less + eq + 1
-    assert got == want
+    # distributed path (default / large n_rows) AND the small-input
+    # single-window path must emit the identical exact integers
+    got_dist = {r["x"]: r["r2"] for r in _rank2(df, "x", "r2").collect()}
+    got_small = {
+        r["x"]: r["r2"] for r in _rank2(df, "x", "r2", n_rows=len(vals)).collect()
+    }
+    assert got_dist == want
+    assert got_small == want
 
 
 def test_kruskal_wallis_matches_reference(spark):
