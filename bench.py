@@ -220,6 +220,14 @@ def main() -> None:
             warms.append(time.time() - t0)
         return min(warms)
 
+    # Global rerun budget: under a SUSTAINED burst every query could trip
+    # the 2x-floor check, and 3 extra best-of-3 rounds x 100+ queries
+    # would multiply the bench wall-time ~4x.  30 rerun rounds total
+    # (~3-5 min of extra work) is enough to clear a handful of genuine
+    # burst victims; past it, readings are recorded as-is and the
+    # "rerun_budget_exhausted" flag tells the reader the remaining
+    # inflations are un-retried, not confirmed.
+    rerun_budget = 30
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     load1: dict[str, float] = {}
@@ -235,10 +243,13 @@ def main() -> None:
             cold[name] = round(time.time() - t0, 3)
             best = best_of_3(spec)
             floor = floors.get(name)
-            if floor is not None and best > 2 * floor:
+            if floor is not None and best > 2 * floor and rerun_budget > 0:
                 first = best
                 n_extra = 0
                 for _ in range(3):
+                    if rerun_budget <= 0:
+                        break
+                    rerun_budget -= 1
                     n_extra += 1
                     best = min(best, best_of_3(spec))
                     if best <= 2 * floor:
@@ -281,6 +292,8 @@ def main() -> None:
         # real regression or a sustained burst — named so the round report
         # can adjudicate instead of inferring from totals
         out["over_floor_after_rerun"] = sorted(over_floor)
+    if rerun_budget <= 0:
+        out["rerun_budget_exhausted"] = True
     if errors:
         out["errors"] = errors
     # The driver records only a bounded tail of stdout, so the one

@@ -31,7 +31,10 @@ def test_bench_emits_valid_contract_line(tmp_path):
         text=True,
         env=env,
         cwd=REPO,
-        timeout=900,
+        # the contract under test is validity, not speed: 114 queries x 4
+        # executions crossed 900s under host-contention bursts (r09), and
+        # the corpus keeps growing — size the ceiling for the contract
+        timeout=2400,
     )
     assert proc.returncode == 0, f"bench rc={proc.returncode}\n{proc.stderr[-2000:]}"
     json_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]

@@ -160,3 +160,23 @@ def test_plans_md_covers_headline():
         f"docs/PLANS.md lacks sections for {len(missing)} HEADLINE queries "
         f"(regenerate with python docs/gen_plans.py): {missing}"
     )
+
+
+# BENCH_FLOORS.json must cover every HEADLINE query — a query without a
+# committed floor silently opts out of bench.py's >2x-floor auto-rerun,
+# which is the r09 contention-hardening contract.
+def test_bench_floors_cover_headline():
+    import json
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from bench import HEADLINE
+
+    floors = json.load(open(os.path.join(repo, "BENCH_FLOORS.json")))["floors"]
+    missing = [n for n in HEADLINE if n not in floors]
+    assert not missing, (
+        f"BENCH_FLOORS.json lacks floors for {len(missing)} HEADLINE queries "
+        f"(fold in isolated readings via tools/gen_floors.py): {missing}"
+    )
+    assert all(v > 0 for v in floors.values())
