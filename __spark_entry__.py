@@ -32,18 +32,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # distributed-_rank2 Spearman, the unigram NULL-text fix, exact trend
 # replayed alongside its new Siegel fast mode, compression_ratio_quality
 # newly promoted to a golden-parquet oracle, and the new Kruskal-Wallis /
-# Brown-Forsythe / Jensen-Shannon operators); slots 11-50 re-certify the
-# 40 OLDEST r01-certified queries against the current engine, guarding
-# long-untouched operators against silent drift.  Exactly 50 slots, zero
-# fall-through.  Nothing is ever dropped: certified queries stay
-# registered.
+# Brown-Forsythe / Jensen-Shannon / weighted-order-statistic operators);
+# slots 12-50 re-certify the 39 OLDEST r01-certified queries against the
+# current engine, guarding long-untouched operators against silent drift.
+# Exactly 50 slots, zero fall-through.  Nothing is ever dropped:
+# certified queries stay registered.
 _ROUND9_PREFIX = [
-    # ---- slots 1-10: changed or added in round 9 ----
+    # ---- slots 1-11: changed or added in round 9 ----
     "anova_value_by_type", "pca_power_component", "spearman_spend_vs_orders",
     "unigram_lm_encode_sample", "trend_daily_revenue",
     "trend_daily_revenue_fast", "compression_ratio_quality",
     "kruskal_wallis_values", "brown_forsythe_values", "js_divergence_sources",
-    # ---- slots 11-50: the 40 oldest r01-certified queries, re-certified ----
+    "weighted_median_price_by_flag",
+    # ---- slots 12-50: the 39 oldest r01-certified queries, re-certified ----
     "read_json_typed", "extract_json_paths", "set_values_template",
     "generate_uuid_deterministic", "convert_timestamp_millis", "find_replace",
     "split_field", "split_key_value", "extract_uri", "grok_extract",
@@ -56,7 +57,6 @@ _ROUND9_PREFIX = [
     "distinct_count_by_nation", "rollup_counts", "pivot_event_counts",
     "orders_by_month", "event_time_tumbling_window", "string_functions",
     "math_functions", "sort_topn_lineitems", "dedup_exact",
-    "ngram_jaccard_pairs",
 ]
 _ROUND9_RANK = {name: i for i, name in enumerate(_ROUND9_PREFIX)}
 

@@ -153,10 +153,12 @@ HEADLINE = [
     "cusum_changepoint_revenue",
     "anova_value_by_type",
     "benford_first_digit_prices",
-    # round-9 additions (rank/robust stats ladder + mixture drift)
+    # round-9 additions (rank/robust stats ladder + mixture drift +
+    # exact distributed weighted order statistics)
     "kruskal_wallis_values",
     "brown_forsythe_values",
     "js_divergence_sources",
+    "weighted_median_price_by_flag",
 ]
 
 

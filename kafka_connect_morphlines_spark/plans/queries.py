@@ -4618,6 +4618,58 @@ def anova_value_by_type(spark, sf_dir):
 
 
 @query(
+    "weighted_median_price_by_flag",
+    """
+    WITH per_v AS (
+      SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(23,6)) AS v,
+             sum(CAST(l_quantity AS DECIMAL(38,6))) AS wv
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, v, wv,
+             coalesce(sum(wv) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      CAST(0 AS DECIMAL(38,6))) AS before,
+             sum(wv) OVER (PARTITION BY g) AS wt
+      FROM per_v
+    ),
+    med AS (
+      SELECT g, wt, v AS median_price FROM cum
+      WHERE 2 * (before + wv) >= wt AND 2 * before < wt
+    ),
+    p90 AS (
+      SELECT g, v AS p90_price FROM cum
+      WHERE 10 * (before + wv) >= 9 * wt AND 10 * before < 9 * wt
+    )
+    SELECT med.g AS grp, med.wt AS w_total, med.median_price, p90.p90_price
+    FROM med JOIN p90 ON med.g = p90.g
+    ORDER BY grp
+    """,
+)
+def weighted_median_price_by_flag(spark, sf_dir):
+    """Exact quantity-weighted median and p90 of extended price per
+    return flag (orderstats.weighted_quantile_by_group) — the exact
+    weighted-order-statistic Spark's built-ins don't give you
+    (approx_percentile is a sketch; percentile interpolates doubles and
+    runs one partition per group).  The distributed-ranking discipline
+    generalized to weights: range-repartition the distinct (flag, price)
+    frame, cumulate per (partition, group), prefix-sum the bounded
+    per-partition totals on the driver; the crossing row is picked by
+    exact DECIMAL-product comparisons — no division, no interpolation,
+    no float contract anywhere, hence the direct SQL oracle."""
+    from kafka_connect_morphlines_spark.functions import orderstats
+
+    li = t(spark, sf_dir, "lineitem")
+    return orderstats.weighted_quantiles_by_group(
+        li,
+        F.col("l_returnflag"),
+        F.col("l_extendedprice").cast("decimal(23,6)"),
+        F.col("l_quantity"),
+        {"median_price": (1, 2), "p90_price": (9, 10)},
+    )
+
+
+@query(
     "js_divergence_sources",
     """
     WITH tok AS (

@@ -65,6 +65,9 @@ NO_CARTESIAN = [
     # checkpointed day series (BroadcastNestedLoopJoin over a tiny frame,
     # never CartesianProduct)
     "trend_daily_revenue_fast",
+    # r09: weighted quantiles join bounded broadcast offset/total tables
+    # by (group, pid) / group — all keyed
+    "weighted_median_price_by_flag",
 ]
 
 

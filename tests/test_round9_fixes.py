@@ -284,3 +284,42 @@ def test_js_divergence_bounds_and_identity(spark):
 
     want = jsd({"a": 2, "b": 1, "c": 1}, {"a": 1, "b": 1, "x": 1})
     assert got[("s1", "s4")] == pytest.approx(round(want, 6), abs=1e-9)
+
+
+def test_weighted_quantile_matches_python_mirror(spark):
+    """Exact weighted median/p90 vs a literal Python mirror, including a
+    group that straddles range-partition boundaries (many partitions,
+    few groups) and tie weights."""
+    from kafka_connect_morphlines_spark.functions import orderstats
+
+    rows = []
+    for g, vals in [
+        ("a", [(1.0, 1), (2.0, 2), (3.0, 1)]),          # W=4, median at cum>=2 -> 2.0
+        ("b", [(10.0, 5), (20.0, 1)]),                   # W=6, median -> 10.0
+        ("c", [(float(v), 1) for v in range(1, 101)]),   # W=100, median -> 50
+    ]:
+        rows += [(g, v, w) for v, w in vals]
+    df = spark.createDataFrame(rows, "g string, v double, w int").repartition(8)
+
+    def mirror(vals, num, den):
+        tot = sum(w for _, w in vals)
+        cum = 0
+        for v, w in sorted(vals):
+            cum += w
+            if den * cum >= num * tot:
+                return v
+        raise AssertionError
+
+    for num, den in [(1, 2), (9, 10)]:
+        got = {
+            r["grp"]: float(r["quantile_value"])
+            for r in orderstats.weighted_quantile_by_group(
+                df, F.col("g"), F.col("v"), F.col("w"), q_num=num, q_den=den
+            ).collect()
+        }
+        want = {
+            "a": mirror([(1.0, 1), (2.0, 2), (3.0, 1)], num, den),
+            "b": mirror([(10.0, 5), (20.0, 1)], num, den),
+            "c": mirror([(float(v), 1) for v in range(1, 101)], num, den),
+        }
+        assert got == want, (num, den, got, want)
