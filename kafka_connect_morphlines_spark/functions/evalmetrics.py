@@ -587,7 +587,22 @@ def _rank2(
     test_rank2_distributed_matches_single_partition), so certified
     consumers hash the same either way."""
     cnt = df.groupBy(F.col(col).alias("_v")).agg(F.count(F.lit(1)).alias("_c"))
-    if n_rows is not None and n_rows <= _RANK2_SMALL_ROWS:
+    return _rank2_from_counts(cnt.withColumnRenamed("_v", col), col, out, n_distinct=n_rows)
+
+
+def _rank2_from_counts(
+    cnt: DataFrame, col: str, out: str, n_distinct: int | None = None
+) -> DataFrame:
+    """_rank2's engine for callers that ALREADY aggregated (value ->
+    count) — e.g. kruskal_wallis, whose (group, value, count) frame
+    yields the per-value totals for free.  ``cnt`` must have columns
+    (col, _c).  ``n_distinct`` is any upper bound on the distinct-value
+    count (a raw row count or a (group, value) combo count both work);
+    at or below _RANK2_SMALL_ROWS the classic one-window path runs, else
+    the distributed range-partitioned path.  Both emit identical exact
+    integers (CI-pinned)."""
+    cnt = cnt.select(F.col(col).alias("_v"), F.col("_c"))
+    if n_distinct is not None and n_distinct <= _RANK2_SMALL_ROWS:
         w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
         return cnt.select(
             "_v",
@@ -1373,39 +1388,43 @@ def kruskal_wallis(df: DataFrame, group: Column, value: Column) -> DataFrame:
     H = 3/(n(n+1)) * sum_g R2_g^2/n_g - 3(n+1): every rank sum is an
     exact DECIMAL integer on both engines.
 
-    Division parity: the per-group R2_g^2/n_g quotient uses the ANOVA
-    r09 idiom — a deterministic double chain (cast, square, divide)
-    quantized onto the 6dp grid and summed as exact DECIMAL(38,6), so
-    the cross-group sum is order-independent and engine-identical.
+    AGGREGATE-FIRST plan (r09 rework — measured): the naive formulation
+    (checkpoint the raw pool, rank-join 20M rows, three corpus scans)
+    read 150s at a 20M-row smoke and degraded run-over-run under
+    block-manager pressure.  Ranks only depend on the (group, value,
+    count) aggregate, so ONE map-side-combined groupBy collapses the
+    corpus and everything downstream — rank map, per-group rank sums
+    R2_g = sum_v count*r2(v), tie correction — runs on the tiny distinct
+    frame.  No corpus-sized checkpoint, no row-level join, exactly one
+    scan of the input.
 
-    Scale shape: ranks come from the DISTRIBUTED _rank2 (range-
-    partitioned cumulative counts, bounded driver state), one value-keyed
-    join back, one groupBy(group) for the rank sums, one groupBy(value)
-    for ties; everything after runs on k rows.
+    Division parity: the per-group R2_g^2/n_g quotient uses the ANOVA
+    r09 idiom — a deterministic double chain quantized onto the 6dp grid
+    and summed as exact DECIMAL(38,6).  Pass values as long-backed
+    DECIMAL(18,6) (precision <= 18): wider decimals materialize a JVM
+    BigDecimal per row in the hot groupBy (26x slower, docs/SCALE.md).
     """
     dec0 = "decimal(38,0)"
-    pool = df.select(group.alias("_g"), value.alias("_v"))
-    pool = pool.localCheckpoint()  # feeds the rank map AND the join back
-    r2 = _rank2(pool, "_v", "_r2", n_rows=pool.count())
-    ranked = pool.join(r2, "_v")
-    per_g = ranked.groupBy("_g").agg(
-        F.count(F.lit(1)).alias("n_g"),
-        F.sum(F.col("_r2").cast(dec0)).alias("r2_g"),
+    gv = (
+        df.select(group.alias("_g"), value.alias("_v"))
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
     )
-    ties = (
-        pool.groupBy("_v")
-        .agg(F.count(F.lit(1)).alias("tc"))
-        .agg(
-            F.coalesce(
-                F.sum(
-                    (
-                        F.col("tc").cast(dec0) * F.col("tc") * F.col("tc")
-                        - F.col("tc")
-                    )
-                ),
-                F.lit(0).cast(dec0),
-            ).alias("tie3")
-        )
+    gv = gv.localCheckpoint()  # k x distinct values — feeds 3 consumers
+    per_v = gv.groupBy("_v").agg(F.sum("_cnt").alias("_c"))
+    r2 = _rank2_from_counts(per_v, "_v", "_r2", n_distinct=gv.count())
+    ranked = gv.join(r2, "_v")
+    per_g = ranked.groupBy("_g").agg(
+        F.sum("_cnt").alias("n_g"),
+        F.sum(F.col("_cnt").cast(dec0) * F.col("_r2")).alias("r2_g"),
+    )
+    ties = per_v.agg(
+        F.coalesce(
+            F.sum(
+                F.col("_c").cast(dec0) * F.col("_c") * F.col("_c") - F.col("_c")
+            ),
+            F.lit(0).cast(dec0),
+        ).alias("tie3")
     )
     tot = per_g.agg(
         F.sum("n_g").alias("n"),
@@ -1440,52 +1459,83 @@ def brown_forsythe(df: DataFrame, group: Column, value: Column) -> DataFrame:
 
     W = one-way ANOVA F computed on z_ig = |v_ig - median_g|.
 
-    Exactness: group medians are EXACT rank-picked (sum of the two
-    middle DECIMALs, med2 = 2*median — avoiding both engines' avg()
-    scale rules), so z2 = |2v - med2| is an exact DECIMAL; F is invariant
-    to the uniform 2x scale (both SS scale by 4), so the statistic is
-    unchanged and every moment stays exact until the ANOVA r09 quantized
-    per-group division idiom.
+    AGGREGATE-FIRST plan (r09 rework — measured): the naive formulation
+    (checkpoint the raw pool, per-group median window over the corpus,
+    row-level join back) read 157s at a 20M-row smoke: a window
+    partitioned by k groups puts n/k ROWS in each sort.  Medians and all
+    z moments only depend on the (group, value, count) aggregate, so one
+    map-side-combined groupBy collapses the corpus; the median window
+    then ranks DISTINCT VALUES per group (quantized metrics: bounded —
+    the binary_rank_auc discipline), the k med2 rows broadcast back onto
+    the distinct frame, and the moments are count-weighted sums.  One
+    corpus scan, no corpus-sized window or checkpoint.
 
-    Scale shape: the median window is PARTITIONED BY group (parallel,
-    max partition = one group), one broadcast join of k med2 rows back,
-    one map-side-combined groupBy for the z2 moments; everything after
-    runs on k rows.
-    """
-    pool = df.select(group.alias("_g"), value.alias("_v"))
-    pool = pool.localCheckpoint()  # feeds the median ranks AND the z pass
+    Exactness: group medians are EXACT rank-picked (med2 = sum of the
+    two middle values via cumulative-count crossing conditions — for odd
+    counts, or when both middle ranks land inside one value's count run,
+    the same row satisfies both conditions and contributes v twice);
+    z2 = |2v - med2| cast to long-backed DECIMAL(18,6) (exact while
+    |z2| < 1e12), so z2^2 is DECIMAL(37,12) — inside Spark's 38-cap, NO
+    silent scale reduction.  The squared term is quantized onto the 6dp
+    grid (the ANOVA idiom) BEFORE the count-weighted sum so the
+    cnt * z2^2 product cannot overflow precision; F is invariant to the
+    uniform 2x scale of z2."""
+    dec0 = "decimal(38,0)"
+    gv = (
+        df.select(group.alias("_g"), value.alias("_v"))
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    gv = gv.localCheckpoint()  # k x distinct values — feeds medians + moments
     w_g = Window.partitionBy("_g").orderBy("_v")
-    meds = (
-        pool.select(
-            "_g",
-            "_v",
-            F.row_number().over(w_g).alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy("_g")).alias("cnt"),
-        )
-        .filter(
-            (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
-            | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2))
-        )
-        .groupBy("_g")
-        .agg(
-            # sum over the filtered middles: one row when cnt is odd
-            # (rn coincides), two when even — double the odd one so
-            # med2 = 2*median in BOTH cases
-            F.when(
-                F.count(F.lit(1)) == 1, F.sum("_v") * 2
-            ).otherwise(F.sum("_v")).alias("med2")
-        )
+    n_w = Window.partitionBy("_g")
+    cum_before = F.coalesce(
+        F.sum("_cnt").over(w_g.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     )
-    z = pool.join(F.broadcast(meds), "_g").select(
+    n_g = F.sum("_cnt").over(n_w)
+    lo = F.floor((n_g + 1) / 2)
+    hi = F.floor((n_g + 2) / 2)
+    win = gv.select(
         "_g",
-        F.abs(F.col("_v") * 2 - F.col("med2")).alias("z2"),
+        "_v",
+        "_cnt",
+        cum_before.alias("_cb"),
+        lo.alias("_lo"),
+        hi.alias("_hi"),
     )
+    meds = win.groupBy("_g").agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("_cb") < F.col("_lo"))
+                    & (F.col("_lo") <= F.col("_cb") + F.col("_cnt")),
+                    F.col("_v"),
+                )
+            )
+            + F.sum(
+                F.when(
+                    (F.col("_cb") < F.col("_hi"))
+                    & (F.col("_hi") <= F.col("_cb") + F.col("_cnt")),
+                    F.col("_v"),
+                )
+            )
+        ).alias("med2")
+    )
+    z = gv.join(F.broadcast(meds), "_g").select(
+        "_g",
+        "_cnt",
+        F.abs(F.col("_v") * 2 - F.col("med2")).cast("decimal(18,6)").alias("z2"),
+    )
+    # quantize z2^2 onto the 6dp grid BEFORE weighting by count: the
+    # deterministic double chain both engines replay (ANOVA idiom); the
+    # (38,6) x count product then keeps scale 6 exactly
+    z2sq6 = F.round(
+        F.col("z2").cast("double") * F.col("z2").cast("double"), 6
+    ).cast("decimal(38,6)")
     g = z.groupBy("_g").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("z2").cast("decimal(24,6)")).alias("s"),
-        F.sum(
-            F.col("z2").cast("decimal(24,6)") * F.col("z2").cast("decimal(24,6)")
-        ).alias("s2"),
+        F.sum("_cnt").alias("n"),
+        F.sum(F.col("_cnt").cast(dec0) * F.col("z2")).alias("s"),
+        F.sum(F.col("_cnt").cast(dec0) * z2sq6).alias("s2"),
     )
     tot = g.agg(
         F.sum("n").alias("nt"),

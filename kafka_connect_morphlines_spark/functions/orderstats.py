@@ -70,7 +70,11 @@ def weighted_quantiles_by_group(
             group.cast("string").alias("_g"), value.alias("_v"), weight.alias("_w")
         )
         .groupBy("_g", "_v")
-        .agg(F.sum(F.col("_w").cast(dec)).alias("_wv"))
+        # (18,6) keeps the per-row weight long-backed through the corpus-
+        # sized groupBy (a wider cast materializes a JVM BigDecimal per
+        # row); Spark widens the SUM type automatically, so the per-value
+        # weight totals stay exact
+        .agg(F.sum(F.col("_w").cast("decimal(18,6)")).alias("_wv"))
     )
     # materialize ONCE: range-boundary sampling + the range shuffle both
     # read this; without it the corpus-sized groupBy runs 3x

@@ -4621,8 +4621,8 @@ def anova_value_by_type(spark, sf_dir):
     "weighted_median_price_by_flag",
     """
     WITH per_v AS (
-      SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(23,6)) AS v,
-             sum(CAST(l_quantity AS DECIMAL(38,6))) AS wv
+      SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,6)) AS v,
+             sum(CAST(l_quantity AS DECIMAL(18,6))) AS wv
       FROM lineitem GROUP BY 1, 2
     ),
     cum AS (
@@ -4663,7 +4663,8 @@ def weighted_median_price_by_flag(spark, sf_dir):
     return orderstats.weighted_quantiles_by_group(
         li,
         F.col("l_returnflag"),
-        F.col("l_extendedprice").cast("decimal(23,6)"),
+        # (18,6) keeps the distinct-value groupBy/range keys long-backed
+        F.col("l_extendedprice").cast("decimal(18,6)"),
         F.col("l_quantity"),
         {"median_price": (1, 2), "p90_price": (9, 10)},
     )
@@ -4724,7 +4725,7 @@ def js_divergence_sources(spark, sf_dir):
     "kruskal_wallis_values",
     """
     WITH pool AS (
-      SELECT event_type AS g, CAST(value AS DECIMAL(23,6)) AS v
+      SELECT event_type AS g, CAST(value AS DECIMAL(18,6)) AS v
       FROM events WHERE value IS NOT NULL
     ),
     r2 AS (
@@ -4773,8 +4774,11 @@ def kruskal_wallis_values(spark, sf_dir):
     from kafka_connect_morphlines_spark.functions import evalmetrics
 
     ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # decimal(18,6): raw per-row values fit 18 digits, which keeps the
+    # rank-map join/group keys LONG-BACKED — (23,6) BigDecimal keys
+    # measured 26x slower at a 20M-row smoke (docs/SCALE.md r09)
     return evalmetrics.kruskal_wallis(
-        ev, F.col("event_type"), F.col("value").cast("decimal(23,6)")
+        ev, F.col("event_type"), F.col("value").cast("decimal(18,6)")
     )
 
 
@@ -4782,7 +4786,7 @@ def kruskal_wallis_values(spark, sf_dir):
     "brown_forsythe_values",
     """
     WITH pool AS (
-      SELECT event_type AS g, CAST(value AS DECIMAL(23,6)) AS v
+      SELECT event_type AS g, CAST(value AS DECIMAL(18,6)) AS v
       FROM events WHERE value IS NOT NULL
     ),
     ranked AS (
@@ -4799,13 +4803,14 @@ def kruskal_wallis_values(spark, sf_dir):
       GROUP BY g
     ),
     z AS (
-      SELECT p.g, abs(p.v * 2 - m.med2) AS z2
+      SELECT p.g, CAST(abs(p.v * 2 - m.med2) AS DECIMAL(18,6)) AS z2
       FROM pool p JOIN meds m ON m.g = p.g
     ),
     grp AS (
       SELECT g, CAST(count(*) AS BIGINT) AS n,
-             sum(CAST(z2 AS DECIMAL(24,6))) AS s,
-             sum(CAST(z2 AS DECIMAL(24,6)) * CAST(z2 AS DECIMAL(24,6))) AS s2
+             sum(CAST(z2 AS DECIMAL(38,6))) AS s,
+             sum(CAST(round(CAST(z2 AS DOUBLE) * CAST(z2 AS DOUBLE), 6)
+                      AS DECIMAL(38,6))) AS s2
       FROM z GROUP BY g
     ),
     tot AS (
@@ -4825,16 +4830,22 @@ def kruskal_wallis_values(spark, sf_dir):
 def brown_forsythe_values(spark, sf_dir):
     """Brown-Forsythe variance-homogeneity test across event types
     (evalmetrics.brown_forsythe): the robust "are the spreads equal?"
-    check ANOVA silently assumes.  Group medians are EXACT rank-picked
-    sums of the two middle DECIMALs (med2 = 2*median — no engine avg()
-    scale rules anywhere), z2 = |2v - med2| stays exact DECIMAL, and the
-    F chain reuses the ANOVA r09 quantized-division idiom; F is invariant
-    to the uniform 2x scale so the statistic equals the textbook W."""
+    check ANOVA silently assumes.  AGGREGATE-FIRST (one corpus scan; the
+    median ranks run over distinct values, docs/SCALE.md r09): group
+    medians are EXACT rank-picked sums of the two middle DECIMALs
+    (med2 = 2*median — no engine avg() scale rules anywhere),
+    z2 = |2v - med2| is exact long-backed DECIMAL(18,6), its square is
+    quantized onto the 6dp grid (the ANOVA idiom, mirrored op-for-op in
+    the oracle) before the count-weighted sum, and the F chain reuses
+    the quantized-division idiom; F is invariant to the uniform 2x scale
+    so the statistic equals the textbook W."""
     from kafka_connect_morphlines_spark.functions import evalmetrics
 
     ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # decimal(18,6): long-backed sort key for the median window (the
+    # BigDecimal lesson, docs/SCALE.md r09)
     return evalmetrics.brown_forsythe(
-        ev, F.col("event_type"), F.col("value").cast("decimal(23,6)")
+        ev, F.col("event_type"), F.col("value").cast("decimal(18,6)")
     )
 
 

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window, functions as F  # noqa: E402
 
 from kafka_connect_morphlines_spark import compile_pipeline, get_spark  # noqa: E402
-from kafka_connect_morphlines_spark.functions import bloom, dedup, dsir, evalmetrics, funnel, multimodal, pq, relational, retrieval, semantic, similarity, sketches, temporal, textclean, textstats, traindata, validation, web, winnow  # noqa: E402
+from kafka_connect_morphlines_spark.functions import bloom, dedup, dsir, evalmetrics, funnel, multimodal, orderstats, pq, relational, retrieval, semantic, similarity, sketches, temporal, textclean, textstats, traindata, validation, web, winnow  # noqa: E402
 from kafka_connect_morphlines_spark.functions import timeseries as timeseries_mod  # noqa: E402
 
 
@@ -584,6 +584,52 @@ def main() -> None:
                     F.count(F.lit(1)).alias("cnt"),
                 ),
                 F.col("spend"), F.col("cnt"),
+            ),
+        ),
+        # r09 additions: the k-group rank/robust tests run over the full
+        # 20M-row events frame (one pooled rank map / one median window +
+        # one moment groupBy); Siegel over a 10-year daily series (pair
+        # table bounded by calendar days); weighted quantiles over the
+        # full frame with ~1000 distinct groups to stress the per-
+        # (partition, group) offset machinery; JSD over the doc corpus
+        "kruskal_20m": run(
+            "kruskal_20m",
+            lambda: evalmetrics.kruskal_wallis(
+                events, F.col("event_type"), F.col("value").cast("decimal(18,6)")
+            ),
+        ),
+        "brown_forsythe_20m": run(
+            "brown_forsythe_20m",
+            lambda: evalmetrics.brown_forsythe(
+                events, F.col("event_type"), F.col("value").cast("decimal(18,6)")
+            ),
+        ),
+        "siegel_10y": run(
+            "siegel_10y",
+            lambda: (lambda daily: timeseries_mod.siegel_repeated_median_slope(
+                daily, F.col("d"), F.col("rev")
+            ))(
+                spark.range(3650 * mult).select(
+                    F.date_add(F.lit("2015-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+                    (F.col("id") * 37 % 1000).cast("decimal(23,6)").alias("rev"),
+                )
+            ),
+        ),
+        "weighted_median_20m": run(
+            "weighted_median_20m",
+            lambda: orderstats.weighted_quantiles_by_group(
+                events,
+                F.col("user_id") % 1000,
+                F.col("value").cast("decimal(18,6)"),
+                (F.col("event_id") % 7) + 1,
+                {"median": (1, 2), "p90": (9, 10)},
+            ),
+        ),
+        "jsd_docs": run(
+            "jsd_docs",
+            lambda: textstats.js_divergence_matrix(
+                docs.select("doc_id", "text", (F.col("doc_id") % 8).cast("string").alias("source")),
+                F.col("text"), F.col("source"),
             ),
         ),
     }
