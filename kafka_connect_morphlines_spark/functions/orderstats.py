@@ -3,11 +3,17 @@
 Spark's built-ins offer approx_percentile (sketch, not exact) and
 percentile (exact but interpolated doubles, single-partition per group);
 neither gives an engine-portable exact weighted quantile.  This module
-computes exact weighted quantiles with the same distributed-ranking
-discipline as evalmetrics._rank2 (r09): range-repartition the distinct
-values, cumulate locally per partition, prefix-sum the bounded
-per-partition totals on the driver — no single-partition window over
-data-sized input anywhere.
+computes exact weighted quantiles with a distributed-ranking discipline
+related to evalmetrics._rank2 (r09), reworked in r10 to be
+DETERMINISTIC BY CONSTRUCTION: instead of range-repartitioning and
+trusting spark_partition_id ordering (the r09 design, the suspect
+surface behind the one CORRECTNESS_r09 hash mismatch), values are
+bucketed by EXPLICIT boundary literals computed once on the driver.
+Bucket ids are then a pure function of the data value — independent of
+partitioning, task scheduling, AQE coalescing, and checkpoint block
+lifetime — and the final answer is provably identical for ANY choice of
+boundaries (they only load-balance), so no freeze/checkpoint of runtime
+state is required at all.
 
 Definition (lower weighted quantile, exact rational threshold): for
 weights w_v summed per distinct value v within a group, total W, and a
@@ -24,6 +30,8 @@ contract at all).
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["weighted_quantiles_by_group", "weighted_quantile_by_group"]
@@ -35,6 +43,7 @@ def weighted_quantiles_by_group(
     value: Column,
     weight: Column,
     quantiles: dict[str, tuple[int, int]],
+    num_buckets: int = 64,
 ) -> DataFrame:
     """Exact lower weighted quantiles of ``value`` weighted by ``weight``
     within each ``group`` — ALL requested quantiles from ONE pass.
@@ -43,27 +52,34 @@ def weighted_quantiles_by_group(
     ``{"median": (1, 2), "p90": (9, 10)}``.  Returns one row per group:
     (grp, w_total, <name>...).  Group keys are stringified (the bounded
     driver offset tables round-trip through literal frames); weights must
-    be positive.
+    be positive (enforced — a nonpositive per-value weight sum would make
+    the cumulative non-monotonic and the crossing filter match 0 or 2+
+    rows, silently dropping the group).
 
-    Scale shape (the r09 distributed-ranking discipline):
+    Scale shape (r10 deterministic-bucket discipline):
     1. one groupBy(group, value) collapses rows to distinct values with
-       exact DECIMAL weight sums (map-side combined), CHECKPOINTED —
-       repartitionByRange samples its input for boundaries and then
-       shuffles it, so an un-materialized upstream would recompute the
-       full-corpus groupBy twice more;
-    2. the distinct frame is range-repartitioned by (group, value) —
-       groups may straddle partition boundaries, which the offsets
-       handle exactly;
-    3. the cumulative weight runs PARTITIONED BY (partition id, group)
-       (all cores busy, no data-sized single partition), checkpointed to
-       freeze the range assignment for every downstream job;
-    4. per-(partition, group) totals are prefix-summed on the DRIVER —
-       bounded state: at most #partitions + #groups rows;
-    5. each quantile's crossing row is picked from the SAME checkpointed
-       frame by two exact DECIMAL-product comparisons —
-       den*cum >= num*W > den*cum_before — exactly one row per group by
-       construction; the k-row results broadcast-join on grp.
+       exact DECIMAL weight sums (map-side combined), CHECKPOINTED once —
+       four downstream jobs (guard, boundaries, totals, crossing) read it;
+    2. ``num_buckets - 1`` value boundaries are fetched with ONE
+       approx_percentile aggregate and baked into the plan as LITERALS;
+       bucket id = #boundaries strictly below v — a pure function of v.
+       Boundaries affect ONLY load balance: the cumulative weights, and
+       hence the crossing rows, are identical for any bucketing;
+    3. the cumulative weight runs PARTITIONED BY (group, bucket) — all
+       cores busy, no data-sized single partition, no dependence on
+       physical partition ids;
+    4. per-(group, bucket) totals are prefix-summed on the DRIVER —
+       bounded state: at most #groups * num_buckets rows;
+    5. each quantile's crossing row is picked by two exact
+       DECIMAL-product comparisons — den*cum >= num*W > den*cum_before —
+       exactly one row per group by construction (weights positive);
+       the k-row results broadcast-join on grp.
     """
+    if not quantiles:
+        raise ValueError("quantiles must be a non-empty {name: (num, den)} dict")
+    for name, (q_num, q_den) in quantiles.items():
+        if q_den <= 0 or q_num <= 0 or q_num > q_den:
+            raise ValueError(f"quantile {name!r}: need 0 < num <= den, got {q_num}/{q_den}")
     dec = "decimal(38,6)"
     per_v = (
         df.select(
@@ -76,47 +92,64 @@ def weighted_quantiles_by_group(
         # weight totals stay exact
         .agg(F.sum(F.col("_w").cast("decimal(18,6)")).alias("_wv"))
     )
-    # materialize ONCE: range-boundary sampling + the range shuffle both
-    # read this; without it the corpus-sized groupBy runs 3x
+    # materialize ONCE: guard + boundary sampling + totals + crossing all
+    # read this; without it the corpus-sized groupBy runs 4x
     per_v = per_v.localCheckpoint()
-    ranged = per_v.repartitionByRange(F.col("_g"), F.col("_v")).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w_local = Window.partitionBy("_pid", "_g").orderBy("_v").rowsBetween(
+    if per_v.filter(F.col("_wv") <= 0).limit(1).count() > 0:
+        raise ValueError(
+            "weighted_quantiles_by_group: nonpositive per-value weight sum — "
+            "weights must be positive for the crossing pick to be unique"
+        )
+    # boundaries: one bounded-aggregate job on the checkpointed distinct
+    # frame; accuracy is irrelevant to correctness (load balance only)
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    try:
+        raw_bounds = per_v.agg(
+            F.percentile_approx("_v", probs, 1000).alias("_b")
+        ).first()["_b"]
+    except Exception:
+        # non-numeric (but orderable) value type: fall back to one bucket
+        # per group — still exact, just one window partition per group
+        raw_bounds = []
+    bounds = sorted(set(b for b in (raw_bounds or []) if b is not None))
+    # bucket id = #boundaries strictly below _v (NULL _v -> bucket 0,
+    # matching NULLS FIRST ordering); pure codegen, no shuffle
+    bkt = F.lit(0)
+    for b in bounds:
+        bkt = bkt + F.when(F.col("_v") > F.lit(b), 1).otherwise(0)
+    bucketed = per_v.withColumn("_b", bkt.cast("int"))
+    w_local = Window.partitionBy("_g", "_b").orderBy("_v").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    local = ranged.withColumn(
+    local = bucketed.withColumn(
         "_before_local", F.coalesce(F.sum("_wv").over(w_local), F.lit(0).cast(dec))
     )
-    local = local.localCheckpoint()  # freeze pids (totals job + every filter)
     totals = (
-        local.groupBy("_pid", "_g").agg(F.sum("_wv").alias("_t")).collect()
-    )  # bounded: <= #partitions + #groups rows
-    from decimal import Decimal
-
-    # per-group prefix offsets by ascending pid (range partitions are
-    # ordered, so pid order IS value order within each group)
+        bucketed.groupBy("_g", "_b").agg(F.sum("_wv").alias("_t")).collect()
+    )  # bounded: <= #groups * num_buckets rows
+    # per-group prefix offsets by ascending bucket id (bucket order IS
+    # value order within each group by construction)
     by_group: dict = {}
-    for r in sorted(totals, key=lambda r: (str(r["_g"]), r["_pid"])):
+    for r in sorted(totals, key=lambda r: (str(r["_g"]), r["_b"])):
         key = r["_g"]
         acc, rows = by_group.setdefault(key, [Decimal(0), {}])
-        rows[r["_pid"]] = acc
+        rows[r["_b"]] = acc
         by_group[key][0] = acc + Decimal(str(r["_t"]))
     w_total = {k: v[0] for k, v in by_group.items()}
     off_rows = [
-        (k, pid, str(off))
-        for k, (tot, pids) in by_group.items()
-        for pid, off in pids.items()
+        (k, b, str(off))
+        for k, (tot, bkts) in by_group.items()
+        for b, off in bkts.items()
     ]
     tot_rows = [(k, str(v)) for k, v in w_total.items()]
     spark = df.sparkSession
     off_df = spark.createDataFrame(
-        off_rows, "_g string, _pid int, _off string"
-    ).select("_g", "_pid", F.col("_off").cast(dec).alias("_off"))
+        off_rows, "_g string, _b int, _off string"
+    ).select("_g", "_b", F.col("_off").cast(dec).alias("_off"))
     tot_df = spark.createDataFrame(tot_rows, "_g string, _wt string").select(
         "_g", F.col("_wt").cast(dec).alias("_wt")
     )
-    joined = local.join(F.broadcast(off_df), ["_g", "_pid"]).join(
+    joined = local.join(F.broadcast(off_df), ["_g", "_b"]).join(
         F.broadcast(tot_df), "_g"
     )
     cum_before = F.col("_off") + F.col("_before_local")

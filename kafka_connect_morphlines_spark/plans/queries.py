@@ -4648,15 +4648,20 @@ def anova_value_by_type(spark, sf_dir):
 )
 def weighted_median_price_by_flag(spark, sf_dir):
     """Exact quantity-weighted median and p90 of extended price per
-    return flag (orderstats.weighted_quantile_by_group) — the exact
+    return flag (orderstats.weighted_quantiles_by_group) — the exact
     weighted-order-statistic Spark's built-ins don't give you
     (approx_percentile is a sketch; percentile interpolates doubles and
-    runs one partition per group).  The distributed-ranking discipline
-    generalized to weights: range-repartition the distinct (flag, price)
-    frame, cumulate per (partition, group), prefix-sum the bounded
-    per-partition totals on the driver; the crossing row is picked by
-    exact DECIMAL-product comparisons — no division, no interpolation,
-    no float contract anywhere, hence the direct SQL oracle."""
+    runs one partition per group).  r10 rework after the CORRECTNESS_r09
+    hash mismatch: the distinct (flag, price) frame is bucketed by
+    boundary LITERALS baked on the driver (bucket id = pure function of
+    the value — no spark_partition_id, no checkpoint-freeze assumption),
+    cumulated per (group, bucket), offsets prefix-summed on the driver;
+    the crossing row is picked by exact DECIMAL-product comparisons — no
+    division, no interpolation, no float contract anywhere, hence the
+    direct SQL oracle.  Domain contract (ADVICE r09): the DECIMAL(18,6)
+    value cast requires |l_extendedprice| < 1e12 — beyond that Spark's
+    non-ANSI cast yields NULL while DuckDB raises; TPC-H prices are
+    < 1e5 * quantity bound, far inside the contract."""
     from kafka_connect_morphlines_spark.functions import orderstats
 
     li = t(spark, sf_dir, "lineitem")
@@ -9128,20 +9133,45 @@ def trimmed_mean_by_type(spark, sf_dir):
     return validation.trimmed_stats(ev, "event_type", "value")
 
 
-@query("icws_weighted_near_dupes", None)
+import os as _os_icws
+
+_ICWS_GOLDEN = _os_icws.path.join(
+    _os_icws.path.dirname(_os_icws.path.dirname(_os_icws.path.dirname(_os_icws.path.abspath(__file__)))),
+    "tests",
+    "resources",
+    "goldens",
+    "icws_weighted_near_dupes_sf001.parquet",
+)
+
+
+@query(
+    "icws_weighted_near_dupes",
+    f"""
+    SELECT id_a, id_b, agree
+    FROM read_parquet('{_ICWS_GOLDEN}')
+    ORDER BY id_a, id_b
+    """,
+)
 def icws_weighted_near_dupes(spark, sf_dir):
     """Weighted-Jaccard near-dup pairs (dedup.icws_near_dupes, Ioffe ICDM
     2010 consistent weighted sampling): tf-weighted MinHash signatures,
     BANDED LSH blocking (4-slot band keys — per-band collision probability
     J_w^4, not J_w; the single-slot variant was measured quadratic on a
     skewed corpus and replaced, see SCALE.md #24) with the mega-bucket
-    guard, exact agreement threshold.  Approximate by nature (no SQL
-    oracle); pytest pins the
-    J_w-estimation property and rerun determinism — the signatures are
+    guard, exact agreement threshold.
+
+    Oracle (r10 promotion out of no-oracle, VERDICT r09 #2): the
+    ln-of-float ICWS draws block a *SQL* oracle, but the signatures are
     fully derandomized (xxhash64-pair-derived Gamma/Uniform draws,
-    dedup.py icws_signatures), so the output is stable across reruns in
-    this engine.  NOTE: the r07 switch from md5 to xxhash64 draws changed
-    the drawn hash functions, so the rows-only baseline pair count moved
+    dedup.py icws_signatures) so the output — (id_a, id_b, agree),
+    integers only — is deterministic for this engine, and the gate is a
+    committed GOLDEN PARQUET generated at sf0.01 via
+    tools/make_golden_oracle.py, same mechanism that promoted
+    compression_ratio_quality in r09.  sf0.01-specific by construction
+    (GOLDEN_SF001_ORACLES; check_correctness downgrades to rows-only at
+    other SFs).  pytest pins the J_w-estimation property and rerun
+    determinism.  NOTE: the r07 switch from md5 to xxhash64 draws changed
+    the drawn hash functions, so the baseline pair count moved
     1089 -> 2758 at sf0.01 — an intentional re-randomization, not a
     semantics change (the J_w estimator property is unchanged)."""
     from kafka_connect_morphlines_spark.functions import dedup, ensure_parallelism
@@ -10212,3 +10242,14 @@ def user_agent_parse(spark, sf_dir):
     staged = ev.select("event_id", ua.alias("agent"))
     p = compile_pipeline([{"userAgent": {"inputField": "agent"}}])
     return p(staged).select("event_id", "ua_family", "ua_major", "ua_os").orderBy("event_id")
+
+
+# Queries whose DuckDB oracle is a committed GOLDEN PARQUET generated at
+# sf0.01 (the driver's correctness SF by contract) rather than live SQL
+# over the input tables (ADVICE r09): running their oracle at any other
+# scale factor mismatches by construction, so tools/check_correctness.py
+# downgrades them to rows-only checks unless sf_dir is sf0.01.  Regenerate
+# with tools/make_golden_oracle.py (or tools/make_compression_golden.py).
+GOLDEN_SF001_ORACLES = frozenset(
+    {"compression_ratio_quality", "icws_weighted_near_dupes"}
+)

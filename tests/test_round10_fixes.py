@@ -1,0 +1,152 @@
+"""Round-10 regression pins.
+
+Covers the VERDICT r09 next-round list and the ADVICE r09 defects:
+- orderstats.weighted_quantiles_by_group reworked to deterministic value
+  buckets (no spark_partition_id, no checkpoint-freeze assumption) after
+  the unreproduced CORRECTNESS_r09 driver hash mismatch: sweep tests pin
+  that the output is IDENTICAL across shuffle-partition counts, bucket
+  counts, and input partitionings (the bounds-independence property the
+  design proves), plus the ADVICE guards (empty quantiles, nonpositive
+  weights).
+- committed sf0.01 golden for weighted_median_price_by_flag with a
+  cell-level assert so a future driver mismatch names the cell.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+GOLDEN = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "resources",
+    "goldens",
+    "weighted_median_price_by_flag_sf001.json",
+)
+SF001_DIR = "/root/testdata/sf0.01"
+
+
+def _mirror(vals, num, den):
+    """Literal Python weighted-lower-quantile: smallest v with
+    den*cum >= num*W over value-sorted (v, w) pairs."""
+    tot = sum(w for _, w in vals)
+    cum = 0
+    for v, w in sorted(vals):
+        cum += w
+        if den * cum >= num * tot:
+            return v
+    raise AssertionError("no crossing (weights nonpositive?)")
+
+
+def _skewed_groups():
+    """Groups engineered to stress the bucket machinery: a heavy-tie
+    group (one value holds 90% of the mass), a two-value group, a
+    100-distinct-value group (straddles every bucketing), and a
+    single-value group (degenerate: every quantile is that value)."""
+    return {
+        "heavy": [(5.0, 900), (1.0, 50), (9.0, 50)],
+        "two": [(10.0, 5), (20.0, 1)],
+        "wide": [(float(v), v) for v in range(1, 101)],
+        "point": [(42.0, 7)],
+    }
+
+
+def test_weighted_quantiles_partition_and_bucket_sweep(spark):
+    """The r10 determinism pin: identical output for every combination of
+    input partitioning x shuffle-partition count x bucket count — the
+    property whose absence was the r09 suspect surface (pid-offset
+    ordering after repartitionByRange)."""
+    from kafka_connect_morphlines_spark.functions import orderstats
+
+    groups = _skewed_groups()
+    rows = [(g, v, w) for g, vals in groups.items() for v, w in vals]
+    want = {
+        (name, g): _mirror(vals, num, den)
+        for g, vals in groups.items()
+        for name, (num, den) in [("median", (1, 2)), ("p90", (9, 10)), ("p01", (1, 100))]
+    }
+    base = spark.createDataFrame(rows, "g string, v double, w int")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n_input in (1, 3, 16):
+            for sp in ("1", "5", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", sp)
+                for num_buckets in (1, 2, 7, 64):
+                    df = base.repartition(n_input)
+                    out = orderstats.weighted_quantiles_by_group(
+                        df,
+                        F.col("g"),
+                        F.col("v"),
+                        F.col("w"),
+                        {"median": (1, 2), "p90": (9, 10), "p01": (1, 100)},
+                        num_buckets=num_buckets,
+                    ).collect()
+                    got = {
+                        (q, r["grp"]): float(r[q])
+                        for r in out
+                        for q in ("median", "p90", "p01")
+                    }
+                    assert got == want, (n_input, sp, num_buckets)
+                    tot = {r["grp"]: int(r["w_total"]) for r in out}
+                    assert tot == {
+                        g: sum(w for _, w in vals) for g, vals in groups.items()
+                    }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def test_weighted_quantiles_guards(spark):
+    """ADVICE r09: empty quantiles and nonpositive weights must raise,
+    not crash with AttributeError / silently drop groups."""
+    from kafka_connect_morphlines_spark.functions import orderstats
+
+    df = spark.createDataFrame([("a", 1.0, 1)], "g string, v double, w int")
+    with pytest.raises(ValueError, match="non-empty"):
+        orderstats.weighted_quantiles_by_group(
+            df, F.col("g"), F.col("v"), F.col("w"), {}
+        )
+    with pytest.raises(ValueError, match="num <= den"):
+        orderstats.weighted_quantiles_by_group(
+            df, F.col("g"), F.col("v"), F.col("w"), {"bad": (3, 2)}
+        )
+    bad = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, -5)], "g string, v double, w int"
+    )
+    with pytest.raises(ValueError, match="nonpositive"):
+        orderstats.weighted_quantiles_by_group(
+            bad, F.col("g"), F.col("v"), F.col("w"), {"median": (1, 2)}
+        )
+
+
+def test_weighted_quantiles_non_numeric_values(spark):
+    """Orderable-but-non-numeric values take the single-bucket fallback
+    and still produce the exact lower quantile."""
+    from kafka_connect_morphlines_spark.functions import orderstats
+
+    rows = [("g", "apple", 1), ("g", "banana", 2), ("g", "cherry", 1)]
+    df = spark.createDataFrame(rows, "g string, v string, w int")
+    out = orderstats.weighted_quantile_by_group(
+        df, F.col("g"), F.col("v"), F.col("w")
+    ).collect()
+    assert [(r["grp"], r["quantile_value"]) for r in out] == [("g", "banana")]
+
+
+@pytest.mark.skipif(not os.path.isdir(SF001_DIR), reason="sf0.01 testdata absent")
+def test_weighted_median_price_golden_sf001(spark):
+    """Cell-level pin of weighted_median_price_by_flag at sf0.01 (the
+    driver's correctness SF) against the committed golden — a future
+    driver mismatch now names the exact (row, column) cell."""
+    from kafka_connect_morphlines_spark.plans.queries import QUERIES
+
+    with open(GOLDEN) as f:
+        golden = json.load(f)
+    df = QUERIES["weighted_median_price_by_flag"].build(spark, SF001_DIR)
+    assert df.columns == golden["columns"]
+    rows = df.collect()
+    assert len(rows) == len(golden["rows"])
+    for row, want in zip(rows, golden["rows"]):
+        for col, wv in zip(golden["columns"], want):
+            assert str(row[col]) == wv, f"cell ({row['grp']}, {col}): got {row[col]!r}, golden {wv!r}"

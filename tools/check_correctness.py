@@ -50,8 +50,10 @@ def main():
 
     import __spark_entry__ as e
     from kafka_connect_morphlines_spark import get_spark
+    from kafka_connect_morphlines_spark.plans.queries import GOLDEN_SF001_ORACLES
 
     spark = get_spark(app_name="check_correctness")
+    is_sf001 = os.path.normpath(sf_dir).endswith("sf0.01")
 
     con = duckdb.connect()
     for tbl in TABLES:
@@ -72,7 +74,9 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: spark error: {type(ex).__name__}: {ex}")
             continue
-        if name not in oracles:
+        if name not in oracles or (name in GOLDEN_SF001_ORACLES and not is_sf001):
+            # golden-backed oracles are pinned at sf0.01 by construction
+            # (ADVICE r09): at other SFs they degrade to rows-only
             print(f"ok*   {name}: rows-only, {len(srows)} rows ({time.time() - t0:.1f}s)")
             continue
         try:
