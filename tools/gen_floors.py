@@ -3,13 +3,19 @@ warm (min-of-3) reading across every committed BENCH_DETAIL.json revision
 at sf0.1, optionally folding in isolated own-JVM readings.
 
 Usage:
-    python tools/gen_floors.py [isolated.json ...]
+    python tools/gen_floors.py [isolated.json ...] [--reset NAME ...]
 
-Each optional argument is a JSON file whose top level (or "queries" key)
-maps query name -> seconds (e.g. the summary line of
+Each optional file argument is a JSON file whose top level (or "queries"
+key) maps query name -> seconds (e.g. the summary line of
 tools/isolated_bench.py, saved to a file).  Lower readings win; a floor
 only ever goes DOWN — a slower round never raises the bar it is graded
-against.
+against — EXCEPT for queries named by ``--reset`` (ADVICE r09): a query
+whose implementation intentionally changed (slower-but-more-correct
+rework) re-seeds its floor from the CURRENT readings only, ignoring
+history, so bench.py's 2x-floor rerun check measures the query that
+exists rather than one that was deliberately replaced.  A reset name
+must be covered by at least one provided readings file (the fresh
+isolated reading is the new seed).
 """
 
 from __future__ import annotations
@@ -28,17 +34,34 @@ _DOC = (
     "best-of-3 runs (tools/isolated_bench.py). bench.py auto-reruns "
     "any query whose warm min exceeds 2x its floor before recording, "
     "and lowers a floor in-file is NOT done automatically - regenerate "
-    "with tools/gen_floors.py after a faster verified reading."
+    "with tools/gen_floors.py after a faster verified reading; a query "
+    "whose implementation intentionally changed re-seeds via --reset."
 )
 
 
 def main() -> None:
+    args = sys.argv[1:]
+    resets: set[str] = set()
+    files: list[str] = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--reset":
+            i += 1
+            if i >= len(args):
+                raise SystemExit("--reset requires a query name")
+            resets.add(args[i])
+        else:
+            files.append(args[i])
+        i += 1
+
     floors: dict[str, float] = {}
     # keep existing floors so a floor never rises when old BENCH_DETAIL
-    # revisions fall out of scope
+    # revisions fall out of scope — except explicitly reset queries
     path = os.path.join(REPO, "BENCH_FLOORS.json")
     if os.path.exists(path):
         floors.update(json.load(open(path)).get("floors", {}))
+    for name in resets:
+        floors.pop(name, None)
     revs = subprocess.run(
         ["git", "log", "--format=%H", "--", "BENCH_DETAIL.json"],
         capture_output=True,
@@ -59,19 +82,33 @@ def main() -> None:
         if d.get("sf") != 0.1:
             continue
         for k, v in d.get("queries", {}).items():
+            if k in resets:
+                continue  # history predates the intentional rework
             if k not in floors or v < floors[k]:
                 floors[k] = v
-    for extra in sys.argv[1:]:
+    seen_in_files: set[str] = set()
+    for extra in files:
         d = json.load(open(extra))
         qmap = d.get("queries", d)
         for k, v in qmap.items():
-            if isinstance(v, (int, float)) and (k not in floors or v < floors[k]):
+            if not isinstance(v, (int, float)):
+                continue
+            seen_in_files.add(k)
+            if k not in floors or v < floors[k]:
                 floors[k] = float(v)
+    missing = resets - seen_in_files
+    if missing:
+        raise SystemExit(
+            f"--reset queries need a fresh reading in a provided file: {sorted(missing)}"
+        )
     out = {"_doc": _DOC, "floors": {k: round(v, 3) for k, v in sorted(floors.items())}}
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")
-    print(f"{len(floors)} floors, sum {round(sum(floors.values()), 1)}s -> {path}")
+    print(
+        f"{len(floors)} floors, sum {round(sum(floors.values()), 1)}s -> {path}"
+        + (f" (reset: {sorted(resets)})" if resets else "")
+    )
 
 
 if __name__ == "__main__":

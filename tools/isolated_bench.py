@@ -5,8 +5,11 @@ best-of-3" protocol SCALE.md uses as per-query ground truth when the
 full-bench number is contention-suspect.
 
 Usage:
-    python tools/isolated_bench.py q1 q2 ...            # named queries
-    python tools/isolated_bench.py --child NAME         # (internal)
+    python tools/isolated_bench.py [--warms N] q1 q2 ...   # named queries
+    python tools/isolated_bench.py --child NAME            # (internal)
+
+--warms N (default 3) raises the warm-iteration count for queries whose
+JIT ramp outlasts three repetitions (the min is still what's reported).
 
 Environment: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 $SPARK_GRAFT_CPUS (default all).  Prints one JSON line per query:
@@ -26,7 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_child(name: str) -> None:
+def run_child(name: str, n_warms: int = 3) -> None:
     from kafka_connect_morphlines_spark import get_spark
     from kafka_connect_morphlines_spark.plans.queries import QUERIES
 
@@ -53,7 +56,7 @@ def run_child(name: str) -> None:
     spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
     cold = round(time.time() - t0, 3)
     warms = []
-    for _ in range(3):
+    for _ in range(n_warms):
         t0 = time.time()
         spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         warms.append(round(time.time() - t0, 3))
@@ -72,14 +75,20 @@ def run_child(name: str) -> None:
 
 
 def main() -> None:
-    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
-        run_child(sys.argv[2])
+    args = sys.argv[1:]
+    n_warms = 3
+    if "--warms" in args:
+        i = args.index("--warms")
+        n_warms = int(args[i + 1])
+        del args[i : i + 2]
+    if len(args) >= 2 and args[0] == "--child":
+        run_child(args[1], n_warms)
         return
-    names = sys.argv[1:]
+    names = args
     results = {}
     for name in names:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", name],
+            [sys.executable, os.path.abspath(__file__), "--warms", str(n_warms), "--child", name],
             capture_output=True,
             text=True,
             cwd=REPO,
