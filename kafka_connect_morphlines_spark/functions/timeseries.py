@@ -171,25 +171,35 @@ def mann_kendall_trend(series: DataFrame, t: Column, v: Column) -> DataFrame:
     slopes, each one DECIMAL-diff-cast-to-double / integer-day-gap (two
     correctly-rounded ops), middle elements picked by rank.
 
-    Scale shape: the pair table and the one-partition rank window are
-    bounded by the SERIES length squared — calendar days, not input rows
-    (a decade is ~13M pairs) — the same n=series-length argument as
-    acf_daily_revenue; the corpus-sized work is the upstream groupBy
-    that built the series."""
+    Scale shape (r10 rework, VERDICT r09 #4): the pair table is bounded
+    by the SERIES length squared — calendar days, not input rows (a
+    decade is ~13M pairs) — checkpointed ONCE as a single double column,
+    and never shuffled: the slope median is found by DISTRIBUTED
+    SELECTION (orderstats.global_rank_pick — bucket by driver-baked
+    boundary literals, bounded per-bucket totals, sort only the crossing
+    buckets), replacing the r08/r09 single-partition
+    ``row_number().over(Window.orderBy(slope))`` over all C(n,2) pairs.
+    The S statistic reads the same frame: day gaps are positive, so
+    sgn(value diff) == sign(slope) and S = Σ sign(slope)."""
+    from kafka_connect_morphlines_spark.functions import orderstats
+
     s = series.select(t.alias("_t"), v.alias("_v"))
     s = s.localCheckpoint()  # tiny day-level series, reused 3x
-    a, b = s.alias("a"), s.alias("b")
+    # the broadcast NLJ's output inherits the LEFT side's partitioning —
+    # the checkpointed day series is 1 tiny partition, which would put
+    # all C(n,2) pair generation and every aggregate over it on one core
+    par = s.sparkSession.sparkContext.defaultParallelism
+    a, b = s.repartition(par).alias("a"), s.alias("b")
     pairs = a.join(b, F.col("a._t") < F.col("b._t")).select(
-        F.when(F.col("b._v") > F.col("a._v"), 1)
-        .when(F.col("b._v") < F.col("a._v"), -1)
-        .otherwise(0)
-        .alias("sgn"),
         (
             (F.col("b._v") - F.col("a._v")).cast("double")
             / F.datediff(F.col("b._t"), F.col("a._t"))
         ).alias("slope"),
+        F.lit(1).alias("_c"),
     )
-    pairs = pairs.localCheckpoint()  # feeds S aggregate + median rank
+    # one 8-bytes-per-pair materialization; read by the S aggregate and
+    # the three bounded global_rank_pick jobs (bounds/totals/pick)
+    pairs = pairs.localCheckpoint()
     n_row = s.agg(F.count(F.lit(1)).alias("n"))
     ties = (
         s.groupBy("_v")
@@ -199,19 +209,15 @@ def mann_kendall_trend(series: DataFrame, t: Column, v: Column) -> DataFrame:
             F.sum(F.col("tc") * (F.col("tc") - 1) / 2).cast("long").alias("tie2"),
         )
     )
-    s_stat = pairs.agg(F.sum("sgn").alias("s"))
-    from pyspark.sql import Window
-
-    w = Window.orderBy("slope")
-    n_pairs_w = Window.partitionBy()
-    ranked = pairs.select(
-        "slope",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(n_pairs_w).alias("np"),
+    s_stat = pairs.agg(
+        F.sum(
+            F.when(F.col("slope") > 0, 1).when(F.col("slope") < 0, -1).otherwise(0)
+        ).alias("s")
     )
-    med = ranked.filter(
-        (F.col("rn") == F.floor((F.col("np") + 1) / 2))
-        | (F.col("rn") == F.floor((F.col("np") + 2) / 2))
+    n_pairs = pairs.count()
+    k1, k2 = (n_pairs + 1) // 2, (n_pairs + 2) // 2
+    med = orderstats.global_rank_pick(
+        pairs, "slope", "_c", [k1, k2] if n_pairs else [1]
     ).agg(F.avg("slope").alias("theil_sen_slope"))
     base = (
         n_row.crossJoin(F.broadcast(ties))

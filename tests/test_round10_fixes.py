@@ -150,3 +150,62 @@ def test_weighted_median_price_golden_sf001(spark):
     for row, want in zip(rows, golden["rows"]):
         for col, wv in zip(golden["columns"], want):
             assert str(row[col]) == wv, f"cell ({row['grp']}, {col}): got {row[col]!r}, golden {wv!r}"
+
+
+def _rank_mirror(rows, ks):
+    """Literal mirror: value at 1-based rank k over count-expanded rows."""
+    expanded = []
+    for v, c in sorted(rows):
+        expanded += [v] * c
+    return {k: expanded[k - 1] for k in ks if 1 <= k <= len(expanded)}
+
+
+def test_global_rank_pick_sweep(spark):
+    """Iterative distributed selection (VERDICT r09 #4): picked values
+    match the literal mirror for every bucket count / cutoff / input
+    partitioning, including a plateau that dominates the distribution
+    (single-value bucket fast path) and duplicate value rows."""
+    from kafka_connect_morphlines_spark.functions import orderstats
+
+    rows = (
+        [(float(v), 1) for v in range(1, 1001)]     # uniform spread
+        + [(500.5, 3000)]                            # dominating plateau
+        + [(250.25, 2)] * 5                          # duplicate rows
+    )
+    total = sum(c for _, c in rows)
+    ks = [1, 2, total // 4, total // 2, total // 2 + 1, total - 1, total]
+    want = _rank_mirror(rows, ks)
+    base = spark.createDataFrame(rows, "v double, c int")
+    for n_input in (1, 7):
+        for num_buckets in (4, 128):
+            for cutoff in (10, 100_000):
+                out = orderstats.global_rank_pick(
+                    base.repartition(n_input),
+                    "v",
+                    "c",
+                    ks,
+                    num_buckets=num_buckets,
+                    cutoff=cutoff,
+                ).collect()
+                got = sorted({float(r["v"]) for r in out})
+                assert got == sorted(set(want.values())), (
+                    n_input,
+                    num_buckets,
+                    cutoff,
+                    got,
+                )
+
+
+def test_global_rank_pick_edges(spark):
+    """Out-of-range ranks, empty frames, and all-equal values."""
+    from kafka_connect_morphlines_spark.functions import orderstats
+
+    df = spark.createDataFrame([(1.0, 2), (2.0, 2)], "v double, c int")
+    assert orderstats.global_rank_pick(df, "v", "c", [99]).count() == 0
+    empty = df.filter("v > 100")
+    assert orderstats.global_rank_pick(empty, "v", "c", [1]).count() == 0
+    allsame = spark.createDataFrame([(7.0, 500_000)], "v double, c int")
+    out = orderstats.global_rank_pick(allsame, "v", "c", [1, 250_000, 500_000], cutoff=10).collect()
+    assert sorted({float(r["v"]) for r in out}) == [7.0]
+    with pytest.raises(ValueError, match="non-empty"):
+        orderstats.global_rank_pick(df, "v", "c", [])
