@@ -218,12 +218,13 @@ def weighted_quantiles_by_group(
     Scale shape (r10 deterministic-bucket discipline):
     1. one groupBy(group, value) collapses rows to distinct values with
        exact DECIMAL weight sums (map-side combined), CHECKPOINTED once —
-       four downstream jobs (guard, boundaries, totals, crossing) read it;
-    2. ``num_buckets - 1`` value boundaries are fetched with ONE
-       approx_percentile aggregate and baked into the plan as LITERALS;
-       bucket id = #boundaries strictly below v — a pure function of v.
-       Boundaries affect ONLY load balance: the cumulative weights, and
-       hence the crossing rows, are identical for any bucketing;
+       the ONLY materialization; four downstream jobs (guard, bounds,
+       totals, crossing) read it;
+    2. bucket id = one codegen ``width_bucket`` call over the approx
+       [p1, p99] value span, with LITERAL edges baked on the driver — a
+       pure monotone function of v.  Edges affect ONLY load balance: the
+       cumulative weights, and hence the crossing rows, are identical
+       for any bucketing;
     3. the cumulative weight runs PARTITIONED BY (group, bucket) — all
        cores busy, no data-sized single partition, no dependence on
        physical partition ids;
@@ -260,22 +261,40 @@ def weighted_quantiles_by_group(
             "weights must be positive for the crossing pick to be unique"
         )
     # boundaries: one bounded-aggregate job on the checkpointed distinct
-    # frame; accuracy is irrelevant to correctness (load balance only)
-    probs = [i / num_buckets for i in range(1, num_buckets)]
+    # frame; accuracy is irrelevant to correctness (load balance only).
+    # Bucketing is a SINGLE width_bucket call over the approx [p1, p99]
+    # span (equal width between the tail quantiles, outliers clamped to
+    # the edge buckets) — NOT a per-boundary literal when-chain: a deep
+    # nested expression is fine to filter on but pathological to carry
+    # through window/join codegen (measured 17s to project a 63-term
+    # chain column vs 0.4s for width_bucket — the generated code blows
+    # the JIT method limit and falls back to interpreted evaluation)
     try:
-        raw_bounds = per_v.agg(
-            F.percentile_approx("_v", probs, 1000).alias("_b")
-        ).first()["_b"]
+        plo, phi = per_v.agg(
+            F.percentile_approx("_v", [0.01, 0.99], 1000).alias("_p")
+        ).first()["_p"]
+        flo, fhi = float(plo), float(phi)
     except Exception:
         # non-numeric (but orderable) value type: fall back to one bucket
         # per group — still exact, just one window partition per group
-        raw_bounds = []
-    bounds = sorted(set(b for b in (raw_bounds or []) if b is not None))
-    # bucket id = #boundaries strictly below _v (NULL _v -> bucket 0,
-    # matching NULLS FIRST ordering); pure codegen, no shuffle
-    bkt = F.lit(0)
-    for b in bounds:
-        bkt = bkt + F.when(F.col("_v") > F.lit(b), 1).otherwise(0)
+        flo = fhi = None
+    if flo is None or not (fhi > flo):
+        bkt = F.lit(0)
+    else:
+        # monotone in _v: 0 below p1, 1..B-2 inside, B-1 at/above p99;
+        # NULL _v -> -1 (NULLS FIRST ordering)
+        bkt = F.coalesce(
+            F.least(
+                F.width_bucket(
+                    F.col("_v").cast("double"),
+                    F.lit(flo),
+                    F.lit(fhi),
+                    F.lit(num_buckets - 2),
+                ),
+                F.lit(num_buckets - 1),
+            ),
+            F.lit(-1),
+        )
     bucketed = per_v.withColumn("_b", bkt.cast("int"))
     w_local = Window.partitionBy("_g", "_b").orderBy("_v").rowsBetween(
         Window.unboundedPreceding, -1
