@@ -23,49 +23,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["join_revenue_by_nation"].build(spark, "/root/testdata/sf0.001")
 
 
-# Round-9 certification prefix.  The driver samples a bounded (50-entry)
+# Round-10 certification prefix.  The driver samples a bounded (50-entry)
 # prefix of queries() per round; across rounds the union of CORRECTNESS_r*
-# files must cover the whole corpus.  After r08 the union reached 251/253
-# with nothing uncertified, so this round's 50 slots rotate (VERDICT r08
-# next-round #7): slots 1-10 are the queries CHANGED OR ADDED in round 9
-# (the ANOVA division-parity fix, the HUGEINT power oracle, the
-# distributed-_rank2 Spearman, the unigram NULL-text fix, exact trend
-# replayed alongside its new Siegel fast mode, compression_ratio_quality
-# newly promoted to a golden-parquet oracle, and the new Kruskal-Wallis /
-# Brown-Forsythe / Jensen-Shannon / weighted-order-statistic operators);
-# slots 12-50 re-certify the 39 OLDEST r01-certified queries against the
-# current engine, guarding long-untouched operators against silent drift.
-# Exactly 50 slots, zero fall-through.  Nothing is ever dropped:
-# certified queries stay registered.
-_ROUND9_PREFIX = [
-    # ---- slots 1-11: changed or added in round 9 ----
-    "anova_value_by_type", "pca_power_component", "spearman_spend_vs_orders",
-    "unigram_lm_encode_sample", "trend_daily_revenue",
-    "trend_daily_revenue_fast", "compression_ratio_quality",
-    "kruskal_wallis_values", "brown_forsythe_values", "js_divergence_sources",
-    "weighted_median_price_by_flag",
-    # ---- slots 12-50: the 39 oldest r01-certified queries, re-certified ----
-    "read_json_typed", "extract_json_paths", "set_values_template",
-    "generate_uuid_deterministic", "convert_timestamp_millis", "find_replace",
-    "split_field", "split_key_value", "extract_uri", "grok_extract",
-    "translate_dict", "contains_filter", "not_equals_filter", "if_then_else",
-    "try_rules", "head_sorted", "read_csv_lines", "read_line_explode",
-    "read_multi_line", "enrich_json_conform", "to_connect_data_projection",
-    "from_connect_data_json", "agg_pricing_summary", "join_revenue_by_nation",
-    "window_topk_orders", "window_running_sum", "sessionize",
-    "anti_join_customers", "semi_join_intersect", "except_low_priority",
-    "distinct_count_by_nation", "rollup_counts", "pivot_event_counts",
-    "orders_by_month", "event_time_tumbling_window", "string_functions",
-    "math_functions", "sort_topn_lineitems", "dedup_exact",
+# files must cover the whole corpus.  Slots 1-6 are the queries CHANGED
+# in round 10 (the deterministic-bucket weighted-quantile rework that
+# closes the one r09 hash-FAIL, icws newly promoted to a golden-parquet
+# oracle — the corpus' last no-oracle row, the distributed-selection
+# Theil-Sen median, the all-pairs Jensen-Shannon fix, the prenormalized
+# kNN join, and doc_fingerprint — unchanged code, but the other
+# over-floor r09 bench row, re-certified for drift); slots 7-50 rotate
+# the 44 OLDEST still-unrotated certified queries (r01 residue, the two
+# r02 rows, and the alphabetical head of the r03 cohort), guarding
+# long-untouched operators against silent drift.  Exactly 50 slots, zero
+# fall-through.  Nothing is ever dropped: certified queries stay
+# registered.
+_ROUND10_PREFIX = [
+    # ---- slots 1-6: changed (or perf-flagged) in round 10 ----
+    "weighted_median_price_by_flag", "icws_weighted_near_dupes",
+    "trend_daily_revenue", "js_divergence_sources", "embedding_knn_join",
+    "doc_fingerprint",
+    # ---- slots 7-12: the r01-certified residue ----
+    "bpe_token_count", "embedding_cosine_topk", "lang_id_pred",
+    "ngram_jaccard_pairs", "text_quality", "token_frequencies",
+    # ---- slots 13-14: the r02 cohort ----
+    "html_strip", "pii_redact",
+    # ---- slots 15-50: alphabetical head of the r03 cohort ----
+    "ab_test_event_values", "audience_overlap_matrix",
+    "bloom_incremental_dedup", "chi2_type_vs_daypart", "data_quality_check",
+    "data_quality_profile", "dau_wau_stickiness", "ddsketch_value_quantiles",
+    "dominant_part_suppliers", "encode_documents_ids",
+    "event_transition_probs", "frequent_part_pairs",
+    "funnel_conversion_deadline", "fuzzy_join_part_names",
+    "gopher_filter_verdicts", "grouped_regression_hourly",
+    "grouping_sets_revenue", "kn_bigram_logprob", "latest_state_per_user",
+    "map_functions_props", "normalize_tokenize_text", "pagerank_trade_graph",
+    "psi_value_drift", "quality_classifier_score",
+    "repeat_purchase_intervals", "revenue_concentration",
+    "score_decile_lift", "score_pct_by_source", "semantic_centroid_assign",
+    "semantic_dedup", "session_duration_stats", "session_window_agg",
+    "snapshot_diff_docs", "span_dedup_clean", "stratified_sample_exact_k",
+    "tfidf_top_terms",
 ]
-_ROUND9_RANK = {name: i for i, name in enumerate(_ROUND9_PREFIX)}
+_ROUND10_RANK = {name: i for i, name in enumerate(_ROUND10_PREFIX)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     ordered = sorted(
         QUERIES,
-        key=lambda name: (_ROUND9_RANK.get(name, len(_ROUND9_PREFIX)), name),
+        key=lambda name: (_ROUND10_RANK.get(name, len(_ROUND10_PREFIX)), name),
     )
     return {name: QUERIES[name].build for name in ordered}
 

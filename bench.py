@@ -181,6 +181,37 @@ def main() -> None:
     # whichever pandas-UDF query happens to run first)
     spark.range(100).mapInPandas(lambda it: it, "id long").collect()
 
+    # JIT warmup pass (r10, VERDICT r09 #7): the r09 cold total was 2.2x
+    # the warm total, attributed to C2-compiler starvation — the first
+    # queries pay JIT of SHARED runtime paths (Tungsten sort/exchange,
+    # parquet reader, janino itself), not just their own codegen.  Run a
+    # codegen-diverse subset once at the smallest sibling SF (untimed,
+    # best-effort) so the per-query cold numbers measure PLAN compile
+    # cost, not who-ran-first.  Disable with SPARK_GRAFT_WARMUP=0.
+    warmup_sec = 0.0
+    if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
+        small = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+        wdir = small if os.path.isdir(small) else sf_dir
+        t0 = time.time()
+        for wname in (
+            "agg_pricing_summary",     # decimal hash agg
+            "join_revenue_by_nation",  # broadcast + shuffle joins
+            "window_topk_orders",      # WindowExec + sort
+            "grok_extract",            # regex codegen
+            "dedup_minhash_lsh",       # xxhash explode + self-join
+            "embedding_cosine_topk",   # higher-order array functions
+            "pivot_event_counts",      # expand + pivot agg
+            "trend_daily_revenue_fast",  # sort_array aggregates
+        ):
+            try:
+                QUERIES[wname].build(spark, wdir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 - warmup is best-effort
+                pass
+        warmup_sec = round(time.time() - t0, 3)
+        print(f"# warmup: {warmup_sec}s at {wdir}", file=sys.stderr)
+
     # Four passes per query: the first pays one-time whole-stage-codegen/JIT
     # compilation (measured on this host at 20-40s under contention vs ~1s
     # steady-state); the reported number is the MIN of the three warm
@@ -286,6 +317,7 @@ def main() -> None:
         "queries_load1": load1,
         "sf": sf,
         "cold_total_sec": round(sum(cold.values()), 3),
+        "warmup_sec": warmup_sec,
     }
     if reruns:
         out["reruns"] = reruns

@@ -657,11 +657,18 @@ def js_divergence_matrix(
     word_entropy precedent: deterministic per-term double chains from
     exact integer counts, final 6dp round).
 
+    ALL m(m-1)/2 pairs are emitted (ADVICE r09): a pair with no shared
+    tokens cannot survive the token join, so absent pairs are enumerated
+    from the totals frame and filled with the closed-form disjoint
+    values (jsd_bits = 1.0, n_shared = 0) — the maximally-drifted pairs
+    are rows, not silent holes.
+
     Shuffle shape: one groupBy(source, token), an m-row totals broadcast,
     one token-keyed self-join (each token meets only the sources that
-    contain it — at most m(m-1)/2 pairs per token), one groupBy(pair).
-    Everything is keyed; nothing is quadratic in corpus size — m sources
-    is a config-sized constant."""
+    contain it — at most m(m-1)/2 pairs per token), one groupBy(pair),
+    one m-row broadcast NLJ for the pair enumeration.  Everything is
+    keyed; nothing is quadratic in corpus size — m sources is a
+    config-sized constant."""
     tok = docs.select(source.alias("_s"), F.explode(tokens(text)).alias("_t"))
     counts = tok.groupBy("_s", "_t").agg(F.count(F.lit(1)).alias("c"))
     totals = counts.groupBy("_s").agg(F.sum("c").alias("n"))
@@ -693,9 +700,29 @@ def js_divergence_matrix(
     p_shared_a = F.col("_sca").cast("double") / F.col("_na").cast("double")
     p_shared_b = F.col("_scb").cast("double") / F.col("_nb").cast("double")
     jsd = F.col("_terms") + (1 - p_shared_a) / 2 + (1 - p_shared_b) / 2
-    return per_pair.select(
+    scored = per_pair.select(
         "source_a",
         "source_b",
         "n_shared",
         F.round(jsd, 6).alias("jsd_bits"),
-    ).orderBy("source_a", "source_b")
+    )
+    # ADVICE r09: a pair with ZERO shared tokens never survives the inner
+    # token join, yet it is exactly the maximally-drifted pair (JSD = 1
+    # bit).  Enumerate all m(m-1)/2 pairs from the m-row totals frame
+    # (broadcast NLJ — m is config-sized) and fill absent pairs with the
+    # closed-form disjoint value instead of silently omitting them.
+    all_pairs = (
+        totals.select(F.col("_s").alias("source_a"))
+        .crossJoin(F.broadcast(totals.select(F.col("_s").alias("source_b"))))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    return (
+        all_pairs.join(F.broadcast(scored), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce(F.col("n_shared"), F.lit(0).cast("long")).alias("n_shared"),
+            F.coalesce(F.col("jsd_bits"), F.lit(1.0)).alias("jsd_bits"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -4704,12 +4704,20 @@ def weighted_median_price_by_flag(spark, sf_dir):
              CAST(sum(ca) AS BIGINT) AS sca, max(na) AS mna,
              CAST(sum(cb) AS BIGINT) AS scb, max(nb) AS mnb
       FROM shared GROUP BY source_a, source_b
+    ),
+    allp AS (
+      SELECT a.s AS source_a, b.s AS source_b
+      FROM totals a JOIN totals b ON a.s < b.s
     )
-    SELECT source_a, source_b, n_shared,
-           round(terms + (1 - CAST(sca AS DOUBLE) / CAST(mna AS DOUBLE)) / 2
-                       + (1 - CAST(scb AS DOUBLE) / CAST(mnb AS DOUBLE)) / 2,
-                 6) AS jsd_bits
-    FROM per_pair ORDER BY source_a, source_b
+    SELECT allp.source_a, allp.source_b,
+           coalesce(n_shared, 0) AS n_shared,
+           coalesce(round(terms
+                          + (1 - CAST(sca AS DOUBLE) / CAST(mna AS DOUBLE)) / 2
+                          + (1 - CAST(scb AS DOUBLE) / CAST(mnb AS DOUBLE)) / 2,
+                          6),
+                    1.0) AS jsd_bits
+    FROM allp LEFT JOIN per_pair USING (source_a, source_b)
+    ORDER BY source_a, source_b
     """,
 )
 def js_divergence_sources(spark, sf_dir):

@@ -263,9 +263,11 @@ def test_js_divergence_bounds_and_identity(spark):
         ).collect()
     }
     assert got[("s1", "s2")] == pytest.approx(0.0, abs=1e-9)
-    # disjoint pairs don't share a token, so they are ABSENT from the
-    # shared-join output (their JSD is exactly 1 by construction)
-    assert ("s1", "s3") not in got
+    # ALL m(m-1)/2 pairs are present (ADVICE r09): disjoint pairs carry
+    # the closed-form JSD of exactly 1 bit and n_shared = 0
+    assert len(got) == 6
+    assert got[("s1", "s3")] == pytest.approx(1.0, abs=1e-12)
+    assert got[("s2", "s3")] == pytest.approx(1.0, abs=1e-12)
     assert 0.0 < got[("s1", "s4")] < 1.0
 
     def jsd(ca, cb):
