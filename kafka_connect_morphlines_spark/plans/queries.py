@@ -4783,7 +4783,14 @@ def kruskal_wallis_values(spark, sf_dir):
     ranks).  Pooled 2x-integer average ranks from the distributed _rank2,
     exact DECIMAL rank sums, tie-corrected; the per-group R2^2/n quotient
     uses the ANOVA r09 quantized-double idiom so both engines sum
-    identical DECIMAL(38,6) terms."""
+    identical DECIMAL(38,6) terms.
+
+    Domain contract (ADVICE r09): the long-backed DECIMAL(18,6) rank-key
+    cast requires |value| < 1e12 — beyond that Spark's non-ANSI cast
+    yields NULL (silently entering the rank pool as a NULL key) while
+    DuckDB raises a cast-overflow error.  events.value is generated in
+    [0, 1000); wider real-world domains must pre-scale or widen the cast
+    on BOTH engines together."""
     from kafka_connect_morphlines_spark.functions import evalmetrics
 
     ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
@@ -4851,7 +4858,13 @@ def brown_forsythe_values(spark, sf_dir):
     quantized onto the 6dp grid (the ANOVA idiom, mirrored op-for-op in
     the oracle) before the count-weighted sum, and the F chain reuses
     the quantized-division idiom; F is invariant to the uniform 2x scale
-    so the statistic equals the textbook W."""
+    so the statistic equals the textbook W.
+
+    Domain contract (ADVICE r09): the long-backed DECIMAL(18,6) cast
+    (and the 2v doubling behind z2) requires |value| < 1e12 / 2 —
+    beyond that Spark's non-ANSI cast yields NULL while DuckDB raises.
+    events.value is generated in [0, 1000); wider real-world domains
+    must pre-scale or widen the cast on BOTH engines together."""
     from kafka_connect_morphlines_spark.functions import evalmetrics
 
     ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
