@@ -38,6 +38,7 @@ __all__ = [
     "weighted_quantiles_by_group",
     "weighted_quantile_by_group",
     "global_rank_pick",
+    "with_global_index",
 ]
 
 
@@ -367,3 +368,73 @@ def weighted_quantile_by_group(
     return weighted_quantiles_by_group(
         df, group, value, weight, {"quantile_value": (q_num, q_den)}
     )
+
+
+def with_global_index(
+    df: DataFrame,
+    value_col: str,
+    tiebreaks: list[str] | None = None,
+    index_col: str = "_i",
+    num_buckets: int = 256,
+):
+    """Attach an exact GLOBAL 1-based dense row index ordered by
+    ``(value_col, *tiebreaks)`` — distributedly: one codegen
+    ``width_bucket`` over the approx [p1, p99] span of ``value_col``
+    buckets the rows (edges are driver-baked literals, so bucket ids are
+    pure functions of the value), per-bucket counts are collected
+    (bounded by num_buckets) and prefix-summed on the driver, and the
+    within-bucket ``row_number`` runs partitioned by bucket — no
+    data-sized single-partition sort anywhere.  The classic replacement
+    for ``row_number().over(Window.orderBy(...))`` when EVERY row needs
+    its rank (Gini / Lorenz / trapezoid-AUC shapes), not just a quantile
+    crossing (use global_rank_pick for that).
+
+    Ties on ``value_col`` never straddle buckets (equal values bucket
+    equally), so compound ordering is exact within one bucket window.
+    Returns ``(df_with_index, n_total)`` — ``n_total`` is the exact row
+    count (a free by-product of the offsets collect).  ``df`` is read
+    twice (totals + the indexed pass): checkpoint/cache it upstream.
+    ``value_col`` must be non-null numeric; NULL tiebreaks follow Spark's
+    NULLS FIRST.
+    """
+    vc = F.col(value_col)
+    try:
+        plo, phi = df.agg(
+            F.percentile_approx(value_col, [0.01, 0.99], 1000).alias("_p")
+        ).first()["_p"]
+        flo, fhi = float(plo), float(phi)
+    except Exception:
+        flo = fhi = None
+    if flo is None or not (fhi > flo):
+        bkt = F.lit(0)
+    else:
+        bkt = F.coalesce(
+            F.least(
+                F.width_bucket(
+                    vc.cast("double"), F.lit(flo), F.lit(fhi), F.lit(num_buckets - 2)
+                ),
+                F.lit(num_buckets - 1),
+            ),
+            F.lit(-1),
+        )
+    bucketed = df.withColumn("_gb", bkt.cast("int"))
+    totals = bucketed.groupBy("_gb").agg(F.count(F.lit(1)).alias("_t")).collect()
+    off: dict[int, int] = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["_gb"]):
+        off[r["_gb"]] = acc
+        acc += int(r["_t"])
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        list(off.items()) or [(0, 0)], "_gb int, _goff long"
+    )
+    w = Window.partitionBy("_gb").orderBy(value_col, *(tiebreaks or []))
+    out = (
+        bucketed.join(F.broadcast(off_df), "_gb", "left")
+        .withColumn(
+            index_col,
+            F.coalesce(F.col("_goff"), F.lit(0)) + F.row_number().over(w).cast("long"),
+        )
+        .drop("_gb", "_goff")
+    )
+    return out, acc

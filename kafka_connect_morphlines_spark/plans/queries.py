@@ -6312,11 +6312,17 @@ def dau_wau_stickiness(spark, sf_dir):
 )
 def revenue_concentration(spark, sf_dir):
     """Revenue concentration: Gini coefficient + top-1% share over
-    per-customer revenue.  The rank window runs on the customer-aggregated
-    frame (customer-count-sized, documented single-partition sort like
-    zipf_slope — the fact table never sorts); revenue sums are
-    decimal-exact."""
-    from pyspark.sql import Window
+    per-customer revenue.  r10: every customer's exact global rank comes
+    from orderstats.with_global_index (width_bucket + bounded per-bucket
+    offsets + per-bucket row_number) — the r09 customer-count-sized
+    single-partition sort is gone; the fact table never sorts and no
+    partition ever holds more than ~|customers|/256 rows.  n and the
+    exact DECIMAL revenue total ride along from the offsets collect and
+    one bounded aggregate, entering the double chain as literals in the
+    oracle's exact op order; revenue sums are decimal-exact."""
+    from decimal import Decimal
+
+    from kafka_connect_morphlines_spark.functions import orderstats
 
     o = t(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
@@ -6324,31 +6330,33 @@ def revenue_concentration(spark, sf_dir):
         .cast("double")
         .alias("rev")
     )
-    w = Window.orderBy("rev", "o_custkey")
-    ranked = per.select(
-        "rev",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum(F.col("rev").cast("decimal(23,6)"))
-        .over(Window.partitionBy())
-        .cast("double")
-        .alias("tot"),
+    per = per.localCheckpoint()  # read 3x: total, offsets, indexed agg
+    tot_dec = per.agg(F.sum(F.col("rev").cast("decimal(23,6)"))).first()[0]
+    ranked, n = orderstats.with_global_index(
+        per, "rev", tiebreaks=["o_custkey"], index_col="i"
     )
+    # mirror the oracle's double chain exactly: tot = CAST(decimal-sum AS
+    # DOUBLE), n BIGINT promoted per-op (round-half-even on both engines)
+    tot = float(tot_dec if tot_dec is not None else Decimal(0))
+    # empty-input sentinel: aggregates over zero rows are NULL on both
+    # engines, so any finite literals give the same all-NULL row — avoid
+    # the Python ZeroDivisionError only
+    n_d = float(n) if n else 1.0
     return ranked.agg(
         F.round(
             F.lit(2.0)
             * F.sum((F.col("i") * F.col("rev")).cast("decimal(30,6)")).cast("double")
-            / (F.max("n") * F.max("tot"))
-            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            / F.lit(n_d * tot)
+            - F.lit((n_d + 1.0) / n_d),
             6,
         ).alias("gini"),
         F.round(
             F.sum(
-                F.when(F.col("i") > 0.99 * F.col("n"), F.col("rev"))
+                F.when(F.col("i") > F.lit(0.99 * n_d), F.col("rev"))
                 .otherwise(0.0)
                 .cast("decimal(30,6)")
             ).cast("double")
-            / F.max("tot"),
+            / F.lit(tot),
             6,
         ).alias("top1pct_share"),
     )

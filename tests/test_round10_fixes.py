@@ -209,3 +209,31 @@ def test_global_rank_pick_edges(spark):
     assert sorted({float(r["v"]) for r in out}) == [7.0]
     with pytest.raises(ValueError, match="non-empty"):
         orderstats.global_rank_pick(df, "v", "c", [])
+
+
+def test_with_global_index_matches_single_sort(spark):
+    """Exact distributed global row index vs the single-sort truth,
+    across input partitionings and bucket counts, with heavy value ties
+    broken by the tiebreak column."""
+    from kafka_connect_morphlines_spark.functions import orderstats
+
+    rows = [(float(v % 50), v) for v in range(2000)]  # 40-deep ties
+    base = spark.createDataFrame(rows, "rev double, ck long")
+    want = [
+        (r, c, i + 1)
+        for i, (r, c) in enumerate(sorted(rows))
+    ]
+    for n_input in (1, 9):
+        for nb in (2, 256):
+            df, n = orderstats.with_global_index(
+                base.repartition(n_input).localCheckpoint(),
+                "rev",
+                tiebreaks=["ck"],
+                index_col="i",
+                num_buckets=nb,
+            )
+            assert n == 2000
+            got = sorted(
+                (float(r["rev"]), int(r["ck"]), int(r["i"])) for r in df.collect()
+            )
+            assert got == want, (n_input, nb)
