@@ -569,14 +569,16 @@ def _rank2(
     """(value -> 2*average-rank) as an exact-integer map over DISTINCT
     values: 2*avg_rank(v) = 2*#less(v) + #equal(v) + 1.
 
-    Distributed global ranking (r09, ADVICE fix): continuous metrics
-    (per-customer spend sums) have ~n distinct values, so an
-    un-partitioned ordered window is a single-partition O(n) sort.  The
-    scale path range-repartitions the distinct frame, runs the cumulative
-    count PARTITIONED BY the range bucket (all cores busy), and
-    prefix-sums the per-bucket totals on the driver — bounded driver
-    state: #shuffle-partitions integers, the kmeans_fit_int contract,
-    NOT data-sized.
+    Distributed global ranking (r09 ADVICE fix; r10 determinism rework):
+    continuous metrics (per-customer spend sums) have ~n distinct values,
+    so an un-partitioned ordered window is a single-partition O(n) sort.
+    The scale path buckets the distinct frame with one codegen
+    width_bucket over driver-baked [p1, p99] literal edges (bucket id =
+    pure function of the value — no spark_partition_id, no checkpoint
+    freeze), runs the cumulative count PARTITIONED BY bucket (all cores
+    busy), and prefix-sums the per-bucket totals on the driver — bounded
+    driver state: #buckets integers, the kmeans_fit_int contract, NOT
+    data-sized.
 
     Adaptive cutover: callers that already know the input row count
     (their reduced frame is checkpointed, so count() is ~free) pass
@@ -610,36 +612,55 @@ def _rank2_from_counts(
                 out
             ),
         ).withColumnRenamed("_v", col)
-    ranged = cnt.repartitionByRange(F.col("_v")).withColumn(
-        "_pid", F.spark_partition_id()
+    # r10 determinism rework (same class as the weighted-median fix): the
+    # r09 path range-repartitioned and trusted spark_partition_id order,
+    # frozen by a localCheckpoint — the one surface the CORRECTNESS_r09
+    # driver mismatch implicated.  Bucket ids are now a PURE FUNCTION of
+    # the value (one codegen width_bucket over driver-baked [p1, p99]
+    # literal edges), so the ranks are independent of partitioning,
+    # scheduling and block lifetime by construction; edges only
+    # load-balance.  The checkpoint that remains is a cost optimization
+    # (three bounded jobs read the distinct frame), not a correctness
+    # freeze.
+    cnt = cnt.localCheckpoint()
+    try:
+        plo, phi = cnt.agg(
+            F.percentile_approx("_v", [0.01, 0.99], 1000).alias("_p")
+        ).first()["_p"]
+        flo, fhi = float(plo), float(phi)
+    except Exception:
+        flo = fhi = None
+    if flo is None or not (fhi > flo):
+        bkt = F.lit(0)
+    else:
+        bkt = F.coalesce(
+            F.least(
+                F.width_bucket(F.col("_v").cast("double"), F.lit(flo), F.lit(fhi), F.lit(254)),
+                F.lit(255),
+            ),
+            F.lit(-1),  # NULLs first, matching the window's NULLS FIRST
+        )
+    bucketed = cnt.withColumn("_gb", bkt.cast("int"))
+    btot = bucketed.groupBy("_gb").agg(F.sum("_c").alias("_t")).collect()
+    acc = 0
+    off_rows = []
+    for r in sorted(btot, key=lambda r: r["_gb"]):  # bucket order IS value order
+        off_rows.append((int(r["_gb"]), acc))
+        acc += int(r["_t"])
+    off_df = cnt.sparkSession.createDataFrame(
+        off_rows or [(0, 0)], "_gb int, _goff long"
     )
-    w = Window.partitionBy("_pid").orderBy("_v").rowsBetween(
+    w = Window.partitionBy("_gb").orderBy("_v").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    local = ranged.withColumn("_before", F.coalesce(F.sum("_c").over(w), F.lit(0)))
-    # freeze the range assignment: the totals job below and the final rank
-    # projection must observe the SAME pid per value (re-planning could
-    # re-sample range boundaries)
-    local = local.localCheckpoint()
-    totals = {
-        int(r["_pid"]): int(r["_t"])
-        for r in local.groupBy("_pid").agg(F.sum("_c").alias("_t")).collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(totals):  # pid 0 holds the lowest value range
-        offsets[pid] = acc
-        acc += totals[pid]
-    if offsets:
-        kv: list = []
-        for pid, o in offsets.items():
-            kv += [F.lit(pid), F.lit(o)]
-        offset = F.coalesce(F.element_at(F.create_map(*kv), F.col("_pid")), F.lit(0))
-    else:
-        offset = F.lit(0)
+    local = bucketed.join(F.broadcast(off_df), "_gb", "left").withColumn(
+        "_before",
+        F.coalesce(F.col("_goff"), F.lit(0))
+        + F.coalesce(F.sum("_c").over(w), F.lit(0)),
+    )
     return local.select(
         F.col("_v").alias(col),
-        (2 * (F.col("_before") + offset) + F.col("_c") + 1).alias(out),
+        (2 * F.col("_before") + F.col("_c") + 1).alias(out),
     )
 
 
@@ -654,9 +675,9 @@ def spearman_rho(df: DataFrame, x: Column, y: Column) -> DataFrame:
     five Pearson moments are exact DECIMAL sums and both engines feed
     identical numbers into the closed form; the only float ops are two
     correctly-rounded casts, two IEEE sqrts and one divide (the
-    acf_daily_revenue argument).  Scale (r09): the rank maps are built by
-    the DISTRIBUTED _rank2 (range-partitioned cumulative counts + driver
-    prefix offsets), so continuous metrics with ~n distinct values no
+    acf_daily_revenue argument).  Scale (r09/r10): the rank maps are
+    built by the DISTRIBUTED _rank2 (width-bucketed cumulative counts +
+    driver prefix offsets), so continuous metrics with ~n distinct values no
     longer imply a single-partition sort; the maps join back by value
     WITHOUT a broadcast hint — for quantized metrics AQE broadcasts the
     small map at runtime, for continuous ones it picks a shuffle join
