@@ -92,8 +92,15 @@ def global_rank_pick(
         raise ValueError("ks must be non-empty")
     vc, cc = F.col(value_col), F.col(count_col)
     first = counts.agg(
-        F.min(vc).alias("_lo"), F.max(vc).alias("_hi"), F.sum(cc).alias("_n")
+        F.min(vc).alias("_lo"),
+        F.max(vc).alias("_hi"),
+        F.sum(cc).alias("_n"),
+        F.sum(F.when(vc.isNull(), 1).otherwise(0)).alias("_nulls"),
     ).first()
+    if first["_nulls"]:
+        # a NULL has no place in a total order: min/max skip it, so every
+        # offset downstream would silently shift — fail loudly instead
+        raise ValueError("global_rank_pick: value column contains NULLs")
     if first["_n"] is None:
         return counts.filter(F.lit(False))
     total = int(first["_n"])
@@ -253,16 +260,12 @@ def weighted_quantiles_by_group(
         # weight totals stay exact
         .agg(F.sum(F.col("_w").cast("decimal(18,6)")).alias("_wv"))
     )
-    # materialize ONCE: guard + boundary sampling + totals + crossing all
-    # read this; without it the corpus-sized groupBy runs 4x
+    # materialize ONCE: guard+boundary aggregate, totals and crossing all
+    # read this; without it the corpus-sized groupBy runs 3x
     per_v = per_v.localCheckpoint()
-    if per_v.filter(F.col("_wv") <= 0).limit(1).count() > 0:
-        raise ValueError(
-            "weighted_quantiles_by_group: nonpositive per-value weight sum — "
-            "weights must be positive for the crossing pick to be unique"
-        )
-    # boundaries: one bounded-aggregate job on the checkpointed distinct
-    # frame; accuracy is irrelevant to correctness (load balance only).
+    # ONE bounded aggregate serves both the positivity guard and the
+    # bucket boundaries (the query is job-count-bound at this size);
+    # boundary accuracy is irrelevant to correctness (load balance only).
     # Bucketing is a SINGLE width_bucket call over the approx [p1, p99]
     # span (equal width between the tail quantiles, outliers clamped to
     # the edge buckets) — NOT a per-boundary literal when-chain: a deep
@@ -271,14 +274,26 @@ def weighted_quantiles_by_group(
     # chain column vs 0.4s for width_bucket — the generated code blows
     # the JIT method limit and falls back to interpreted evaluation)
     try:
-        plo, phi = per_v.agg(
-            F.percentile_approx("_v", [0.01, 0.99], 1000).alias("_p")
-        ).first()["_p"]
+        stats = per_v.agg(
+            F.sum(F.when(F.col("_wv") <= 0, 1).otherwise(0)).alias("_bad"),
+            F.percentile_approx("_v", [0.01, 0.99], 1000).alias("_p"),
+        ).first()
+        n_bad = stats["_bad"]
+        plo, phi = stats["_p"]
         flo, fhi = float(plo), float(phi)
     except Exception:
         # non-numeric (but orderable) value type: fall back to one bucket
-        # per group — still exact, just one window partition per group
+        # per group — still exact, just one window partition per group;
+        # the guard runs on its own
+        n_bad = per_v.filter(F.col("_wv") <= 0).limit(1).count()
         flo = fhi = None
+    if n_bad:
+        raise ValueError(
+            "weighted_quantiles_by_group: nonpositive per-value weight sum — "
+            "weights must be positive for the crossing pick to be unique"
+        )
+    if num_buckets < 3:
+        flo = None  # degenerate request: single bucket per group
     if flo is None or not (fhi > flo):
         bkt = F.lit(0)
     else:
@@ -405,6 +420,8 @@ def with_global_index(
         flo, fhi = float(plo), float(phi)
     except Exception:
         flo = fhi = None
+    if num_buckets < 3:
+        flo = None  # degenerate request: one bucket
     if flo is None or not (fhi > flo):
         bkt = F.lit(0)
     else:

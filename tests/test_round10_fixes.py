@@ -24,7 +24,7 @@ GOLDEN = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "resources",
     "goldens",
-    "weighted_median_price_by_flag_sf001.json",
+    "weighted_median_price_by_flag.json",
 )
 SF001_DIR = "/root/testdata/sf0.01"
 
@@ -137,19 +137,26 @@ def test_weighted_quantiles_non_numeric_values(spark):
 @pytest.mark.skipif(not os.path.isdir(SF001_DIR), reason="sf0.01 testdata absent")
 def test_weighted_median_price_golden_sf001(spark):
     """Cell-level pin of weighted_median_price_by_flag at sf0.01 (the
-    driver's correctness SF) against the committed golden — a future
-    driver mismatch now names the exact (row, column) cell."""
+    driver's correctness SF) against the committed golden (the shared
+    tests/resources/goldens harness also exact-checks it; this test adds
+    the cell-naming message) — a future driver mismatch names the exact
+    (row, column) cell.  Golden values were cross-checked against the
+    DuckDB oracle at generation time."""
     from kafka_connect_morphlines_spark.plans.queries import QUERIES
 
     with open(GOLDEN) as f:
         golden = json.load(f)
-    df = QUERIES["weighted_median_price_by_flag"].build(spark, SF001_DIR)
-    assert df.columns == golden["columns"]
+    df = QUERIES["weighted_median_price_by_flag"].build(spark, golden["sf_dir"])
+    assert sorted(df.columns) == golden["columns"]
     rows = df.collect()
     assert len(rows) == len(golden["rows"])
-    for row, want in zip(rows, golden["rows"]):
+    want_by_grp = {r[golden["columns"].index("grp")]: r for r in golden["rows"]}
+    for row in rows:
+        want = want_by_grp[row["grp"]]
         for col, wv in zip(golden["columns"], want):
-            assert str(row[col]) == wv, f"cell ({row['grp']}, {col}): got {row[col]!r}, golden {wv!r}"
+            assert str(row[col]) == wv, (
+                f"cell ({row['grp']}, {col}): got {row[col]!r}, golden {wv!r}"
+            )
 
 
 def _rank_mirror(rows, ks):
@@ -237,3 +244,13 @@ def test_with_global_index_matches_single_sort(spark):
                 (float(r["rev"]), int(r["ck"]), int(r["i"])) for r in df.collect()
             )
             assert got == want, (n_input, nb)
+
+
+def test_global_rank_pick_rejects_null_values(spark):
+    """NULLs have no place in a total order — min/max would skip them and
+    silently shift every offset; the guard fails loudly instead."""
+    from kafka_connect_morphlines_spark.functions import orderstats
+
+    df = spark.createDataFrame([(1.0, 1), (None, 1)], "v double, c int")
+    with pytest.raises(ValueError, match="NULL"):
+        orderstats.global_rank_pick(df, "v", "c", [1])

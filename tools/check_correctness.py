@@ -100,7 +100,16 @@ def main():
         if sr != orr:
             failures.append(name)
             bad = next(i for i, (a, b) in enumerate(zip(sr, orr)) if a != b)
-            print(f"FAIL  {name}: values differ at sorted-row {bad}:\n  spark : {sr[bad]}\n  oracle: {orr[bad]}")
+            cells = [
+                f"{sc[j]}: spark={a!r} oracle={b!r}"
+                for j, (a, b) in enumerate(zip(sr[bad], orr[bad]))
+                if a != b
+            ]
+            print(
+                f"FAIL  {name}: values differ at sorted-row {bad} "
+                f"({len(cells)} cell(s)):\n  " + "\n  ".join(cells)
+                + f"\n  spark : {sr[bad]}\n  oracle: {orr[bad]}"
+            )
             continue
         print(f"ok    {name}: {len(sr)} rows match ({time.time() - t0:.1f}s)")
 

@@ -42,6 +42,10 @@ GOLDEN_QUERIES = [
     "embedding_pca_whiten",
     "hll_rolling_distinct_users",
     "embedding_random_projection",
+    # r10: not rows-only (it HAS a SQL oracle) — committed as an exact
+    # golden on top so a driver-environment hash mismatch (the
+    # CORRECTNESS_r09 episode) localizes to a named cell via pytest
+    "weighted_median_price_by_flag",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "resources", "goldens")
@@ -49,13 +53,21 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file
 
 def canonical_rows(df) -> list[list]:
     """Rows as sorted JSON-safe lists (column order = sorted names, like the
-    driver's compare; bytes hex-encoded, floats kept as emitted — queries
-    round their own floats)."""
+    driver's compare; bytes hex-encoded, DECIMALs stringified — exact, no
+    float round-trip; floats kept as emitted — queries round their own
+    floats)."""
+    from decimal import Decimal
+
     cols = sorted(df.columns)
     rows = []
     for r in df.collect():
         d = r.asDict(recursive=True)
-        rows.append([d[c].hex() if isinstance(d[c], (bytes, bytearray)) else d[c] for c in cols])
+        rows.append([
+            d[c].hex() if isinstance(d[c], (bytes, bytearray))
+            else str(d[c]) if isinstance(d[c], Decimal)
+            else d[c]
+            for c in cols
+        ])
     rows.sort(key=lambda row: json.dumps(row, sort_keys=True, default=str))
     return rows
 
