@@ -348,24 +348,35 @@ def weighted_quantiles_by_group(
     )
     cum_before = F.col("_off") + F.col("_before_local")
     cum = cum_before + F.col("_wv")
-    out = None
+    # ALL quantiles from ONE pass over the windowed frame: each crossing
+    # condition matches exactly one row per group (weights positive), so
+    # a conditional max picks it — no per-quantile plan branch re-running
+    # the window, no k-way join of crossing frames
+    conds = {}
     for name, (q_num, q_den) in quantiles.items():
         # (4,0) x (38,6) stays within Spark's 38-precision cap (no silent
         # rounding of the product — the comparison must stay exact); a
         # (38,6) x (38,6) multiply would be precision-capped and rounded
         num = F.lit(q_num).cast("decimal(4,0)")
         den = F.lit(q_den).cast("decimal(4,0)")
-        crossing = joined.filter(
-            (den * cum >= num * F.col("_wt")) & (den * cum_before < num * F.col("_wt"))
-        ).select(
-            F.col("_g").alias("grp"),
-            F.col("_wt").alias("w_total"),
-            F.col("_v").alias(name),
+        conds[name] = (den * cum >= num * F.col("_wt")) & (
+            den * cum_before < num * F.col("_wt")
         )
-        if out is None:
-            out = crossing
-        else:
-            out = out.join(crossing.drop("w_total"), "grp")
+    any_cond = None
+    for c in conds.values():
+        any_cond = c if any_cond is None else (any_cond | c)
+    out = (
+        joined.filter(any_cond)
+        .groupBy("_g")
+        .agg(
+            F.max("_wt").alias("w_total"),
+            *[
+                F.max(F.when(c, F.col("_v"))).alias(name)
+                for name, c in conds.items()
+            ],
+        )
+        .select(F.col("_g").alias("grp"), "w_total", *conds.keys())
+    )
     return out.orderBy("grp")
 
 
