@@ -66,8 +66,17 @@ NO_CARTESIAN = [
     # never CartesianProduct)
     "trend_daily_revenue_fast",
     # r09: weighted quantiles join bounded broadcast offset/total tables
-    # by (group, pid) / group — all keyed
+    # by (group, pid) / group — all keyed (r10: by (group, bucket))
     "weighted_median_price_by_flag",
+    # r10: exact Theil-Sen's pair table is a BNLJ of the repartitioned
+    # day series; the selection rounds add no joins at all
+    "trend_daily_revenue",
+    # r10: Gini ranks join the bounded bucket-offset table by bucket id;
+    # the fact table never sorts or crosses
+    "revenue_concentration",
+    # r10: the all-pairs enumeration is an m-row broadcast NLJ, the
+    # shared-token self-join stays keyed on token
+    "js_divergence_sources",
 ]
 
 
