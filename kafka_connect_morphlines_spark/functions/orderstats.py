@@ -39,6 +39,7 @@ __all__ = [
     "weighted_quantile_by_group",
     "global_rank_pick",
     "with_global_index",
+    "interpolated_quantiles_by_group",
 ]
 
 
@@ -466,3 +467,140 @@ def with_global_index(
         .drop("_gb", "_goff")
     )
     return out, acc
+
+
+def interpolated_quantiles_by_group(
+    df: DataFrame,
+    group: Column,
+    value: Column,
+    probs: dict[str, float],
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Exact linear-interpolation quantiles per group with BIT-PARITY to
+    Spark's ``percentile()`` aggregate — but constant memory per task.
+
+    ``percentile()`` buffers a per-group value->count map inside one
+    aggregation buffer (OpenHashMap in Percentile.scala), so a group with
+    unbounded value cardinality concentrates on one task and OOMs at
+    corpus scale.  This runs the same r10 deterministic-bucket discipline
+    as weighted_quantiles_by_group instead: distinct (group, value)
+    counts (map-side combined, checkpointed once), one codegen
+    width_bucket, bounded per-(group, bucket) totals collected and
+    prefix-summed on the driver, a per-bucket cumulative window, and ONE
+    conditional aggregation that picks the two neighbor values per
+    quantile.  No task ever holds more than its partition slice.
+
+    Interpolation mirrors Percentile.getPercentile exactly: for p over n
+    values, ``pos = p * (n - 1)`` (double), ``lower = floor(pos)``,
+    ``higher = ceil(pos)``, result = value at lower when they coincide,
+    else ``(higher - pos) * v_lo + (pos - lower) * v_hi`` — the weights
+    are computed on the driver with the same IEEE ops the JVM uses, and
+    the final expression repeats the two-mult-one-add shape, so replacing
+    a ``percentile()`` call leaves certified hashes unchanged.
+
+    ``probs`` maps output column name -> p in [0, 1].  Values are cast to
+    double (like ``percentile()``'s result); NULL values are ignored
+    (same as the built-in).  Returns (grp, n, <name>...), one row per
+    non-empty group.
+    """
+    import math
+
+    if not probs:
+        raise ValueError("probs must be a non-empty {name: p} dict")
+    for name, p in probs.items():
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"prob {name!r}: need 0 <= p <= 1, got {p}")
+    per_v = (
+        df.select(group.cast("string").alias("_g"), value.cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_v = per_v.localCheckpoint()
+    try:
+        plo, phi = per_v.agg(
+            F.percentile_approx("_v", [0.01, 0.99], 1000).alias("_p")
+        ).first()["_p"]
+        flo, fhi = float(plo), float(phi)
+    except Exception:
+        flo = fhi = None
+    if num_buckets < 3 or flo is None or not (fhi > flo):
+        bkt = F.lit(0)
+    else:
+        bkt = F.coalesce(
+            F.least(
+                F.width_bucket(
+                    F.col("_v"), F.lit(flo), F.lit(fhi), F.lit(num_buckets - 2)
+                ),
+                F.lit(num_buckets - 1),
+            ),
+            F.lit(-1),
+        )
+    bucketed = per_v.withColumn("_b", bkt.cast("int"))
+    totals = bucketed.groupBy("_g", "_b").agg(F.sum("_c").alias("_t")).collect()
+    by_group: dict = {}
+    for r in sorted(totals, key=lambda r: (str(r["_g"]), r["_b"])):
+        acc, offs = by_group.setdefault(r["_g"], [0, {}])
+        offs[r["_b"]] = acc
+        by_group[r["_g"]][0] = acc + int(r["_t"])
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(g, b, o) for g, (tot, offs) in by_group.items() for b, o in offs.items()]
+        or [("", 0, 0)],
+        "_g string, _b int, _off long",
+    )
+    names = list(probs)
+    ks_rows = []
+    for g, (n_g, _) in by_group.items():
+        row = [g, n_g]
+        for name in names:
+            pos = probs[name] * (n_g - 1)  # same IEEE ops as the JVM
+            lo = math.floor(pos)
+            hi = math.ceil(pos)
+            row += [lo + 1, hi + 1, float(hi) - pos, pos - float(lo)]
+        ks_rows.append(tuple(row))
+    ks_schema = "_g string, _n long, " + ", ".join(
+        f"_klo_{i} long, _khi_{i} long, _wl_{i} double, _wh_{i} double"
+        for i in range(len(names))
+    )
+    ks_df = spark.createDataFrame(ks_rows or [tuple([""] + [0] + [0, 0, 0.0, 0.0] * len(names))], ks_schema)
+    w_local = Window.partitionBy("_g", "_b").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = (
+        bucketed.join(F.broadcast(off_df), ["_g", "_b"])
+        .withColumn(
+            "_before",
+            F.col("_off") + F.coalesce(F.sum("_c").over(w_local), F.lit(0)).cast("long"),
+        )
+        .withColumn("_cum", F.col("_before") + F.col("_c").cast("long"))
+        .join(F.broadcast(ks_df), "_g")
+    )
+    any_cond = None
+    sel_aggs = [F.max("_n").alias("n")]
+    for i, name in enumerate(names):
+        for side in ("klo", "khi"):
+            k = F.col(f"_{side}_{i}")
+            c = (F.col("_cum") >= k) & (F.col("_before") < k)
+            any_cond = c if any_cond is None else (any_cond | c)
+            sel_aggs.append(
+                F.max(F.when(c, F.col("_v"))).alias(f"_v{side[1:]}_{i}")
+            )
+        sel_aggs += [
+            F.max(f"_klo_{i}").alias(f"_klo_{i}"),
+            F.max(f"_khi_{i}").alias(f"_khi_{i}"),
+            F.max(f"_wl_{i}").alias(f"_wl_{i}"),
+            F.max(f"_wh_{i}").alias(f"_wh_{i}"),
+        ]
+    picked = local.filter(any_cond).groupBy("_g").agg(*sel_aggs)
+    out_cols = [F.col("_g").alias("grp"), F.col("n")]
+    for i, name in enumerate(names):
+        out_cols.append(
+            F.when(F.col(f"_klo_{i}") == F.col(f"_khi_{i}"), F.col(f"_vlo_{i}"))
+            .otherwise(
+                F.col(f"_wl_{i}") * F.col(f"_vlo_{i}")
+                + F.col(f"_wh_{i}") * F.col(f"_vhi_{i}")
+            )
+            .alias(name)
+        )
+    return picked.select(*out_cols).orderBy("grp")

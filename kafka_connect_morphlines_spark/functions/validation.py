@@ -444,24 +444,26 @@ def trimmed_stats(
     DuckDB ``quantile_cont`` — parity proven by percentiles_by_status);
     the kept-value mean accumulates in DECIMAL(38,12) so it is
     partition-invariant (the calibration_table mean_score idiom).  Two
-    passes over a pruned (group, value) projection: one percentile
-    aggregate (per-group, map-side partial), one filtered mean join —
-    at 100 TB both shuffles carry (group, numeric) rows only.  Exact
-    ``percentile`` buffers per-group DISTINCT values (a counts map), so
-    it is bounded by value cardinality, not row count — quantize the
-    value (or switch to ``percentile_approx``) when the column is
-    continuous at corpus scale.
+    passes over a pruned (group, value) projection, at 100 TB both
+    shuffles carry (group, numeric) rows only.  r10: the bounds come
+    from orderstats.interpolated_quantiles_by_group (bit-parity with the
+    built-in ``percentile``, pinned) instead of the built-in itself,
+    which buffers a per-group value->count map in ONE aggregation buffer
+    — the old "quantize when continuous at corpus scale" contract is
+    gone; no task holds more than its partition slice.
 
     Returns (group, n_total, n_kept, lo, hi, trimmed_mean).
     """
+    from kafka_connect_morphlines_spark.functions import orderstats
+
     v = F.col(value_col).cast("double")
     g = df.select(F.col(group_col).alias("g"), v.alias("v")).filter(
         F.col("v").isNotNull()
     )
-    bounds = g.groupBy("g").agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.expr(f"percentile(v, {lo_q})").alias("lo"),
-        F.expr(f"percentile(v, {hi_q})").alias("hi"),
+    bounds = orderstats.interpolated_quantiles_by_group(
+        g, F.col("g"), F.col("v"), {"lo": lo_q, "hi": hi_q}
+    ).select(
+        F.col("grp").alias("g"), F.col("n").alias("n_total"), "lo", "hi"
     )
     kept = g.join(F.broadcast(bounds), "g").filter(
         (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))

@@ -1829,12 +1829,22 @@ def stats_by_returnflag(spark, sf_dir):
 )
 def percentiles_by_status(spark, sf_dir):
     """Exact interpolated percentiles (Part C; approx_percentile is the
-    at-scale variant — sketches differ across engines so the oracle pins the
-    exact form)."""
+    at-scale variant — sketches differ across engines so the oracle pins
+    the exact form).  r10: computed by
+    orderstats.interpolated_quantiles_by_group — bit-parity with Spark's
+    percentile() (pinned) but constant memory per task, instead of the
+    built-in's per-group value->count map in ONE aggregation buffer
+    (unbounded for wide value domains)."""
+    from kafka_connect_morphlines_spark.functions import orderstats
+
     o = t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+    out = orderstats.interpolated_quantiles_by_group(
+        o, F.col("o_orderstatus"), F.col("o_totalprice"), {"p50": 0.5, "p90": 0.9}
+    )
+    return out.select(
+        F.col("grp").alias("o_orderstatus"),
+        F.round("p50", 2).alias("p50"),
+        F.round("p90", 2).alias("p90"),
     )
 
 

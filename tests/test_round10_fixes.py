@@ -254,3 +254,47 @@ def test_global_rank_pick_rejects_null_values(spark):
     df = spark.createDataFrame([(1.0, 1), (None, 1)], "v double, c int")
     with pytest.raises(ValueError, match="NULL"):
         orderstats.global_rank_pick(df, "v", "c", [1])
+
+
+def test_interpolated_quantiles_bit_parity_with_percentile(spark):
+    """interpolated_quantiles_by_group must reproduce Spark percentile()
+    EXACTLY (same IEEE interpolation ops), so swapping the built-in out
+    of certified queries cannot move a hash — including the p=0/p=1
+    edges, single- and two-value groups, int inputs and NULLs."""
+    import random
+
+    from kafka_connect_morphlines_spark.functions import orderstats
+
+    rng = random.Random(7)
+    rows = [(rng.choice("abc"), round(rng.uniform(0, 1000), 3)) for _ in range(5000)]
+    rows += [("d", 5.0)] + [("e", 1.0), ("e", 2.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    probs = {"p50": 0.5, "p90": 0.9, "p01": 0.01, "p100": 1.0, "p0": 0.0}
+    want = {
+        (r["g"], n): r[n]
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("v", F.lit(p)).alias(n) for n, p in probs.items()])
+        .collect()
+        for n in probs
+    }
+    got = {
+        (r["grp"], n): r[n]
+        for r in orderstats.interpolated_quantiles_by_group(
+            df, F.col("g"), F.col("v"), probs
+        ).collect()
+        for n in probs
+    }
+    assert got == want
+    ints = spark.createDataFrame(
+        [("x", rng.randint(0, 100) if rng.random() > 0.1 else None) for _ in range(2000)],
+        "g string, v int",
+    )
+    w = ints.agg(F.percentile("v", F.lit(0.75))).first()[0]
+    g = orderstats.interpolated_quantiles_by_group(
+        ints, F.col("g"), F.col("v"), {"p75": 0.75}
+    ).first()["p75"]
+    assert g == w
+    with pytest.raises(ValueError, match="non-empty"):
+        orderstats.interpolated_quantiles_by_group(df, F.col("g"), F.col("v"), {})
+    with pytest.raises(ValueError, match="0 <= p <= 1"):
+        orderstats.interpolated_quantiles_by_group(df, F.col("g"), F.col("v"), {"bad": 1.5})
