@@ -51,17 +51,23 @@ def global_rank_pick(
     num_buckets: int = 128,
     cutoff: int = 200_000,
     max_rounds: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Rows of a (value, count) frame whose INCLUSIVE cumulative count by
     ascending value crosses any 1-based integer rank in ``ks`` — the
     ungrouped integer-rank sibling of weighted_quantiles_by_group, run as
-    classic ITERATIVE DISTRIBUTED SELECTION (r10): each round buckets the
-    surviving value RANGE with one codegen ``width_bucket`` call, collects
+    classic ITERATIVE DISTRIBUTED SELECTION (r10): each round buckets
+    every surviving value RANGE with codegen ``width_bucket`` calls (one
+    scan for all ranges via a bounded composite grouping key), collects
     the bounded per-bucket (count, min, max) table, locates on the driver
-    which buckets hold the requested ranks, and narrows to their range
-    with PURE RANGE PREDICATES (value > lo AND value <= hi).  Once the
-    surviving range holds <= ``cutoff`` rows, one window sort of that
-    bounded remainder applies the exact crossing conditions.
+    which buckets hold the requested ranks, and narrows EACH pending rank
+    to its own covering bucket with PURE RANGE PREDICATES (value >= lo
+    AND value <= hi) — disjoint per-rank intervals, so spread ranks
+    (quartiles, percent grids) converge geometrically instead of
+    narrowing the single span between the lowest and highest pending
+    rank.  Once an interval holds <= ``cutoff`` rows, one window sort of
+    that bounded remainder applies the exact crossing conditions (one
+    such sort per surviving interval, interval count <= len(ks)).
 
     Why ranges and not bucket-id columns: a driver-baked boundary
     when-chain is fine to FILTER on but pathological to OUTPUT (measured
@@ -86,8 +92,12 @@ def global_rank_pick(
     guard: a bucket whose min == max IS a single value — its covered
     ranks resolve immediately; ``max_rounds`` caps pathological
     float-edge stalls, falling back to sorting the survivors.
-    ``counts`` is read once per round plus once for the final pick —
-    checkpoint/cache it upstream.
+    ``counts`` is read once per round plus once per surviving interval
+    for the final pick (interval count <= len(ks)) — checkpoint/cache it
+    upstream.  Pass a dict as ``stats`` to receive
+    ``{"rounds", "final_interval_rows"}`` — the convergence pin used by
+    the regression tests (every surviving interval must be <= cutoff
+    unless max_rounds or a plateau stopped narrowing).
     """
     if not ks:
         raise ValueError("ks must be non-empty")
@@ -108,85 +118,113 @@ def global_rank_pick(
     want = sorted({int(k) for k in ks if 1 <= int(k) <= total})
     if not want:
         return counts.filter(F.lit(False))
-    lo, hi = first["_lo"], first["_hi"]
-    base_off = 0  # rows strictly below the surviving range
-    in_range = None  # None = whole frame
-    n_range = total
-    resolved: list = []  # values already pinned by single-value buckets
     numeric = True
     try:
-        float(lo)
+        float(first["_lo"])
     except (TypeError, ValueError):
         numeric = False  # orderable non-numeric: skip narrowing rounds
+    # Disjoint surviving intervals, each owning the pending ranks whose
+    # crossing rows lie inside it.  Narrowing is PER INTERVAL (r10 fix):
+    # the old single-interval loop narrowed to the span between the
+    # LOWEST and HIGHEST pending rank, so spread ranks (e.g. quartiles)
+    # barely narrowed per round and the fallback sorted millions of rows
+    # in one partition.  Per-rank covering buckets shrink geometrically
+    # (1/num_buckets per round) regardless of rank spread, and intervals
+    # are disjoint by construction (width_bucket is monotone in value and
+    # equal values share a bucket), so per-interval offsets stay exact.
+    intervals: list[dict] = [
+        {"lo": first["_lo"], "hi": first["_hi"], "off": 0, "n": total, "ks": want}
+    ]
+    resolved: list = []  # (rank, value) pinned by single-value buckets
+    stride = num_buckets + 2
     rounds = 0
-    while (
-        numeric
-        and want
-        and lo != hi
-        and n_range > cutoff
-        and rounds < max_rounds
-    ):
-        rounds += 1
-        flo, fhi = float(lo), float(hi)
-        if not (fhi > flo):  # denormal-width range: cannot split further
+    while numeric and rounds < max_rounds:
+        active = [
+            iv
+            for iv in intervals
+            if iv["n"] > cutoff
+            and iv["lo"] != iv["hi"]
+            and float(iv["hi"]) > float(iv["lo"])  # denormal width: unsplittable
+        ]
+        if not active:
             break
-        # width_bucket: 1..B inside [lo, hi); hi itself maps to B+1 -> clamp
-        b = F.least(
-            F.width_bucket(vc.cast("double"), F.lit(flo), F.lit(fhi), F.lit(num_buckets)),
-            F.lit(num_buckets),
-        )
-        src = counts.filter(in_range) if in_range is not None else counts
+        rounds += 1
+        # ONE scan buckets every active interval: composite key = interval
+        # index * stride + width_bucket within that interval's edges.  The
+        # when-chain is bounded by the number of pending rank clusters
+        # (<= len(ks)), evaluated once per row inside the scan stage as a
+        # grouping key — never a data-sized output column crossing a plan
+        # boundary.  Rows outside every active interval key to NULL and
+        # are dropped by the partial aggregate.
+        key = None
+        for i, iv in enumerate(active):
+            flo, fhi = float(iv["lo"]), float(iv["hi"])
+            # width_bucket: 1..B inside [lo, hi); hi itself maps to B+1 -> clamp
+            b = F.least(
+                F.width_bucket(vc.cast("double"), F.lit(flo), F.lit(fhi), F.lit(num_buckets)),
+                F.lit(num_buckets),
+            )
+            cond = (vc >= F.lit(iv["lo"])) & (vc <= F.lit(iv["hi"]))
+            expr = F.lit(i * stride) + b
+            key = F.when(cond, expr) if key is None else key.when(cond, expr)
         rows = (
-            src.groupBy(b.alias("_b"))
+            counts.groupBy(key.alias("_ib"))
             .agg(F.sum(cc).alias("_t"), F.min(vc).alias("_mn"), F.max(vc).alias("_mx"))
+            .filter(F.col("_ib").isNotNull())
             .collect()
         )
-        rows.sort(key=lambda r: r["_b"])
-        run = base_off
-        remaining: list[int] = []
-        first_i = last_i = None  # index span of buckets still holding ranks
-        offs = []
-        for i, r in enumerate(rows):
-            t = int(r["_t"])
-            offs.append(run)
-            covered = [k for k in want if run < k <= run + t]
-            if covered:
-                if r["_mn"] == r["_mx"]:
-                    resolved.extend([(k, r["_mn"]) for k in covered])
-                else:
-                    remaining.extend(covered)
-                    if first_i is None:
-                        first_i = i
-                    last_i = i
-            run += t
-        want = remaining
-        if not want or first_i is None:
-            break
-        # the surviving range spans first..last covering bucket INCLUSIVE
-        # of intermediate buckets (their rows fall inside [lo, hi] too)
-        base_off = offs[first_i]
-        lo = rows[first_i]["_mn"]
-        hi = rows[last_i]["_mx"]
-        n_range = (offs[last_i] + int(rows[last_i]["_t"])) - offs[first_i]
-        in_range = (vc >= F.lit(lo)) & (vc <= F.lit(hi))
+        by_iv: dict[int, list] = {}
+        for r in rows:
+            ib = int(r["_ib"])
+            by_iv.setdefault(ib // stride, []).append(
+                (ib % stride, int(r["_t"]), r["_mn"], r["_mx"])
+            )
+        active_ids = {id(iv) for iv in active}
+        new_intervals = [iv for iv in intervals if id(iv) not in active_ids]
+        for i, iv in enumerate(active):
+            run = iv["off"]
+            for _b, t, mn, mx in sorted(by_iv.get(i, [])):
+                covered = [k for k in iv["ks"] if run < k <= run + t]
+                if covered:
+                    if mn == mx:
+                        resolved.extend([(k, mn) for k in covered])
+                    else:
+                        new_intervals.append(
+                            {"lo": mn, "hi": mx, "off": run, "n": t, "ks": covered}
+                        )
+                run += t
+        intervals = new_intervals
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["final_interval_rows"] = [iv["n"] for iv in intervals if iv["ks"]]
     picked = None
-    if want:
-        src = counts.filter(in_range) if in_range is not None else counts
-        # bounded single-partition sort: <= cutoff rows by construction
-        # (or the max_rounds/plateau fallback survivors)
+    for iv in intervals:
+        if not iv["ks"]:
+            continue
+        # bounded single-partition sort per interval: <= cutoff rows by
+        # construction (or the max_rounds/plateau fallback survivors);
+        # interval count is bounded by len(ks).  A whole-frame interval
+        # (non-numeric values, or inputs below the cutoff) skips the
+        # literal range filter — collected non-numeric min/max never
+        # round-trip through F.lit.
+        if iv["off"] == 0 and iv["n"] == total:
+            src = counts
+        else:
+            src = counts.filter((vc >= F.lit(iv["lo"])) & (vc <= F.lit(iv["hi"])))
         w_local = Window.orderBy(value_col).rowsBetween(
             Window.unboundedPreceding, -1
         )
         local = src.withColumn(
             "_before",
-            F.lit(base_off).cast("long")
+            F.lit(iv["off"]).cast("long")
             + F.coalesce(F.sum(count_col).over(w_local), F.lit(0)).cast("long"),
         ).withColumn("_cum", F.col("_before") + cc.cast("long"))
         cond = F.lit(False)
-        for k in want:
+        for k in iv["ks"]:
             kl = F.lit(int(k)).cast("long")
             cond = cond | ((F.col("_cum") >= kl) & (F.col("_before") < kl))
-        picked = local.filter(cond).drop("_before", "_cum")
+        part = local.filter(cond).drop("_before", "_cum")
+        picked = part if picked is None else picked.unionByName(part)
     if resolved:
         # single-value buckets resolved on the driver: emit literal rows
         # (one per distinct value) shaped like the input frame

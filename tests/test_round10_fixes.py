@@ -203,6 +203,33 @@ def test_global_rank_pick_sweep(spark):
                 )
 
 
+def test_global_rank_pick_spread_ranks_converge(spark):
+    """Spread ranks (quartiles) must converge GEOMETRICALLY: each pending
+    rank narrows to its OWN covering bucket per round, so every surviving
+    interval is <= cutoff well before max_rounds.  The pre-fix span
+    narrowing (lowest..highest pending rank) left ~half the frame
+    surviving forever and fell back to a data-sized single-partition
+    sort — this pin fails against that shape."""
+    from kafka_connect_morphlines_spark.functions import orderstats
+
+    n = 100_000
+    base = (
+        spark.range(1, n + 1)
+        .select(F.col("id").cast("double").alias("v"), F.lit(1).alias("c"))
+        .localCheckpoint()
+    )
+    ks = [1, n // 4, n // 2, (3 * n) // 4, n]
+    stats: dict = {}
+    out = orderstats.global_rank_pick(
+        base, "v", "c", ks, num_buckets=16, cutoff=50, max_rounds=30, stats=stats
+    ).collect()
+    assert sorted(float(r["v"]) for r in out) == [float(k) for k in ks]
+    assert stats["final_interval_rows"], stats
+    assert all(r <= 50 for r in stats["final_interval_rows"]), stats
+    # 16 buckets on 100k rows: <= ceil(log16(100k/50)) + 1 = ~4 rounds
+    assert stats["rounds"] <= 6, stats
+
+
 def test_global_rank_pick_edges(spark):
     """Out-of-range ranks, empty frames, and all-equal values."""
     from kafka_connect_morphlines_spark.functions import orderstats

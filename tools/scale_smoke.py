@@ -632,6 +632,41 @@ def main() -> None:
                 F.col("text"), F.col("source"),
             ),
         ),
+        # r10 late additions: the three deterministic-bucket order-stat
+        # primitives on a WIDE value domain (id/7.0 -> ~20M distinct
+        # doubles per run, ~2.9M per group) — exactly the shape where the
+        # built-in percentile()'s per-group value->count map buffer
+        # concentrates on one task.
+        "interp_quantiles_20m_wide": run(
+            "interp_quantiles_20m_wide",
+            lambda: orderstats.interpolated_quantiles_by_group(
+                events,
+                F.col("user_id") % 7,
+                F.col("event_id").cast("double") / 7.0,
+                {"p25": 0.25, "median": 0.5, "p90": 0.9},
+            ),
+        ),
+        "global_index_20m": run(
+            "global_index_20m",
+            lambda: orderstats.with_global_index(
+                events.select((F.col("event_id").cast("double") / 3.0).alias("_v"), "event_id"),
+                "_v",
+                tiebreaks=["event_id"],
+            )[0],
+        ),
+        "global_rank_pick_20m": run(
+            "global_rank_pick_20m",
+            # counts checkpointed upstream per the documented contract —
+            # each selection round re-reads it
+            lambda: orderstats.global_rank_pick(
+                events.groupBy((F.col("event_id").cast("double") / 11.0).alias("_v"))
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .localCheckpoint(),
+                "_v",
+                "_c",
+                [n_events // 4, n_events // 2, (3 * n_events) // 4],
+            ),
+        ),
     }
     print(json.dumps(results))
 
