@@ -25,8 +25,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Round-10 certification prefix.  The driver samples a bounded (50-entry)
 # prefix of queries() per round; across rounds the union of CORRECTNESS_r*
-# files must cover the whole corpus.  Slots 1-11 are the queries CHANGED
-# in round 10 (the deterministic-bucket weighted-quantile rework that
+# files must cover the whole corpus.  Slots 1-12 are the queries NEW or
+# CHANGED in round 10 (price_decile_grid is new — exact global decile
+# grid on the per-rank interval selection) (the deterministic-bucket weighted-quantile rework that
 # closes the one r09 hash-FAIL, icws newly promoted to a golden-parquet
 # oracle — the corpus' last no-oracle row, the distributed-selection
 # Theil-Sen median, the all-pairs Jensen-Shannon fix, the prenormalized
@@ -42,18 +43,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # Exactly 50 slots, zero fall-through.  Nothing is ever dropped:
 # certified queries stay registered.
 _ROUND10_PREFIX = [
-    # ---- slots 1-11: changed (or perf-flagged) in round 10 ----
+    # ---- slots 1-12: new or changed (or perf-flagged) in round 10 ----
+    "price_decile_grid",
     "weighted_median_price_by_flag", "icws_weighted_near_dupes",
     "trend_daily_revenue", "js_divergence_sources", "embedding_knn_join",
     "doc_fingerprint", "percentiles_by_status", "robust_outliers_by_type",
     "trimmed_mean_by_type", "kruskal_wallis_values",
     "spearman_spend_vs_orders",
-    # ---- slots 12-17: the r01-certified residue ----
+    # ---- slots 13-18: the r01-certified residue ----
     "bpe_token_count", "embedding_cosine_topk", "lang_id_pred",
     "ngram_jaccard_pairs", "text_quality", "token_frequencies",
-    # ---- slots 18-19: the r02 cohort ----
+    # ---- slots 19-20: the r02 cohort ----
     "html_strip", "pii_redact",
-    # ---- slots 20-50: alphabetical head of the r03 cohort ----
+    # ---- slots 21-50: alphabetical head of the r03 cohort ----
     "ab_test_event_values", "audience_overlap_matrix",
     "bloom_incremental_dedup", "chi2_type_vs_daypart", "data_quality_check",
     "data_quality_profile", "dau_wau_stickiness", "ddsketch_value_quantiles",
@@ -66,7 +68,7 @@ _ROUND10_PREFIX = [
     "psi_value_drift", "quality_classifier_score",
     "repeat_purchase_intervals", "revenue_concentration",
     "score_decile_lift", "score_pct_by_source", "semantic_centroid_assign",
-    "semantic_dedup", "session_duration_stats",
+    "semantic_dedup",
 ]
 _ROUND10_RANK = {name: i for i, name in enumerate(_ROUND10_PREFIX)}
 

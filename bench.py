@@ -159,6 +159,9 @@ HEADLINE = [
     "brown_forsythe_values",
     "js_divergence_sources",
     "weighted_median_price_by_flag",
+    # round-10 addition (exact global percent grid on the per-rank
+    # interval selection)
+    "price_decile_grid",
 ]
 
 

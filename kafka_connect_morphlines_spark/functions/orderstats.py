@@ -52,6 +52,7 @@ def global_rank_pick(
     cutoff: int = 200_000,
     max_rounds: int = 20,
     stats: dict | None = None,
+    with_ranks: str | None = None,
 ) -> DataFrame:
     """Rows of a (value, count) frame whose INCLUSIVE cumulative count by
     ascending value crosses any 1-based integer rank in ``ks`` — the
@@ -98,6 +99,14 @@ def global_rank_pick(
     ``{"rounds", "final_interval_rows"}`` — the convergence pin used by
     the regression tests (every surviving interval must be <= cutoff
     unless max_rounds or a plateau stopped narrowing).
+
+    ``with_ranks``: name of an extra ``array<long>`` output column
+    listing, per picked row, the requested ranks it covers (sorted) — the
+    label a percent-grid consumer needs when two requested ranks land on
+    the same value row (a tie plateau) and the row is emitted once.
+    Costs one bounded per-k conditional array per interval; ``None``
+    (default) leaves the output schema — and therefore every certified
+    consumer's plan — untouched.
     """
     if not ks:
         raise ValueError("ks must be non-empty")
@@ -112,12 +121,18 @@ def global_rank_pick(
         # a NULL has no place in a total order: min/max skip it, so every
         # offset downstream would silently shift — fail loudly instead
         raise ValueError("global_rank_pick: value column contains NULLs")
+    def _empty() -> DataFrame:
+        out = counts.filter(F.lit(False))
+        if with_ranks is not None:
+            out = out.withColumn(with_ranks, F.array().cast("array<long>"))
+        return out
+
     if first["_n"] is None:
-        return counts.filter(F.lit(False))
+        return _empty()
     total = int(first["_n"])
     want = sorted({int(k) for k in ks if 1 <= int(k) <= total})
     if not want:
-        return counts.filter(F.lit(False))
+        return _empty()
     numeric = True
     try:
         float(first["_lo"])
@@ -198,49 +213,102 @@ def global_rank_pick(
         stats["rounds"] = rounds
         stats["final_interval_rows"] = [iv["n"] for iv in intervals if iv["ks"]]
     picked = None
-    for iv in intervals:
-        if not iv["ks"]:
-            continue
-        # bounded single-partition sort per interval: <= cutoff rows by
-        # construction (or the max_rounds/plateau fallback survivors);
-        # interval count is bounded by len(ks).  A whole-frame interval
-        # (non-numeric values, or inputs below the cutoff) skips the
-        # literal range filter — collected non-numeric min/max never
-        # round-trip through F.lit.
-        if iv["off"] == 0 and iv["n"] == total:
-            src = counts
+    live = [iv for iv in intervals if iv["ks"]]
+    if live:
+        # ONE window job finishes every surviving interval: rows of all
+        # intervals are tagged with a bounded interval-id when-chain and
+        # the window sorts PER INTERVAL (partitionBy the id), so each
+        # partition is <= cutoff rows by construction (or the
+        # max_rounds/plateau fallback survivors) and the counts frame is
+        # scanned once instead of once per interval.  A lone whole-frame
+        # interval (non-numeric values, or inputs below the cutoff)
+        # skips the literal range filter — collected non-numeric min/max
+        # never round-trip through F.lit — at the documented cost of one
+        # single-partition sort of the (small) frame.
+        if len(live) == 1 and live[0]["off"] == 0 and live[0]["n"] == total:
+            src = counts.withColumn("_iv", F.lit(0))
         else:
-            src = counts.filter((vc >= F.lit(iv["lo"])) & (vc <= F.lit(iv["hi"])))
-        w_local = Window.orderBy(value_col).rowsBetween(
+            conds = [
+                (vc >= F.lit(iv["lo"])) & (vc <= F.lit(iv["hi"])) for iv in live
+            ]
+            keep = conds[0]
+            for c in conds[1:]:
+                keep = keep | c
+            ivid = None
+            for i, c in enumerate(conds):
+                ivid = F.when(c, i) if ivid is None else ivid.when(c, i)
+            src = counts.filter(keep).withColumn("_iv", ivid)
+        off_expr = F.lit(int(live[0]["off"])).cast("long")
+        if len(live) > 1:
+            off_expr = None
+            for i, iv in enumerate(live):
+                clause = (F.col("_iv") == i, F.lit(int(iv["off"])).cast("long"))
+                off_expr = (
+                    F.when(*clause) if off_expr is None else off_expr.when(*clause)
+                )
+        w_local = Window.partitionBy("_iv").orderBy(value_col).rowsBetween(
             Window.unboundedPreceding, -1
         )
         local = src.withColumn(
             "_before",
-            F.lit(iv["off"]).cast("long")
-            + F.coalesce(F.sum(count_col).over(w_local), F.lit(0)).cast("long"),
+            off_expr + F.coalesce(F.sum(count_col).over(w_local), F.lit(0)).cast("long"),
         ).withColumn("_cum", F.col("_before") + cc.cast("long"))
-        cond = F.lit(False)
-        for k in iv["ks"]:
+
+        def _cross(k: int) -> Column:
             kl = F.lit(int(k)).cast("long")
-            cond = cond | ((F.col("_cum") >= kl) & (F.col("_before") < kl))
-        part = local.filter(cond).drop("_before", "_cum")
-        picked = part if picked is None else picked.unionByName(part)
+            return (F.col("_cum") >= kl) & (F.col("_before") < kl)
+
+        cond = F.lit(False)
+        for i, iv in enumerate(live):
+            for k in iv["ks"]:
+                cond = cond | ((F.col("_iv") == i) & _cross(k))
+        part = local.filter(cond)
+        if with_ranks is not None:
+            all_ks = sorted({int(k) for iv in live for k in iv["ks"]})
+            part = part.withColumn(
+                with_ranks,
+                F.array_compact(
+                    F.array(
+                        *[
+                            F.when(_cross(k), F.lit(int(k)).cast("long"))
+                            for k in all_ks
+                        ]
+                    )
+                ),
+            )
+        picked = part.drop("_iv", "_before", "_cum")
     if resolved:
         # single-value buckets resolved on the driver: emit literal rows
         # (one per distinct value) shaped like the input frame
         spark = counts.sparkSession
         distinct_vals = sorted({v for _, v in resolved})
-        lit_rows = spark.createDataFrame(
-            [(v,) for v in distinct_vals], counts.select(value_col).schema
-        )
+        val_schema = counts.select(value_col).schema
+        if with_ranks is None:
+            lit_rows = spark.createDataFrame([(v,) for v in distinct_vals], val_schema)
+            extra = []
+        else:
+            from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+            lit_rows = spark.createDataFrame(
+                [
+                    (v, sorted(int(k) for k, vv in resolved if vv == v))
+                    for v in distinct_vals
+                ],
+                StructType(
+                    list(val_schema.fields)
+                    + [StructField(with_ranks, ArrayType(LongType()), False)]
+                ),
+            )
+            extra = [F.col(with_ranks)]
         filled = lit_rows.select(
             *[
                 F.col(value_col) if c == value_col else F.lit(None).cast(f.dataType).alias(c)
                 for c, f in zip(counts.columns, counts.schema.fields)
-            ]
+            ],
+            *extra,
         )
         picked = filled if picked is None else picked.unionByName(filled)
-    return picked if picked is not None else counts.filter(F.lit(False))
+    return picked if picked is not None else _empty()
 
 
 def weighted_quantiles_by_group(

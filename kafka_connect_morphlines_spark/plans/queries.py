@@ -4686,6 +4686,64 @@ def weighted_median_price_by_flag(spark, sf_dir):
 
 
 @query(
+    "price_decile_grid",
+    """
+    WITH per AS (
+      SELECT l_extendedprice AS v, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per),
+    cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM per),
+    grid AS (
+      SELECT i AS decile, (i * (SELECT n FROM tot) + 9) // 10 AS k
+      FROM (SELECT unnest(range(1, 10)) AS i)
+    )
+    SELECT g.decile, min(c.v) AS value
+    FROM grid g JOIN cum c ON c.cum >= g.k
+    GROUP BY g.decile ORDER BY g.decile
+    """,
+)
+def price_decile_grid(spark, sf_dir):
+    """Exact GLOBAL decile grid (d10..d90) of extended price — the
+    threshold table a quality-score calibration or stratified-pricing
+    pipeline pins once per corpus.  Spark has no exact distributed
+    order-statistic for this: percentile() buffers a value->count map in
+    ONE aggregation buffer, approx_percentile is a sketch, and a
+    row_number window over the full frame is a single-partition sort.
+    This is orderstats.global_rank_pick with the r10 PER-RANK interval
+    narrowing: each of the 9 ranks converges to its own covering
+    width_bucket geometrically (one scan per round for all ranks via a
+    bounded composite key), so the plan carries no data-sized
+    single-partition sort at any scale — the exact shape that broke the
+    pre-fix span narrowing (quartile ranks left ~half the frame
+    surviving).  ``with_ranks`` labels each picked row with the ranks it
+    covers, so tie plateaus spanning several deciles stay correct.  The
+    lower-quantile contract (smallest v with cum >= ceil(i*n/10)) is
+    integer-exact — no division or interpolation — hence the direct SQL
+    oracle."""
+    from kafka_connect_morphlines_spark.functions import orderstats
+
+    li = t(spark, sf_dir, "lineitem")
+    per = (
+        li.groupBy(F.col("l_extendedprice").alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()  # read once per selection round + final picks
+    )
+    n = per.agg(F.sum("_c").cast("long").alias("n")).first()["n"] or 0
+    ks = [((i * n) + 9) // 10 for i in range(1, 10)] if n else [1]
+    picked = orderstats.global_rank_pick(per, "_v", "_c", ks, with_ranks="_ks")
+    kmap = spark.createDataFrame(
+        [(int(k), i) for i, k in enumerate(ks, 1)], "k long, decile long"
+    )
+    return (
+        picked.select(F.explode("_ks").alias("k"), F.col("_v").alias("value"))
+        .join(F.broadcast(kmap), "k")
+        .select("decile", "value")
+        .orderBy("decile")
+    )
+
+
+@query(
     "js_divergence_sources",
     """
     WITH tok AS (

@@ -77,6 +77,9 @@ NO_CARTESIAN = [
     # r10: the all-pairs enumeration is an m-row broadcast NLJ, the
     # shared-token self-join stays keyed on token
     "js_divergence_sources",
+    # r10: the decile grid's only join is the 9-row broadcast rank->decile
+    # map; the selection rounds add no joins at all
+    "price_decile_grid",
 ]
 
 

@@ -230,6 +230,29 @@ def test_global_rank_pick_spread_ranks_converge(spark):
     assert stats["rounds"] <= 6, stats
 
 
+def test_global_rank_pick_with_ranks_labels(spark):
+    """with_ranks labels every picked row with the requested ranks it
+    covers — on BOTH emit paths (bounded window pick and driver-resolved
+    single-value buckets), including tie plateaus covering several
+    ranks."""
+    from kafka_connect_morphlines_spark.functions import orderstats
+
+    base = spark.createDataFrame([(1.0, 5), (2.0, 10)], "v double, c int")
+    want = {1.0: [1, 3, 5], 2.0: [6, 15]}
+    # big cutoff -> pure window path; tiny cutoff + few buckets -> the
+    # narrowing loop resolves single-value buckets on the driver
+    for cutoff, buckets in ((100_000, 128), (1, 2)):
+        out = orderstats.global_rank_pick(
+            base, "v", "c", [1, 3, 5, 6, 15],
+            num_buckets=buckets, cutoff=cutoff, with_ranks="ks",
+        ).collect()
+        got = {float(r["v"]): sorted(int(k) for k in r["ks"]) for r in out}
+        assert got == want, (cutoff, buckets, got)
+    # default (with_ranks=None) keeps the legacy schema
+    legacy = orderstats.global_rank_pick(base, "v", "c", [1])
+    assert legacy.columns == ["v", "c"]
+
+
 def test_global_rank_pick_edges(spark):
     """Out-of-range ranks, empty frames, and all-equal values."""
     from kafka_connect_morphlines_spark.functions import orderstats
