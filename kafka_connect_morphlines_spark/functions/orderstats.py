@@ -588,13 +588,22 @@ def interpolated_quantiles_by_group(
     ``percentile()`` buffers a per-group value->count map inside one
     aggregation buffer (OpenHashMap in Percentile.scala), so a group with
     unbounded value cardinality concentrates on one task and OOMs at
-    corpus scale.  This runs the same r10 deterministic-bucket discipline
-    as weighted_quantiles_by_group instead: distinct (group, value)
-    counts (map-side combined, checkpointed once), one codegen
-    width_bucket, bounded per-(group, bucket) totals collected and
-    prefix-summed on the driver, a per-bucket cumulative window, and ONE
+    corpus scale.  This runs the r10 deterministic-bucket discipline
+    with NO materialization at all (late-r10 rework — the first cut
+    checkpointed the full distinct (group, value) frame, and the 40M-row
+    smoke showed that checkpoint dominating and going superlinear under
+    storage-memory pressure): bucket edges come from percentile_approx
+    over a seeded 1% SAMPLE of the raw rows (edges only load-balance —
+    results are bucketing-invariant by construction), per-(group, bucket)
+    totals aggregate the RAW rows (map-side combined, no distinct),
+    offsets and target ranks are computed on the driver, and only the
+    COVERING buckets — the <= 2 * len(probs) buckets per group that can
+    contain a requested rank — are filtered (broadcast semi-style join on
+    the bounded offsets table), deduplicated, windowed, and fed to ONE
     conditional aggregation that picks the two neighbor values per
-    quantile.  No task ever holds more than its partition slice.
+    quantile.  ``df`` is scanned three times (sample, totals, covering
+    slice) — cache it upstream if scans are expensive; no task ever holds
+    more than its partition slice of one bucket.
 
     Interpolation mirrors Percentile.getPercentile exactly: for p over n
     values, ``pos = p * (n - 1)`` (double), ``lower = floor(pos)``,
@@ -609,6 +618,7 @@ def interpolated_quantiles_by_group(
     (same as the built-in).  Returns (grp, n, <name>...), one row per
     non-empty group.
     """
+    import bisect
     import math
 
     if not probs:
@@ -616,17 +626,18 @@ def interpolated_quantiles_by_group(
     for name, p in probs.items():
         if not (0.0 <= p <= 1.0):
             raise ValueError(f"prob {name!r}: need 0 <= p <= 1, got {p}")
-    per_v = (
-        df.select(group.cast("string").alias("_g"), value.cast("double").alias("_v"))
-        .filter(F.col("_v").isNotNull())
-        .groupBy("_g", "_v")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    per_v = per_v.localCheckpoint()
+    raw = df.select(
+        group.cast("string").alias("_g"), value.cast("double").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    # Bucket edges load-balance only — any edges yield the same answer —
+    # so a seeded 1% sample is enough, and an empty/degenerate sample
+    # just collapses to one bucket (exact, only less parallel).
     try:
-        plo, phi = per_v.agg(
-            F.percentile_approx("_v", [0.01, 0.99], 1000).alias("_p")
-        ).first()["_p"]
+        plo, phi = (
+            raw.sample(fraction=0.01, seed=9377)
+            .agg(F.percentile_approx("_v", [0.01, 0.99], 1000).alias("_p"))
+            .first()["_p"]
+        )
         flo, fhi = float(plo), float(phi)
     except Exception:
         flo = fhi = None
@@ -642,39 +653,51 @@ def interpolated_quantiles_by_group(
             ),
             F.lit(-1),
         )
-    bucketed = per_v.withColumn("_b", bkt.cast("int"))
-    totals = bucketed.groupBy("_g", "_b").agg(F.sum("_c").alias("_t")).collect()
+    bucketed = raw.withColumn("_b", bkt.cast("int"))
+    totals = bucketed.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_t")).collect()
     by_group: dict = {}
     for r in sorted(totals, key=lambda r: (str(r["_g"]), r["_b"])):
         acc, offs = by_group.setdefault(r["_g"], [0, {}])
         offs[r["_b"]] = acc
         by_group[r["_g"]][0] = acc + int(r["_t"])
     spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(g, b, o) for g, (tot, offs) in by_group.items() for b, o in offs.items()]
-        or [("", 0, 0)],
-        "_g string, _b int, _off long",
-    )
     names = list(probs)
     ks_rows = []
-    for g, (n_g, _) in by_group.items():
+    cov_rows = []
+    for g, (n_g, offs) in by_group.items():
         row = [g, n_g]
+        need = set()
         for name in names:
             pos = probs[name] * (n_g - 1)  # same IEEE ops as the JVM
             lo = math.floor(pos)
             hi = math.ceil(pos)
             row += [lo + 1, hi + 1, float(hi) - pos, pos - float(lo)]
+            need.add(lo + 1)
+            need.add(hi + 1)
         ks_rows.append(tuple(row))
+        # bucket b covers ranks offs[b]+1 .. offs[b]+t[b]; pick, per
+        # needed rank, the last bucket whose offset is below it
+        bs = sorted(offs)
+        offs_list = [offs[b] for b in bs]
+        covered = set()
+        for k in need:
+            covered.add(bisect.bisect_right(offs_list, k - 1) - 1)
+        cov_rows.extend((g, bs[i], offs_list[i]) for i in sorted(covered))
     ks_schema = "_g string, _n long, " + ", ".join(
         f"_klo_{i} long, _khi_{i} long, _wl_{i} double, _wh_{i} double"
         for i in range(len(names))
     )
     ks_df = spark.createDataFrame(ks_rows or [tuple([""] + [0] + [0, 0, 0.0, 0.0] * len(names))], ks_schema)
+    cov_df = spark.createDataFrame(
+        cov_rows or [("", -2, 0)], "_g string, _b int, _off long"
+    )
     w_local = Window.partitionBy("_g", "_b").orderBy("_v").rowsBetween(
         Window.unboundedPreceding, -1
     )
     local = (
-        bucketed.join(F.broadcast(off_df), ["_g", "_b"])
+        bucketed.join(F.broadcast(cov_df), ["_g", "_b"])
+        .groupBy("_g", "_b", "_off", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
         .withColumn(
             "_before",
             F.col("_off") + F.coalesce(F.sum("_c").over(w_local), F.lit(0)).cast("long"),

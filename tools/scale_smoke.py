@@ -646,6 +646,17 @@ def main() -> None:
                 {"p25": 0.25, "median": 0.5, "p90": 0.9},
             ),
         ),
+        # the built-in on the same shape, for the ratio: ONE aggregation
+        # buffer per group holds a value->count map of ~n/7 distinct
+        # doubles — the memory hazard the bucket rework removes
+        "interp_quantiles_20m_builtin": run(
+            "interp_quantiles_20m_builtin",
+            lambda: events.groupBy((F.col("user_id") % 7).alias("g")).agg(
+                F.expr(
+                    "percentile(CAST(event_id AS DOUBLE) / 7.0, array(0.25, 0.5, 0.9))"
+                ).alias("qs")
+            ),
+        ),
         "global_index_20m": run(
             "global_index_20m",
             lambda: orderstats.with_global_index(
