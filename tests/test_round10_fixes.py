@@ -348,3 +348,45 @@ def test_interpolated_quantiles_bit_parity_with_percentile(spark):
         orderstats.interpolated_quantiles_by_group(df, F.col("g"), F.col("v"), {})
     with pytest.raises(ValueError, match="0 <= p <= 1"):
         orderstats.interpolated_quantiles_by_group(df, F.col("g"), F.col("v"), {"bad": 1.5})
+
+
+def test_interp_quantiles_covering_bucket_grid(spark):
+    """The covering-bucket rework (late r10) only windows the <= 2|probs|
+    buckets per group that can contain a requested rank, picked on the
+    driver with bisect over the per-bucket offsets.  A dense prob grid
+    exercises every boundary case of that selection (rank == first /
+    last element of a bucket, klo and khi straddling adjacent buckets)
+    across bucket counts, duplicate-heavy value distributions, and a
+    different shuffle-partition count — all must stay bit-identical to
+    the built-in percentile()."""
+    import random
+
+    from kafka_connect_morphlines_spark.functions import orderstats
+
+    rng = random.Random(31)
+    rows = [("a", float(i)) for i in range(200)]                 # dense distinct
+    rows += [("b", 42.0)] * 500 + [("b", 7.0), ("b", 99.0)]      # duplicate-heavy
+    rows += [("c", rng.uniform(-1e6, 1e6)) for _ in range(300)]  # wide + negative
+    df = spark.createDataFrame(rows, "g string, v double")
+    probs = {f"q{i:02d}": i / 20.0 for i in range(21)}
+    want = {
+        (r["g"], n): r[n]
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("v", F.lit(p)).alias(n) for n, p in probs.items()])
+        .collect()
+        for n in probs
+    }
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for nb, parts in [(3, old_parts), (5, old_parts), (64, "7")]:
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            got = {
+                (r["grp"], n): r[n]
+                for r in orderstats.interpolated_quantiles_by_group(
+                    df, F.col("g"), F.col("v"), probs, num_buckets=nb
+                ).collect()
+                for n in probs
+            }
+            assert got == want, f"num_buckets={nb}, shuffle_partitions={parts}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
