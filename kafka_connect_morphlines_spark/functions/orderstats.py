@@ -326,29 +326,40 @@ def weighted_quantiles_by_group(
     ``{"median": (1, 2), "p90": (9, 10)}``.  Returns one row per group:
     (grp, w_total, <name>...).  Group keys are stringified (the bounded
     driver offset tables round-trip through literal frames); weights must
-    be positive (enforced — a nonpositive per-value weight sum would make
-    the cumulative non-monotonic and the crossing filter match 0 or 2+
-    rows, silently dropping the group).
+    be positive (enforced on the raw rows — a nonpositive weight would
+    make the cumulative non-monotonic and the crossing filter match 0 or
+    2+ rows, silently dropping the group).
 
-    Scale shape (r10 deterministic-bucket discipline):
-    1. one groupBy(group, value) collapses rows to distinct values with
-       exact DECIMAL weight sums (map-side combined), CHECKPOINTED once —
-       the ONLY materialization; four downstream jobs (guard, bounds,
-       totals, crossing) read it;
-    2. bucket id = one codegen ``width_bucket`` call over the approx
-       [p1, p99] value span, with LITERAL edges baked on the driver — a
-       pure monotone function of v.  Edges affect ONLY load balance: the
+    Scale shape (late-r10 covering-bucket discipline — NO materialization;
+    the first r10 cut checkpointed the full distinct (group, value) frame
+    and windowed all of it, and the 20M-row smoke showed that checkpoint
+    dominating under storage-memory pressure):
+    1. bucket edges come from ``percentile_approx`` over a seeded 1%
+       SAMPLE of the raw rows — edges affect ONLY load balance: the
        cumulative weights, and hence the crossing rows, are identical
        for any bucketing;
-    3. the cumulative weight runs PARTITIONED BY (group, bucket) — all
-       cores busy, no data-sized single partition, no dependence on
-       physical partition ids;
-    4. per-(group, bucket) totals are prefix-summed on the DRIVER —
-       bounded state: at most #groups * num_buckets rows;
-    5. each quantile's crossing row is picked by two exact
-       DECIMAL-product comparisons — den*cum >= num*W > den*cum_before —
-       exactly one row per group by construction (weights positive);
-       the k-row results broadcast-join on grp.
+    2. bucket id = one codegen ``width_bucket`` call, a pure monotone
+       function of v (NOT a per-boundary literal when-chain: a deep
+       nested expression is fine to filter on but pathological to carry
+       through window/join codegen — measured 17s to project a 63-term
+       chain column vs 0.4s for width_bucket);
+    3. ONE corpus pass computes per-(group, bucket) weight totals
+       straight off the RAW rows (map-side combined, no distinct) and
+       folds the weight-positivity guard into the same aggregate —
+       bounded collect: at most #groups * num_buckets rows;
+    4. offsets, W totals, and each quantile's COVERING bucket — the one
+       bucket whose cumulative crosses num*W/den, <= |quantiles| per
+       group — are found on the DRIVER with exact Decimal comparisons;
+    5. only the covering buckets are filtered from the raw rows
+       (broadcast join on the bounded bucket table), collapsed to
+       distinct values with exact DECIMAL weight sums, windowed
+       PARTITIONED BY (group, bucket) — no data-sized single partition,
+       no dependence on physical partition ids — and each crossing row
+       is picked by two exact DECIMAL-product comparisons
+       (den*cum >= num*W > den*cum_before) in ONE conditional
+       aggregation.
+    ``df`` is scanned three times (sample, totals, covering slice) —
+    cache it upstream if scans are expensive.
     """
     if not quantiles:
         raise ValueError("quantiles must be a non-empty {name: (num, den)} dict")
@@ -356,49 +367,30 @@ def weighted_quantiles_by_group(
         if q_den <= 0 or q_num <= 0 or q_num > q_den:
             raise ValueError(f"quantile {name!r}: need 0 < num <= den, got {q_num}/{q_den}")
     dec = "decimal(38,6)"
-    per_v = (
-        df.select(
-            group.cast("string").alias("_g"), value.alias("_v"), weight.alias("_w")
-        )
-        .groupBy("_g", "_v")
-        # (18,6) keeps the per-row weight long-backed through the corpus-
-        # sized groupBy (a wider cast materializes a JVM BigDecimal per
-        # row); Spark widens the SUM type automatically, so the per-value
-        # weight totals stay exact
-        .agg(F.sum(F.col("_w").cast("decimal(18,6)")).alias("_wv"))
+    # (18,6) keeps the per-row weight long-backed through the corpus-
+    # sized aggregates (a wider cast materializes a JVM BigDecimal per
+    # row); Spark widens SUM types automatically, so totals stay exact
+    raw = df.select(
+        group.cast("string").alias("_g"),
+        value.alias("_v"),
+        weight.cast("decimal(18,6)").alias("_w"),
     )
-    # materialize ONCE: guard+boundary aggregate, totals and crossing all
-    # read this; without it the corpus-sized groupBy runs 3x
-    per_v = per_v.localCheckpoint()
-    # ONE bounded aggregate serves both the positivity guard and the
-    # bucket boundaries (the query is job-count-bound at this size);
-    # boundary accuracy is irrelevant to correctness (load balance only).
-    # Bucketing is a SINGLE width_bucket call over the approx [p1, p99]
-    # span (equal width between the tail quantiles, outliers clamped to
-    # the edge buckets) — NOT a per-boundary literal when-chain: a deep
-    # nested expression is fine to filter on but pathological to carry
-    # through window/join codegen (measured 17s to project a 63-term
-    # chain column vs 0.4s for width_bucket — the generated code blows
-    # the JIT method limit and falls back to interpreted evaluation)
     try:
-        stats = per_v.agg(
-            F.sum(F.when(F.col("_wv") <= 0, 1).otherwise(0)).alias("_bad"),
-            F.percentile_approx("_v", [0.01, 0.99], 1000).alias("_p"),
-        ).first()
-        n_bad = stats["_bad"]
-        plo, phi = stats["_p"]
+        plo, phi = (
+            raw.sample(fraction=0.01, seed=9377)
+            .agg(
+                F.percentile_approx(
+                    F.col("_v").cast("double"), [0.01, 0.99], 1000
+                ).alias("_p")
+            )
+            .first()["_p"]
+        )
         flo, fhi = float(plo), float(phi)
     except Exception:
-        # non-numeric (but orderable) value type: fall back to one bucket
-        # per group — still exact, just one window partition per group;
-        # the guard runs on its own
-        n_bad = per_v.filter(F.col("_wv") <= 0).limit(1).count()
+        # non-numeric (but orderable) value type, or an empty/degenerate
+        # sample: fall back to one bucket per group — still exact, just
+        # one window partition per group
         flo = fhi = None
-    if n_bad:
-        raise ValueError(
-            "weighted_quantiles_by_group: nonpositive per-value weight sum — "
-            "weights must be positive for the crossing pick to be unique"
-        )
     if num_buckets < 3:
         flo = None  # degenerate request: single bucket per group
     if flo is None or not (fhi > flo):
@@ -418,16 +410,22 @@ def weighted_quantiles_by_group(
             ),
             F.lit(-1),
         )
-    bucketed = per_v.withColumn("_b", bkt.cast("int"))
-    w_local = Window.partitionBy("_g", "_b").orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    local = bucketed.withColumn(
-        "_before_local", F.coalesce(F.sum("_wv").over(w_local), F.lit(0).cast(dec))
-    )
+    bucketed = raw.withColumn("_b", bkt.cast("int"))
+    # ONE corpus pass: per-(group, bucket) weight totals + the positivity
+    # guard, as a bounded collect (<= #groups * num_buckets rows)
     totals = (
-        bucketed.groupBy("_g", "_b").agg(F.sum("_wv").alias("_t")).collect()
-    )  # bounded: <= #groups * num_buckets rows
+        bucketed.groupBy("_g", "_b")
+        .agg(
+            F.sum("_w").alias("_t"),
+            F.sum(F.when(F.col("_w") <= 0, 1).otherwise(0)).alias("_bad"),
+        )
+        .collect()
+    )
+    if any(r["_bad"] for r in totals):
+        raise ValueError(
+            "weighted_quantiles_by_group: nonpositive weight — weights "
+            "must be positive for the crossing pick to be unique"
+        )
     # per-group prefix offsets by ascending bucket id (bucket order IS
     # value order within each group by construction)
     by_group: dict = {}
@@ -437,21 +435,41 @@ def weighted_quantiles_by_group(
         rows[r["_b"]] = acc
         by_group[key][0] = acc + Decimal(str(r["_t"]))
     w_total = {k: v[0] for k, v in by_group.items()}
-    off_rows = [
-        (k, b, str(off))
-        for k, (tot, bkts) in by_group.items()
-        for b, off in bkts.items()
-    ]
+    # covering bucket per (group, quantile): the first bucket whose
+    # cumulative weight reaches num*W/den — exact Decimal comparisons,
+    # <= num_buckets steps per quantile on bounded driver state
+    cov_rows = []
+    for g, (tot, offs) in by_group.items():
+        bs = sorted(offs)
+        ends = [offs[b] for b in bs[1:]] + [tot]
+        covered = set()
+        for q_num, q_den in quantiles.values():
+            target = q_num * tot
+            for i, end in enumerate(ends):
+                if q_den * end >= target:
+                    covered.add(i)
+                    break
+        cov_rows.extend((g, bs[i], str(offs[bs[i]])) for i in sorted(covered))
     tot_rows = [(k, str(v)) for k, v in w_total.items()]
     spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        off_rows, "_g string, _b int, _off string"
+    cov_df = spark.createDataFrame(
+        cov_rows or [("", -2, "0")], "_g string, _b int, _off string"
     ).select("_g", "_b", F.col("_off").cast(dec).alias("_off"))
-    tot_df = spark.createDataFrame(tot_rows, "_g string, _wt string").select(
-        "_g", F.col("_wt").cast(dec).alias("_wt")
+    tot_df = spark.createDataFrame(
+        tot_rows or [("", "0")], "_g string, _wt string"
+    ).select("_g", F.col("_wt").cast(dec).alias("_wt"))
+    w_local = Window.partitionBy("_g", "_b").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    joined = local.join(F.broadcast(off_df), ["_g", "_b"]).join(
-        F.broadcast(tot_df), "_g"
+    joined = (
+        bucketed.join(F.broadcast(cov_df), ["_g", "_b"])
+        .groupBy("_g", "_b", "_off", "_v")
+        .agg(F.sum("_w").alias("_wv"))
+        .withColumn(
+            "_before_local",
+            F.coalesce(F.sum("_wv").over(w_local), F.lit(0).cast(dec)),
+        )
+        .join(F.broadcast(tot_df), "_g")
     )
     cum_before = F.col("_off") + F.col("_before_local")
     cum = cum_before + F.col("_wv")
