@@ -390,3 +390,24 @@ def test_interp_quantiles_covering_bucket_grid(spark):
             assert got == want, f"num_buckets={nb}, shuffle_partitions={parts}"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_order_stat_quantiles_empty_input(spark):
+    """Empty input must yield an empty result frame (not a crash in the
+    driver-side offset/covering-bucket bookkeeping, which sees zero
+    totals rows and must still build valid literal frames)."""
+    from kafka_connect_morphlines_spark.functions import orderstats
+
+    empty = spark.createDataFrame([], "g string, v double, w int")
+    assert (
+        orderstats.weighted_quantiles_by_group(
+            empty, F.col("g"), F.col("v"), F.col("w"), {"median": (1, 2)}
+        ).count()
+        == 0
+    )
+    assert (
+        orderstats.interpolated_quantiles_by_group(
+            empty, F.col("g"), F.col("v"), {"p50": 0.5}
+        ).count()
+        == 0
+    )
