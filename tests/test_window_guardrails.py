@@ -41,6 +41,11 @@ def _single_partition_windows(plan: str) -> list[str]:
 
 
 def test_no_query_windows_on_a_single_partition(spark):
+    """One pass over every query's plan, two corpus-wide invariants:
+    no single-partition Window, and no CartesianProduct anywhere (the
+    named-query NO_CARTESIAN list in test_plan_guardrails checks the
+    AQE-finalized executed plans of the riskiest joins; this is the
+    cheap pre-AQE net over the whole corpus)."""
     failures = {}
     for name, spec in QUERIES.items():
         if name in ALLOWED:
@@ -51,9 +56,11 @@ def test_no_query_windows_on_a_single_partition(spark):
         except Exception as ex:  # build errors are other tests' job
             pytest.fail(f"{name}: build failed during plan audit: {ex!r}")
         bad = _single_partition_windows(plan)
+        if "CartesianProduct" in plan:
+            bad = bad + ["CartesianProduct"]
         if bad:
             failures[name] = bad
     assert not failures, (
-        "data-sized single-partition Window operators found: "
+        "100TB-hostile plan shapes found: "
         + "; ".join(f"{n}: {b}" for n, b in failures.items())
     )
