@@ -74,24 +74,35 @@ def _ratio6(num: Column, den: Column) -> Column:
 def binary_rank_auc(df: DataFrame, score: Column, label: Column) -> DataFrame:
     """Mann-Whitney ROC-AUC with exact average-rank tie handling.
 
-    ``score`` should be pre-quantized (e.g. ``F.round(s, 6)``) so the
-    distinct-score aggregate is bounded.  Returns one row:
-    ``(n_pos, n_neg, auc)`` where
+    Returns one row: ``(n_pos, n_neg, auc)`` where
     ``AUC = (sum of avg ranks of positives - np(np+1)/2) / (np*nn)``.
 
     All rank arithmetic is done on 2x-scaled integers (avg rank over a tie
     group is a multiple of 1/2), so the only division is the final exact
     DECIMAL one — no floating-point accumulation anywhere.
+
+    Scale shape (late r10): the distinct-score frame is checkpointed and
+    counted, and the cumulative pass runs through
+    orderstats.bucketed_cumsum — one plain window while the frame fits a
+    partition, the deterministic-bucket distributed path beyond
+    SMALL_ROWS — so a CONTINUOUS unquantized score no longer concentrates
+    the ranking on one task (the old docstring demanded pre-quantization;
+    that contract is gone).
     """
+    from kafka_connect_morphlines_spark.functions import orderstats
+
     per_score = df.groupBy(score.alias("s")).agg(
         F.sum(F.when(label, 1).otherwise(0)).alias("np_s"),
         F.sum(F.when(label, 0).otherwise(1)).alias("nn_s"),
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    # avg rank of the tie group at s = before + (n_s + 1)/2 ; keep 2x scale.
-    ranked = per_score.withColumn(
-        "before", F.coalesce(F.sum(F.col("np_s") + F.col("nn_s")).over(w), F.lit(0))
+    per_score = per_score.localCheckpoint()  # count below is then ~free
+    ranked = orderstats.bucketed_cumsum(
+        per_score.withColumn("_n_s", F.col("np_s") + F.col("nn_s")),
+        "s",
+        {"before": "_n_s"},
+        n_rows=per_score.count(),
     ).withColumn(
+        # avg rank of the tie group at s = before + (n_s + 1)/2 ; 2x scale
         "rank2", 2 * F.col("before") + F.col("np_s") + F.col("nn_s") + 1
     )
     # np_s * rank2 is O(n_pos_s * 2N); summed over scores it reaches
@@ -234,11 +245,14 @@ def mann_whitney_u(
 
     Returns one row (n_a, n_b, u2, z): ``u2`` is 2*U for group ``a``
     (integer-exact), z > 0 means ``a`` ranks higher.  Shape at 100 TB:
-    one distinct-value aggregate (``value`` should be bounded-cardinality
-    or pre-quantized, the roc_auc contract), one ordered window over the
-    value-cardinality table, one final aggregate.
+    one distinct-value aggregate, the adaptive bucketed cumulative pass
+    (orderstats.bucketed_cumsum — plain window while the distinct frame
+    fits one partition, the deterministic-bucket distributed path for
+    continuous values beyond SMALL_ROWS), one final aggregate.
     """
     dec0 = "decimal(38,0)"
+    from kafka_connect_morphlines_spark.functions import orderstats
+
     per_v = (
         df.filter(group.isin([group_a, group_b]))
         .groupBy(value.alias("v"))
@@ -247,9 +261,15 @@ def mann_whitney_u(
             F.sum(F.when(group == group_b, 1).otherwise(0)).alias("nb_v"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_v.withColumn(
-        "before", F.coalesce(F.sum(F.col("na_v") + F.col("nb_v")).over(w), F.lit(0))
+    # late r10: cumulative ranks through the adaptive bucketed primitive —
+    # a continuous unquantized value column no longer single-partitions
+    # the ordered pass (the old "should be pre-quantized" contract is gone)
+    per_v = per_v.localCheckpoint()  # count below is then ~free
+    ranked = orderstats.bucketed_cumsum(
+        per_v.withColumn("_n_v", F.col("na_v") + F.col("nb_v")),
+        "v",
+        {"before": "_n_v"},
+        n_rows=per_v.count(),
     ).withColumn("rank2", 2 * F.col("before") + F.col("na_v") + F.col("nb_v") + 1)
     t = (F.col("na_v") + F.col("nb_v")).cast(dec0)
     agg = ranked.agg(
@@ -633,12 +653,19 @@ def _rank2_from_counts(
     if flo is None or not (fhi > flo):
         bkt = F.lit(0)
     else:
-        bkt = F.coalesce(
-            F.least(
-                F.width_bucket(F.col("_v").cast("double"), F.lit(flo), F.lit(fhi), F.lit(254)),
+        # NULL -> -1 (NULLS FIRST) needs an EXPLICIT isNull branch —
+        # least() SKIPS nulls, so coalesce(least(width_bucket(NULL), hi),
+        # -1) was hi, silently sending NULL keys to the TOP bucket; NaN
+        # (width_bucket -> NULL on a non-null value) coalesces to the top
+        # bucket, where Spark's ordering puts it
+        bkt = F.when(F.col("_v").isNull(), F.lit(-1)).otherwise(
+            F.coalesce(
+                F.least(
+                    F.width_bucket(F.col("_v").cast("double"), F.lit(flo), F.lit(fhi), F.lit(254)),
+                    F.lit(255),
+                ),
                 F.lit(255),
-            ),
-            F.lit(-1),  # NULLs first, matching the window's NULLS FIRST
+            )
         )
     bucketed = cnt.withColumn("_gb", bkt.cast("int"))
     btot = bucketed.groupBy("_gb").agg(F.sum("_c").alias("_t")).collect()

@@ -40,6 +40,7 @@ __all__ = [
     "global_rank_pick",
     "with_global_index",
     "interpolated_quantiles_by_group",
+    "bucketed_cumsum",
 ]
 
 
@@ -396,19 +397,24 @@ def weighted_quantiles_by_group(
     if flo is None or not (fhi > flo):
         bkt = F.lit(0)
     else:
-        # monotone in _v: 0 below p1, 1..B-2 inside, B-1 at/above p99;
-        # NULL _v -> -1 (NULLS FIRST ordering)
-        bkt = F.coalesce(
-            F.least(
-                F.width_bucket(
-                    F.col("_v").cast("double"),
-                    F.lit(flo),
-                    F.lit(fhi),
-                    F.lit(num_buckets - 2),
+        # monotone in _v: 0 below p1, 1..B-2 inside, B-1 at/above p99.
+        # NULL _v -> -1 (NULLS FIRST) needs an EXPLICIT isNull branch:
+        # least() skips nulls, so the old coalesce idiom sent NULLs to
+        # the TOP bucket.  NaN (width_bucket -> NULL) coalesces to the
+        # top bucket, where it belongs (NaN sorts last in Spark).
+        bkt = F.when(F.col("_v").isNull(), F.lit(-1)).otherwise(
+            F.coalesce(
+                F.least(
+                    F.width_bucket(
+                        F.col("_v").cast("double"),
+                        F.lit(flo),
+                        F.lit(fhi),
+                        F.lit(num_buckets - 2),
+                    ),
+                    F.lit(num_buckets - 1),
                 ),
                 F.lit(num_buckets - 1),
-            ),
-            F.lit(-1),
+            )
         )
     bucketed = raw.withColumn("_b", bkt.cast("int"))
     # ONE corpus pass: per-(group, bucket) weight totals + the positivity
@@ -662,6 +668,9 @@ def interpolated_quantiles_by_group(
     if num_buckets < 3 or flo is None or not (fhi > flo):
         bkt = F.lit(0)
     else:
+        # NULLs are filtered above; NaN makes width_bucket NULL and sorts
+        # LAST in Spark, so it coalesces to the TOP bucket (same ordering
+        # percentile() uses)
         bkt = F.coalesce(
             F.least(
                 F.width_bucket(
@@ -669,7 +678,7 @@ def interpolated_quantiles_by_group(
                 ),
                 F.lit(num_buckets - 1),
             ),
-            F.lit(-1),
+            F.lit(num_buckets - 1),
         )
     bucketed = raw.withColumn("_b", bkt.cast("int"))
     totals = bucketed.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_t")).collect()
@@ -751,3 +760,118 @@ def interpolated_quantiles_by_group(
             .alias(name)
         )
     return picked.select(*out_cols).orderBy("grp")
+
+
+# below this many distinct rows the ordered frame trivially fits one
+# partition and the bucketed machinery (bounds + totals jobs) is pure
+# overhead — the evalmetrics._RANK2_SMALL_ROWS contract
+SMALL_ROWS = 5_000_000
+
+
+def bucketed_cumsum(
+    cnt: DataFrame,
+    order_col: str,
+    sums: dict[str, str],
+    n_rows: int | None = None,
+    num_buckets: int = 256,
+    tiebreaks: list[str] | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running totals of integer columns over the global
+    ascending ``order_col`` ordering (NULLS FIRST), appended as new
+    columns — the shared primitive behind every "cumulative count over a
+    distinct-value frame" shape (rank-AUC, Mann-Whitney ranks, KS ECDFs,
+    Zipf ranks).  ``sums`` maps output column name -> existing
+    integer-typed column; each output is the exact sum of that column
+    over all STRICTLY PRECEDING rows (0 for the first row).
+
+    Adaptive scale shape (the evalmetrics._rank2 discipline): when
+    ``n_rows`` (any upper bound on cnt's row count) is at or below
+    SMALL_ROWS, one plain ordered window runs — the frame fits a single
+    partition and that is the cheapest correct plan.  Above it, the r10
+    deterministic-bucket path: one codegen ``width_bucket`` over
+    driver-baked approx [p1, p99] literal edges of ``order_col`` (bucket
+    id = pure function of the value — independent of partitioning,
+    scheduling, and checkpoint block lifetime; edges only load-balance),
+    per-bucket totals of every requested column collected (bounded:
+    num_buckets rows), prefix offsets per column computed on the driver,
+    and the within-bucket exclusive window runs PARTITIONED BY bucket —
+    all cores busy, no data-sized single-partition sort.  Both paths
+    emit identical exact integers (CI-pinned), so certified consumers
+    hash the same either way.
+
+    ``tiebreaks`` orders rows WITHIN equal ``order_col`` values (needed
+    when callers require a total order, e.g. row numbering); bucketing
+    only ever splits on ``order_col`` so ties never straddle buckets.
+    ``cnt`` should be checkpointed/cached by the caller when counting it
+    for ``n_rows`` (the count is then ~free and the frame is not
+    recomputed per downstream job).
+    """
+    tb = [F.col(c) for c in (tiebreaks or [])]
+    order = [F.col(order_col).asc_nulls_first(), *tb]
+    if n_rows is not None and n_rows <= SMALL_ROWS:
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+        out = cnt
+        for name, c in sums.items():
+            out = out.withColumn(
+                name, F.coalesce(F.sum(c).over(w), F.lit(0)).cast("long")
+            )
+        return out
+    try:
+        plo, phi = cnt.agg(
+            F.percentile_approx(
+                F.col(order_col).cast("double"), [0.01, 0.99], 1000
+            ).alias("_p")
+        ).first()["_p"]
+        flo, fhi = float(plo), float(phi)
+    except Exception:
+        flo = fhi = None
+    if num_buckets < 3 or flo is None or not (fhi > flo):
+        bkt = F.lit(0)
+    else:
+        # NULL -> bucket -1 (sorts first, matching NULLS FIRST) via an
+        # EXPLICIT isNull branch: Spark's least() SKIPS nulls, so
+        # least(width_bucket(NULL), hi) is hi, not NULL — the coalesce
+        # idiom silently sent NULLs to the TOP bucket.  width_bucket(NaN)
+        # is also NULL, and NaN sorts LAST, so non-null values falling
+        # out of width_bucket coalesce to the top bucket (correct).
+        bkt = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(
+            F.coalesce(
+                F.least(
+                    F.width_bucket(
+                        F.col(order_col).cast("double"),
+                        F.lit(flo),
+                        F.lit(fhi),
+                        F.lit(num_buckets - 2),
+                    ),
+                    F.lit(num_buckets - 1),
+                ),
+                F.lit(num_buckets - 1),
+            )
+        )
+    bucketed = cnt.withColumn("_cs_b", bkt.cast("int"))
+    names = list(sums)
+    totals = (
+        bucketed.groupBy("_cs_b")
+        .agg(*[F.sum(sums[n]).cast("long").alias(f"_t{i}") for i, n in enumerate(names)])
+        .collect()
+    )
+    accs = [0] * len(names)
+    off_rows = []
+    for r in sorted(totals, key=lambda r: r["_cs_b"]):  # bucket order IS value order
+        off_rows.append((int(r["_cs_b"]), *accs))
+        accs = [a + int(r[f"_t{i}"] or 0) for i, a in enumerate(accs)]
+    off_schema = "_cs_b int, " + ", ".join(f"_off{i} long" for i in range(len(names)))
+    off_df = cnt.sparkSession.createDataFrame(off_rows or [(0, *[0] * len(names))], off_schema)
+    w = Window.partitionBy("_cs_b").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = bucketed.join(F.broadcast(off_df), "_cs_b")
+    for i, name in enumerate(names):
+        out = out.withColumn(
+            name,
+            (
+                F.col(f"_off{i}")
+                + F.coalesce(F.sum(sums[name]).over(w), F.lit(0)).cast("long")
+            ).cast("long"),
+        )
+    return out.drop("_cs_b", *[f"_off{i}" for i in range(len(names))])

@@ -370,14 +370,16 @@ def ks_drift(
     ``ks_d`` deferred to the end — partition- and engine-invariant.
 
     100 TB shape (the binary_rank_auc pattern): one groupBy collapses the
-    corpus to DISTINCT quantized values (``decimals``-rounded, so the
-    ordered frame is bounded, e.g. <= ~1e6 rows for 6dp scores in [0,1])
-    before the ordered cumulative window runs; the window therefore sorts
-    value-cardinality rows, never event-volume rows.
+    corpus to DISTINCT (optionally ``decimals``-quantized) values, then
+    the cumulative ECDF pass runs through orderstats.bucketed_cumsum —
+    one plain window while the distinct frame fits a partition, the
+    deterministic-bucket distributed path for continuous unquantized
+    values beyond SMALL_ROWS — so the ordered pass never concentrates
+    event-volume (or continuous-value cardinality) on one task.
 
     Returns one row: (n_a, n_b, d_num, d_den, ks_d).
     """
-    from pyspark.sql import Window
+    from kafka_connect_morphlines_spark.functions import orderstats
 
     dec0 = "decimal(38,0)"
     v = value.cast("double")
@@ -392,10 +394,13 @@ def ks_drift(
             F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("b_s"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per.select(
-        F.sum("a_s").over(w).alias("ca"),
-        F.sum("b_s").over(w).alias("cb"),
+    per = per.localCheckpoint()  # count below is then ~free
+    # inclusive cumulative = exclusive + the row's own count
+    cum = orderstats.bucketed_cumsum(
+        per, "v", {"_ba": "a_s", "_bb": "b_s"}, n_rows=per.count()
+    ).select(
+        (F.col("_ba") + F.col("a_s")).alias("ca"),
+        (F.col("_bb") + F.col("b_s")).alias("cb"),
     )
     totals = per.agg(
         F.sum("a_s").alias("n_a"), F.sum("b_s").alias("n_b")

@@ -411,3 +411,71 @@ def test_order_stat_quantiles_empty_input(spark):
         ).count()
         == 0
     )
+
+
+def test_bucketed_cumsum_paths_identical(spark):
+    """orderstats.bucketed_cumsum: the distributed deterministic-bucket
+    path must emit the exact integers of the plain-window path (NULLS
+    FIRST, ties, multiple sum columns), and the three rank-cumulative
+    consumers (rank-AUC, Mann-Whitney, KS drift) must produce identical
+    certified output when forced through the distributed path."""
+    import random
+
+    from kafka_connect_morphlines_spark.functions import (
+        evalmetrics,
+        orderstats,
+        validation,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        (rng.choice([None, 1.0, 2.5, 2.5, 7.0, rng.uniform(-50, 50)]), rng.randint(1, 5), rng.randint(0, 3))
+        for _ in range(4000)
+    ]
+    cnt = (
+        spark.createDataFrame(rows, "v double, a int, b int")
+        .groupBy("v")
+        .agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+    ).localCheckpoint()
+    small = {
+        r["v"]: (r["_ca"], r["_cb"])
+        for r in orderstats.bucketed_cumsum(
+            cnt, "v", {"_ca": "a", "_cb": "b"}, n_rows=cnt.count()
+        ).collect()
+    }
+    big = {
+        r["v"]: (r["_ca"], r["_cb"])
+        for r in orderstats.bucketed_cumsum(
+            cnt, "v", {"_ca": "a", "_cb": "b"}, n_rows=None  # force distributed
+        ).collect()
+    }
+    assert small == big and len(small) > 100
+
+    ev = spark.createDataFrame(
+        [
+            (rng.uniform(0, 100), rng.choice(["click", "purchase", "view"]))
+            for _ in range(3000)
+        ],
+        "value double, event_type string",
+    )
+    def all_three():
+        return (
+            evalmetrics.binary_rank_auc(
+                ev, F.col("value"), F.col("event_type") == "purchase"
+            ).collect(),
+            evalmetrics.mann_whitney_u(
+                ev, F.col("value"), F.col("event_type"), "click", "purchase"
+            ).collect(),
+            validation.ks_drift(
+                ev, F.col("value"), F.col("event_type"), "click", "purchase",
+                decimals=None,
+            ).collect(),
+        )
+    want = all_three()
+    old = orderstats.SMALL_ROWS
+    orderstats.SMALL_ROWS = 0  # every consumer takes the distributed path
+    try:
+        got = all_three()
+    finally:
+        orderstats.SMALL_ROWS = old
+    assert got == want
