@@ -205,23 +205,73 @@ def quality_features_df(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def zipf_slope_df(df, text_col: str = "text"):
+def zipf_slope_df(df, text_col: str = "text", tie_subbuckets: int = 64):
     """One-row corpus statistic: the Zipf slope — the OLS slope of
     ln(frequency) on ln(rank) over the token frequency table (natural
     corpora sit near -1; gibberish and templated text deviate — a cheap
     corpus-health diagnostic).
 
-    Output: (n_vocab, zipf_slope).  The token-count groupBy is the only
-    data-sized shuffle; the rank window runs over the vocabulary-sized
-    count table on a single partition (bounded by |vocab|, same contract
-    as build_vocab), and the regression is one covar/var aggregate.
+    Output: (n_vocab, zipf_slope).
+
+    Scale shape (late r10 — previously a vocabulary-sized row_number on
+    ONE partition, the exact hazard the guardrail hunts: Heaps' law puts
+    |vocab| at 1e8+ for a 100 TB corpus).  The statistic only depends on
+    the MULTISET of (rank, count) pairs, and every token in a count-tie
+    group shares ln(count), so WHICH token takes which rank inside a tie
+    group cannot move the answer.  That freedom distributes the ranking
+    exactly:
+
+    1. the (count, group-size) frame — one row per DISTINCT count, at
+       most O(sqrt(total tokens)) rows — takes an adaptive exclusive
+       cumulative (orderstats.bucketed_cumsum), giving each tie group
+       its base = #tokens with a larger count;
+    2. tie groups split into ``tie_subbuckets`` deterministic xxhash64
+       sub-buckets; per-(count, sub-bucket) sizes cumulate WITHIN each
+       count (a window over <= tie_subbuckets rows per count);
+    3. each token's rank = base + its sub-bucket offset + a row_number
+       over its (count, sub-bucket) slice — every window partition is
+       either sub-bucket-count-bounded or ~group/tie_subbuckets rows.
+
+    The giant c=1 singleton group — half the vocabulary — lands on all
+    cores instead of one.  The (rank, count) multiset is identical to
+    the single-window formulation, so the certified 6dp statistic is
+    unchanged.
     """
     from pyspark.sql import Window
 
+    from kafka_connect_morphlines_spark.functions import orderstats
+
     ex = df.select(F.explode(tokens_codegen(F.col(text_col))).alias("_t"))
     counts = ex.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
-    ranked = counts.withColumn(
-        "_rank", F.row_number().over(Window.orderBy(F.col("_c").desc(), F.col("_t")))
+    counts = counts.localCheckpoint()  # counted below; 3 jobs read it
+    n_vocab = counts.count()
+    per_c = counts.groupBy("_c").agg(F.count(F.lit(1)).alias("_g"))
+    per_c = per_c.localCheckpoint()
+    # base = #tokens with a LARGER count = V - before_asc - g
+    based = orderstats.bucketed_cumsum(
+        per_c, "_c", {"_before_asc": "_g"}, n_rows=per_c.count()
+    ).select(
+        "_c", (F.lit(n_vocab) - F.col("_before_asc") - F.col("_g")).alias("_base")
+    )
+    sub = counts.withColumn(
+        "_hb", F.pmod(F.xxhash64("_t"), F.lit(tie_subbuckets)).cast("int")
+    )
+    w_hb = Window.partitionBy("_c").orderBy("_hb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hb_off = (
+        sub.groupBy("_c", "_hb")
+        .agg(F.count(F.lit(1)).alias("_hn"))
+        .withColumn("_hoff", F.coalesce(F.sum("_hn").over(w_hb), F.lit(0)))
+        .select("_c", "_hb", "_hoff")
+    )
+    w_tok = Window.partitionBy("_c", "_hb").orderBy("_t")
+    ranked = (
+        sub.join(hb_off, ["_c", "_hb"])
+        .join(based, "_c")
+        .withColumn(
+            "_rank", F.col("_base") + F.col("_hoff") + F.row_number().over(w_tok)
+        )
     )
     x = F.log(F.col("_rank").cast("double"))
     y = F.log(F.col("_c").cast("double"))
