@@ -333,6 +333,40 @@ def main() -> None:
                 events, F.col("value"), F.col("event_type"), "click", "purchase"
             ),
         ),
+        # continuous-value variants: ~10M distinct values push the rank
+        # cumulatives past SMALL_ROWS onto bucketed_cumsum's distributed
+        # path — the late-r10 shape that replaced the pre-quantization
+        # contract (the plain legs above stay on the 997-distinct small
+        # path and pin its cost)
+        "mann_whitney_20m_wide": run(
+            "mann_whitney_20m_wide",
+            lambda: evalmetrics.mann_whitney_u(
+                events,
+                (F.col("event_id") % 10000019).cast("double") / 7.0,
+                F.col("event_type"),
+                "click",
+                "purchase",
+            ),
+        ),
+        "ks_drift_20m_wide": run(
+            "ks_drift_20m_wide",
+            lambda: validation.ks_drift(
+                events,
+                (F.col("event_id") % 10000019).cast("double") / 7.0,
+                F.col("event_type"),
+                "click",
+                "purchase",
+                decimals=None,
+            ),
+        ),
+        "roc_auc_20m_wide": run(
+            "roc_auc_20m_wide",
+            lambda: evalmetrics.binary_rank_auc(
+                events,
+                (F.col("event_id") % 10000019).cast("double") / 7.0,
+                F.col("event_type") == "purchase",
+            ),
+        ),
         # bootstrap: b-fold explode with 5-per-digest draws, groupBy(rep)
         "bootstrap_20m_b20": run(
             "bootstrap_20m_b20",
