@@ -36,26 +36,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # late-r10 primitive reworks: percentiles_by_status /
 # robust_outliers_by_type / trimmed_mean_by_type moved onto
 # orderstats.interpolated_quantiles_by_group, and kruskal_wallis_values /
-# spearman_spend_vs_orders ride the width-bucket _rank2 rework); slots
-# 12-50 rotate the 39 OLDEST still-unrotated certified queries (r01
-# residue, the two r02 rows, and the alphabetical head of the r03
-# cohort), guarding long-untouched operators against silent drift.
-# Exactly 50 slots, zero fall-through.  Nothing is ever dropped:
-# certified queries stay registered.
+# spearman_spend_vs_orders ride the width-bucket _rank2 rework, and —
+# late-session — roc_auc_purchase / mann_whitney_values / ks_drift_value
+# / zipf_slope moved onto orderstats.bucketed_cumsum with the NULL-
+# bucket fix, so they lead too); the remaining slots rotate the OLDEST
+# still-unrotated certified queries (r01 residue, the two r02 rows, and
+# the alphabetical head of the r03 cohort), guarding long-untouched
+# operators against silent drift.  Exactly 50 slots, zero fall-through.
+# Nothing is ever dropped: certified queries stay registered.
 _ROUND10_PREFIX = [
-    # ---- slots 1-12: new or changed (or perf-flagged) in round 10 ----
+    # ---- slots 1-16: new or changed (or perf-flagged) in round 10 ----
     "price_decile_grid",
     "weighted_median_price_by_flag", "icws_weighted_near_dupes",
     "trend_daily_revenue", "js_divergence_sources", "embedding_knn_join",
     "doc_fingerprint", "percentiles_by_status", "robust_outliers_by_type",
     "trimmed_mean_by_type", "kruskal_wallis_values",
     "spearman_spend_vs_orders",
-    # ---- slots 13-18: the r01-certified residue ----
+    "roc_auc_purchase", "mann_whitney_values", "ks_drift_value",
+    "zipf_slope",
+    # ---- slots 17-22: the r01-certified residue ----
     "bpe_token_count", "embedding_cosine_topk", "lang_id_pred",
     "ngram_jaccard_pairs", "text_quality", "token_frequencies",
-    # ---- slots 19-20: the r02 cohort ----
+    # ---- slots 23-24: the r02 cohort ----
     "html_strip", "pii_redact",
-    # ---- slots 21-50: alphabetical head of the r03 cohort ----
+    # ---- slots 25-50: alphabetical head of the r03 cohort ----
     "ab_test_event_values", "audience_overlap_matrix",
     "bloom_incremental_dedup", "chi2_type_vs_daypart", "data_quality_check",
     "data_quality_profile", "dau_wau_stickiness", "ddsketch_value_quantiles",
@@ -67,8 +71,6 @@ _ROUND10_PREFIX = [
     "map_functions_props", "normalize_tokenize_text", "pagerank_trade_graph",
     "psi_value_drift", "quality_classifier_score",
     "repeat_purchase_intervals", "revenue_concentration",
-    "score_decile_lift", "score_pct_by_source", "semantic_centroid_assign",
-    "semantic_dedup",
 ]
 _ROUND10_RANK = {name: i for i, name in enumerate(_ROUND10_PREFIX)}
 
