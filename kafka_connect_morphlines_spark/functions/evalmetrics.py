@@ -593,12 +593,13 @@ def _rank2(
     continuous metrics (per-customer spend sums) have ~n distinct values,
     so an un-partitioned ordered window is a single-partition O(n) sort.
     The scale path buckets the distinct frame with one codegen
-    width_bucket over driver-baked [p1, p99] literal edges (bucket id =
-    pure function of the value — no spark_partition_id, no checkpoint
-    freeze), runs the cumulative count PARTITIONED BY bucket (all cores
-    busy), and prefix-sums the per-bucket totals on the driver — bounded
-    driver state: #buckets integers, the kmeans_fit_int contract, NOT
-    data-sized.
+    ``monotone_log_bucket`` expression (bucket id = pure DATA-INDEPENDENT
+    function of the value — no spark_partition_id, no checkpoint freeze,
+    and no edges job at all since the r10 optimization round), runs the
+    cumulative count PARTITIONED BY bucket (all cores busy), and
+    prefix-sums the per-bucket totals on the driver — bounded driver
+    state: one integer per non-empty bucket (octave-span bounded), the
+    kmeans_fit_int contract, NOT data-sized.
 
     Adaptive cutover: callers that already know the input row count
     (their reduced frame is checkpointed, so count() is ~free) pass
@@ -635,36 +636,33 @@ def _rank2_from_counts(
     # r10 determinism rework (same class as the weighted-median fix): the
     # r09 path range-repartitioned and trusted spark_partition_id order,
     # frozen by a localCheckpoint — the one surface the CORRECTNESS_r09
-    # driver mismatch implicated.  Bucket ids are now a PURE FUNCTION of
-    # the value (one codegen width_bucket over driver-baked [p1, p99]
-    # literal edges), so the ranks are independent of partitioning,
-    # scheduling and block lifetime by construction; edges only
-    # load-balance.  The checkpoint that remains is a cost optimization
-    # (three bounded jobs read the distinct frame), not a correctness
-    # freeze.
+    # driver mismatch implicated.  Bucket ids are a PURE FUNCTION of the
+    # value, so the ranks are independent of partitioning, scheduling
+    # and block lifetime by construction; buckets only load-balance.
+    # r10 optimization round: the data-independent monotone_log_bucket
+    # replaced the percentile_approx edges job over the checkpointed
+    # frame — one fewer scan + driver round-trip per rank map.  The
+    # checkpoint that remains is a cost optimization (two bounded jobs
+    # read the distinct frame), not a correctness freeze.
+    from kafka_connect_morphlines_spark.functions.orderstats import (
+        monotone_log_bucket,
+    )
+    from pyspark.sql.types import NumericType
+
     cnt = cnt.localCheckpoint()
-    try:
-        plo, phi = cnt.agg(
-            F.percentile_approx("_v", [0.01, 0.99], 1000).alias("_p")
-        ).first()["_p"]
-        flo, fhi = float(plo), float(phi)
-    except Exception:
-        flo = fhi = None
-    if flo is None or not (fhi > flo):
-        bkt = F.lit(0)
+    if not isinstance(cnt.schema["_v"].dataType, NumericType):
+        # the window orders _v natively: cast-based bucketing is only
+        # order-consistent for numeric keys — degrade to one bucket
+        # (the old percentile_approx-raises fallback)
+        bkt = F.when(F.col("_v").isNull(), F.lit(-1)).otherwise(F.lit(0))
     else:
-        # NULL -> -1 (NULLS FIRST) needs an EXPLICIT isNull branch —
-        # least() SKIPS nulls, so coalesce(least(width_bucket(NULL), hi),
-        # -1) was hi, silently sending NULL keys to the TOP bucket; NaN
-        # (width_bucket -> NULL on a non-null value) coalesces to the top
-        # bucket, where Spark's ordering puts it
-        bkt = F.when(F.col("_v").isNull(), F.lit(-1)).otherwise(
+        # NULL -> a rail below every finite bucket (NULLS FIRST) via an
+        # EXPLICIT isNull branch; NaN takes the helper's top rail (NaN
+        # sorts LAST in Spark's ordering)
+        bkt = F.when(F.col("_v").isNull(), F.lit(-(1 << 30))).otherwise(
             F.coalesce(
-                F.least(
-                    F.width_bucket(F.col("_v").cast("double"), F.lit(flo), F.lit(fhi), F.lit(254)),
-                    F.lit(255),
-                ),
-                F.lit(255),
+                monotone_log_bucket(F.col("_v").cast("double"), 256),
+                F.lit(1 << 30),
             )
         )
     bucketed = cnt.withColumn("_gb", bkt.cast("int"))

@@ -30,9 +30,12 @@ contract at all).
 
 from __future__ import annotations
 
+import math
+
 from decimal import Decimal
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import NumericType
 
 __all__ = [
     "weighted_quantiles_by_group",
@@ -41,7 +44,63 @@ __all__ = [
     "with_global_index",
     "interpolated_quantiles_by_group",
     "bucketed_cumsum",
+    "monotone_log_bucket",
 ]
+
+# ---------------------------------------------------------------------------
+# Deterministic order-preserving bucketing (r10 optimization round).
+#
+# Every distributed order-stat primitive here needs a bucket id that is a
+# monotone function of the value, purely to LOAD-BALANCE the within-bucket
+# ordered pass (offsets make the answer bucketing-invariant — pinned by the
+# path-parity tests).  The original r10 design derived [p1, p99] edges from
+# a percentile_approx job per call — one extra full scan of the input plus a
+# driver round-trip, at EVERY scale (guide §1.2: remove passes before tuning
+# anything else).  This helper replaces those edges with a DATA-INDEPENDENT
+# map: `floor(log(|v|) * S/ln 2)` slices each power-of-two octave of the
+# double range into S slots, with rails for sign/zero/NaN/±inf, so bucket id
+# is a pure codegen function of the value — no edges job, no sample, no
+# driver literal baked from data.
+#
+# Monotonicity: within a sign region the chain  v -> |v| -> log -> *K ->
+# floor  is monotone as COMPUTED: StrictMath/Math.log is monotone (fdlibm),
+# and IEEE multiply by a positive literal and floor are monotone under
+# rounding.  tests/test_log_bucket.py pins this against the actual JVM on
+# every octave boundary of the double range (subnormals included, with
+# nextafter neighbors) plus ~60k random nextafter pairs.
+#
+# Balance: S slots per octave means data spanning k octaves spreads over
+# ~k*S buckets (uniform-[a,2a) data fills all S slots of one octave).  The
+# worst-case bucket-id range is +/- ~5*OFF (a few hundred thousand), so the
+# per-bucket collects stay bounded: at most (octaves spanned) * S non-empty
+# rows — ~2100*S for data spanning the whole double range, a few MB on the
+# driver in the absolute worst case, dozens of rows for real metric data.
+# ---------------------------------------------------------------------------
+
+
+def monotone_log_bucket(v: Column, slots_per_octave: int = 64) -> Column:
+    """Deterministic, data-independent, order-preserving bucket id for a
+    DOUBLE column: smaller value -> smaller (or equal) bucket, computed
+    entirely in codegen (no edges job, no sampled literals).
+
+    NULL input yields NULL — callers decide where NULLs sort (every call
+    site wraps this in an explicit isNull branch).  NaN gets the top
+    bucket (Spark sorts NaN last), ±inf get rails beyond every finite
+    bucket, zero (either sign) gets bucket 0.
+    """
+    k = float(slots_per_octave) / math.log(2.0)
+    # |log|v|| <= 744.44 (ln of the smallest denormal), so |pos| <= off-2
+    off = int(745.0 * k) + 2
+    a = F.abs(v)
+    pos = F.floor(F.log(a) * F.lit(k)).cast("long")
+    return (
+        F.when(F.isnan(v), F.lit(5 * off))
+        .when(v == F.lit(float("inf")), F.lit(4 * off))
+        .when(v == F.lit(float("-inf")), F.lit(-4 * off))
+        .when(v == F.lit(0.0), F.lit(0))
+        .when(v > F.lit(0.0), F.lit(off) + pos)
+        .otherwise(F.lit(-off) - pos)
+    ).cast("int")
 
 
 def global_rank_pick(
@@ -335,15 +394,16 @@ def weighted_quantiles_by_group(
     the first r10 cut checkpointed the full distinct (group, value) frame
     and windowed all of it, and the 20M-row smoke showed that checkpoint
     dominating under storage-memory pressure):
-    1. bucket edges come from ``percentile_approx`` over a seeded 1%
-       SAMPLE of the raw rows — edges affect ONLY load balance: the
-       cumulative weights, and hence the crossing rows, are identical
-       for any bucketing;
-    2. bucket id = one codegen ``width_bucket`` call, a pure monotone
-       function of v (NOT a per-boundary literal when-chain: a deep
-       nested expression is fine to filter on but pathological to carry
-       through window/join codegen — measured 17s to project a 63-term
-       chain column vs 0.4s for width_bucket);
+    1. bucket id = one codegen ``monotone_log_bucket`` expression — a
+       DATA-INDEPENDENT order-preserving map (r10 optimization round:
+       the earlier percentile_approx-over-1%-sample edges job cost one
+       extra full scan + driver round-trip per call; edges affect ONLY
+       load balance — the cumulative weights, and hence the crossing
+       rows, are identical for any bucketing).  Still not a
+       per-boundary literal when-chain: a deep nested expression is
+       fine to filter on but pathological to carry through window/join
+       codegen — measured 17s to project a 63-term chain column vs
+       0.4s for a single codegen builtin;
     3. ONE corpus pass computes per-(group, bucket) weight totals
        straight off the RAW rows (map-side combined, no distinct) and
        folds the weight-positivity guard into the same aggregate —
@@ -359,8 +419,8 @@ def weighted_quantiles_by_group(
        is picked by two exact DECIMAL-product comparisons
        (den*cum >= num*W > den*cum_before) in ONE conditional
        aggregation.
-    ``df`` is scanned three times (sample, totals, covering slice) —
-    cache it upstream if scans are expensive.
+    ``df`` is scanned twice (totals, covering slice) — cache it
+    upstream if scans are expensive.
     """
     if not quantiles:
         raise ValueError("quantiles must be a non-empty {name: (num, den)} dict")
@@ -376,44 +436,24 @@ def weighted_quantiles_by_group(
         value.alias("_v"),
         weight.cast("decimal(18,6)").alias("_w"),
     )
-    try:
-        plo, phi = (
-            raw.sample(fraction=0.01, seed=9377)
-            .agg(
-                F.percentile_approx(
-                    F.col("_v").cast("double"), [0.01, 0.99], 1000
-                ).alias("_p")
-            )
-            .first()["_p"]
-        )
-        flo, fhi = float(plo), float(phi)
-    except Exception:
-        # non-numeric (but orderable) value type, or an empty/degenerate
-        # sample: fall back to one bucket per group — still exact, just
-        # one window partition per group
-        flo = fhi = None
-    if num_buckets < 3:
-        flo = None  # degenerate request: single bucket per group
-    if flo is None or not (fhi > flo):
-        bkt = F.lit(0)
+    # r10 optimization round: bucket ids come from the data-independent
+    # monotone_log_bucket (order-preserving pure codegen) instead of
+    # percentile_approx edges over a 1% sample — one fewer full scan and
+    # one fewer driver round-trip per call at every scale; the answer is
+    # bucketing-invariant (path-parity pinned), edges only load-balanced.
+    # NULL _v -> a rail below every finite bucket (NULLS FIRST).  The
+    # window below orders _v in its NATIVE type, so the cast("double")
+    # bucketing is only order-consistent for numeric value types; a
+    # non-numeric (but orderable) type falls back to one bucket per
+    # group — the same single-window degradation the old
+    # percentile_approx-raises path had.
+    if num_buckets < 3 or not isinstance(raw.schema["_v"].dataType, NumericType):
+        bkt = F.when(F.col("_v").isNull(), F.lit(-1)).otherwise(F.lit(0))
     else:
-        # monotone in _v: 0 below p1, 1..B-2 inside, B-1 at/above p99.
-        # NULL _v -> -1 (NULLS FIRST) needs an EXPLICIT isNull branch:
-        # least() skips nulls, so the old coalesce idiom sent NULLs to
-        # the TOP bucket.  NaN (width_bucket -> NULL) coalesces to the
-        # top bucket, where it belongs (NaN sorts last in Spark).
-        bkt = F.when(F.col("_v").isNull(), F.lit(-1)).otherwise(
+        bkt = F.when(F.col("_v").isNull(), F.lit(-(1 << 30))).otherwise(
             F.coalesce(
-                F.least(
-                    F.width_bucket(
-                        F.col("_v").cast("double"),
-                        F.lit(flo),
-                        F.lit(fhi),
-                        F.lit(num_buckets - 2),
-                    ),
-                    F.lit(num_buckets - 1),
-                ),
-                F.lit(num_buckets - 1),
+                monotone_log_bucket(F.col("_v").cast("double"), num_buckets),
+                F.lit(1 << 30),
             )
         )
     bucketed = raw.withColumn("_b", bkt.cast("int"))
@@ -536,10 +576,11 @@ def with_global_index(
 ):
     """Attach an exact GLOBAL 1-based dense row index ordered by
     ``(value_col, *tiebreaks)`` — distributedly: one codegen
-    ``width_bucket`` over the approx [p1, p99] span of ``value_col``
-    buckets the rows (edges are driver-baked literals, so bucket ids are
-    pure functions of the value), per-bucket counts are collected
-    (bounded by num_buckets) and prefix-summed on the driver, and the
+    ``monotone_log_bucket`` expression buckets the rows (a pure
+    DATA-INDEPENDENT order-preserving function of the value — no edges
+    job at all since the r10 optimization round), per-bucket counts are
+    collected (bounded by the octave span) and prefix-summed on the
+    driver, and the
     within-bucket ``row_number`` runs partitioned by bucket — no
     data-sized single-partition sort anywhere.  The classic replacement
     for ``row_number().over(Window.orderBy(...))`` when EVERY row needs
@@ -555,26 +596,20 @@ def with_global_index(
     NULLS FIRST.
     """
     vc = F.col(value_col)
-    try:
-        plo, phi = df.agg(
-            F.percentile_approx(value_col, [0.01, 0.99], 1000).alias("_p")
-        ).first()["_p"]
-        flo, fhi = float(plo), float(phi)
-    except Exception:
-        flo = fhi = None
-    if num_buckets < 3:
-        flo = None  # degenerate request: one bucket
-    if flo is None or not (fhi > flo):
+    # r10 optimization round: data-independent monotone_log_bucket
+    # replaces the percentile_approx edges job (which here scanned the
+    # FULL frame, not even a sample) — one fewer scan + driver
+    # round-trip; ranks are bucketing-invariant (offsets absorb any
+    # monotone bucketing).  NaN takes the helper's top rail (NaN sorts
+    # last); value_col is non-null numeric by contract, but a
+    # non-numeric orderable type still degrades safely to one bucket
+    # (the window orders value_col natively, so a cast-based bucket
+    # would not be order-consistent for it).
+    if num_buckets < 3 or not isinstance(df.schema[value_col].dataType, NumericType):
         bkt = F.lit(0)
     else:
         bkt = F.coalesce(
-            F.least(
-                F.width_bucket(
-                    vc.cast("double"), F.lit(flo), F.lit(fhi), F.lit(num_buckets - 2)
-                ),
-                F.lit(num_buckets - 1),
-            ),
-            F.lit(-1),
+            monotone_log_bucket(vc.cast("double"), num_buckets), F.lit(1 << 30)
         )
     bucketed = df.withColumn("_gb", bkt.cast("int"))
     totals = bucketed.groupBy("_gb").agg(F.count(F.lit(1)).alias("_t")).collect()
@@ -616,18 +651,20 @@ def interpolated_quantiles_by_group(
     with NO materialization at all (late-r10 rework — the first cut
     checkpointed the full distinct (group, value) frame, and the 40M-row
     smoke showed that checkpoint dominating and going superlinear under
-    storage-memory pressure): bucket edges come from percentile_approx
-    over a seeded 1% SAMPLE of the raw rows (edges only load-balance —
-    results are bucketing-invariant by construction), per-(group, bucket)
+    storage-memory pressure): bucket ids come from the data-independent
+    ``monotone_log_bucket`` codegen map (r10 optimization round — the
+    earlier sampled percentile_approx edges job cost one extra scan +
+    driver round-trip; buckets only load-balance, results are
+    bucketing-invariant by construction), per-(group, bucket)
     totals aggregate the RAW rows (map-side combined, no distinct),
     offsets and target ranks are computed on the driver, and only the
     COVERING buckets — the <= 2 * len(probs) buckets per group that can
     contain a requested rank — are filtered (broadcast semi-style join on
     the bounded offsets table), deduplicated, windowed, and fed to ONE
     conditional aggregation that picks the two neighbor values per
-    quantile.  ``df`` is scanned three times (sample, totals, covering
-    slice) — cache it upstream if scans are expensive; no task ever holds
-    more than its partition slice of one bucket.
+    quantile.  ``df`` is scanned twice (totals, covering slice) — cache
+    it upstream if scans are expensive; no task ever holds more than its
+    partition slice of one bucket.
 
     Interpolation mirrors Percentile.getPercentile exactly: for p over n
     values, ``pos = p * (n - 1)`` (double), ``lower = floor(pos)``,
@@ -653,32 +690,17 @@ def interpolated_quantiles_by_group(
     raw = df.select(
         group.cast("string").alias("_g"), value.cast("double").alias("_v")
     ).filter(F.col("_v").isNotNull())
-    # Bucket edges load-balance only — any edges yield the same answer —
-    # so a seeded 1% sample is enough, and an empty/degenerate sample
-    # just collapses to one bucket (exact, only less parallel).
-    try:
-        plo, phi = (
-            raw.sample(fraction=0.01, seed=9377)
-            .agg(F.percentile_approx("_v", [0.01, 0.99], 1000).alias("_p"))
-            .first()["_p"]
-        )
-        flo, fhi = float(plo), float(phi)
-    except Exception:
-        flo = fhi = None
-    if num_buckets < 3 or flo is None or not (fhi > flo):
+    # Buckets load-balance only — any monotone bucketing yields the same
+    # answer — so the r10 optimization round swapped the sampled
+    # percentile_approx edges job for the data-independent
+    # monotone_log_bucket: one fewer scan + driver round-trip per call.
+    # NULLs are filtered above; NaN takes the helper's top rail (the
+    # same NaN-last ordering percentile() uses).
+    if num_buckets < 3:
         bkt = F.lit(0)
     else:
-        # NULLs are filtered above; NaN makes width_bucket NULL and sorts
-        # LAST in Spark, so it coalesces to the TOP bucket (same ordering
-        # percentile() uses)
         bkt = F.coalesce(
-            F.least(
-                F.width_bucket(
-                    F.col("_v"), F.lit(flo), F.lit(fhi), F.lit(num_buckets - 2)
-                ),
-                F.lit(num_buckets - 1),
-            ),
-            F.lit(num_buckets - 1),
+            monotone_log_bucket(F.col("_v"), num_buckets), F.lit(1 << 30)
         )
     bucketed = raw.withColumn("_b", bkt.cast("int"))
     totals = bucketed.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_t")).collect()
@@ -788,12 +810,13 @@ def bucketed_cumsum(
     ``n_rows`` (any upper bound on cnt's row count) is at or below
     SMALL_ROWS, one plain ordered window runs — the frame fits a single
     partition and that is the cheapest correct plan.  Above it, the r10
-    deterministic-bucket path: one codegen ``width_bucket`` over
-    driver-baked approx [p1, p99] literal edges of ``order_col`` (bucket
-    id = pure function of the value — independent of partitioning,
-    scheduling, and checkpoint block lifetime; edges only load-balance),
-    per-bucket totals of every requested column collected (bounded:
-    num_buckets rows), prefix offsets per column computed on the driver,
+    deterministic-bucket path: one codegen ``monotone_log_bucket``
+    expression over ``order_col`` (bucket id = pure DATA-INDEPENDENT
+    function of the value — no edges job at all since the r10
+    optimization round; independent of partitioning, scheduling, and
+    checkpoint block lifetime; buckets only load-balance),
+    per-bucket totals of every requested column collected (bounded by
+    the octave span), prefix offsets per column computed on the driver,
     and the within-bucket exclusive window runs PARTITIONED BY bucket —
     all cores busy, no data-sized single-partition sort.  Both paths
     emit identical exact integers (CI-pinned), so certified consumers
@@ -816,36 +839,28 @@ def bucketed_cumsum(
                 name, F.coalesce(F.sum(c).over(w), F.lit(0)).cast("long")
             )
         return out
-    try:
-        plo, phi = cnt.agg(
-            F.percentile_approx(
-                F.col(order_col).cast("double"), [0.01, 0.99], 1000
-            ).alias("_p")
-        ).first()["_p"]
-        flo, fhi = float(plo), float(phi)
-    except Exception:
-        flo = fhi = None
-    if num_buckets < 3 or flo is None or not (fhi > flo):
-        bkt = F.lit(0)
+    # r10 optimization round: the data-independent monotone_log_bucket
+    # replaces the percentile_approx edges job (which scanned the FULL
+    # cnt frame) — one fewer scan + driver round-trip per call; the
+    # running totals are bucketing-invariant (offsets absorb any
+    # monotone bucketing; both paths CI-pinned identical).  The window
+    # below orders by order_col in its NATIVE type, so bucketing via
+    # cast("double") is only order-consistent for numeric inputs — a
+    # non-numeric orderable type falls back to one bucket (the same
+    # degradation the old percentile_approx-raises path had).
+    numeric = isinstance(cnt.schema[order_col].dataType, NumericType)
+    if num_buckets < 3 or not numeric:
+        bkt = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(F.lit(0))
     else:
-        # NULL -> bucket -1 (sorts first, matching NULLS FIRST) via an
-        # EXPLICIT isNull branch: Spark's least() SKIPS nulls, so
-        # least(width_bucket(NULL), hi) is hi, not NULL — the coalesce
-        # idiom silently sent NULLs to the TOP bucket.  width_bucket(NaN)
-        # is also NULL, and NaN sorts LAST, so non-null values falling
-        # out of width_bucket coalesce to the top bucket (correct).
-        bkt = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(
+        # NULL -> a rail below every finite bucket (sorts first, matching
+        # NULLS FIRST) via an EXPLICIT isNull branch; NaN takes the
+        # helper's top rail (NaN sorts LAST in Spark).
+        bkt = F.when(F.col(order_col).isNull(), F.lit(-(1 << 30))).otherwise(
             F.coalesce(
-                F.least(
-                    F.width_bucket(
-                        F.col(order_col).cast("double"),
-                        F.lit(flo),
-                        F.lit(fhi),
-                        F.lit(num_buckets - 2),
-                    ),
-                    F.lit(num_buckets - 1),
+                monotone_log_bucket(
+                    F.col(order_col).cast("double"), num_buckets
                 ),
-                F.lit(num_buckets - 1),
+                F.lit(1 << 30),
             )
         )
     bucketed = cnt.withColumn("_cs_b", bkt.cast("int"))
