@@ -765,7 +765,14 @@ def nb_train(
     Shuffle shape: one groupBy on (cls, token) for counts, one tiny
     groupBy for the vocabulary (top-``vocab_size`` by corpus token count,
     token-lexicographic tie-break), one for class totals; everything
-    after the counts is broadcast-sized.
+    after the counts is broadcast-sized.  r10 optimization round: the
+    bounded intermediates are localCheckpointed — ``vocab`` is
+    vocab_size rows and ``in_vocab`` at most n_classes * vocab_size —
+    because the lazy grid plan otherwise re-executes the corpus-sized
+    tokenize + (cls, token) groupBy once per consumer (the vocab rank,
+    the class totals, and the grid join each re-derived ``counts``:
+    three corpus passes per model execution, and nb_predict executed
+    the model twice more — ~6 corpus scans for one bounded grid).
     """
     tok = docs.select(cls.alias("cls"), F.explode(_tokens(text)).alias("token"))
     counts = tok.groupBy("cls", "token").agg(F.count(F.lit(1)).alias("cnt"))
@@ -774,8 +781,13 @@ def nb_train(
     # TakeOrderedAndProject — each partition keeps only its local top
     # vocab_size, so no single-partition global sort of the full distinct
     # vocabulary (billions of tokens at web scale).
-    vocab = corpus.orderBy(F.desc("tf"), F.asc("token")).limit(vocab_size).select("token")
-    in_vocab = counts.join(F.broadcast(vocab), "token")
+    vocab = (
+        corpus.orderBy(F.desc("tf"), F.asc("token"))
+        .limit(vocab_size)
+        .select("token")
+        .localCheckpoint()
+    )
+    in_vocab = counts.join(F.broadcast(vocab), "token").localCheckpoint()
     class_totals = in_vocab.groupBy("cls").agg(F.sum("cnt").alias("class_tokens"))
     v = F.lit(vocab_size)
     grid = (
@@ -811,6 +823,11 @@ def nb_predict(docs: DataFrame, doc_id: Column, text: Column, model: DataFrame) 
     The model (classes x vocab rows) and the prior table are broadcast;
     the only shuffle is the (doc_id, cls) aggregation.
     """
+    # r10 optimization round: the model grid is bounded (n_classes *
+    # vocab_size rows) but its plan is corpus-sized — it feeds BOTH the
+    # prior table and the broadcast scoring join, so without a
+    # materialization the whole training pipeline executed twice.
+    model = model.localCheckpoint()
     # priors from the model's class-total counts: P(cls) ∝ class token mass.
     class_mass = model.groupBy("cls").agg(F.sum("cnt").alias("mass"))
     total = class_mass.agg(F.sum("mass").alias("tot"))

@@ -161,11 +161,19 @@ def line_frequency_dedup(
       a long, never line text, and the distinct pass keeps map-side
       partial aggregation;
     - the boilerplate set (digests with df >= min_docs) is a tiny fraction
-      of distinct lines; the removal join is digest-keyed left-anti, and
-      AQE broadcasts the boilerplate side when it fits;
+      of distinct lines; removal is a digest-keyed LEFT join + null flag
+      (r10 optimization round: the earlier left-anti + separate totals
+      aggregate scanned the exploded line frame THREE times — boiler set,
+      anti join, per-doc totals — and joined the doc spine twice; marking
+      instead of dropping lets ONE per-doc aggregation produce kept text,
+      total line count, and kept count together, so the corpus is
+      exploded twice, not three times, with one fewer shuffle and one
+      fewer spine join, identical output).  AQE broadcasts the
+      boilerplate side when it fits;
     - reassembly groups by doc id (array_sort over (pos, line) structs —
-      lines-per-doc bounded, per-row codegen), so full text crosses the
-      wire exactly once.
+      lines-per-doc bounded, per-row codegen; collect_list SKIPS the
+      NULL-marked boilerplate rows), so full text crosses the wire
+      exactly once.
     """
     lines = df.select(
         F.col(id_col).alias("_id"),
@@ -178,24 +186,30 @@ def line_frequency_dedup(
         .groupBy("_key")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") >= min_docs)
-        .select("_key")
+        .select("_key", F.lit(1).alias("_bl"))
     )
-    kept = keyed.join(boiler, "_key", "left_anti")
-    rebuilt = kept.groupBy("_id").agg(
+    marked = keyed.join(boiler, "_key", "left")
+    per_doc = marked.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col("_bl").isNull(), F.lit(1))).alias("_n_kept"),
         F.concat_ws(
             delim,
             F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_line")))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_bl").isNull(),
+                            F.struct(F.col("_pos"), F.col("_line")),
+                        )
+                    )
+                ),
                 lambda s: s["_line"],
             ),
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("_n_kept"),
     )
-    totals = keyed.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
     return (
         df.select(F.col(id_col))
-        .join(totals.withColumnRenamed("_id", id_col), id_col, "left")
-        .join(rebuilt.withColumnRenamed("_id", id_col), id_col, "left")
+        .join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),

@@ -959,11 +959,17 @@ def rank_buckets(
     broadcast-able LUT join back — document rows shuffle once, on the
     (group, value) key they already aggregate on.  All threshold arithmetic
     is integer (``(n*i + k-1) DIV k``), so buckets are engine-portable.
+    r10 optimization round: the per-group totals aggregate off the
+    HISTOGRAM (sum of its counts == rows per group), not the raw frame —
+    deriving it from ``df`` re-executed the caller's whole upstream plan
+    (dolma's tokenize + unigram-logprob chain) a third time; the two
+    histogram aggregations now share one identical (group, value)
+    exchange, which ReuseExchange collapses to a single scan.
     """
     order = F.col(value_col).desc() if descending else F.col(value_col).asc()
     hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_c"))
     w = Window.partitionBy(group_col).orderBy(order)
-    totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    totals = hist.groupBy(group_col).agg(F.sum("_c").alias("_n"))
     b = hist.withColumn("_cb", F.sum("_c").over(w) - F.col("_c")).join(totals, group_col)
     bucket = F.lit(1)
     for i in range(1, n_buckets):
