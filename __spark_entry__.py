@@ -39,13 +39,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # spearman_spend_vs_orders ride the width-bucket _rank2 rework, and —
 # late-session — roc_auc_purchase / mann_whitney_values / ks_drift_value
 # / zipf_slope moved onto orderstats.bucketed_cumsum with the NULL-
-# bucket fix, so they lead too); the remaining slots rotate the OLDEST
-# still-unrotated certified queries (r01 residue, the two r02 rows, and
-# the alphabetical head of the r03 cohort), guarding long-untouched
-# operators against silent drift.  Exactly 50 slots, zero fall-through.
-# Nothing is ever dropped: certified queries stay registered.
+# bucket fix, so they lead too, and — final session — the five riders
+# on the multi-scan eliminations: ccnet_perplexity_buckets /
+# dolma_attribute_tags on the rank_buckets ReuseExchange totals,
+# line_boilerplate_clean on the one-aggregation line dedup, and
+# nb_train_lang / nb_predict_lang on the materialized NB model grid);
+# the remaining slots rotate the OLDEST still-unrotated certified
+# queries (r01 residue, the two r02 rows, and the alphabetical head of
+# the r03 cohort), guarding long-untouched operators against silent
+# drift.  Exactly 50 slots, zero fall-through.  Nothing is ever
+# dropped: certified queries stay registered.
 _ROUND10_PREFIX = [
-    # ---- slots 1-16: new or changed (or perf-flagged) in round 10 ----
+    # ---- slots 1-21: new or changed (or perf-flagged) in round 10 ----
     "price_decile_grid",
     "weighted_median_price_by_flag", "icws_weighted_near_dupes",
     "trend_daily_revenue", "js_divergence_sources", "embedding_knn_join",
@@ -54,12 +59,14 @@ _ROUND10_PREFIX = [
     "spearman_spend_vs_orders",
     "roc_auc_purchase", "mann_whitney_values", "ks_drift_value",
     "zipf_slope",
-    # ---- slots 17-22: the r01-certified residue ----
+    "ccnet_perplexity_buckets", "dolma_attribute_tags",
+    "line_boilerplate_clean", "nb_train_lang", "nb_predict_lang",
+    # ---- slots 22-27: the r01-certified residue ----
     "bpe_token_count", "embedding_cosine_topk", "lang_id_pred",
     "ngram_jaccard_pairs", "text_quality", "token_frequencies",
-    # ---- slots 23-24: the r02 cohort ----
+    # ---- slots 28-29: the r02 cohort ----
     "html_strip", "pii_redact",
-    # ---- slots 25-50: alphabetical head of the r03 cohort ----
+    # ---- slots 30-50: alphabetical head of the r03 cohort ----
     "ab_test_event_values", "audience_overlap_matrix",
     "bloom_incremental_dedup", "chi2_type_vs_daypart", "data_quality_check",
     "data_quality_profile", "dau_wau_stickiness", "ddsketch_value_quantiles",
@@ -67,10 +74,9 @@ _ROUND10_PREFIX = [
     "event_transition_probs", "frequent_part_pairs",
     "funnel_conversion_deadline", "fuzzy_join_part_names",
     "gopher_filter_verdicts", "grouped_regression_hourly",
-    "grouping_sets_revenue", "kn_bigram_logprob", "latest_state_per_user",
-    "map_functions_props", "normalize_tokenize_text", "pagerank_trade_graph",
-    "psi_value_drift", "quality_classifier_score",
-    "repeat_purchase_intervals", "revenue_concentration",
+    "grouping_sets_revenue", "kn_bigram_logprob",
+    "pagerank_trade_graph", "revenue_concentration",
+    "latest_state_per_user",
 ]
 _ROUND10_RANK = {name: i for i, name in enumerate(_ROUND10_PREFIX)}
 
