@@ -16,6 +16,16 @@ history, so bench.py's 2x-floor rerun check measures the query that
 exists rather than one that was deliberately replaced.  A reset name
 must be covered by at least one provided readings file (the fresh
 isolated reading is the new seed).
+
+Resets are PERSISTENT: the reset epoch is recorded in
+BENCH_FLOORS.json under "resets", and every later regeneration skips
+BENCH_DETAIL revisions committed BEFORE a query's reset when scanning
+history (post-reset in-bench readings still lower the floor).  Without
+this, the next plain regeneration silently resurrected the pre-rework
+floor from old revisions — which is exactly what happened to
+trimmed_mean_by_type in round 10 (reset to the constant-memory
+implementation's ~2s, re-folded back to the deleted percentile()
+implementation's 0.457s by the next fold).
 """
 
 from __future__ import annotations
@@ -24,6 +34,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -55,20 +66,29 @@ def main() -> None:
         i += 1
 
     floors: dict[str, float] = {}
+    reset_epochs: dict[str, int] = {}
     # keep existing floors so a floor never rises when old BENCH_DETAIL
     # revisions fall out of scope — except explicitly reset queries
     path = os.path.join(REPO, "BENCH_FLOORS.json")
     if os.path.exists(path):
-        floors.update(json.load(open(path)).get("floors", {}))
+        prev = json.load(open(path))
+        floors.update(prev.get("floors", {}))
+        reset_epochs.update(prev.get("resets", {}))
+    now = int(time.time())
     for name in resets:
         floors.pop(name, None)
-    revs = subprocess.run(
-        ["git", "log", "--format=%H", "--", "BENCH_DETAIL.json"],
+        reset_epochs[name] = now
+    rev_lines = subprocess.run(
+        ["git", "log", "--format=%H %ct", "--", "BENCH_DETAIL.json"],
         capture_output=True,
         text=True,
         cwd=REPO,
-    ).stdout.split()
-    for rev in revs:
+    ).stdout.splitlines()
+    for line in rev_lines:
+        parts = line.split()
+        if len(parts) != 2:
+            continue
+        rev, ctime = parts[0], int(parts[1])
         raw = subprocess.run(
             ["git", "show", f"{rev}:BENCH_DETAIL.json"],
             capture_output=True,
@@ -82,8 +102,8 @@ def main() -> None:
         if d.get("sf") != 0.1:
             continue
         for k, v in d.get("queries", {}).items():
-            if k in resets:
-                continue  # history predates the intentional rework
+            if ctime < reset_epochs.get(k, 0):
+                continue  # reading predates the intentional rework
             if k not in floors or v < floors[k]:
                 floors[k] = v
     seen_in_files: set[str] = set()
@@ -102,6 +122,8 @@ def main() -> None:
             f"--reset queries need a fresh reading in a provided file: {sorted(missing)}"
         )
     out = {"_doc": _DOC, "floors": {k: round(v, 3) for k, v in sorted(floors.items())}}
+    if reset_epochs:
+        out["resets"] = dict(sorted(reset_epochs.items()))
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")
