@@ -171,7 +171,24 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    # Heap pre-touch (r10): the measurement host intermittently throttles
+    # fresh anonymous page faults to ~500-1000us each (tools/host_probe.py;
+    # normal ~1us) — a JVM that grows/shrinks its heap lazily then spends
+    # 90% of its CPU in the kernel and the bench measures the hypervisor,
+    # not the engine (observed: 158s warmup, first query >25 min, JVM
+    # stime:utime 10:1).  A committed-and-pre-touched heap floor faults its
+    # pages ONCE, in parallel, at session init (untimed) and never returns
+    # them, so per-query numbers stay page-fault-free.  -Xmx is unchanged
+    # (SPARK_DRIVER_MEMORY, default 64g): above the floor the heap can
+    # still grow, and AlwaysPreTouch covers those commits too.  Floor size
+    # is env-tunable; empty SPARK_GRAFT_XMS disables the whole thing.
+    xms = os.environ.get("SPARK_GRAFT_XMS", "16g")
+    extra = (
+        {"spark.driver.extraJavaOptions": f"-Xms{xms} -XX:+AlwaysPreTouch"} if xms else {}
+    )
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus), extra_conf=extra
+    )
     # warm the JVM/codegen/parquet/json paths so per-query numbers measure the
     # plan, not one-time initialization
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -35,11 +35,17 @@ def run_child(name: str, n_warms: int = 3) -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    # Pre-touched heap floor (see bench.py): keeps the reading free of the
+    # host's throttled-page-fault pathology; 4g is plenty for one query.
+    xms = os.environ.get("SPARK_GRAFT_XMS", "4g")
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    if xms:
+        extra["spark.driver.extraJavaOptions"] = f"-Xms{xms} -XX:+AlwaysPreTouch"
     spark = get_spark(
         app_name=f"iso-{name}",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf=extra,
     )
     # same session warmers as bench.py so "cold" measures the QUERY's
     # first compile, not one-time session init
