@@ -182,7 +182,15 @@ def main() -> None:
     # (SPARK_DRIVER_MEMORY, default 64g): above the floor the heap can
     # still grow, and AlwaysPreTouch covers those commits too.  Floor size
     # is env-tunable; empty SPARK_GRAFT_XMS disables the whole thing.
-    xms = os.environ.get("SPARK_GRAFT_XMS", "16g")
+    # Default is a FIXED heap (Xmx pinned to the same size unless the
+    # caller set SPARK_DRIVER_MEMORY): a large lazy Xmx lets G1's
+    # ergonomic expand/shrink above the floor re-enter the throttled
+    # fault path mid-bench (observed as a creeping stime:utime ratio and
+    # ~1.8x-inflated readings in the second half of a full run).  24g is
+    # ~2.5x the live-set high-water observed across the full corpus.
+    xms = os.environ.get("SPARK_GRAFT_XMS", "24g")
+    if xms:
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", xms)
     extra = (
         {"spark.driver.extraJavaOptions": f"-Xms{xms} -XX:+AlwaysPreTouch"} if xms else {}
     )

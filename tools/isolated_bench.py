@@ -35,11 +35,17 @@ def run_child(name: str, n_warms: int = 3) -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
-    # Pre-touched heap floor (see bench.py): keeps the reading free of the
-    # host's throttled-page-fault pathology; 4g is plenty for one query.
-    xms = os.environ.get("SPARK_GRAFT_XMS", "4g")
+    # FIXED pre-touched heap (see bench.py): keeps the reading free of the
+    # host's throttled-page-fault pathology.  Xms alone is not enough —
+    # with a large lazy Xmx, G1's ergonomic expand/shrink above the floor
+    # re-enters the throttled fault path (observed: one query burning 3+
+    # CPU-hours of kernel time); pinning Xmx == Xms means the heap never
+    # changes size after the untimed pre-touch.  8g is plenty for one
+    # query at bench scale.
+    xms = os.environ.get("SPARK_GRAFT_XMS", "8g")
     extra = {"spark.ui.showConsoleProgress": "false"}
     if xms:
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", xms)
         extra["spark.driver.extraJavaOptions"] = f"-Xms{xms} -XX:+AlwaysPreTouch"
     spark = get_spark(
         app_name=f"iso-{name}",

@@ -45,6 +45,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "8g")  # fixed heap == Xms
     spark = get_spark(
         app_name=f"profile-{name}",
         master=f"local[{cpus}]",
@@ -52,7 +53,7 @@ def main() -> None:
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
             "spark.ui.enabled": "true",
-            "spark.driver.extraJavaOptions": "-Xms4g -XX:+AlwaysPreTouch",
+            "spark.driver.extraJavaOptions": "-Xms8g -XX:+AlwaysPreTouch",
         },
     )
     sc = spark.sparkContext
