@@ -148,6 +148,13 @@ def semi_join_prefilter(
     keys = dim_df.select(dim_key.alias("_dk"))
     if distinct_keys:
         keys = keys.distinct()
+    # The key frame feeds up to three executions (the sizing count, the
+    # bloom-words build, the exact verify join) and each re-runs the
+    # upstream scan + distinct shuffle — materialize it once.  The frame
+    # is exactly the dim keys (the side already assumed shuffle-affordable
+    # by the verify join), so the checkpoint is distributed and bounded.
+    if not keys.isStreaming:
+        keys = keys.localCheckpoint()
     n = n_dim_keys if n_dim_keys is not None else keys.count()
     m_bits, k = bloom_parameters(n, fpp)
     words = bloom_words(keys, F.col("_dk"), m_bits, k)
@@ -180,6 +187,11 @@ def incremental_dedup(
     keys = corpus_df.select(corpus_key.alias("_ck"))
     if distinct_keys:
         keys = keys.distinct()
+    # Same single-materialization rule as semi_join_prefilter: the corpus
+    # key frame otherwise re-executes its scan + distinct for the sizing
+    # count, the words build, and the verify anti-join.
+    if not keys.isStreaming:
+        keys = keys.localCheckpoint()
     n = n_corpus_keys if n_corpus_keys is not None else keys.count()
     m_bits, k = bloom_parameters(n, fpp)
     words = bloom_words(keys, F.col("_ck"), m_bits, k)

