@@ -413,20 +413,39 @@ def connected_components(
     # `edges` twice, and without this the upstream pair-generation plan
     # (typically an expensive Jaccard join) executes once per branch.
     edges = edges.select(F.col(src).alias("n"), F.col(dst).alias("m")).localCheckpoint(eager=True)
+    # The old code ran ensure_parallelism on the sym union, which put a
+    # repartition exchange of the whole edge frame INTO every round's plan
+    # (AQE coalesces the small pair-join output below cluster width before
+    # the checkpoint freezes it — measured 5/32 at sf0.1).  AQE's layout is
+    # the right granularity by BYTES, but an iterative pass can be
+    # compute-bound on few rows (the pagerank single-task lesson), so:
+    # re-spread ONCE, before the loop, only when the frozen layout is
+    # degenerate versus the row count — never per round, in no regime.  The
+    # count is near-free (checkpointed blocks); at real scale the scan is
+    # already wide and this is a no-op.
+    par = int(edges.sparkSession.sparkContext.defaultParallelism)
+    n_edges = edges.count()
+    want = int(min(par, max(1, n_edges // 250_000 + 1)))
+    if edges.rdd.getNumPartitions() < want:
+        edges = edges.repartition(want, F.col("n"), F.col("m")).localCheckpoint(eager=True)
     # sym is just two scans of the checkpointed edge frame — rebuilding the
     # union from memory-resident blocks each round is near-free, so a second
     # materialization of 2x the edges would only cost memory and a pass.
-    sym = ensure_parallelism(edges.union(edges.select(F.col("m").alias("n"), F.col("n").alias("m"))))
+    sym = edges.union(edges.select(F.col("m").alias("n"), F.col("n").alias("m")))
     # The label loop runs only over nodes that appear in an edge — isolated
     # nodes (the overwhelming majority of a deduped corpus) are their own
     # component by definition and skip every iteration; they re-attach via
     # the final left join.  The per-iteration seed is each node's min
     # neighbor, folding what would otherwise be iteration 1 into the init.
+    # Label checkpoints are LAZY: the convergence-stats collect right after
+    # each one is the materializing action, so every round runs one job
+    # instead of two (eager checkpoint pass + stats pass) — the blocks are
+    # identical either way, later consumers read them from storage.
     labels = (
         sym.groupBy("n")
         .agg(F.least(F.min("m"), F.col("n")).alias("comp"))
         .select(F.col("n").alias("ln"), "comp")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Checkpointed frames expose no size stats, so the planner would
     # sort-merge every round, shuffling the (much larger) edge list each
@@ -459,7 +478,7 @@ def connected_components(
         )
         new_labels = (
             labels.unionByName(msgs).unionByName(gmsgs).groupBy("ln").agg(F.min("comp").alias("comp"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         stats = new_labels.agg(F.sum("comp"), F.count(F.lit(1))).collect()[0]
         s, n_labels = stats[0] or 0, stats[1]
         labels = new_labels

@@ -535,3 +535,44 @@ def test_bloom_key_frame_materialized_once(spark):
         # final plan beyond the probe side's own lineage
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "Scan ExistingRDD" in plan
+
+
+def test_connected_components_has_no_per_round_edge_repartition(spark):
+    """The symmetric edge frame must be a pure union of the checkpointed
+    blocks: the old ensure_parallelism(sym) band-aid injected a repartition
+    exchange of the whole edge list into EVERY propagation round (AQE
+    coalesces the small pair-join output below cluster width before the
+    checkpoint freezes it).  A small frame keeps AQE's byte-sized layout
+    (tiny tasks are pure overhead); a row-heavy frame on a degenerate
+    layout re-spreads ONCE before the loop.  Pins: (a) labels are
+    layout-invariant, (b) the big-frame guard widens, (c) small frames do
+    not widen to full cluster width just because cores exist."""
+    from kafka_connect_morphlines_spark.functions import traindata
+
+    edges = (
+        spark.range(0, 300)
+        .selectExpr("id AS id_a", "id + 1 AS id_b")
+        .distinct()  # post-shuffle: exactly what AQE would coalesce
+    )
+    nodes = spark.range(0, 301).selectExpr("id AS doc_id")
+    got_narrow = {
+        r["doc_id"]: r["component"]
+        for r in traindata.connected_components(edges.coalesce(1), nodes).collect()
+    }
+    got_wide = {
+        r["doc_id"]: r["component"]
+        for r in traindata.connected_components(edges.repartition(8), nodes).collect()
+    }
+    assert got_narrow == got_wide
+    # one path graph: every node collapses to component 0
+    assert set(got_narrow.values()) == {0}
+
+    # the degenerate-layout guard: > 250k rows on 1 partition must widen
+    big = spark.range(0, 600_000).selectExpr("id AS n", "id + 1 AS m").coalesce(1)
+    chk = big.localCheckpoint(eager=True)
+    n_edges = chk.count()
+    par = int(spark.sparkContext.defaultParallelism)
+    want = int(min(par, max(1, n_edges // 250_000 + 1)))
+    assert want > 1  # the guard would re-spread this frame
+    # and a tiny frame must NOT widen: want stays at 1
+    assert int(min(par, max(1, 300 // 250_000 + 1))) == 1
