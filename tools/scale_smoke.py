@@ -27,7 +27,18 @@ from kafka_connect_morphlines_spark.functions import timeseries as timeseries_mo
 
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    spark = get_spark(app_name="scale_smoke", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    # FIXED pre-touched heap, same rationale as bench.py/isolated_bench: a
+    # lazy Xmx lets G1's ergonomic expand/shrink re-enter the host's
+    # throttled page-fault path mid-run (observed here as a 351s reading of
+    # a leg that reads 5.6s quiet and 13.7s under plain CPU contention —
+    # kernel time, not compute).  24g matches bench.py's floor; empty
+    # SPARK_GRAFT_XMS disables.
+    xms = os.environ.get("SPARK_GRAFT_XMS", "24g")
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    if xms:
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", xms)
+        extra["spark.driver.extraJavaOptions"] = f"-Xms{xms} -XX:+AlwaysPreTouch"
+    spark = get_spark(app_name="scale_smoke", extra_conf=extra)
 
     n_events = 20_000_000 * mult
     n_docs = 200_000 * mult
