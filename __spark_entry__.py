@@ -61,22 +61,29 @@ _ROUND10_PREFIX = [
     "zipf_slope",
     "ccnet_perplexity_buckets", "dolma_attribute_tags",
     "line_boilerplate_clean", "nb_train_lang", "nb_predict_lang",
-    # ---- slots 22-27: the r01-certified residue ----
+    # ---- slots 22-27: the session-5 reworks (ngram posting frame is the
+    # r01-residue slot below; these are its consumers plus the pagerank /
+    # bloom riders not already listed) ----
+    "dedup_cc_clusters", "dedup_keep_best", "leakage_safe_split",
+    "er_golden_record", "textrank_keywords", "bloom_semi_join_orders",
+    # ---- slots 28-33: the r01-certified residue ----
     "bpe_token_count", "embedding_cosine_topk", "lang_id_pred",
     "ngram_jaccard_pairs", "text_quality", "token_frequencies",
-    # ---- slots 28-29: the r02 cohort ----
+    # ---- slots 34-35: the r02 cohort ----
     "html_strip", "pii_redact",
-    # ---- slots 30-50: alphabetical head of the r03 cohort ----
+    # ---- slots 36-50: alphabetical head of the r03 cohort (six rows of
+    # the head yielded their slots to the session-5 reworks above —
+    # changed code outranks drift guards; they stay registered and
+    # rotate back in r11) ----
     "ab_test_event_values", "audience_overlap_matrix",
     "bloom_incremental_dedup", "chi2_type_vs_daypart", "data_quality_check",
-    "data_quality_profile", "dau_wau_stickiness", "ddsketch_value_quantiles",
-    "dominant_part_suppliers", "encode_documents_ids",
+    "data_quality_profile", "ddsketch_value_quantiles",
+    "dominant_part_suppliers",
     "event_transition_probs", "frequent_part_pairs",
-    "funnel_conversion_deadline", "fuzzy_join_part_names",
-    "gopher_filter_verdicts", "grouped_regression_hourly",
+    "funnel_conversion_deadline",
+    "gopher_filter_verdicts",
     "grouping_sets_revenue", "kn_bigram_logprob",
-    "pagerank_trade_graph", "revenue_concentration",
-    "latest_state_per_user",
+    "pagerank_trade_graph",
 ]
 _ROUND10_RANK = {name: i for i, name in enumerate(_ROUND10_PREFIX)}
 
