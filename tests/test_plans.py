@@ -305,7 +305,15 @@ def test_jaccard_joins_on_token_not_block(spark):
     (map-side combinable), never a per-pair array_intersect."""
     plan = plan_of(build(spark, "ngram_jaccard_pairs"), mode="extended")
     assert "array_intersect" not in plan, f"per-pair set intersect back in the plan:\n{plan}"
-    assert "xxhash64" in plan  # hashed tokens in the join key
+    # hashed tokens in the join key.  Since the r10 posting-frame
+    # materialization the tokenize+xxhash64 chain runs once into a
+    # checkpoint, so the final plan joins two ExistingRDD scans — the
+    # invariant is now that the self-join's equi-keys carry the token-hash
+    # column (_h) next to the block, never the block alone.
+    import re
+
+    key_pairs = re.findall(r"\[_blk#\d+L?, _h#\d+L?\]", plan)
+    assert len(key_pairs) >= 2, f"self-join not keyed on (block, token-hash):\n{plan}"
 
 
 def test_simhash_votes_are_aggregates_not_folds(spark):
