@@ -287,7 +287,12 @@ def siegel_repeated_median_slope(series: DataFrame, t: Column, v: Column) -> Dat
     # "count over window" passes collapse to literals — one window pass
     # with one sort instead of two WindowExec nodes per level.
     n = s.count()
-    a, b = s.alias("a"), s.alias("b")
+    # the broadcast NLJ's output inherits the LEFT side's partitioning —
+    # the checkpointed day series is 1 tiny partition, which would put
+    # all C(n,2) pair generation, the explode and the inner-median
+    # partial aggregation on one core (same fix as mann_kendall_trend)
+    par = s.sparkSession.sparkContext.defaultParallelism
+    a, b = s.repartition(par).alias("a"), s.alias("b")
     # half-pair table (i < j), then each unordered pair feeds BOTH
     # endpoints' inner medians via one cheap explode (slope(i,j) ==
     # slope(j,i)) — half the nested-loop output of the naive != join
