@@ -182,14 +182,32 @@ def frequent_pairs(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
     ).distinct()
     if not bi.isStreaming:
-        bi = bi.localCheckpoint()  # feeds the self-join twice + item counts
+        bi = bi.localCheckpoint()  # feeds the pair explode + item counts
     n_baskets = bi.select("_b").distinct().count()
     item_counts = bi.groupBy("_i").agg(F.count(F.lit(1)).alias("_ni"))
-    a = bi.select(F.col("_b"), F.col("_i").alias("item_a"))
-    b = bi.select(F.col("_b"), F.col("_i").alias("item_b"))
+    # pair generation WITHOUT a basket-keyed self-join (r10; the
+    # triangle_count_cosupply idiom): one shuffle of (basket, item) into
+    # per-basket sorted item lists, then a codegen double index-explode
+    # emits each i<j combination map-side with partial aggregation before
+    # the pair shuffle — the self-join form shuffled both sides and
+    # sort-merged them for the identical pair multiset.  Items are
+    # distinct per basket, so sorted order makes item_a < item_b exact.
+    per_basket = (
+        bi.groupBy("_b")
+        .agg(F.sort_array(F.collect_list("_i")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    base = per_basket.select(
+        "ps", F.explode(F.sequence(F.lit(1), F.size("ps") - 1)).alias("i")
+    )
     pairs = (
-        a.join(b, "_b")
-        .filter(F.col("item_a") < F.col("item_b"))
+        base.select(
+            "ps", "i", F.explode(F.sequence(F.col("i") + 1, F.size("ps"))).alias("j")
+        )
+        .select(
+            F.element_at(F.col("ps"), F.col("i")).alias("item_a"),
+            F.element_at(F.col("ps"), F.col("j")).alias("item_b"),
+        )
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)

@@ -159,14 +159,20 @@ def pagerank(
             F.col("_d").alias("id"),
             (F.col("rank") / F.col("outdeg")).alias("_c"),
         )
-        sums = contrib.groupBy("id").agg(
-            F.sum(F.col("_c").cast("decimal(38,18)")).alias("_sum")
+        # fold the "every node gets a rank" left-join INTO the contribution
+        # groupBy by unioning an exact-zero contribution per node (r10):
+        # decimal sums absorb the zero exactly, a no-in-edge node sums to
+        # 0 = the old coalesce(NULL, 0.0), and one broadcast build + one
+        # join per round disappear (A/B'd vs the nodes-left-join form)
+        sums = (
+            contrib.unionByName(nodes.select("id", F.lit(0.0).alias("_c")))
+            .groupBy("id")
+            .agg(F.sum(F.col("_c").cast("decimal(38,18)")).alias("_sum"))
         )
-        ranks = nodes.join(F.broadcast(sums) if bcast else sums, "id", "left").select(
+        ranks = sums.select(
             "id",
             F.round(
-                F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("_sum").cast("double"), F.lit(0.0)),
+                F.lit(base) + F.lit(damping) * F.col("_sum").cast("double"),
                 12,
             ).alias("rank"),
         )
