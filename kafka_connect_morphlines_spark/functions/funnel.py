@@ -167,16 +167,26 @@ def frequent_pairs(
     least ``min_support`` baskets, with support counts and lift.
 
     The useful four-fifths of association mining without FP-tree machinery:
-    distinct (basket, item) pairs self-join within basket (item_a < item_b
-    halves the pair space), groupBy pair with map-side combine, then lift
-    from broadcast per-item basket counts.
+    distinct (basket, item) rows are grouped into one sorted per-basket
+    item array, a double index-explode (i < j over array positions) emits
+    each unordered pair exactly once map-side, groupBy pair with map-side
+    combine, then lift from broadcast per-item basket counts.
 
-    100 TB shape: the within-basket self-join keys on the basket id, so
-    the shuffle carries (basket, item) ids only and a basket of size s
-    contributes s*(s-1)/2 rows — bounded for retail-shaped baskets (the
-    operator is quadratic in single-basket size, not in catalog or basket
-    count; cap pathological baskets upstream like the LSH mega-bucket
-    guard).  Item counts are catalog-sized -> broadcast.
+    100 TB shape: ONE shuffle of (basket, item) ids builds the per-basket
+    arrays (the r10 rework removed the basket-keyed self-join, which
+    shuffled and sort-merged both sides for the identical pair multiset);
+    the i<j index-explode then runs map-side with partial aggregation
+    before the pair shuffle.  A basket of size s still contributes
+    s*(s-1)/2 pair rows — quadratic in single-basket size, never in
+    catalog or basket count — but the failure mode for a pathological
+    mega-basket moved: the old self-join streamed its quadratic output
+    through the sort-merge, while collect_list materializes each basket
+    as ONE in-memory array in a single aggregation task, so the binding
+    constraint is now per-group executor memory (an s-item array, ~s
+    item ids), not shuffle volume.  Cap pathological baskets upstream
+    (like the LSH mega-bucket guard) before calling; retail-shaped
+    baskets (s in the tens-to-thousands) are far inside the bound.
+    Item counts are catalog-sized -> broadcast.
     """
     bi = baskets.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")

@@ -154,7 +154,11 @@ def test_weighted_median_price_golden_sf001(spark):
     for row in rows:
         want = want_by_grp[row["grp"]]
         for col, wv in zip(golden["columns"], want):
-            assert str(row[col]) == wv, (
+            # r11: the output boundary moved DECIMAL -> DOUBLE (the driver
+            # hash hazard fix), so golden cells are JSON numbers now —
+            # compare via str() on both sides (exact: both are the same
+            # float64 round-trip)
+            assert str(row[col]) == str(wv), (
                 f"cell ({row['grp']}, {col}): got {row[col]!r}, golden {wv!r}"
             )
 
