@@ -4335,9 +4335,18 @@ def pagerank_trade_graph(spark, sf_dir):
         .select(F.col("o_custkey").alias("c"), (F.lit(1000000) + F.col("l_suppkey")).alias("s"))
         .distinct()
     )
+    # r11 (guide §1.2, §2.4): pairs feeds BOTH union branches — without a
+    # materialization each branch re-ran the orders x lineitem join +
+    # distinct (job profile: three 104 MB lineitem scans per execution).
+    # The outer .distinct() was a no-op costing a full extra shuffle:
+    # pairs is already distinct and the two directions are disjoint by
+    # construction (src < 1e6 <= dst in one branch, src >= 1e6 > dst in
+    # the other — supplier ids are offset by 1,000,000), so the union
+    # carries no duplicates.  Edge set identical; oracle unchanged.
+    pairs = pairs.localCheckpoint()
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    ).distinct()
+    )
     return web.pagerank(edges, iters=3).orderBy("id")
 
 

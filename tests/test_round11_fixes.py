@@ -55,3 +55,21 @@ def test_weighted_median_matches_oracle_as_doubles(spark):
         for sv, ov in zip(s[1:], o[1:]):
             assert isinstance(sv, float) and isinstance(ov, float)
             assert sv == ov  # bit-identical doubles, not approx
+
+
+def test_icws_vocab_path_parity(spark):
+    """r11 ICWS rework: the per-vocabulary-token draws join must produce
+    BIT-IDENTICAL signatures to the inline per-tf-row form (the formulas
+    are the same IEEE expression trees over the same token strings; only
+    where they are evaluated moves).  Forces both paths explicitly:
+    vocab_path_min_input_bytes=0 engages the broadcast-join path on tiny
+    input; broadcast_vocab_max=0 forces the inline path."""
+    from kafka_connect_morphlines_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    inline = dedup.icws_signatures(docs, broadcast_vocab_max=0)
+    vocab = dedup.icws_signatures(docs, vocab_path_min_input_bytes=0)
+    a = {r["doc_id"]: list(r["sig"]) for r in inline.collect()}
+    b = {r["doc_id"]: list(r["sig"]) for r in vocab.collect()}
+    assert a == b
+    assert len(a) > 0
