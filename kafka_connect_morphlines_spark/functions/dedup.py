@@ -627,8 +627,6 @@ def icws_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     seed: str = "icws",
-    broadcast_vocab_max: int = 500_000,
-    vocab_path_min_input_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Improved Consistent Weighted Sampling signatures (Ioffe, ICDM 2010):
     MinHash generalized to WEIGHTED sets, so signature agreement estimates
@@ -652,36 +650,8 @@ def icws_signatures(
     J_w.  Shape at 100 TB: one token explode + groupBy(id, token) for tf
     weights, then ONE groupBy(id) carrying K min-struct aggregates
     (map-side combined) — the _raw_signatures shape; the shuffle carries
-    one K-slot row per doc per partition, never text.
-
-    r11 optimization (guide §1.2 "don't compute things twice", §2.4): the
-    draws (r, c, beta, e^r) are pure functions of (seed, slot, TOKEN) —
-    not of the weight — yet the inline form recomputed them on every
-    (doc, token) row: 2K xxhash64-of-string + 2K log + K exp per tf row.
-    The tf frame repeats each vocabulary token once per containing doc
-    (tf rows / vocab ≈ average doc frequency, 10-1000x for natural
-    text), so the draws are now computed ONCE per distinct token on a
-    vocab-sized frame and broadcast-joined back to the tf rows; per tf
-    row only the weight-dependent tail remains (ln w hoisted to one
-    column, then per slot: floor, one exp, one divide, one slot hash).
-    Value-identical by IEEE determinism: the same expression tree over
-    the same token string yields the same doubles whether evaluated on a
-    vocab row or a tf row (golden-pinned at sf0.01; path-parity pinned in
-    tests).  Two gates keep the cutover scale-adaptive rather than tuned
-    to either local mode or a cluster:
-    (1) the vocab path only engages when the INPUT's Catalyst size
-        estimate is >= ``vocab_path_min_input_bytes`` (driver-side plan
-        stats, zero jobs; unknown-size sources estimate Long.Max and are
-        treated as big) — below it the extra tf checkpoint + vocab count
-        + broadcast build (+2 jobs, measured ~+1s wall at sf0.1 where
-        the whole map pass is 116k rows) outweighs the CPU saving;
-    (2) once engaged, the broadcast is gated on ``broadcast_vocab_max``
-        distinct tokens (~300 MB of draws at the 500k default) — above
-        it (junk vocabularies at crawl scale) the original inline form
-        runs on the already-checkpointed tf frame, costing map-side CPU
-        rather than a corpus-sized shuffle or an oversized broadcast.
-    Streaming frames always take the inline form (no localCheckpoint /
-    count on unbounded input).
+    one K-slot row per doc per partition, never text.  2K xxhash64 calls
+    per tf row is the map-side cost — linear, embarrassingly parallel.
     """
     from kafka_connect_morphlines_spark.functions.textstats import tokens_codegen
 
@@ -697,7 +667,8 @@ def icws_signatures(
         # 24-bit uniform in (0,1): (bits + 0.5) / 2^24 — never 0 or 1.
         return (bits.cast("long") + F.lit(0.5)) / F.lit(two24)
 
-    def draws(i: int) -> tuple[Column, Column, Column]:
+    aggs = []
+    for i in range(num_hashes):
         # 128 hashed bits from two codegen xxhash64 calls; five 24-bit
         # slices via integer shifts (slices 0-1 from h1, 2-3 from h2,
         # beta from the two 16-bit leftovers)
@@ -711,55 +682,13 @@ def icws_signatures(
         r = -(F.log(u24(s0) * u24(s1)))
         c = -(F.log(u24(s2) * u24(s3)))
         beta = u24(s4)
-        return r, c, beta
-
-    def slot_aggs(src: DataFrame, per_slot) -> DataFrame:
-        aggs = []
-        for i in range(num_hashes):
-            r, c, beta, er = per_slot(i)
-            lnw = F.col("_lnw")
-            t_k = F.floor(lnw / r + beta)
-            y = F.exp(r * (t_k.cast("double") - beta))
-            a = c / (y * er)
-            slot = F.xxhash64(F.lit(i), F.col("_t"), t_k)
-            aggs.append(F.min(F.struct(a.alias("_a"), slot.alias("_slot"))).alias(f"_m{i}"))
-        return src.withColumn("_lnw", F.log(F.col("_w").cast("double"))).groupBy("_id").agg(*aggs)
-
-    vocab_path = False
-    if not tf.isStreaming and broadcast_vocab_max > 0:
-        # scale gate (driver-side, zero jobs): Catalyst's size estimate of
-        # the INPUT frame; file sources report actual bytes, unknown
-        # sources report conf defaultSizeInBytes (Long.Max) = "big"
-        try:
-            in_bytes = int(
-                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-        except Exception:
-            in_bytes = 1 << 62
-        if in_bytes >= vocab_path_min_input_bytes:
-            tf = tf.localCheckpoint()  # feeds vocab count, draws frame AND join
-            n_vocab = tf.select("_t").distinct().count()
-            vocab_path = n_vocab <= broadcast_vocab_max
-    if vocab_path:
-        cols = []
-        for i in range(num_hashes):
-            r, c, beta = draws(i)
-            cols += [
-                r.alias(f"_r{i}"), c.alias(f"_c{i}"), beta.alias(f"_be{i}"),
-                F.exp(r).alias(f"_er{i}"),
-            ]
-        draw_tbl = tf.select("_t").distinct().select("_t", *cols)
-        src = tf.join(F.broadcast(draw_tbl), "_t")
-        grouped = slot_aggs(
-            src,
-            lambda i: (F.col(f"_r{i}"), F.col(f"_c{i}"), F.col(f"_be{i}"), F.col(f"_er{i}")),
-        )
-    else:
-        def inline(i: int):
-            r, c, beta = draws(i)
-            return r, c, beta, F.exp(r)
-
-        grouped = slot_aggs(tf, inline)
+        lnw = F.log(F.col("_w").cast("double"))
+        t_k = F.floor(lnw / r + beta)
+        y = F.exp(r * (t_k.cast("double") - beta))
+        a = c / (y * F.exp(r))
+        slot = F.xxhash64(F.lit(i), F.col("_t"), t_k)
+        aggs.append(F.min(F.struct(a.alias("_a"), slot.alias("_slot"))).alias(f"_m{i}"))
+    grouped = tf.groupBy("_id").agg(*aggs)
     return grouped.select(
         F.col("_id").alias(id_col),
         F.array(*[F.col(f"_m{i}._slot") for i in range(num_hashes)]).alias("sig"),

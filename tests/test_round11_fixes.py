@@ -57,19 +57,40 @@ def test_weighted_median_matches_oracle_as_doubles(spark):
             assert sv == ov  # bit-identical doubles, not approx
 
 
-def test_icws_vocab_path_parity(spark):
-    """r11 ICWS rework: the per-vocabulary-token draws join must produce
-    BIT-IDENTICAL signatures to the inline per-tf-row form (the formulas
-    are the same IEEE expression trees over the same token strings; only
-    where they are evaluated moves).  Forces both paths explicitly:
-    vocab_path_min_input_bytes=0 engages the broadcast-join path on tiny
-    input; broadcast_vocab_max=0 forces the inline path."""
+def test_ssl_prototype_plan_carries_no_literal_centroid_tree(spark):
+    """r11: prototype_prune's centroids arrive via a broadcast k-row
+    frame, not a create_map of k*d literal columns.  The literal tree
+    cost ~5s of driver-side wall per build (2048 py4j Column builds +
+    Catalyst analysis) and printed as a 130KB formatted plan; the join
+    form prints ~5KB.  Pin the plan size so a literal-map regression
+    fails loudly."""
+    plan = _formatted_plan(spark, "ssl_prototype_prune")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert len(plan) < 40_000, f"plan ballooned to {len(plan)} chars"
+
+
+def _formatted_plan(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = QUERIES[name].build(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_icws_signatures_deterministic_rerun(spark):
+    """r11: a per-vocabulary-token draws-join variant of icws_signatures
+    was prototyped and REJECTED on measurement (slower at every scale
+    tried: the tf checkpoint + draws broadcast outweigh the saved
+    per-row hashes — see OPTIMIZATION_r11.md).  The inline form stays;
+    this pin guards the kernel's rerun determinism, which both the
+    golden oracle and any future rework parity-check depend on."""
     from kafka_connect_morphlines_spark.functions import dedup
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    inline = dedup.icws_signatures(docs, broadcast_vocab_max=0)
-    vocab = dedup.icws_signatures(docs, vocab_path_min_input_bytes=0)
-    a = {r["doc_id"]: list(r["sig"]) for r in inline.collect()}
-    b = {r["doc_id"]: list(r["sig"]) for r in vocab.collect()}
+    a = {r["doc_id"]: list(r["sig"]) for r in dedup.icws_signatures(docs).collect()}
+    b = {r["doc_id"]: list(r["sig"]) for r in dedup.icws_signatures(docs).collect()}
     assert a == b
     assert len(a) > 0
